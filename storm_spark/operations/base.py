@@ -1,0 +1,235 @@
+"""Operation contracts — the engine's UDF/UDAF/UDTF surface.
+
+Parity map (reference -> engine):
+
+- ``trident/operation/Function.java:22``  -> :class:`BaseFunction`
+  (``ExprFunction`` fast path compiles to Catalyst columns; ``PandasFunction``
+  is the Arrow-batched slow path via ``mapInPandas``).
+- ``trident/operation/Filter.java:23``    -> :class:`BaseFilter`.
+- ``trident/operation/CombinerAggregator.java:25-28`` -> :class:`CombinerAggregator`
+  (monoid: init/combine/zero). The fast path exposes Catalyst expressions so
+  Spark's partial+final HashAggregate replaces Trident's combiner fast path
+  (``ChainedAggregatorDeclarer.java:130-145``) for free.
+- ``trident/operation/ReducerAggregator.java:23-25`` -> :class:`ReducerAggregator`
+  (fold; no partials — runs as grouped ``applyInPandas``).
+- ``trident/operation/Aggregator.java:22-25`` -> :class:`Aggregator`
+  (general: may emit any number of rows; sees the batch id).
+
+Design rule: *everything that can be a Column expression is one* — Python
+executes only inside Arrow-batched pandas UDFs, never per row on the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+class TridentTuple:
+    """Lightweight named row passed to python-path operations.
+
+    Parity: ``backtype/storm/tuple/Tuple.java:39-170`` — positional access
+    (``t[0]``), by-name access (``t['word']`` / ``t.get('word')``).
+    """
+
+    __slots__ = ("_values", "_index")
+
+    def __init__(self, values: Sequence[Any], index: dict[str, int]):
+        self._values = values
+        self._index = index
+
+    def __getitem__(self, key: int | str) -> Any:
+        if isinstance(key, str):
+            return self._values[self._index[key]]
+        return self._values[key]
+
+    def get(self, name: str, default: Any = None) -> Any:
+        i = self._index.get(name)
+        return default if i is None else self._values[i]
+
+    def values(self) -> list[Any]:
+        return list(self._values)
+
+    def __len__(self) -> int:
+        return len(self._values)
+
+    def __repr__(self) -> str:
+        return f"TridentTuple({list(self._values)!r})"
+
+
+class TridentCollector:
+    """Collects emitted rows from python-path operations.
+
+    Parity: ``trident/operation/TridentCollector.java`` (``emit(List<Object>)``).
+    """
+
+    __slots__ = ("rows",)
+
+    def __init__(self) -> None:
+        self.rows: list[list[Any]] = []
+
+    def emit(self, values: Sequence[Any]) -> None:
+        self.rows.append(list(values))
+
+
+# ---------------------------------------------------------------------------
+# Functions (each)
+# ---------------------------------------------------------------------------
+
+
+class BaseFunction:
+    """Marker base for ``each``-style functions (0..n rows out, appended cols)."""
+
+    #: Spark DDL types for the function's output fields (python path only).
+    out_types: list[str] = []
+
+
+class ExprFunction(BaseFunction):
+    """Fast-path function: output fields are Catalyst Column expressions.
+
+    ``columns(cols)`` receives the *input* columns (per ``inFields``) and
+    returns one Column per output field. A single generator column (e.g.
+    ``F.explode``) is allowed, giving 1-to-n semantics JVM-side.
+    """
+
+    def columns(self, cols: list[Column]) -> list[Column]:  # pragma: no cover
+        raise NotImplementedError
+
+
+class LambdaFunction(ExprFunction):
+    """Wrap a plain ``lambda cols: [Column, ...]`` as an ExprFunction."""
+
+    def __init__(self, fn: Callable[[list[Column]], list[Column]]):
+        self._fn = fn
+
+    def columns(self, cols: list[Column]) -> list[Column]:
+        return self._fn(cols)
+
+
+class PandasFunction(BaseFunction):
+    """Slow-path function: arbitrary python, Arrow-batched via ``mapInPandas``.
+
+    Implement ``execute(tuple, collector)`` exactly like the reference's
+    ``Function.execute(TridentTuple, TridentCollector)``; emitted rows are the
+    *appended* output fields. Set ``out_types`` (Spark DDL) for the outputs.
+    """
+
+    def prepare(self) -> None:  # lifecycle hook (Operation.prepare)
+        pass
+
+    def execute(self, tup: TridentTuple, collector: TridentCollector) -> None:
+        raise NotImplementedError
+
+
+# ---------------------------------------------------------------------------
+# Filters
+# ---------------------------------------------------------------------------
+
+
+class BaseFilter:
+    """Marker base for filters (row -> bool)."""
+
+
+class ExprFilter(BaseFilter):
+    """Fast path: boolean Column over the selected input columns."""
+
+    def condition(self, cols: list[Column]) -> Column:  # pragma: no cover
+        raise NotImplementedError
+
+
+class LambdaFilter(ExprFilter):
+    def __init__(self, fn: Callable[[list[Column]], Column]):
+        self._fn = fn
+
+    def condition(self, cols: list[Column]) -> Column:
+        return self._fn(cols)
+
+
+class PandasFilter(BaseFilter):
+    """Slow path: ``is_keep(tuple) -> bool``, run Arrow-batched."""
+
+    def is_keep(self, tup: TridentTuple) -> bool:
+        raise NotImplementedError
+
+
+# ---------------------------------------------------------------------------
+# Aggregators
+# ---------------------------------------------------------------------------
+
+
+class CombinerAggregator:
+    """Commutative-monoid aggregate: ``init(tuple) -> T``, ``combine(a, b) -> T``,
+    ``zero() -> T``.
+
+    Fast path (preferred): override the three ``*_expr`` hooks with Catalyst
+    expressions — the engine then compiles to built-in partial+final hash
+    aggregation, and the state layer uses ``combine_expr`` for cross-batch
+    merges. Python ``init/combine/zero`` remain as the portable slow path.
+    """
+
+    #: Spark DDL type of the aggregate value (used for state tables / python path).
+    value_type: str = "bigint"
+
+    # -- fast path ---------------------------------------------------------
+    def agg_expr(self, cols: list[Column]) -> Column | None:
+        """Whole-batch aggregate expression, or None to use the python path."""
+        return None
+
+    def combine_expr(self, a: Column, b: Column) -> Column:
+        """Merge two partial values (state merge across batches)."""
+        raise NotImplementedError
+
+    def zero_expr(self) -> Column:
+        return F.lit(self.zero())
+
+    # -- python path -------------------------------------------------------
+    def init(self, tup: TridentTuple) -> Any:
+        raise NotImplementedError
+
+    def combine(self, a: Any, b: Any) -> Any:
+        raise NotImplementedError
+
+    def zero(self) -> Any:
+        raise NotImplementedError
+
+
+class ReducerAggregator:
+    """Fold aggregate: ``init() -> T``, ``reduce(curr, tuple) -> T``.
+
+    No partial aggregation is possible (parity:
+    ``ReducerAggregator.java:23-25``) — runs as grouped ``applyInPandas``.
+    """
+
+    value_type: str = "bigint"
+
+    def init(self) -> Any:
+        raise NotImplementedError
+
+    def reduce(self, curr: Any, tup: TridentTuple) -> Any:
+        raise NotImplementedError
+
+
+class Aggregator:
+    """General aggregator: may emit any number of rows at any point.
+
+    Parity: ``trident/operation/Aggregator.java:22-25`` —
+    ``init(batch_id, collector) -> S``; ``aggregate(S, tuple, collector)``;
+    ``complete(S, collector)``. Runs as grouped ``applyInPandas``; emitted rows
+    are the output fields. Set ``out_types`` (one DDL type per output field).
+    """
+
+    out_types: list[str] = ["bigint"]
+
+    def init(self, batch_id: Any, collector: TridentCollector) -> Any:
+        raise NotImplementedError
+
+    def aggregate(self, state: Any, tup: TridentTuple, collector: TridentCollector) -> None:
+        raise NotImplementedError
+
+    def complete(self, state: Any, collector: TridentCollector) -> None:
+        raise NotImplementedError
+
+
+AnyAggregator = CombinerAggregator | ReducerAggregator | Aggregator

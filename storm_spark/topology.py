@@ -1,0 +1,467 @@
+"""Topology — stream wiring, persistent state registration, DRPC, joins.
+
+Parity: ``storm/trident/TridentTopology.java``. The reference compiles its
+node graph into bolts wired by groupings; here every stream is a deferred
+DataFrame plan and Catalyst does the compiling (operator fusion = whole-stage
+codegen, exchange insertion = EnsureRequirements — see SURVEY §4).
+
+:class:`LocalCluster` replaces the in-process simulated cluster
+(``clj/backtype/storm/LocalCluster.clj`` + ``testing.clj:complete-topology``):
+feeding a batch runs every registered state update exactly once under a new
+txid with 2-phase begin/commit ordering (parity:
+``MasterBatchCoordinator.java:121-180``).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Any, Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from storm_spark.fields import as_field_list
+from storm_spark.operations.base import CombinerAggregator, TridentCollector, TridentTuple
+from storm_spark.operations.builtin import (
+    MapGet,
+    QueryFunction,
+    SnapshotGet,
+    TupleCollectionGet,
+)
+from storm_spark.stream import Context, Stream, _parse_ddl
+
+SNAPSHOT_KEY = "__skey__"
+
+
+class FeederSource:
+    """Test-fixture source fed literal tuples.
+
+    Parity: ``trident/testing/FeederBatchSpout.java:35`` /
+    ``FixedBatchSpout.java:33-66``. Each ``feed`` is one micro-batch.
+    """
+
+    _ids = itertools.count()
+
+    def __init__(self, fields: Sequence[str], types: Sequence[str] | None = None):
+        self.fields = list(fields)
+        self.types = list(types) if types else ["string"] * len(self.fields)
+        self.id = f"feeder-{next(self._ids)}"
+        self._cluster: "LocalCluster | None" = None
+
+    def schema(self) -> StructType:
+        s = StructType()
+        for n, t in zip(self.fields, self.types):
+            s = s.add(n, _parse_ddl(t))
+        return s
+
+    def feed(self, rows: Sequence[Sequence[Any]]) -> None:
+        if self._cluster is None:
+            raise RuntimeError("attach the topology to a LocalCluster before feeding")
+        self._cluster.feed(self, rows)
+
+
+class _StateSpec:
+    def __init__(self, stream, keys, in_fields, agg, state, value_field, updater=None):
+        self.stream = stream
+        self.keys = keys
+        self.in_fields = in_fields
+        self.agg = agg
+        self.state = state
+        self.value_field = value_field
+        self.updater = updater  # partition_persist path
+
+
+class TridentState:
+    """Handle to a persistent, queryable state (parity: ``trident/TridentState.java``)."""
+
+    def __init__(self, topology: "Topology", spec: _StateSpec, snapshot: bool):
+        self._topology = topology
+        self._spec = spec
+        self._snapshot = snapshot
+
+    @property
+    def state(self):
+        return self._spec.state
+
+    def dataframe(self) -> DataFrame:
+        df = self._spec.state.dataframe(self._topology.spark)
+        if self._snapshot:
+            df = df.drop(SNAPSHOT_KEY)
+        return df
+
+    def new_values_stream(self) -> Stream:
+        """Stream of current state rows (keys + value).
+
+        Parity: ``TridentState.newValuesStream`` — the reference emits only
+        the keys updated in the batch; in batch mode the engine exposes the
+        full post-commit state (a superset; the streaming driver narrows it).
+        """
+        fields = ([] if self._snapshot else list(self._spec.keys)) + [self._spec.value_field]
+        return Stream(self._topology, lambda ctx: self.dataframe(), fields, "state-values")
+
+    # join implementation behind Stream.state_query
+    def _query(self, ctx, df: DataFrame, in_fields: list[str], query_fn: QueryFunction, out_fields: list[str]) -> DataFrame:
+        spark = self._topology.spark
+        sdf = self._spec.state.dataframe(spark)
+        keys = self._spec.keys if not self._snapshot else []
+        value_field = self._spec.value_field
+        if isinstance(query_fn, MapGet):
+            if len(in_fields) != len(keys):
+                raise ValueError(f"MapGet needs {len(keys)} key fields, got {in_fields}")
+            # rename state cols to avoid collisions; left join = null for misses
+            renamed = sdf.select(
+                *[F.col(k).alias(f"__sk_{i}__") for i, k in enumerate(keys)],
+                F.col(value_field).alias(out_fields[0]),
+            )
+            cond = None
+            for i, f in enumerate(in_fields):
+                c = df[f].eqNullSafe(renamed[f"__sk_{i}__"])
+                cond = c if cond is None else (cond & c)
+            return df.join(renamed, cond, "left").drop(
+                *[f"__sk_{i}__" for i in range(len(keys))]
+            )
+        if isinstance(query_fn, SnapshotGet):
+            one = sdf.select(F.col(value_field).alias(out_fields[0])).limit(1)
+            return df.crossJoin(F.broadcast(one))
+        if isinstance(query_fn, TupleCollectionGet):
+            cols = ([] if self._snapshot else list(keys)) + [value_field]
+            if len(out_fields) != len(cols):
+                raise ValueError(f"TupleCollectionGet emits {cols}; need {len(cols)} out fields")
+            scan = sdf.select(*[F.col(c).alias(o) for c, o in zip(cols, out_fields)])
+            return df.crossJoin(scan)
+        raise TypeError(f"unsupported query function: {type(query_fn)}")
+
+
+class Topology:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._sources: dict[str, FeederSource] = {}
+        self._state_specs: list[_StateSpec] = []
+        self._drpc: dict[str, Stream] = {}
+
+    # -- sources ------------------------------------------------------------
+
+    def new_stream(self, name: str, source) -> Stream:
+        """Parity: ``TridentTopology.newStream``. ``source`` may be a
+        FeederSource (micro-batch fixture), a DataFrame, or a parquet path."""
+        if isinstance(source, FeederSource):
+            self._sources[source.id] = source
+            schema = source.schema()
+
+            def build(ctx: Context) -> DataFrame:
+                df = ctx.bindings.get(source.id)
+                return df if df is not None else self.spark.createDataFrame([], schema)
+
+            return Stream(self, build, source.fields, name)
+        if isinstance(source, DataFrame):
+            return Stream(self, lambda ctx: source, source.columns, name)
+        if isinstance(source, str):
+            df = self.spark.read.parquet(source)
+            return Stream(self, lambda ctx: df, df.columns, name)
+        raise TypeError(f"unsupported source: {type(source)}")
+
+    def new_drpc_stream(self, function: str) -> Stream:
+        """Parity: ``TridentTopology.java:135-157`` — a one-row stream of
+        ``[args]`` per request; the terminal stream of the chain is what
+        ``execute_drpc`` runs (ReturnResults routing is implicit: results are
+        collected back to the caller)."""
+        binding = f"__drpc__:{function}"
+
+        def build(ctx: Context) -> DataFrame:
+            df = ctx.bindings.get(binding)
+            if df is None:
+                return self.spark.createDataFrame([], StructType().add("args", "string"))
+            return df
+
+        s = Stream(self, build, ["args"], f"drpc:{function}")
+        s._drpc_name = function  # propagated by Stream._with via __dict__? no — see below
+        self._register_drpc_terminal(function, s)
+        # wrap _with so every derived stream re-registers as the terminal
+        return _track_drpc(self, function, s)
+
+    def _register_drpc_terminal(self, function: str, stream: Stream) -> None:
+        self._drpc[function] = stream
+
+    # -- state registration --------------------------------------------------
+
+    def _register_persistent_aggregate(
+        self, stream: Stream, keys, in_fields, agg, out_fields, state_factory
+    ) -> TridentState:
+        if not isinstance(agg, CombinerAggregator):
+            raise NotImplementedError(
+                "persistent_aggregate currently requires a CombinerAggregator "
+                "(parity: combiner fast path; Reducer state updaters: TODO)"
+            )
+        value_field = out_fields[0]
+        snapshot = not keys
+        # key schema from the upstream plan (empty-bindings build)
+        up_schema = {f.name: f.dataType for f in stream.build(Context(self.spark)).schema.fields}
+        ks = StructType()
+        if snapshot:
+            ks = ks.add(SNAPSHOT_KEY, _parse_ddl("int"))
+        else:
+            for k in keys:
+                ks = ks.add(k, up_schema[k])
+        state = state_factory(ks, value_field, agg.value_type)
+        spec = _StateSpec(stream, keys if not snapshot else [SNAPSHOT_KEY], in_fields, agg, state, value_field)
+        spec.snapshot = snapshot
+        self._state_specs.append(spec)
+        return TridentState(self, spec, snapshot)
+
+    def _register_partition_persist(self, stream, in_fields, updater, out_fields, state_factory) -> TridentState:
+        up_schema = StructType(
+            [f for f in stream.build(Context(self.spark)).schema.fields if f.name in in_fields]
+        )
+        state = state_factory(up_schema, (out_fields or ["value"])[0], "string")
+        spec = _StateSpec(stream, in_fields, in_fields, None, state, (out_fields or ["value"])[0], updater)
+        spec.snapshot = False
+        self._state_specs.append(spec)
+        return TridentState(self, spec, False)
+
+    # -- multi-stream --------------------------------------------------------
+
+    def merge(self, *streams: Stream) -> Stream:
+        return streams[0].merge(*streams[1:])
+
+    def join(self, streams, join_fields, out_fields, join_type="inner") -> Stream:
+        """Equi-join of N streams within the batch.
+
+        Parity: ``TridentTopology.java:237-263`` + ``JoinerMultiReducer.java``:
+        Trident joins are *per batch* (no cross-batch buffering), which in the
+        engine is a plain DataFrame join of the per-batch frames — in streaming
+        the join runs inside ``foreachBatch``, never a stream-stream join.
+        ``join_type``: 'inner' | 'outer' | list per stream ('inner'/'outer'),
+        e.g. ['inner','outer'] keeps unmatched rows of the second stream.
+        """
+        return join_streams(
+            self, list(streams), [as_field_list(j) for j in join_fields],
+            as_field_list(out_fields), join_type,
+        )
+
+    def multi_reduce(self, grouped_streams, reducer, out_fields) -> Stream:
+        """Keyed cogroup over N streams (what join compiles to in the
+        reference). Parity: ``TridentTopology.java:206-219`` /
+        ``GroupedMultiReducerExecutor.java:37-95``. Engine: tagged union +
+        grouped applyInPandas."""
+        from storm_spark.stream import GroupedStream
+
+        out_l = as_field_list(out_fields)
+        streams = [gs._stream for gs in grouped_streams]
+        keys_list = [gs.keys for gs in grouped_streams]
+        nkeys = len(keys_list[0])
+        topo = self
+
+        def build(ctx: Context) -> DataFrame:
+            import pandas as pd
+
+            key_schema = None
+            tagged = None
+            for i, (s, ks) in enumerate(zip(streams, keys_list)):
+                df = s._build(ctx)
+                if key_schema is None:
+                    key_schema = [f for f in df.schema.fields if f.name in ks]
+                rest = [c for c in df.columns if c not in ks]
+                d = df.select(
+                    *[F.col(k).alias(f"__k{j}__") for j, k in enumerate(ks)],
+                    F.lit(i).alias("__src__"),
+                    F.to_json(F.struct(*rest)).alias("__payload__"),
+                )
+                tagged = d if tagged is None else tagged.union(d)
+
+            out_schema = StructType()
+            for j, f in enumerate(key_schema):
+                out_schema = out_schema.add(out_l[j], f.dataType)
+            for name, t in zip(out_l[nkeys:], reducer.out_types):
+                out_schema = out_schema.add(name, _parse_ddl(t))
+
+            def run(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+                import json
+
+                coll = TridentCollector()
+                state = reducer.init(coll)
+                for row in pdf.itertuples(index=False):
+                    payload = json.loads(row.__payload__)
+                    vals = list(payload.values())
+                    reducer.execute(state, int(row.__src__), TridentTuple(vals, {}), coll)
+                reducer.complete(state, coll)
+                return pd.DataFrame(
+                    [list(key) + r for r in coll.rows],
+                    columns=[f.name for f in out_schema.fields],
+                )
+
+            kcols = [f"__k{j}__" for j in range(nkeys)]
+            return tagged.groupBy(*kcols).applyInPandas(run, out_schema)
+
+        return Stream(self, build, out_l, "multireduce")
+
+
+def _track_drpc(topology: Topology, function: str, stream: Stream) -> Stream:
+    """Wrap a stream so every derived stream becomes the DRPC terminal."""
+    orig_with = stream._with
+
+    def tracked_with(build, fields=None):
+        s = orig_with(build, fields)
+        topology._register_drpc_terminal(function, s)
+        return _track_drpc(topology, function, s)
+
+    stream._with = tracked_with  # type: ignore[method-assign]
+    return stream
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+def join_streams(
+    topology: Topology,
+    streams: list[Stream],
+    join_fields: list[list[str]],
+    out_fields: list[str],
+    join_type: str | list[str] = "inner",
+) -> Stream:
+    """N-way equi-join. Output fields: the join keys once (coalesced across
+    sides for outer joins), then every stream's non-key fields in order —
+    exactly the reference's output contract (``TridentTopology.java:237-263``).
+    """
+    nkeys = len(join_fields[0])
+    for jf in join_fields:
+        if len(jf) != nkeys:
+            raise ValueError("all streams must join on the same number of fields")
+    types = [join_type] * len(streams) if isinstance(join_type, str) else list(join_type)
+    n_out_expected = nkeys + sum(len(s.fields) - nkeys for s in streams)
+    if len(out_fields) != n_out_expected:
+        raise ValueError(f"expected {n_out_expected} output fields, got {len(out_fields)}")
+
+    def build(ctx: Context) -> DataFrame:
+        dfs = []
+        for i, (s, jf) in enumerate(zip(streams, join_fields)):
+            df = s._build(ctx)
+            dfs.append(
+                df.select(
+                    *[F.col(k).alias(f"__j{i}_{j}__") for j, k in enumerate(jf)],
+                    *[F.col(c).alias(f"__v{i}_{c}__") for c in s.fields if c not in jf],
+                )
+            )
+        acc = dfs[0]
+        acc_outer = types[0] == "outer"
+        for i in range(1, len(dfs)):
+            right_outer = types[i] == "outer"
+            if acc_outer and right_outer:
+                how = "full_outer"
+            elif acc_outer:
+                how = "left_outer"
+            elif right_outer:
+                how = "right_outer"
+            else:
+                how = "inner"
+            cond = None
+            for j in range(nkeys):
+                c = F.coalesce(*[acc[f"__j{k}_{j}__"] for k in range(i) if f"__j{k}_{j}__" in acc.columns]) \
+                    if i > 1 else acc[f"__j0_{j}__"]
+                eq = c.eqNullSafe(dfs[i][f"__j{i}_{j}__"])
+                cond = eq if cond is None else (cond & eq)
+            acc = acc.join(dfs[i], cond, how)
+            acc_outer = acc_outer or right_outer
+        # output: coalesced keys, then per-stream non-key fields in order
+        out_cols = []
+        for j in range(nkeys):
+            out_cols.append(
+                F.coalesce(*[F.col(f"__j{i}_{j}__") for i in range(len(streams))]).alias(
+                    out_fields[j]
+                )
+            )
+        pos = nkeys
+        for i, s in enumerate(streams):
+            for c in s.fields:
+                if c not in join_fields[i]:
+                    out_cols.append(F.col(f"__v{i}_{c}__").alias(out_fields[pos]))
+                    pos += 1
+        return acc.select(*out_cols)
+
+    return Stream(topology, build, list(out_fields), "join")
+
+
+# ---------------------------------------------------------------------------
+# LocalCluster — in-process batch driver + DRPC server
+# ---------------------------------------------------------------------------
+
+
+class LocalCluster:
+    """Run a topology's state updates batch-by-batch, in txid order.
+
+    Parity: ``LocalCluster.clj`` + ``MasterBatchCoordinator.java:121-180``
+    (2-phase: process all, then commit in txid order) and ``LocalDRPC.clj``
+    (in-process DRPC execute).
+    """
+
+    def __init__(self, topology: Topology):
+        self.topology = topology
+        self._next_txid = 1
+        for src in topology._sources.values():
+            src._cluster = self
+
+    def feed(self, source: FeederSource, rows: Sequence[Sequence[Any]], txid: int | None = None) -> int:
+        """Process one micro-batch. Returns the txid used. Passing an explicit
+        ``txid`` replays that transaction (for exactly-once semantics tests)."""
+        if txid is None:
+            txid = self._next_txid
+            self._next_txid += 1
+        df = self.topology.spark.createDataFrame([tuple(r) for r in rows], source.schema())
+        ctx = Context(self.topology.spark, {source.id: df}, txid)
+        specs = self.topology._state_specs
+        for spec in specs:
+            spec.state.begin_commit(txid)
+        for spec in specs:
+            self._process_spec(spec, ctx, txid)
+        for spec in specs:
+            spec.state.commit(txid)
+        return txid
+
+    def _process_spec(self, spec: _StateSpec, ctx: Context, txid: int) -> None:
+        df = spec.stream.build(ctx)
+        if spec.updater is not None:
+            # partition_persist: StateUpdater(state, tuples, collector)
+            rows = [
+                TridentTuple(tuple(r), {f: i for i, f in enumerate(df.columns)})
+                for r in df.select(*spec.in_fields).collect()
+            ]
+            coll = TridentCollector()
+            spec.updater(spec.state, rows, coll)
+            return
+        agg: CombinerAggregator = spec.agg
+        keys = [k for k in spec.keys if k != SNAPSHOT_KEY]
+        cols = [F.col(f) for f in spec.in_fields]
+        expr = agg.agg_expr(cols)
+        if expr is not None:
+            gb = df.groupBy(*keys) if keys else df.groupBy()
+            agg_df = gb.agg(expr.alias("__delta__"))
+        else:
+            # python combiner: per-key fold via applyInPandas
+            from storm_spark.stream import ChainedAggregatorDeclarer
+
+            tmp = (
+                ChainedAggregatorDeclarer(spec.stream, keys or None)
+                .aggregate(spec.in_fields, agg, ["__delta__"])
+                .chain_end()
+            )
+            agg_df = tmp.build(ctx)
+        if not keys:  # snapshottable: constant key
+            agg_df = agg_df.withColumn(SNAPSHOT_KEY, F.lit(0))
+        if agg_df.limit(1).count() == 0:
+            return  # nothing to merge this batch
+        spec.state.update_from_agg(agg_df, agg, txid)
+
+    # -- DRPC ---------------------------------------------------------------
+
+    def execute_drpc(self, function: str, args: str) -> list[list[Any]]:
+        """Parity: ``LocalDRPC.execute`` — returns the result rows as a list
+        of value-lists (the reference returns a JSON string of the same)."""
+        terminal = self.topology._drpc.get(function)
+        if terminal is None:
+            raise KeyError(f"no DRPC function {function!r}")
+        spark = self.topology.spark
+        adf = spark.createDataFrame([(args,)], StructType().add("args", "string"))
+        ctx = Context(spark, {f"__drpc__:{function}": adf}, self._next_txid)
+        return [list(r) for r in terminal.build(ctx).collect()]

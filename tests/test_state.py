@@ -1,0 +1,172 @@
+"""Ports of the reference's state-semantics tests.
+
+Source: ``storm-core/test/clj/storm/trident/state_test.clj:33-115`` — scripted
+beginCommit/update/commit sequences including replayed txids, for opaque vs
+transactional maps, plus the same scripts against the parquet-backed scale
+state (set-oriented merge path).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from storm_spark.operations import Count
+from storm_spark.state import (
+    MemoryMapState,
+    OpaqueValue,
+    ParquetMapState,
+    StateType,
+)
+
+
+def _count_combine(a, b):
+    return (a or 0) + (b or 0)
+
+
+def single_get(m, key):
+    return m.multi_get([(key,)])[0]
+
+
+def single_update(m, key, amt):
+    return m.multi_update([(key,)], [amt], _count_combine, 0)[0]
+
+
+def _key_schema():
+    return StructType().add("k", "string")
+
+
+def test_opaque_value():
+    # state_test.clj:33-58
+    opqval = OpaqueValue(8, "v1", "v0")
+    upval0 = opqval.update(8, "v2")
+    upval1 = opqval.update(9, "v2")
+    assert opqval.get(None) == "v1"
+    assert opqval.get(100) == "v1"
+    assert opqval.get(9) == "v1"
+    assert opqval.get(8) == "v0"
+    with pytest.raises(ValueError):
+        opqval.get(7)
+    assert opqval.get_prev() == "v0"
+    assert opqval.get_curr() == "v1"
+    # update with current txid keeps prev; new txid rolls curr into prev
+    assert upval0.get_prev() == "v0" and upval0.get_curr() == "v2"
+    assert upval1.get_prev() == "v1" and upval1.get_curr() == "v2"
+
+
+def test_opaque_map():
+    # state_test.clj:60-77
+    m = MemoryMapState(_key_schema(), "count", "bigint", StateType.OPAQUE)
+    m.begin_commit(1)
+    assert single_get(m, "a") is None
+    # intra-batch accumulation (read-your-writes cache)
+    assert single_update(m, "a", 1) == 1
+    assert single_update(m, "a", 2) == 3
+    m.commit(1)
+    # replay of txid 1: recompute from prev
+    m.begin_commit(1)
+    assert single_get(m, "a") is None
+    assert single_update(m, "a", 2) == 2
+    m.commit(1)
+    m.begin_commit(2)
+    assert single_get(m, "a") == 2
+    assert single_update(m, "a", 3) == 5
+    assert single_update(m, "a", 1) == 6
+    m.commit(2)
+
+
+def test_transactional_map():
+    # state_test.clj:79-98
+    m = MemoryMapState(_key_schema(), "count", "bigint", StateType.TRANSACTIONAL)
+    m.begin_commit(1)
+    assert single_get(m, "a") is None
+    assert single_update(m, "a", 1) == 1
+    assert single_update(m, "a", 2) == 3
+    m.commit(1)
+    m.begin_commit(1)
+    assert single_get(m, "a") == 3
+    # same-txid replay: updates are no-ops
+    assert single_update(m, "a", 1) == 3
+    assert single_update(m, "a", 2) == 3
+    m.commit(1)
+    m.begin_commit(2)
+    assert single_get(m, "a") == 3
+    assert single_update(m, "a", 3) == 6
+    assert single_update(m, "a", 1) == 7
+    m.commit(2)
+
+
+# ---------------------------------------------------------------------------
+# Same protocols on the parquet scale path (set-oriented epoch merges)
+# ---------------------------------------------------------------------------
+
+
+def _batch(spark, pairs):
+    return spark.createDataFrame(
+        [(k, v) for k, v in pairs],
+        StructType().add("k", "string").add("__delta__", "long"),
+    )
+
+
+def test_parquet_opaque_replay_with_changed_batch(spark, tmp_path):
+    """Opaque: replaying a txid with *different* batch content recomputes
+    from prev — the defining opaque-source guarantee (OpaqueMap.java:54-85)."""
+    st = ParquetMapState(
+        spark, str(tmp_path / "s1"), _key_schema(), "count", "bigint", StateType.OPAQUE, 4
+    )
+    agg = Count()
+    st.begin_commit(1)
+    st.update_from_agg(_batch(spark, [("a", 2), ("b", 1)]), agg, 1)
+    st.commit(1)
+    assert st.as_dict() == {("a",): 2, ("b",): 1}
+
+    st.begin_commit(2)
+    st.update_from_agg(_batch(spark, [("a", 3)]), agg, 2)
+    st.commit(2)
+    assert st.as_dict() == {("a",): 5, ("b",): 1}
+
+    # replay txid 2 with DIFFERENT content: a+10 instead of a+3, plus new key c
+    st.begin_commit(2)
+    st.update_from_agg(_batch(spark, [("a", 10), ("c", 7)]), agg, 2)
+    st.commit(2)
+    assert st.as_dict() == {("a",): 12, ("b",): 1, ("c",): 7}
+
+    # replay again with the original content: converges to the original result
+    st.begin_commit(2)
+    st.update_from_agg(_batch(spark, [("a", 3)]), agg, 2)
+    st.commit(2)
+    assert st.as_dict() == {("a",): 5, ("b",): 1, ("c",): 7}
+
+
+def test_parquet_transactional_replay_skips(spark, tmp_path):
+    st = ParquetMapState(
+        spark,
+        str(tmp_path / "s2"),
+        _key_schema(),
+        "count",
+        "bigint",
+        StateType.TRANSACTIONAL,
+        4,
+    )
+    agg = Count()
+    st.begin_commit(1)
+    st.update_from_agg(_batch(spark, [("a", 2)]), agg, 1)
+    st.commit(1)
+    st.begin_commit(2)
+    st.update_from_agg(_batch(spark, [("a", 3), ("b", 4)]), agg, 2)
+    st.commit(2)
+    assert st.as_dict() == {("a",): 5, ("b",): 4}
+    # identical replay of txid 2: stored txid matches -> skip
+    st.begin_commit(2)
+    st.update_from_agg(_batch(spark, [("a", 3), ("b", 4)]), agg, 2)
+    st.commit(2)
+    assert st.as_dict() == {("a",): 5, ("b",): 4}
+
+
+def test_parquet_multi_get(spark, tmp_path):
+    st = ParquetMapState(
+        spark, str(tmp_path / "s3"), _key_schema(), "count", "bigint", StateType.OPAQUE, 4
+    )
+    st.begin_commit(1)
+    st.update_from_agg(_batch(spark, [("x", 5), ("y", 6)]), Count(), 1)
+    st.commit(1)
+    assert st.multi_get([("x",), ("nope",), ("y",)]) == [5, None, 6]

@@ -1,0 +1,215 @@
+"""Golden-output ports of the reference's Trident integration tests.
+
+Source: ``storm-core/test/clj/storm/trident/integration_test.clj`` — same
+inputs, same expected multisets (``t/ms=`` == order-insensitive compare).
+"""
+
+import pytest
+
+from storm_spark import FeederSource, LocalCluster, Topology
+from storm_spark.operations import (
+    Count,
+    FilterNull,
+    MapGet,
+    Split,
+    StringLength,
+    Sum,
+    TrueFilter,
+    TupleCollectionGet,
+)
+from storm_spark.operations.base import Aggregator, TridentCollector
+from storm_spark.state import MemoryMapState
+
+
+class CountAsAggregator(Aggregator):
+    """Parity: ``trident/testing/CountAsAggregator.java:26``."""
+
+    out_types = ["bigint"]
+
+    def init(self, batch_id, collector):
+        return {"count": 0}
+
+    def aggregate(self, state, tup, collector):
+        state["count"] += 1
+
+    def complete(self, state, collector):
+        collector.emit([state["count"]])
+
+
+def _ms(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def test_word_count(spark):
+    # integration_test.clj:55-84
+    topo = Topology(spark)
+    feeder = FeederSource(["sentence"])
+    word_counts = (
+        topo.new_stream("tester", feeder)
+        .each(["sentence"], Split(), ["word"])
+        .group_by(["word"])
+        .persistent_aggregate(MemoryMapState.factory(), ["word"], Count(), ["count"])
+    )
+    (
+        topo.new_drpc_stream("words")
+        .each(["args"], Split(), ["word"])
+        .group_by(["word"])
+        .state_query(word_counts, ["word"], MapGet(), ["count"])
+        .aggregate(["count"], Sum("bigint"), ["sum"])
+        .project(["sum"])
+    )
+    cluster = LocalCluster(topo)
+    feeder.feed([["hello the man said"], ["the"]])
+    assert cluster.execute_drpc("words", "the") == [[2]]
+    assert cluster.execute_drpc("words", "hello") == [[1]]
+    feeder.feed([["the man on the moon"], ["where are you"]])
+    assert cluster.execute_drpc("words", "the") == [[4]]
+    assert cluster.execute_drpc("words", "man") == [[2]]
+    assert cluster.execute_drpc("words", "man where you the") == [[8]]
+
+
+def test_memory_map_get_tuples(spark):
+    # integration_test.clj:28-53 (state scan via TupleCollectionGet)
+    topo = Topology(spark)
+    feeder = FeederSource(["sentence"])
+    word_counts = (
+        topo.new_stream("tester", feeder)
+        .each(["sentence"], Split(), ["word"])
+        .group_by(["word"])
+        .persistent_aggregate(MemoryMapState.factory(), ["word"], Count(), ["count"])
+    )
+    (
+        topo.new_drpc_stream("all-tuples")
+        .broadcast()
+        .state_query(word_counts, None, TupleCollectionGet(), ["word", "count"])
+        .project(["word", "count"])
+    )
+    cluster = LocalCluster(topo)
+    feeder.feed([["hello the man said"], ["the"]])
+    assert set(map(tuple, cluster.execute_drpc("all-tuples", "man"))) == {
+        ("hello", 1),
+        ("said", 1),
+        ("the", 2),
+        ("man", 1),
+    }
+    feeder.feed([["the foo"]])
+    assert set(map(tuple, cluster.execute_drpc("all-tuples", "man"))) == {
+        ("hello", 1),
+        ("said", 1),
+        ("the", 3),
+        ("man", 1),
+        ("foo", 1),
+    }
+
+
+def test_count_agg(spark):
+    # integration_test.clj:127-143 (general Aggregator, incl. empty batch)
+    topo = Topology(spark)
+    (
+        topo.new_drpc_stream("numwords")
+        .each(["args"], Split(), ["word"])
+        .aggregate(CountAsAggregator(), ["count"])
+        .project(["count"])
+    )
+    cluster = LocalCluster(topo)
+    assert cluster.execute_drpc("numwords", "the") == [[1]]
+    assert cluster.execute_drpc("numwords", "") == [[0]]
+    assert cluster.execute_drpc("numwords", "1 2 3 4 5 6 7 8") == [[8]]
+
+
+def test_split_merge(spark):
+    # integration_test.clj:145-164
+    topo = Topology(spark)
+    drpc_stream = topo.new_drpc_stream("splitter")
+    s1 = drpc_stream.each(["args"], Split(), ["word"]).project(["word"])
+    s2 = drpc_stream.each(["args"], StringLength(), ["len"]).project(["len"])
+    topo._register_drpc_terminal("splitter", topo.merge(s1, s2))
+    cluster = LocalCluster(topo)
+    assert _ms(cluster.execute_drpc("splitter", "the man")) == _ms([["7"], ["the"], ["man"]]) or _ms(
+        cluster.execute_drpc("splitter", "the man")
+    ) == _ms([[7], ["the"], ["man"]])
+
+
+def test_multiple_groupings_same_stream(spark):
+    # integration_test.clj:166-186
+    topo = Topology(spark)
+    drpc_stream = topo.new_drpc_stream("tester").each(["args"], TrueFilter())
+    s1 = drpc_stream.group_by(["args"]).aggregate(CountAsAggregator(), ["count"])
+    s2 = drpc_stream.group_by(["args"]).aggregate(CountAsAggregator(), ["count"])
+    topo._register_drpc_terminal("tester", topo.merge(s1, s2))
+    cluster = LocalCluster(topo)
+    assert _ms(cluster.execute_drpc("tester", "the")) == _ms([["the", 1], ["the", 1]])
+    assert _ms(cluster.execute_drpc("tester", "aaaaa")) == _ms([["aaaaa", 1], ["aaaaa", 1]])
+
+
+def test_multi_repartition(spark):
+    # integration_test.clj:188-202
+    topo = Topology(spark)
+    (
+        topo.new_drpc_stream("tester")
+        .each(["args"], Split(), ["word"])
+        .shuffle()
+        .shuffle()
+        .aggregate(CountAsAggregator(), ["count"])
+    )
+    cluster = LocalCluster(topo)
+    assert _ms(cluster.execute_drpc("tester", "the man")) == _ms([[2]])
+    assert _ms(cluster.execute_drpc("tester", "aaa")) == _ms([[1]])
+
+
+def test_stream_projection_validation(spark):
+    # integration_test.clj:204-271 — eager field validation errors
+    topo = Topology(spark)
+    feeder = FeederSource(["sentence"])
+    stream = topo.new_stream("tester", feeder)
+    with pytest.raises(ValueError):
+        stream.each(["sentence1"], Split(), ["word"])
+    with pytest.raises(ValueError):
+        stream.each(["sentence"], Split(), ["word"]).group_by(["word1"])
+    with pytest.raises(ValueError):
+        stream.each(["sentence"], Split(), ["word"]).group_by(["word"]).aggregate(
+            ["word1"], Count(), ["count"]
+        )
+    with pytest.raises(ValueError):
+        stream.project(["sentence1"])
+    with pytest.raises(ValueError):
+        stream.partition_by(["sentence1"])
+    with pytest.raises(ValueError):
+        stream.each(["sentence"], Split(), ["word"]).partition_aggregate(
+            ["word1"], Count(), ["count"]
+        )
+    word_counts = (
+        stream.each(["sentence"], Split(), ["word"])
+        .group_by(["word"])
+        .persistent_aggregate(MemoryMapState.factory(), ["word"], Count(), ["count"])
+    )
+    with pytest.raises(ValueError):
+        (
+            topo.new_drpc_stream("words")
+            .each(["args"], Split(), ["word"])
+            .group_by(["word"])
+            .state_query(word_counts, ["word1"], MapGet(), ["count"])
+        )
+
+
+def test_word_count_filter_null(spark):
+    """FilterNull drops missing-key lookups (builtin filter coverage)."""
+    topo = Topology(spark)
+    feeder = FeederSource(["sentence"])
+    word_counts = (
+        topo.new_stream("tester", feeder)
+        .each(["sentence"], Split(), ["word"])
+        .group_by(["word"])
+        .persistent_aggregate(MemoryMapState.factory(), ["word"], Count(), ["count"])
+    )
+    (
+        topo.new_drpc_stream("words")
+        .each(["args"], Split(), ["word"])
+        .group_by(["word"])
+        .state_query(word_counts, ["word"], MapGet(), ["count"])
+        .each(["count"], FilterNull())
+        .aggregate(["count"], Sum("bigint"), ["sum"])
+    )
+    cluster = LocalCluster(topo)
+    feeder.feed([["hello the man said"], ["the"]])
+    assert cluster.execute_drpc("words", "the nosuchword") == [[2]]
