@@ -1,0 +1,261 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of this module):
+
+- **exact**: one hash-partitioned groupBy on the fingerprint — a single
+  shuffle of (hash, id), no text movement.
+- **jaccard / minhash**: candidate generation never compares all pairs —
+  docs meet only through shared shingles (inverted index join) or shared
+  LSH band buckets, so cost tracks duplicate density, not n².
+- hot shingles (appearing in thousands of docs) explode the pair count at
+  scale: ``max_shingle_df`` drops shingles whose document frequency exceeds
+  a cap before the self-join — the standard inverted-index guard.
+- everything is built-in expressions + joins: codegen'd, AQE-skew-safe,
+  no Python on any hot path.
+
+Determinism: md5 (identical across Spark/DuckDB) is the only hash used, so
+every operator has an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from storm_spark.functions.text import fingerprint, ngrams_from_tokens, tokens, word_ngrams
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical (normalized) docs: one row per duplicate
+    group → (keep_id, n_dups). Groups of size 1 are *not* returned."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("__fp__"))
+        .groupBy("__fp__")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+        .select("keep_id", "n_dups")
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: keep the min-id representative of each normalized text."""
+    keep = (
+        df.select(F.col(id_col), fingerprint(text_col).alias("__fp__"))
+        .groupBy("__fp__")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def _shingle_index(
+    df: DataFrame, id_col: str, text_col: str, n: int, max_shingle_df: int | None
+) -> DataFrame:
+    """(id, shingle-hash) inverted index, distinct per doc, optionally
+    dropping ultra-frequent shingles (the scale guard).
+
+    Shingles are hashed to 60-bit ints (md5 prefix — engine-portable) before
+    the self-join: an 8-byte join key instead of a ~25-byte string cuts the
+    shuffle roughly 3× and keeps the sort-merge comparisons cheap."""
+    sh_hash = F.conv(F.substring(F.md5(F.col("__s__")), 1, 15), 16, 10).cast("bigint")
+    idx = (
+        df.select(F.col(id_col).alias("__id__"), tokens(text_col).alias("__toks__"))
+        .select(F.col("__id__"), F.explode(ngrams_from_tokens(F.col("__toks__"), n)).alias("__s__"))
+        .select(F.col("__id__"), sh_hash.alias("__sh__"))
+        .distinct()
+    )
+    if max_shingle_df is not None:
+        hot = (
+            idx.groupBy("__sh__")
+            .agg(F.count(F.lit(1)).alias("__df__"))
+            .filter(F.col("__df__") > max_shingle_df)
+            .select("__sh__")
+        )
+        idx = idx.join(hot, on="__sh__", how="left_anti")
+    return idx
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard similarity.
+
+    Pairs meet through the shingle inverted index (never all-pairs):
+    |A∩B| from the self-join, |A|,|B| from per-doc shingle counts,
+    J = inter / (|A| + |B| - inter). Returns (id_a, id_b, jaccard) with
+    id_a < id_b and jaccard >= threshold.
+
+    The index feeds three plan branches (both join sides + sizes); it is
+    persisted so tokenization/hashing runs once, not three times.
+    """
+    idx = _shingle_index(df, id_col, text_col, n, max_shingle_df).persist()
+    sizes = idx.groupBy("__id__").agg(F.count(F.lit(1)).alias("__n__"))
+    a, b = idx.alias("a"), idx.alias("b")
+    inter = (
+        a.join(b, (F.col("a.__sh__") == F.col("b.__sh__")) & (F.col("a.__id__") < F.col("b.__id__")))
+        .groupBy(F.col("a.__id__").alias("id_a"), F.col("b.__id__").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__inter__"))
+    )
+    sa = sizes.select(F.col("__id__").alias("id_a"), F.col("__n__").alias("__na__"))
+    sb = sizes.select(F.col("__id__").alias("id_b"), F.col("__n__").alias("__nb__"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("__inter__").cast("double")
+                / (F.col("__na__") + F.col("__nb__") - F.col("__inter__")),
+                ndigits,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_perm: int = 12
+) -> DataFrame:
+    """MinHash signature per doc: permutation i's hash is
+    ``min(md5(i || ':' || shingle))`` over the doc's shingles — md5-as-random-
+    permutation, identical in any engine. Returns (id, h0..h{num_perm-1})."""
+    sh = (
+        df.select(F.col(id_col), tokens(text_col).alias("__toks__"))
+        .select(F.col(id_col), F.explode(ngrams_from_tokens(F.col("__toks__"), n)).alias("__sh__"))
+        .distinct()
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__sh__")))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash + LSH banding.
+
+    Signatures are split into ``bands`` bands of ``num_perm/bands`` rows;
+    docs sharing any band bucket become a candidate pair (id_a < id_b,
+    distinct). Verification (exact Jaccard on candidates) composes with
+    :func:`ngram_jaccard_pairs` on the candidate set.
+    """
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must divide evenly into bands")
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket"))
+        )
+    buckets = sig.select(
+        F.col(id_col).alias("__id__"), F.explode(F.array(*band_cols)).alias("__b__")
+    ).select("__id__", F.col("__b__.band").alias("__band__"), F.col("__b__.bucket").alias("__bucket__"))
+    a, bb = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            bb,
+            (F.col("a.__band__") == F.col("b.__band__"))
+            & (F.col("a.__bucket__") == F.col("b.__bucket__"))
+            & (F.col("a.__id__") < F.col("b.__id__")),
+        )
+        .select(F.col("a.__id__").alias("id_a"), F.col("b.__id__").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: per token, md5 → ``bits`` bit votes (+1/-1),
+    summed over the doc; the sign vector is packed into a bigint.
+
+    ``bits`` <= 60 to stay in signed-64 range. One explode + one groupBy with
+    ``bits`` conditional-sum expressions — a single shuffle, codegen'd.
+    """
+    if not 1 <= bits <= 60:
+        raise ValueError("bits must be in [1, 60]")
+    tok = df.select(F.col(id_col), tokens(text_col).alias("__toks__")).select(
+        F.col(id_col), F.explode(F.col("__toks__")).alias("__t__")
+    )
+    # big-endian md5 hex prefix as a bigint — exactly ceil(bits/4) hex chars
+    # so bit i of h is the same bit in every engine
+    hex_chars = (bits + 3) // 4
+    h = F.conv(F.substring(F.md5(F.col("__t__")), 1, hex_chars), 16, 10).cast("bigint")
+    tok = tok.select(id_col, h.alias("__h__"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h__"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    packed = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(2 ** i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        packed = bit if packed is None else packed + bit
+    return agg.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Candidates meet through ``max_hamming+1`` byte-block buckets (two hashes
+    within distance d must agree on at least one of d+1 blocks — the
+    pigeonhole trick), then exact popcount filters. Avoids all-pairs.
+    """
+    sh = simhash64(df, id_col, text_col, bits)
+    n_blocks = max_hamming + 1
+    block_bits = bits // n_blocks
+    blocks = sh.select(
+        F.col(id_col).alias("__id__"),
+        F.col("simhash").alias("__sh__"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("simhash"), i * block_bits)
+                        .bitwiseAND(F.lit((1 << block_bits) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("__b__"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__b__.blk") == F.col("b.__b__.blk"))
+            & (F.col("a.__b__.val") == F.col("b.__b__.val"))
+            & (F.col("a.__id__") < F.col("b.__id__")),
+        )
+        .select(
+            F.col("a.__id__").alias("id_a"),
+            F.col("b.__id__").alias("id_b"),
+            F.col("a.__sh__").alias("__ha__"),
+            F.col("b.__sh__").alias("__hb__"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("__ha__").bitwiseXOR(F.col("__hb__")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,111 @@
+"""Multimodal column plumbing — image/audio/video as opaque binary columns.
+
+The Spark-side contract is real and tested: typed schemas, Arrow-batched
+``mapInPandas`` decode/feature kernels, partition sizing by byte budget. The
+actual codecs (PIL/librosa/ffmpeg) are NOT in this image, so the decode step
+is a clearly-marked deterministic stub behind ``import``-try — swap
+``_decode_image_stub`` for a real decoder and nothing else changes.
+
+Schema convention for a multimodal table::
+
+    content   binary        -- the encoded asset
+    mime      string        -- 'image/png', 'audio/wav', ...
+    meta      struct<width int, height int, sample_rate int, n_frames int>
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_FEATURE_DIM = 16
+
+
+def _decode_image_stub(content: bytes) -> np.ndarray:
+    """Deterministic fake decoder: derives a pseudo-pixel array from the
+    bytes. REPLACE with ``PIL.Image.open`` when the codec is available."""
+    try:
+        import PIL.Image  # noqa: F401  (not in this image)
+
+        raise NotImplementedError("real PIL decode path not wired yet")
+    except ImportError:
+        pass
+    arr = np.frombuffer(content[:4096], dtype=np.uint8)
+    if arr.size == 0:
+        arr = np.zeros(1, dtype=np.uint8)
+    side = max(int(np.sqrt(arr.size)), 1)
+    return np.resize(arr, (side, side)).astype(np.float32)
+
+
+def image_features(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode images and emit a fixed-dim feature vector per asset.
+
+    Arrow-batched ``mapInPandas``; at scale, repartition the input so each
+    task holds ~128 MB of encoded bytes (binary columns defeat row-count
+    heuristics — size by bytes, not rows).
+    """
+    out_schema = f"{id_col} bigint, feature array<float>, width int, height int"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                px = _decode_image_stub(r[content_col])
+                pooled = np.resize(px.mean(axis=0), IMAGE_FEATURE_DIM).astype(np.float32)
+                rows.append(
+                    {
+                        id_col: r[id_col],
+                        "feature": pooled.tolist(),
+                        "width": px.shape[1],
+                        "height": px.shape[0],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    every_n: int = 10,
+) -> DataFrame:
+    """Sample every ``every_n``-th 'frame' from a video binary (stubbed as
+    fixed-size byte windows until ffmpeg is available); emits one row per
+    sampled frame — the 1-to-n mapInPandas shape video pipelines need."""
+    out_schema = f"{id_col} bigint, frame_no int, frame binary"
+    frame_bytes = 1024
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = r[content_col] or b""
+                n_frames = max(len(content) // frame_bytes, 1)
+                for fno in range(0, n_frames, every_n):
+                    rows.append(
+                        {
+                            id_col: r[id_col],
+                            "frame_no": fno,
+                            "frame": content[fno * frame_bytes : (fno + 1) * frame_bytes],
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def with_byte_budget_partitions(df: DataFrame, size_col_bytes: str, target_mb: int = 128) -> DataFrame:
+    """Repartition a binary-asset table so each partition carries roughly
+    ``target_mb`` of payload (sum of ``size_col_bytes``). Uses a running
+    global estimate — cheap and good enough for task sizing."""
+    total = df.agg(F.sum(size_col_bytes)).first()[0] or 0
+    n = max(int(total / (target_mb * 1024 * 1024)) + 1, 1)
+    return df.repartition(n)

@@ -1,0 +1,934 @@
+"""Query catalog — every implemented operator exposed as a (spark, sf_dir) ->
+DataFrame callable with an exactly-equivalent DuckDB oracle SQL.
+
+Determinism rules (the driver hash-compares values against DuckDB):
+
+- **Money/quantity aggregates run on integer cents** (`round(x*100)::bigint`)
+  — all inputs are 2-decimal, so sums are exact integers in both engines; a
+  double SUM would be partition-order dependent. Final averages divide exact
+  integers in double (deterministic).
+- **Hashes are md5 only** (identical hex output in Spark and DuckDB); 64-bit
+  values are big-endian hex prefixes (`conv(substr(md5,1,8),16,10)` ==
+  `('0x'||substr(md5,1,8))::BIGINT`).
+- **Timestamps leave results as epoch integers** (`unix_timestamp` /
+  `epoch_us`) to dodge ns/us representation skew.
+- **Every aggregate/computed column is aliased identically on both sides**
+  (the driver sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from storm_spark.fields import Fields
+from storm_spark.operations import Count, MapGet, Split, Sum
+from storm_spark.operations.base import LambdaFunction
+from storm_spark.state import ParquetMapState
+from storm_spark.topology import FeederSource, LocalCluster, Topology
+from storm_spark.functions import dedup, similarity, text
+from storm_spark.functions.text import LANG_MARKERS, STOPWORDS_EN, TOKEN_SPLIT_RE
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects — read it as long (legacy conf) and convert to a µs
+    timestamp (values carry µs precision, so the floor-division is exact)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def cents(c) -> F.Column:
+    """Exact integer cents from a 2-decimal double."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.round(c * 100).cast("bigint")
+
+
+#: SQL twin of :func:`cents`
+SQL_CENTS = "CAST(round({x} * 100) AS BIGINT)"
+
+#: SQL twin of storm_spark.functions.text.tokens
+SQL_TOKS = (
+    "list_filter(string_split_regex(lower(trim({x})), '[^a-z0-9'']+'), x -> x <> '')"
+)
+
+
+# ---------------------------------------------------------------------------
+# 1. flagship: TPC-H Q1-style pricing summary
+# ---------------------------------------------------------------------------
+
+
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + groupBy + chained aggregation (SURVEY §2.5) on lineitem."""
+    topo = Topology(spark)
+    s = topo.new_stream("lineitem", _t(spark, sf_dir, "lineitem"))
+    r = (
+        s.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .with_column("qty_c", cents("l_quantity"))
+        .with_column("price_c", cents("l_extendedprice"))
+        .with_column("disc_pct", F.round(F.col("l_discount") * 100).cast("bigint"))
+        .with_column("tax_pct", F.round(F.col("l_tax") * 100).cast("bigint"))
+        .with_column("disc_price_e4", F.col("price_c") * (100 - F.col("disc_pct")))
+        .with_column(
+            "charge_e6",
+            F.col("price_c") * (100 - F.col("disc_pct")) * (100 + F.col("tax_pct")),
+        )
+        .group_by(["l_returnflag", "l_linestatus"])
+        .chained_agg()
+        .aggregate(["qty_c"], Sum("bigint"), ["sum_qty_c"])
+        .aggregate(["price_c"], Sum("bigint"), ["sum_base_c"])
+        .aggregate(["disc_price_e4"], Sum("bigint"), ["sum_disc_e4"])
+        .aggregate(["charge_e6"], Sum("bigint"), ["sum_charge_e6"])
+        .aggregate([], Count(), ["count_order"])
+        .chain_end()
+        .with_column("avg_qty", F.round(F.col("sum_qty_c") / F.col("count_order") / 100.0, 6))
+        .with_column("avg_price", F.round(F.col("sum_base_c") / F.col("count_order") / 100.0, 6))
+    )
+    return r.df
+
+
+ORACLE_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM({SQL_CENTS.format(x='l_quantity')}) AS BIGINT) AS sum_qty_c,
+       CAST(SUM({SQL_CENTS.format(x='l_extendedprice')}) AS BIGINT) AS sum_base_c,
+       CAST(SUM({SQL_CENTS.format(x='l_extendedprice')} * (100 - {SQL_CENTS.format(x='l_discount')})) AS BIGINT) AS sum_disc_e4,
+       CAST(SUM({SQL_CENTS.format(x='l_extendedprice')} * (100 - {SQL_CENTS.format(x='l_discount')}) * (100 + {SQL_CENTS.format(x='l_tax')})) AS BIGINT) AS sum_charge_e6,
+       COUNT(*) AS count_order,
+       round(CAST(SUM({SQL_CENTS.format(x='l_quantity')}) AS BIGINT) / COUNT(*) / 100.0, 6) AS avg_qty,
+       round(CAST(SUM({SQL_CENTS.format(x='l_extendedprice')}) AS BIGINT) / COUNT(*) / 100.0, 6) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. projection / per-row functions / filters
+# ---------------------------------------------------------------------------
+
+
+def q_project_filter(spark, sf_dir):
+    """project + expression filter (pushdown; SURVEY §2.3)."""
+    topo = Topology(spark)
+    return (
+        topo.new_stream("li", _t(spark, sf_dir, "lineitem"))
+        .filter((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R"))
+        .project(Fields("l_orderkey", "l_linenumber", "l_quantity"))
+        .df
+    )
+
+
+ORACLE_PROJECT_FILTER = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+"""
+
+
+def q_each_compute(spark, sf_dir):
+    """each() appending a computed column (ExprFunction path)."""
+    topo = Topology(spark)
+    fn = LambdaFunction(lambda cols: [cents(cols[0]) * (100 - F.round(cols[1] * 100).cast("bigint"))])
+    return (
+        topo.new_stream("li", _t(spark, sf_dir, "lineitem"))
+        .each(["l_extendedprice", "l_discount"], fn, ["revenue_e4"])
+        .project(["l_orderkey", "l_linenumber", "revenue_e4"])
+        .df
+    )
+
+
+ORACLE_EACH_COMPUTE = f"""
+SELECT l_orderkey, l_linenumber,
+       {SQL_CENTS.format(x='l_extendedprice')} * (100 - {SQL_CENTS.format(x='l_discount')}) AS revenue_e4
+FROM lineitem
+"""
+
+
+def q_split_explode(spark, sf_dir):
+    """The reference's Split function (1-to-n each; Split.java:25-35)."""
+    topo = Topology(spark)
+    return (
+        topo.new_stream("docs", _t(spark, sf_dir, "documents"))
+        .each(["text"], Split(), ["word"])
+        .project(["doc_id", "word"])
+        .df
+    )
+
+
+ORACLE_SPLIT_EXPLODE = """
+SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. aggregation family
+# ---------------------------------------------------------------------------
+
+
+def q_wordcount(spark, sf_dir):
+    """Storm's canonical word count, batch form (groupBy + Count)."""
+    topo = Topology(spark)
+    tok_fn = LambdaFunction(lambda cols: [F.explode(text.tokens(cols[0]))])
+    return (
+        topo.new_stream("docs", _t(spark, sf_dir, "documents"))
+        .each(["text"], tok_fn, ["word"])
+        .group_by(["word"])
+        .aggregate([], Count(), ["count"])
+        .df
+    )
+
+
+ORACLE_WORDCOUNT = f"""
+SELECT word, COUNT(*) AS count
+FROM (SELECT unnest({SQL_TOKS.format(x='text')}) AS word FROM documents)
+GROUP BY word
+"""
+
+
+def q_groupby_sum(spark, sf_dir):
+    topo = Topology(spark)
+    return (
+        topo.new_stream("orders", _t(spark, sf_dir, "orders"))
+        .with_column("total_c", cents("o_totalprice"))
+        .group_by(["o_orderpriority"])
+        .chained_agg()
+        .aggregate([], Count(), ["n_orders"])
+        .aggregate(["total_c"], Sum("bigint"), ["sum_total_c"])
+        .chain_end()
+        .df
+    )
+
+
+ORACLE_GROUPBY_SUM = f"""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM({SQL_CENTS.format(x='o_totalprice')}) AS BIGINT) AS sum_total_c
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_chained_agg(spark, sf_dir):
+    """chainedAgg zipping several aggregators over one pass (SURVEY §2.5)."""
+    from storm_spark.operations import Max, Min
+
+    topo = Topology(spark)
+    return (
+        topo.new_stream("li", _t(spark, sf_dir, "lineitem"))
+        .with_column("qty_c", cents("l_quantity"))
+        .group_by(["l_returnflag"])
+        .chained_agg()
+        .aggregate([], Count(), ["cnt"])
+        .aggregate(["qty_c"], Sum("bigint"), ["sum_qty_c"])
+        .aggregate(["qty_c"], Min("bigint"), ["min_qty_c"])
+        .aggregate(["qty_c"], Max("bigint"), ["max_qty_c"])
+        .chain_end()
+        .df
+    )
+
+
+ORACLE_CHAINED_AGG = f"""
+SELECT l_returnflag, COUNT(*) AS cnt,
+       CAST(SUM({SQL_CENTS.format(x='l_quantity')}) AS BIGINT) AS sum_qty_c,
+       MIN({SQL_CENTS.format(x='l_quantity')}) AS min_qty_c,
+       MAX({SQL_CENTS.format(x='l_quantity')}) AS max_qty_c
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_distinct(spark, sf_dir):
+    topo = Topology(spark)
+    return (
+        topo.new_stream("li", _t(spark, sf_dir, "lineitem"))
+        .project(["l_returnflag", "l_linestatus"])
+        .distinct()
+        .df
+    )
+
+
+ORACLE_DISTINCT = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def q_rollup(spark, sf_dir):
+    """ROLLUP (engine free win; SURVEY §2.5 'not present' in reference)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+ORACLE_ROLLUP = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. joins / multi-stream
+# ---------------------------------------------------------------------------
+
+
+def q_merge(spark, sf_dir):
+    """merge = UNION ALL by position (TridentTopology.java:221-235)."""
+    topo = Topology(spark)
+    orders = _t(spark, sf_dir, "orders")
+    s1 = (
+        topo.new_stream("urgent", orders)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .project(["o_orderkey", "o_orderpriority"])
+    )
+    s2 = (
+        topo.new_stream("high", orders)
+        .filter(F.col("o_orderpriority") == "2-HIGH")
+        .project(["o_orderkey", "o_orderpriority"])
+    )
+    return s1.merge(s2).df
+
+
+ORACLE_MERGE = """
+SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '2-HIGH'
+"""
+
+
+def q_join_inner(spark, sf_dir):
+    """Equi-join (JoinerMultiReducer parity; broadcast dim side)."""
+    topo = Topology(spark)
+    orders = topo.new_stream("orders", _t(spark, sf_dir, "orders")).with_column(
+        "total_c", cents("o_totalprice")
+    ).project(["o_custkey", "o_orderkey", "total_c"])
+    cust = topo.new_stream("cust", _t(spark, sf_dir, "customer")).project(
+        ["c_custkey", "c_name"]
+    ).broadcast()
+    return topo.join(
+        [orders, cust],
+        [["o_custkey"], ["c_custkey"]],
+        ["custkey", "o_orderkey", "total_c", "c_name"],
+    ).df
+
+
+ORACLE_JOIN_INNER = f"""
+SELECT o.o_custkey AS custkey, o.o_orderkey,
+       {SQL_CENTS.format(x='o.o_totalprice')} AS total_c, c.c_name
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+def q_join_outer(spark, sf_dir):
+    """Mixed outer join: customers kept even with no orders, then count."""
+    topo = Topology(spark)
+    cust = topo.new_stream("cust", _t(spark, sf_dir, "customer")).project(
+        ["c_custkey", "c_name"]
+    )
+    orders = topo.new_stream("orders", _t(spark, sf_dir, "orders")).project(
+        ["o_custkey", "o_orderkey"]
+    )
+    joined = topo.join(
+        [cust, orders],
+        [["c_custkey"], ["o_custkey"]],
+        ["custkey", "c_name", "o_orderkey"],
+        join_type=["outer", "inner"],
+    )
+    return (
+        joined.with_column("has_order", F.col("o_orderkey").isNotNull().cast("int"))
+        .group_by(["custkey"])
+        .chained_agg()
+        .aggregate(["has_order"], Sum("bigint"), ["n_orders"])
+        .chain_end()
+        .df
+    )
+
+
+ORACLE_JOIN_OUTER = """
+SELECT c.c_custkey AS custkey,
+       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_orders
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+"""
+
+
+def q_join_nway(spark, sf_dir):
+    """N-way join: region ⋈ nation ⋈ customer ⋈ orders, revenue per region.
+
+    Dims broadcast (no shuffle for the small sides); the orders-customer join
+    shuffles on custkey once.
+    """
+    topo = Topology(spark)
+    region = topo.new_stream("region", _t(spark, sf_dir, "region")).broadcast()
+    nation = topo.new_stream("nation", _t(spark, sf_dir, "nation")).broadcast()
+    cust = topo.new_stream("cust", _t(spark, sf_dir, "customer"))
+    orders = topo.new_stream("orders", _t(spark, sf_dir, "orders")).with_column(
+        "total_c", cents("o_totalprice")
+    )
+    j1 = topo.join(
+        [nation, region],
+        [["n_regionkey"], ["r_regionkey"]],
+        ["regionkey", "n_nationkey", "n_name", "r_name"],
+    )
+    j2 = topo.join(
+        [cust, j1.broadcast()],
+        [["c_nationkey"], ["n_nationkey"]],
+        ["nationkey", "c_custkey", "c_name", "c_acctbal", "c_mktsegment", "regionkey", "n_name", "r_name"],
+    )
+    j3 = topo.join(
+        [orders, j2],
+        [["o_custkey"], ["c_custkey"]],
+        [
+            "custkey",
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+            "total_c",
+            "nationkey",
+            "c_name",
+            "c_acctbal",
+            "c_mktsegment",
+            "regionkey",
+            "n_name",
+            "r_name",
+        ],
+    )
+    return (
+        j3.group_by(["r_name"])
+        .chained_agg()
+        .aggregate([], Count(), ["n_orders"])
+        .aggregate(["total_c"], Sum("bigint"), ["revenue_c"])
+        .chain_end()
+        .df
+    )
+
+
+ORACLE_JOIN_NWAY = f"""
+SELECT r.r_name, COUNT(*) AS n_orders,
+       CAST(SUM({SQL_CENTS.format(x='o.o_totalprice')}) AS BIGINT) AS revenue_c
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+def q_semi_join(spark, sf_dir):
+    topo = Topology(spark)
+    cust = topo.new_stream("cust", _t(spark, sf_dir, "customer")).with_column(
+        "o_custkey", F.col("c_custkey")
+    )
+    orders = topo.new_stream("orders", _t(spark, sf_dir, "orders")).project(["o_custkey"])
+    return cust.semi_join(orders, ["o_custkey"]).project(["c_custkey", "c_name"]).df
+
+
+ORACLE_SEMI_JOIN = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    topo = Topology(spark)
+    cust = topo.new_stream("cust", _t(spark, sf_dir, "customer")).with_column(
+        "o_custkey", F.col("c_custkey")
+    )
+    orders = topo.new_stream("orders", _t(spark, sf_dir, "orders")).project(["o_custkey"])
+    return cust.anti_join(orders, ["o_custkey"]).project(["c_custkey", "c_name"]).df
+
+
+ORACLE_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. top-k / sort-limit
+# ---------------------------------------------------------------------------
+
+
+def q_first_n(spark, sf_dir):
+    """FirstN/top-k: TakeOrderedAndProject (= FirstN.java partial/final)."""
+    topo = Topology(spark)
+    return (
+        topo.new_stream("orders", _t(spark, sf_dir, "orders"))
+        .with_column("total_c", cents("o_totalprice"))
+        .order_by(F.col("total_c").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .project(["o_orderkey", "total_c"])
+        .df
+    )
+
+
+ORACLE_FIRST_N = f"""
+SELECT o_orderkey, {SQL_CENTS.format(x='o_totalprice')} AS total_c
+FROM orders ORDER BY total_c DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Top-3 per group via ranking window (grouped FirstN)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    return (
+        li.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            cents("l_extendedprice").alias("price_c"),
+            F.col("rank"),
+        )
+    )
+
+
+ORACLE_TOPK_PER_GROUP = f"""
+SELECT l_returnflag, l_orderkey, l_linenumber,
+       {SQL_CENTS.format(x='l_extendedprice')} AS price_c, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY l_returnflag
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rank
+  FROM lineitem)
+WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. persistent state + DRPC (the Trident crown jewel, SQL-checkable)
+# ---------------------------------------------------------------------------
+
+
+def q_state_wordcount(spark, sf_dir):
+    """Micro-batched persistentAggregate into the parquet opaque state,
+    including a same-txid replay — final state must equal the batch SQL.
+
+    This runs the actual engine loop: 5 feeds + 1 replay, 2-phase commits,
+    set-oriented opaque merges (OpaqueMap.multiUpdate port).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="storm_spark_state_")
+    topo = Topology(spark)
+    feeder = FeederSource(["text"])
+    tok_fn = LambdaFunction(lambda cols: [F.explode(text.tokens(cols[0]))])
+    wc = (
+        topo.new_stream("docs", feeder)
+        .each(["text"], tok_fn, ["word"])
+        .group_by(["word"])
+        .persistent_aggregate(ParquetMapState.factory(tmp), ["word"], Count(), ["count"])
+    )
+    cluster = LocalCluster(topo)
+    last_txid = None
+    for b in range(5):
+        batch = docs.filter(F.col("doc_id") % 5 == b).select("text")
+        last_txid = cluster.feed_dataframe(feeder, batch)
+    # replay the last batch under the same txid: opaque merge must be a no-op
+    cluster.feed_dataframe(feeder, docs.filter(F.col("doc_id") % 5 == 4).select("text"), txid=last_txid)
+    return wc.dataframe()
+
+
+ORACLE_STATE_WORDCOUNT = f"""
+SELECT word, COUNT(*) AS count
+FROM (SELECT unnest({SQL_TOKS.format(x='text')}) AS word FROM documents)
+GROUP BY word
+"""
+
+
+def q_drpc_state_lookup(spark, sf_dir):
+    """DRPC parameterized query over persistent state: split args →
+    stateQuery(MapGet) → Sum (the reference word-count DRPC, integration
+    test :55-84), on real data."""
+    docs = _t(spark, sf_dir, "documents")
+    topo = Topology(spark)
+    feeder = FeederSource(["text"])
+    tok_fn = LambdaFunction(lambda cols: [F.explode(text.tokens(cols[0]))])
+    tmp = tempfile.mkdtemp(prefix="storm_spark_drpc_")
+    wc = (
+        topo.new_stream("docs", feeder)
+        .each(["text"], tok_fn, ["word"])
+        .group_by(["word"])
+        .persistent_aggregate(ParquetMapState.factory(tmp), ["word"], Count(), ["count"])
+    )
+    from storm_spark.operations import FilterNull
+
+    (
+        topo.new_drpc_stream("words")
+        .each(["args"], Split(), ["word"])
+        .group_by(["word"])
+        .state_query(wc, ["word"], MapGet(), ["count"])
+        .each(["count"], FilterNull())
+        .aggregate(["count"], Sum("bigint"), ["sum"])
+    )
+    cluster = LocalCluster(topo)
+    cluster.feed_dataframe(feeder, docs.select("text"))
+    return cluster.drpc_dataframe("words", "data query zzznotaword the")
+
+
+ORACLE_DRPC_STATE_LOOKUP = f"""
+WITH wc AS (
+  SELECT word, COUNT(*) AS cnt
+  FROM (SELECT unnest({SQL_TOKS.format(x='text')}) AS word FROM documents)
+  GROUP BY word)
+SELECT CAST(SUM(cnt) AS BIGINT) AS sum
+FROM wc WHERE word IN ('data', 'query', 'zzznotaword', 'the')
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7. event-time windows / sessionization (beyond-reference, SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+
+def q_window_hourly(spark, sf_dir):
+    """Tumbling event-time window aggregation (F.window)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents("value")).alias("value_c"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
+            "event_type",
+            "n",
+            F.col("value_c").cast("bigint").alias("value_c"),
+        )
+    )
+
+
+ORACLE_WINDOW_HOURLY = f"""
+SELECT CAST(epoch(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS BIGINT) AS hour_epoch,
+       event_type, COUNT(*) AS n,
+       CAST(SUM({SQL_CENTS.format(x='value')}) AS BIGINT) AS value_c
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user (lag + cumulative-new-
+    session — the batch twin of streaming session_window)."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_new = F.when(
+        prev_us.isNull() | ((F.unix_micros(F.col("ts")) - prev_us) > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    return (
+        e.select("user_id", is_new.alias("__new__"))
+        .groupBy("user_id")
+        .agg(F.sum("__new__").cast("bigint").alias("n_sessions"))
+    )
+
+
+ORACLE_SESSIONIZE = """
+SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions
+FROM (
+  SELECT user_id,
+         CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+                OR epoch_us(CAST(ts AS TIMESTAMP))
+                   - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+GROUP BY user_id
+"""
+
+
+def q_json_extract(spark, sf_dir):
+    """Semi-structured props column: JSON field extraction + agg."""
+    e = _events(spark, sf_dir)
+    return (
+        e.select("event_type", F.get_json_object("props", "$.k").cast("bigint").alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").cast("bigint").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_JSON_EXTRACT = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# 8. deduplication (training-data ops)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dedup_exact(docs, "doc_id", "text").select("doc_id")
+
+
+ORACLE_DEDUP_EXACT = f"""
+SELECT MIN(doc_id) AS doc_id
+FROM (SELECT doc_id, md5(array_to_string({SQL_TOKS.format(x='text')}, ' ')) AS fp FROM documents)
+GROUP BY fp
+"""
+
+
+SQL_SHINGLES = (
+    "list_transform(generate_series(1, greatest(len({t}) - {nm1}, 0)), "
+    "i -> array_to_string({t}[i:i+{nm1}], ' '))"
+)
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.12)
+
+
+def _oracle_jaccard(n=3, threshold=0.12):
+    nm1 = n - 1
+    sh = SQL_SHINGLES.format(t="toks", nm1=nm1)
+    return f"""
+WITH tk AS (SELECT doc_id, {SQL_TOKS.format(x='text')} AS toks FROM documents),
+raw AS (SELECT doc_id, unnest({sh}) AS s FROM tk),
+sh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS s FROM raw),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b,
+       round(i / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(i / (sa.n + sb.n - i), 6) >= {threshold}
+"""
+
+
+ORACLE_DEDUP_JACCARD = _oracle_jaccard()
+
+
+def q_minhash_lsh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_perm=12, bands=4)
+
+
+def _oracle_minhash(n=3, num_perm=12, bands=4):
+    nm1 = n - 1
+    rows = num_perm // bands
+    sh = SQL_SHINGLES.format(t="toks", nm1=nm1)
+    return f"""
+WITH tk AS (SELECT doc_id, {SQL_TOKS.format(x='text')} AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest({sh}) AS s FROM tk),
+perms AS (SELECT unnest(generate_series(0, {num_perm - 1})) AS p),
+minh AS (
+  SELECT doc_id, p, MIN(md5(concat(CAST(p AS VARCHAR), ':', s))) AS h
+  FROM sh CROSS JOIN perms GROUP BY doc_id, p),
+bands AS (
+  SELECT doc_id, p // {rows} AS band,
+         md5(string_agg(h, '|' ORDER BY p)) AS bucket
+  FROM minh GROUP BY doc_id, p // {rows})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+ORACLE_MINHASH_LSH = _oracle_minhash()
+
+
+def q_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash64(docs, "doc_id", "text", bits=32)
+
+
+def _oracle_simhash(bits=32):
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(bits)
+    )
+    packed = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for i in range(bits)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({SQL_TOKS.format(x='text')}) AS t FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM tok),
+votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+SELECT doc_id, {packed} AS simhash FROM votes
+"""
+
+
+ORACLE_SIMHASH = _oracle_simhash()
+
+
+# ---------------------------------------------------------------------------
+# 9. similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return similarity.cosine_topk(emb, queries_df, "vec_id", "embedding", k=5)
+
+
+ORACLE_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+sims AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS s
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, round(s, 6) AS cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+  FROM sims)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Approximate NN via hyperplane LSH — approximate by design, so no SQL
+    oracle (driver records the weaker rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return similarity.lsh_bucket_topk(emb, queries_df, "vec_id", "embedding", k=5, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# 10. text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_profile(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.punct_ratio("text").alias("punct_ratio"),
+        text.stopword_ratio("text").alias("stopword_ratio"),
+        text.mean_token_len("text").alias("mean_token_len"),
+        text.lang_id("text").alias("lang_guess"),
+        text.fingerprint("text").alias("fingerprint"),
+    )
+
+
+def _oracle_text_profile():
+    toks = SQL_TOKS.format(x="text")
+    sw = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+    langs = list(LANG_MARKERS.items())
+    score_cols = []
+    for lang, markers in langs:
+        arr = ", ".join(f"'{m}'" for m in markers)
+        score_cols.append(
+            f"len(list_filter(toks, x -> list_contains([{arr}], x))) AS s_{lang}"
+        )
+    # earliest-argmax CASE chain (must match the fold in text.lang_id)
+    cases = []
+    for i, (lang, _) in enumerate(langs):
+        rest = [f"s_{l}" for l, _ in langs[i + 1 :]]
+        if rest:
+            cond = " AND ".join(f"s_{lang} >= {r}" for r in rest)
+            cases.append(f"WHEN {cond} THEN '{lang}'")
+        else:
+            cases.append(f"ELSE '{lang}'")
+    lang_case = "CASE " + " ".join(cases) + " END"
+    return f"""
+WITH base AS (SELECT doc_id, text, {toks} AS toks FROM documents),
+scored AS (SELECT doc_id, text, toks, {', '.join(score_cols)} FROM base)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       round(len(list_filter(toks, x -> list_contains([{sw}], x)))
+             / greatest(len(toks), 1), 6) AS stopword_ratio,
+       round(list_sum(list_transform(toks, x -> length(x)))
+             / greatest(len(toks), 1), 6) AS mean_token_len,
+       {lang_case} AS lang_guess,
+       md5(array_to_string(toks, ' ')) AS fingerprint
+FROM scored
+"""
+
+
+ORACLE_TEXT_PROFILE = _oracle_text_profile()
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q1": q1,
+    "project_filter": q_project_filter,
+    "each_compute": q_each_compute,
+    "split_explode": q_split_explode,
+    "wordcount": q_wordcount,
+    "groupby_sum": q_groupby_sum,
+    "chained_agg": q_chained_agg,
+    "distinct": q_distinct,
+    "rollup": q_rollup,
+    "merge": q_merge,
+    "join_inner": q_join_inner,
+    "join_outer": q_join_outer,
+    "join_nway": q_join_nway,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "first_n": q_first_n,
+    "topk_per_group": q_topk_per_group,
+    "state_wordcount": q_state_wordcount,
+    "drpc_state_lookup": q_drpc_state_lookup,
+    "window_hourly": q_window_hourly,
+    "sessionize": q_sessionize,
+    "json_extract": q_json_extract,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "cosine_topk": q_cosine_topk,
+    "ann_lsh": q_ann_lsh,
+    "text_profile": q_text_profile,
+}
+
+ORACLES = {
+    "q1": ORACLE_Q1,
+    "project_filter": ORACLE_PROJECT_FILTER,
+    "each_compute": ORACLE_EACH_COMPUTE,
+    "split_explode": ORACLE_SPLIT_EXPLODE,
+    "wordcount": ORACLE_WORDCOUNT,
+    "groupby_sum": ORACLE_GROUPBY_SUM,
+    "chained_agg": ORACLE_CHAINED_AGG,
+    "distinct": ORACLE_DISTINCT,
+    "rollup": ORACLE_ROLLUP,
+    "merge": ORACLE_MERGE,
+    "join_inner": ORACLE_JOIN_INNER,
+    "join_outer": ORACLE_JOIN_OUTER,
+    "join_nway": ORACLE_JOIN_NWAY,
+    "semi_join": ORACLE_SEMI_JOIN,
+    "anti_join": ORACLE_ANTI_JOIN,
+    "first_n": ORACLE_FIRST_N,
+    "topk_per_group": ORACLE_TOPK_PER_GROUP,
+    "state_wordcount": ORACLE_STATE_WORDCOUNT,
+    "drpc_state_lookup": ORACLE_DRPC_STATE_LOOKUP,
+    "window_hourly": ORACLE_WINDOW_HOURLY,
+    "sessionize": ORACLE_SESSIONIZE,
+    "json_extract": ORACLE_JSON_EXTRACT,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_jaccard": ORACLE_DEDUP_JACCARD,
+    "minhash_lsh": ORACLE_MINHASH_LSH,
+    "simhash": ORACLE_SIMHASH,
+    "cosine_topk": ORACLE_COSINE_TOPK,
+    # ann_lsh: approximate — no oracle (rows-only check)
+    "text_profile": ORACLE_TEXT_PROFILE,
+}
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: q1 pricing summary at sf0.001."""
+    return q1(spark, "/root/testdata/sf0.001")

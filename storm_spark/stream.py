@@ -482,6 +482,27 @@ class Stream:
     def limit(self, n: int) -> "Stream":
         return self._with(lambda ctx: self._build(ctx).limit(n))
 
+    def distinct(self) -> "Stream":
+        """Engine extension (free Spark win, SURVEY §2.5 'not present')."""
+        return self._with(lambda ctx: self._build(ctx).distinct())
+
+    def semi_join(self, other: "Stream", on: Fields | list[str]) -> "Stream":
+        """EXISTS — keep rows with a match in ``other`` (engine extension;
+        semi/anti come free in Spark, SURVEY §2.6)."""
+        on_l = as_field_list(on)
+        self._check_fields(on_l)
+        return self._with(
+            lambda ctx: self._build(ctx).join(other._build(ctx), on=on_l, how="left_semi")
+        )
+
+    def anti_join(self, other: "Stream", on: Fields | list[str]) -> "Stream":
+        """NOT EXISTS — keep rows without a match in ``other``."""
+        on_l = as_field_list(on)
+        self._check_fields(on_l)
+        return self._with(
+            lambda ctx: self._build(ctx).join(other._build(ctx), on=on_l, how="left_anti")
+        )
+
 
 # ---------------------------------------------------------------------------
 

@@ -403,12 +403,18 @@ class LocalCluster:
             src._cluster = self
 
     def feed(self, source: FeederSource, rows: Sequence[Sequence[Any]], txid: int | None = None) -> int:
-        """Process one micro-batch. Returns the txid used. Passing an explicit
-        ``txid`` replays that transaction (for exactly-once semantics tests)."""
+        """Process one micro-batch of literal rows. Returns the txid used.
+        Passing an explicit ``txid`` replays that transaction (for
+        exactly-once semantics tests)."""
+        df = self.topology.spark.createDataFrame([tuple(r) for r in rows], source.schema())
+        return self.feed_dataframe(source, df, txid)
+
+    def feed_dataframe(self, source: FeederSource, df: DataFrame, txid: int | None = None) -> int:
+        """Process one micro-batch bound to a DataFrame — the scale path
+        (rows never touch the driver)."""
         if txid is None:
             txid = self._next_txid
             self._next_txid += 1
-        df = self.topology.spark.createDataFrame([tuple(r) for r in rows], source.schema())
         ctx = Context(self.topology.spark, {source.id: df}, txid)
         specs = self.topology._state_specs
         for spec in specs:
@@ -458,10 +464,15 @@ class LocalCluster:
     def execute_drpc(self, function: str, args: str) -> list[list[Any]]:
         """Parity: ``LocalDRPC.execute`` — returns the result rows as a list
         of value-lists (the reference returns a JSON string of the same)."""
+        return [list(r) for r in self.drpc_dataframe(function, args).collect()]
+
+    def drpc_dataframe(self, function: str, args: str) -> DataFrame:
+        """The DRPC result as an (uncollected) DataFrame — for composing the
+        parameterized query into larger plans."""
         terminal = self.topology._drpc.get(function)
         if terminal is None:
             raise KeyError(f"no DRPC function {function!r}")
         spark = self.topology.spark
         adf = spark.createDataFrame([(args,)], StructType().add("args", "string"))
         ctx = Context(spark, {f"__drpc__:{function}": adf}, self._next_txid)
-        return [list(r) for r in terminal.build(ctx).collect()]
+        return terminal.build(ctx)
