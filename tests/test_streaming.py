@@ -1,0 +1,135 @@
+"""Structured Streaming driver tests: real readStream → foreachBatch →
+opaque parquet state, plus event-time windowed aggregation."""
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from storm_spark import FeederSource, Topology
+from storm_spark.operations import Count
+from storm_spark.operations.base import LambdaFunction
+from storm_spark.state import ParquetMapState
+from storm_spark.streaming import run_stream_to_state
+from storm_spark.streaming.driver import windowed_stream_aggregate
+
+
+def test_streaming_wordcount_state(spark, tmp_path):
+    """File-source stream, one micro-batch per file, counts merged into the
+    parquet opaque state — final state equals the batch answer."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    batches = [
+        [("hello the man said",), ("the",)],
+        [("the man on the moon",), ("where are you",)],
+        [("the the",)],
+    ]
+    schema = StructType().add("sentence", "string")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for i, rows in enumerate(batches):
+        pq.write_table(
+            pa.table({"sentence": [r[0] for r in rows]}), str(in_dir / f"b{i}.parquet")
+        )
+
+    topo = Topology(spark)
+    feeder = FeederSource(["sentence"])
+    split = LambdaFunction(
+        lambda cols: [F.explode(F.filter(F.split(cols[0], " "), lambda x: x != F.lit("")))]
+    )
+    wc = (
+        topo.new_stream("sentences", feeder)
+        .each(["sentence"], split, ["word"])
+        .group_by(["word"])
+        .persistent_aggregate(
+            ParquetMapState.factory(str(tmp_path / "state"), num_buckets=4),
+            ["word"],
+            Count(),
+            ["count"],
+        )
+    )
+    run_stream_to_state(
+        topo,
+        feeder,
+        str(in_dir),
+        schema,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = wc.state.as_dict()
+    assert got[("the",)] == 6
+    assert got[("man",)] == 2
+    assert got[("moon",)] == 1
+    assert sum(v for v in got.values()) == 15
+
+
+def test_streaming_restart_is_idempotent(spark, tmp_path):
+    """Restarting from the checkpoint after the input is drained must not
+    re-apply batches (offset WAL + opaque txid merge)."""
+    in_dir = tmp_path / "in2"
+    in_dir.mkdir()
+    schema = StructType().add("sentence", "string")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"sentence": ["a b", "a"]}), str(in_dir / "b0.parquet"))
+
+    def build():
+        topo = Topology(spark)
+        feeder = FeederSource(["sentence"])
+        split = LambdaFunction(
+            lambda cols: [
+                F.explode(F.filter(F.split(cols[0], " "), lambda x: x != F.lit("")))
+            ]
+        )
+        wc = (
+            topo.new_stream("sentences", feeder)
+            .each(["sentence"], split, ["word"])
+            .group_by(["word"])
+            .persistent_aggregate(
+                ParquetMapState.factory(str(tmp_path / "state2"), num_buckets=2),
+                ["word"],
+                Count(),
+                ["count"],
+            )
+        )
+        return topo, feeder, wc
+
+    topo, feeder, wc = build()
+    ck = str(tmp_path / "ckpt2")
+    run_stream_to_state(topo, feeder, str(in_dir), schema, checkpoint_dir=ck)
+    assert wc.state.as_dict() == {("a",): 2, ("b",): 1}
+    # same checkpoint, same input: nothing new to process
+    topo2, feeder2, wc2 = build()
+    run_stream_to_state(topo2, feeder2, str(in_dir), schema, checkpoint_dir=ck)
+    assert wc2.state.as_dict() == {("a",): 2, ("b",): 1}
+
+
+def test_windowed_stream_aggregate(spark, tmp_path):
+    in_dir = tmp_path / "ev"
+    in_dir.mkdir()
+    schema = StructType().add("ts", "timestamp").add("v", "double")
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 1), 1.0),
+        (dt.datetime(2024, 1, 1, 0, 2), 2.0),
+        (dt.datetime(2024, 1, 1, 1, 1), 10.0),
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"ts": [r[0] for r in rows], "v": [r[1] for r in rows]}),
+        str(in_dir / "e.parquet"),
+    )
+    out = windowed_stream_aggregate(
+        spark,
+        str(in_dir),
+        schema,
+        "ts",
+        "1 hour",
+        lambda F: [F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")],
+    )
+    rows = {r["window"]["start"].hour: (r["n"], r["sv"]) for r in out.collect()}
+    assert rows == {0: (2, 3.0), 1: (1, 10.0)}
