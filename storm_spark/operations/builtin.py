@@ -85,6 +85,9 @@ class Min(CombinerAggregator):
     def combine_expr(self, a: Column, b: Column) -> Column:
         return F.least(a, b)
 
+    def zero_expr(self) -> Column:
+        return F.lit(None).cast(self.value_type)  # empty batch -> null
+
 
 class Max(CombinerAggregator):
     def __init__(self, value_type: str = "double"):
@@ -96,6 +99,9 @@ class Max(CombinerAggregator):
     def combine_expr(self, a: Column, b: Column) -> Column:
         return F.greatest(a, b)
 
+    def zero_expr(self) -> Column:
+        return F.lit(None).cast(self.value_type)
+
 
 class Avg(CombinerAggregator):
     """Mean (engine builtin). No ``combine_expr`` — not state-mergeable as a
@@ -105,6 +111,9 @@ class Avg(CombinerAggregator):
 
     def agg_expr(self, cols: list[Column]) -> Column:
         return F.avg(cols[0])
+
+    def zero_expr(self) -> Column:
+        return F.lit(None).cast(self.value_type)
 
 
 # ---------------------------------------------------------------------------

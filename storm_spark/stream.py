@@ -190,12 +190,13 @@ class Stream:
                 df = self._build(ctx)
                 schema = df.schema
                 names = df.columns
-                idx = {f: names.index(f) for f in in_l}
+                pos = [names.index(f) for f in in_l]
+                idx = {f: i for i, f in enumerate(in_l)}
 
                 def run(batches):
                     for pdf in batches:
                         keep = [
-                            fn.is_keep(TridentTuple(row, idx))
+                            fn.is_keep(TridentTuple([row[p] for p in pos], idx))
                             for row in pdf.itertuples(index=False, name=None)
                         ]
                         yield pdf[keep]
@@ -220,7 +221,8 @@ class Stream:
             for name, t in zip(out_l, fn.out_types):
                 out_schema = out_schema.add(name, _parse_ddl(t))
             names = df.columns
-            idx = {f: names.index(f) for f in in_l}
+            pos = [names.index(f) for f in in_l]
+            idx = {f: i for i, f in enumerate(in_l)}
 
             def run(batches):
                 fn.prepare()
@@ -228,7 +230,7 @@ class Stream:
                     out_rows: list[list[Any]] = []
                     for row in pdf.itertuples(index=False, name=None):
                         coll = TridentCollector()
-                        fn.execute(TridentTuple(row, idx), coll)
+                        fn.execute(TridentTuple([row[p] for p in pos], idx), coll)
                         for emitted in coll.rows:
                             out_rows.append(list(row) + list(emitted))
                     yield pd.DataFrame(out_rows, columns=names + out_l)
@@ -338,7 +340,8 @@ class Stream:
 
             df = self._build(ctx)
             names = df.columns
-            idx = {f: names.index(f) for f in in_l}
+            pos = [names.index(f) for f in in_l]
+            idx = {f: i for i, f in enumerate(in_l)}
             out_schema = StructType()
             for name, t in zip(out_l, _agg_out_types(agg, out_l)):
                 out_schema = out_schema.add(name, _parse_ddl(t))
@@ -350,7 +353,7 @@ class Stream:
                 n = 0
                 for pdf in batches:
                     for row in pdf.itertuples(index=False, name=None):
-                        state.accept(TridentTuple(row, idx))
+                        state.accept(TridentTuple([row[p] for p in pos], idx))
                         n += 1
                 state.complete()
                 yield pd.DataFrame(coll.rows, columns=out_l)
@@ -667,11 +670,12 @@ class ChainedAggregatorDeclarer:
             def run(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
                 row_out: list[Any] = list(key) if keys else []
                 for in_l, agg, out_l in aggs:
-                    idx = {f: names.index(f) for f in in_l}
+                    pos = [names.index(f) for f in in_l]
+                    idx = {f: i for i, f in enumerate(in_l)}
                     coll = TridentCollector()
                     st = _AggState(agg, txid, coll)
                     for row in pdf.itertuples(index=False, name=None):
-                        st.accept(TridentTuple(row, idx))
+                        st.accept(TridentTuple([row[p] for p in pos], idx))
                     st.complete()
                     if len(coll.rows) == 1:
                         row_out.extend(coll.rows[0])

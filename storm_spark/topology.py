@@ -280,10 +280,12 @@ class Topology:
 
                 coll = TridentCollector()
                 state = reducer.init(coll)
-                for row in pdf.itertuples(index=False):
-                    payload = json.loads(row.__payload__)
+                i_src = pdf.columns.get_loc("__src__")
+                i_payload = pdf.columns.get_loc("__payload__")
+                for row in pdf.itertuples(index=False, name=None):
+                    payload = json.loads(row[i_payload])
                     vals = list(payload.values())
-                    reducer.execute(state, int(row.__src__), TridentTuple(vals, {}), coll)
+                    reducer.execute(state, int(row[i_src]), TridentTuple(vals, {}), coll)
                 reducer.complete(state, coll)
                 return pd.DataFrame(
                     [list(key) + r for r in coll.rows],

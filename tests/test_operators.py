@@ -1,0 +1,326 @@
+"""Operator-surface tests: python-path UDF harness (PandasFunction/Filter,
+Reducer/general Aggregators), partitionAggregate, partitionPersist,
+snapshottable global state, builtin filters, Fields (fields_test.clj port),
+and FirstN."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from storm_spark import Fields, FeederSource, LocalCluster, Topology
+from storm_spark.operations import (
+    Avg,
+    Count,
+    Equals,
+    FirstN,
+    Max,
+    Min,
+    Negate,
+    SnapshotGet,
+    StringLength,
+    Sum,
+    TuplifyArgs,
+)
+from storm_spark.operations.base import (
+    Aggregator,
+    PandasFilter,
+    PandasFunction,
+    ReducerAggregator,
+    TridentCollector,
+    TridentTuple,
+)
+from storm_spark.state import MemoryMapState
+
+
+def _topo_with(spark, rows, fields, types=None):
+    topo = Topology(spark)
+    feeder = FeederSource(fields, types)
+    stream = topo.new_stream("s", feeder)
+    cluster = LocalCluster(topo)
+    from pyspark.sql.types import StructType
+
+    df = spark.createDataFrame([tuple(r) for r in rows], feeder.schema())
+    return topo, stream, df
+
+
+# ---------------------------------------------------------------------------
+# Fields (port of fields_test.clj:22-47)
+# ---------------------------------------------------------------------------
+
+
+def test_fields():
+    f = Fields("a", "b", "c")
+    assert f.to_list() == ["a", "b", "c"]
+    assert len(f) == 3
+    assert f.contains("a") and not f.contains("d")
+    assert f.field_index("b") == 1
+    with pytest.raises(ValueError):
+        f.field_index("d")
+    assert f.select(["b", "a"]) == ["b", "a"]
+    with pytest.raises(ValueError):
+        f.select(["x"])
+    with pytest.raises(ValueError):
+        Fields("a", "a")
+    assert list(f) == ["a", "b", "c"]
+
+
+def test_trident_tuple():
+    t = TridentTuple([1, "x"], {"n": 0, "s": 1})
+    assert t[0] == 1 and t["s"] == "x"
+    assert t.get("n") == 1 and t.get("zz", 9) == 9
+    assert t.values() == [1, "x"] and len(t) == 2
+
+
+# ---------------------------------------------------------------------------
+# python-path functions / filters (the UDF harness)
+# ---------------------------------------------------------------------------
+
+
+class RepeatWord(PandasFunction):
+    """Emits a row per repetition — 0..n flatmap shape."""
+
+    out_types = ["string", "int"]
+
+    def execute(self, tup: TridentTuple, collector: TridentCollector) -> None:
+        word, times = tup["word"], tup["times"]
+        for i in range(times):
+            collector.emit([word.upper(), i])
+
+
+class ShortWordFilter(PandasFilter):
+    def is_keep(self, tup: TridentTuple) -> bool:
+        return len(tup["word"]) <= 3
+
+
+def test_pandas_function(spark):
+    topo = Topology(spark)
+    df = spark.createDataFrame([("hi", 2), ("yo", 0), ("ok", 1)], "word string, times int")
+    out = (
+        topo.new_stream("s", df)
+        .each(["word", "times"], RepeatWord(), ["upper", "rep"])
+        .project(["upper", "rep"])
+        .df
+    )
+    assert sorted(tuple(r) for r in out.collect()) == [("HI", 0), ("HI", 1), ("OK", 0)]
+
+
+def test_pandas_filter(spark):
+    topo = Topology(spark)
+    df = spark.createDataFrame([("hi",), ("hello",), ("the",)], "word string")
+    out = topo.new_stream("s", df).each(["word"], ShortWordFilter()).df
+    assert sorted(r[0] for r in out.collect()) == ["hi", "the"]
+
+
+def test_builtin_filters(spark):
+    topo = Topology(spark)
+    df = spark.createDataFrame([(1, 1), (1, 2), (2, 2)], "a int, b int")
+    eq = topo.new_stream("s", df).each(["a", "b"], Equals()).df
+    assert sorted(tuple(r) for r in eq.collect()) == [(1, 1), (2, 2)]
+    ne = topo.new_stream("s", df).each(["a", "b"], Negate(Equals())).df
+    assert [tuple(r) for r in ne.collect()] == [(1, 2)]
+
+
+def test_string_length_and_tuplify(spark):
+    topo = Topology(spark)
+    df = spark.createDataFrame([("hello",)], "s string")
+    out = topo.new_stream("x", df).each(["s"], StringLength(), ["len"]).df
+    assert [tuple(r) for r in out.collect()] == [("hello", 5)]
+    df2 = spark.createDataFrame([('[["a","b"],["c","d"]]',)], "j string")
+    out2 = (
+        topo.new_stream("y", df2)
+        .each(["j"], TuplifyArgs(2), ["x", "y"])
+        .project(["x", "y"])
+        .df
+    )
+    assert sorted(tuple(r) for r in out2.collect()) == [("a", "b"), ("c", "d")]
+
+
+# ---------------------------------------------------------------------------
+# aggregator contracts (python paths)
+# ---------------------------------------------------------------------------
+
+
+class ConcatReducer(ReducerAggregator):
+    """Fold: concatenate words (order-sensitive within group => test sorts)."""
+
+    value_type = "string"
+
+    def init(self):
+        return ""
+
+    def reduce(self, curr, tup):
+        return curr + tup["word"]
+
+
+class RangeAggregator(Aggregator):
+    """General aggregator: emits (max - min) per group."""
+
+    out_types = ["bigint"]
+
+    def init(self, batch_id, collector):
+        return {"lo": None, "hi": None}
+
+    def aggregate(self, state, tup, collector):
+        v = tup["v"]
+        state["lo"] = v if state["lo"] is None else min(state["lo"], v)
+        state["hi"] = v if state["hi"] is None else max(state["hi"], v)
+
+    def complete(self, state, collector):
+        collector.emit([state["hi"] - state["lo"]])
+
+
+def test_reducer_aggregator(spark):
+    topo = Topology(spark)
+    df = spark.createDataFrame([("g1", "a"), ("g1", "b"), ("g2", "z")], "g string, word string")
+    out = (
+        topo.new_stream("s", df)
+        .group_by(["g"])
+        .aggregate(["word"], ConcatReducer(), ["joined"])
+        .df
+    )
+    got = {r["g"]: sorted(r["joined"]) for r in out.collect()}
+    assert got == {"g1": ["a", "b"], "g2": ["z"]}
+
+
+def test_general_aggregator_grouped(spark):
+    topo = Topology(spark)
+    df = spark.createDataFrame(
+        [("g1", 5), ("g1", 9), ("g2", 3), ("g2", 3)], "g string, v bigint"
+    )
+    out = (
+        topo.new_stream("s", df).group_by(["g"]).aggregate(["v"], RangeAggregator(), ["range"]).df
+    )
+    assert sorted(tuple(r) for r in out.collect()) == [("g1", 4), ("g2", 0)]
+
+
+class PySum(Sum):
+    """Force the python combiner path (no agg_expr)."""
+
+    def agg_expr(self, cols):
+        return None
+
+
+def test_python_combiner_path(spark):
+    topo = Topology(spark)
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.5), ("b", 4.0)], "k string, v double")
+    out = topo.new_stream("s", df).group_by(["k"]).aggregate(["v"], PySum(), ["s"]).df
+    assert sorted(tuple(r) for r in out.collect()) == [("a", 3.5), ("b", 4.0)]
+
+
+def test_partition_aggregate(spark):
+    """partitionAggregate: per-partition aggregation, no shuffle — the row
+    count summed over partitions equals the total."""
+    topo = Topology(spark)
+    df = spark.createDataFrame([(i,) for i in range(100)], "v bigint").repartition(4)
+    out = topo.new_stream("s", df).partition_aggregate(["v"], Count(), ["c"]).df
+    rows = [r["c"] for r in out.collect()]
+    assert sum(rows) == 100
+    assert len(rows) >= 1
+
+
+def test_min_max_avg_exprs(spark):
+    topo = Topology(spark)
+    df = spark.createDataFrame([(1.0,), (2.0,), (6.0,)], "v double")
+    out = (
+        topo.new_stream("s", df)
+        .chained_agg()
+        .aggregate(["v"], Min(), ["mn"])
+        .aggregate(["v"], Max(), ["mx"])
+        .aggregate(["v"], Avg(), ["av"])
+        .chain_end()
+        .df
+    )
+    assert [tuple(r) for r in out.collect()] == [(1.0, 6.0, 3.0)]
+
+
+# ---------------------------------------------------------------------------
+# snapshottable global state + SnapshotGet
+# ---------------------------------------------------------------------------
+
+
+def test_global_persistent_aggregate_and_snapshot_get(spark):
+    topo = Topology(spark)
+    feeder = FeederSource(["sentence"])
+    from storm_spark.operations import Split
+
+    total = (
+        topo.new_stream("s", feeder)
+        .each(["sentence"], Split(), ["word"])
+        .persistent_aggregate(MemoryMapState.factory(), [], Count(), ["count"])
+    )
+    (
+        topo.new_drpc_stream("total")
+        .state_query(total, None, SnapshotGet(), ["count"])
+        .project(["count"])
+    )
+    cluster = LocalCluster(topo)
+    feeder.feed([["a b c"], ["d e"]])
+    assert cluster.execute_drpc("total", "x") == [[5]]
+    feeder.feed([["f"]])
+    assert cluster.execute_drpc("total", "x") == [[6]]
+
+
+# ---------------------------------------------------------------------------
+# partitionPersist with a custom StateUpdater
+# ---------------------------------------------------------------------------
+
+
+def test_partition_persist_updater(spark):
+    seen = []
+
+    def updater(state, tuples, collector):
+        seen.extend(t["word"] for t in tuples)
+
+    topo = Topology(spark)
+    feeder = FeederSource(["word"])
+    topo.new_stream("s", feeder).partition_persist(
+        MemoryMapState.factory(), ["word"], updater, ["res"]
+    )
+    cluster = LocalCluster(topo)
+    feeder.feed([["x"], ["y"]])
+    assert sorted(seen) == ["x", "y"]
+
+
+# ---------------------------------------------------------------------------
+# FirstN assembly
+# ---------------------------------------------------------------------------
+
+
+def test_first_n_assembly(spark):
+    topo = Topology(spark)
+    df = spark.createDataFrame([(i,) for i in [5, 9, 1, 7, 3]], "v bigint")
+    top2 = topo.new_stream("s", df).apply_assembly(FirstN(2, "v", reverse=True)).df
+    assert sorted(r["v"] for r in top2.collect()) == [7, 9]
+    first3 = topo.new_stream("s", df).apply_assembly(FirstN(3)).df
+    assert len(first3.collect()) == 3
+
+
+# ---------------------------------------------------------------------------
+# multiReduce (keyed cogroup over N streams)
+# ---------------------------------------------------------------------------
+
+
+class JoinLikeReducer:
+    """GroupedMultiReducer: collects per-stream values, emits their product
+    count (exercises the cogroup plumbing)."""
+
+    out_types = ["bigint", "bigint"]
+
+    def init(self, collector):
+        return {0: 0, 1: 0}
+
+    def execute(self, state, stream_index, tup, collector):
+        state[stream_index] += 1
+
+    def complete(self, state, collector):
+        collector.emit([state[0], state[1]])
+
+
+def test_multi_reduce(spark):
+    topo = Topology(spark)
+    d1 = spark.createDataFrame([("k1", 1), ("k1", 2), ("k2", 3)], "k string, a int")
+    d2 = spark.createDataFrame([("k1", 9), ("k3", 8)], "k string, b int")
+    s1 = topo.new_stream("s1", d1).group_by(["k"])
+    s2 = topo.new_stream("s2", d2).group_by(["k"])
+    out = topo.multi_reduce([s1, s2], JoinLikeReducer(), ["k", "n1", "n2"]).df
+    got = {r["k"]: (r["n1"], r["n2"]) for r in out.collect()}
+    assert got == {"k1": (2, 1), "k2": (1, 0), "k3": (0, 1)}

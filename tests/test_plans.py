@@ -1,0 +1,100 @@
+"""Physical-plan audits — guardrails for 100 TB behavior.
+
+These assert the *shape* of the plans Catalyst produces for engine queries:
+filters and column pruning reach the parquet scan, small join sides
+broadcast, aggregations are partial+final hash aggs, top-k compiles to
+TakeOrderedAndProject. A correctness-green change that regresses one of
+these is a scale regression.
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_and_pruning_pushdown(spark):
+    from storm_spark.queries import q_project_filter
+
+    plan = _plan(q_project_filter(spark, SF))
+    assert "PushedFilters:" in plan
+    assert "GreaterThan(l_quantity,45" in plan or "l_quantity" in plan.split("PushedFilters:")[1].split("\n")[0]
+    # only the 4 needed columns are read (3 projected + filter cols)
+    read_schema = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert read_schema, plan
+    cols = [c.split(":")[0] for c in read_schema.group(1).split(",")]
+    assert set(cols) <= {"l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"}
+
+
+def test_join_inner_broadcasts_dim(spark):
+    from storm_spark.queries import q_join_inner
+
+    plan = _plan(q_join_inner(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q1_is_hash_agg_with_partial(spark):
+    from storm_spark.queries import q1
+
+    plan = _plan(q1(spark, SF))
+    assert "HashAggregate" in plan
+    # partial + final pair around the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_first_n_is_take_ordered(spark):
+    from storm_spark.queries import q_first_n
+
+    plan = _plan(q_first_n(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_wordcount_plan_shape(spark):
+    """Scan reads only `text`; tokenize stays JVM-side (Generate, no python
+    eval); count is partial+final hash agg around one exchange."""
+    from storm_spark.queries import q_wordcount
+
+    plan = _plan(q_wordcount(spark, SF))
+    assert "ReadSchema: struct<text:string>" in plan
+    assert "Generate" in plan
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semi_join_plan(spark):
+    from storm_spark.queries import q_semi_join
+
+    plan = _plan(q_semi_join(spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_state_query_is_join_not_collect(spark):
+    """stateQuery compiles to a join against the state table, never a
+    driver-side lookup loop."""
+    from storm_spark import FeederSource, LocalCluster, Topology
+    from storm_spark.operations import Count, MapGet, Split
+    from storm_spark.state import MemoryMapState
+
+    topo = Topology(spark)
+    feeder = FeederSource(["sentence"])
+    wc = (
+        topo.new_stream("s", feeder)
+        .each(["sentence"], Split(), ["word"])
+        .group_by(["word"])
+        .persistent_aggregate(MemoryMapState.factory(), ["word"], Count(), ["count"])
+    )
+    q = (
+        topo.new_drpc_stream("words")
+        .each(["args"], Split(), ["word"])
+        .state_query(wc, ["word"], MapGet(), ["count"])
+    )
+    cluster = LocalCluster(topo)
+    feeder.feed([["a b"]])
+    plan = _plan(cluster.drpc_dataframe("words", "a"))
+    assert "Join" in plan
