@@ -7,6 +7,6 @@ deduplication, similarity search, multimodal column plumbing — all
 expression-first (JVM/codegen), Pandas-UDF only where unavoidable.
 """
 
-from storm_spark.functions import dedup, multimodal, similarity, text
+from storm_spark.functions import dedup, multimodal, similarity, temporal, text
 
-__all__ = ["text", "dedup", "similarity", "multimodal"]
+__all__ = ["text", "dedup", "similarity", "multimodal", "temporal"]

@@ -1,0 +1,110 @@
+"""Temporal joins — as-of join (engine extension; absent in both the
+reference (SURVEY §2.6 'not present') and core Spark).
+
+Two strategies:
+
+- :func:`asof_join` — cogroup + ``pd.merge_asof`` per key group: one shuffle
+  per side on the key, sorted merge inside each group, O(n log n) per group
+  and no pair blowup. The scale path when each key's history fits a task
+  (usual case: per-user/per-symbol series). This is preference order (b) from
+  the guide: Pandas-UDF-backed ``applyInPandas`` where built-ins can't
+  express the semantics.
+- :func:`asof_join_ranked` — pure-DataFrame fallback: range join + ranking
+  window. Exact same semantics; use when pandas is unavailable or groups are
+  pathologically skewed (AQE splits the skewed join).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach the single right row with the greatest
+    ``right_ts`` <= ``left_ts`` (direction='backward'; 'forward' mirrors),
+    matching on the equi-key(s) ``on``. Right rows with no match pad null.
+
+    Output: all left columns + right's non-key columns (null-padded).
+    """
+    import pandas as pd
+
+    on_l = [on] if isinstance(on, str) else list(on)
+    right_cols = [c for c in right.columns if c not in on_l]
+    out_fields = list(left.schema.fields) + [
+        f for f in right.schema.fields if f.name not in on_l
+    ]
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(out_fields)
+    l_names = left.columns
+
+    def merge(key, lpdf: "pd.DataFrame", rpdf: "pd.DataFrame") -> "pd.DataFrame":
+        lpdf = lpdf.sort_values(left_ts, kind="mergesort")
+        if rpdf.empty:
+            for c in right_cols:
+                lpdf[c] = None
+            return lpdf[l_names + right_cols]
+        rpdf = rpdf.sort_values(right_ts, kind="mergesort")[[right_ts] + [c for c in right_cols if c != right_ts]]
+        merged = pd.merge_asof(
+            lpdf,
+            rpdf,
+            left_on=left_ts,
+            right_on=right_ts,
+            direction=direction,
+            suffixes=("", "__r__"),
+        )
+        if right_ts in merged.columns and f"{right_ts}__r__" in merged.columns:
+            merged[right_ts] = merged[f"{right_ts}__r__"]
+        cols = l_names + right_cols
+        for c in right_cols:
+            if c not in merged.columns and f"{c}__r__" in merged.columns:
+                merged[c] = merged[f"{c}__r__"]
+        return merged[cols]
+
+    return (
+        left.groupBy(*on_l)
+        .cogroup(right.groupBy(*on_l))
+        .applyInPandas(merge, out_schema)
+    )
+
+
+def asof_join_ranked(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """Backward as-of via range join + rank-1 window (pure Catalyst).
+
+    The intermediate (left × matching-right) can blow up when many right
+    rows precede each left row — prefer :func:`asof_join` for dense
+    histories.
+    """
+    on_l = [on] if isinstance(on, str) else list(on)
+    lid = "__lrow__"
+    l = left.withColumn(lid, F.monotonically_increasing_id())
+    r = right.select(
+        *[F.col(c).alias(f"__r_{c}__") for c in right.columns]
+    )
+    cond = F.lit(True)
+    for k in on_l:
+        cond = cond & (F.col(k) == F.col(f"__r_{k}__"))
+    cond = cond & (F.col(f"__r_{right_ts}__") <= F.col(left_ts))
+    joined = l.join(r, cond, "left")
+    w = Window.partitionBy(lid).orderBy(F.col(f"__r_{right_ts}__").desc_nulls_last())
+    ranked = joined.withColumn("__rk__", F.row_number().over(w)).filter(F.col("__rk__") == 1)
+    right_cols = [c for c in right.columns if c not in on_l]
+    return ranked.select(
+        *left.columns, *[F.col(f"__r_{c}__").alias(c) for c in right_cols]
+    )

@@ -861,6 +861,143 @@ ORACLE_TEXT_PROFILE = _oracle_text_profile()
 
 
 # ---------------------------------------------------------------------------
+# 11. engine extensions: as-of join, cube/pivot, distinct-count, sketches
+# ---------------------------------------------------------------------------
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join: each event picks the user's most recent order at event
+    time (cogroup + merge_asof — SURVEY §2.6 'not present' in reference,
+    absent in core Spark; a genuinely custom operator).
+
+    The right side is pre-deduplicated to one row per (key, ts) so tie-breaks
+    are deterministic in every engine.
+    """
+    from storm_spark.functions.temporal import asof_join_ranked
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("ots")
+        )
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    # ~10 orders/user here: the range-join+rank plan wins (the cogroup +
+    # merge_asof variant pays per-group Arrow overhead; it wins on dense
+    # per-key histories instead — both are exercised in tests)
+    out = asof_join_ranked(ev, orders, on="user_id", left_ts="ts", right_ts="ots")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey"),
+        F.unix_timestamp("ots").cast("bigint").alias("order_epoch"),
+    )
+
+
+ORACLE_ASOF_JOIN = """
+WITH ded AS (
+  SELECT o_custkey AS user_id, o_orderdate AS ots, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, d.o_orderkey,
+       CAST(epoch(CAST(d.ots AS TIMESTAMP)) AS BIGINT) AS order_epoch
+FROM events e ASOF LEFT JOIN ded d
+  ON e.user_id = d.user_id AND e.ts >= d.ots
+"""
+
+
+def q_cube(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents("l_quantity")).cast("bigint").alias("qty_c")
+    )
+
+
+ORACLE_CUBE = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM({SQL_CENTS.format(x='l_quantity')}) AS BIGINT) AS qty_c
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_pivot(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_O"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_F"),
+    )
+
+
+ORACLE_PIVOT = """
+SELECT l_returnflag,
+       CAST(COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS n_O,
+       CAST(COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS n_F
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_count_distinct(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+    )
+
+
+ORACLE_COUNT_DISTINCT = """
+SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ distinct estimate — estimator-specific, so no SQL
+    oracle (rows-only check); the exact twin is q_count_distinct."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        )
+    )
+
+
+def q_percentile(spark, sf_dir):
+    """approx_percentile sketch — estimator-specific (rows-only check)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx(cents("o_totalprice"), [0.5, 0.95, 0.99], 10000).alias(
+                "p_c"
+            )
+        )
+        .select(
+            "o_orderpriority",
+            F.col("p_c")[0].alias("p50_c"),
+            F.col("p_c")[1].alias("p95_c"),
+            F.col("p_c")[2].alias("p99_c"),
+        )
+    )
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via LSH buckets (approximate —
+    rows-only check; the exact-cosine twin is cosine_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    # the synthetic embeddings are near-orthogonal random vectors (max pair
+    # cosine ~0.5) — 0.45 exercises the operator non-trivially
+    return similarity.embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.45, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -894,6 +1031,13 @@ QUERIES = {
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
     "text_profile": q_text_profile,
+    "asof_join": q_asof_join,
+    "cube": q_cube,
+    "pivot": q_pivot,
+    "count_distinct": q_count_distinct,
+    "approx_distinct": q_approx_distinct,
+    "percentile": q_percentile,
+    "embedding_near_dup": q_embedding_near_dup,
 }
 
 ORACLES = {
@@ -926,6 +1070,12 @@ ORACLES = {
     "cosine_topk": ORACLE_COSINE_TOPK,
     # ann_lsh: approximate — no oracle (rows-only check)
     "text_profile": ORACLE_TEXT_PROFILE,
+    "asof_join": ORACLE_ASOF_JOIN,
+    "cube": ORACLE_CUBE,
+    "pivot": ORACLE_PIVOT,
+    "count_distinct": ORACLE_COUNT_DISTINCT,
+    # approx_distinct / percentile / embedding_near_dup: estimator-specific —
+    # rows-only checks; exact twins (count_distinct / cosine_topk) are gated
 }
 
 

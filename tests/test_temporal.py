@@ -1,0 +1,68 @@
+"""As-of join tests: both strategies (cogroup+merge_asof, range-join+rank)
+must agree with each other and with hand-computed expectations."""
+
+import datetime as dt
+
+from storm_spark.functions.temporal import asof_join, asof_join_ranked
+
+
+def _data(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", dt.datetime(2024, 1, 1, 10)),
+            (2, "u1", dt.datetime(2024, 1, 1, 12)),
+            (3, "u2", dt.datetime(2024, 1, 1, 9)),
+            (4, "u3", dt.datetime(2024, 1, 1, 9)),  # no orders for u3
+        ],
+        "event_id bigint, user string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", dt.datetime(2024, 1, 1, 9), 100),
+            ("u1", dt.datetime(2024, 1, 1, 11), 101),
+            ("u1", dt.datetime(2024, 1, 1, 13), 102),  # after both events
+            ("u2", dt.datetime(2024, 1, 1, 9), 200),  # exact-time match
+        ],
+        "user string, ots timestamp, order_id bigint",
+    )
+    return left, right
+
+
+EXPECTED = {1: 100, 2: 101, 3: 200, 4: None}
+
+
+def test_asof_cogroup(spark):
+    left, right = _data(spark)
+    out = asof_join(left, right, on="user", left_ts="ts", right_ts="ots")
+    got = {r["event_id"]: r["order_id"] for r in out.collect()}
+    assert got == EXPECTED
+
+
+def test_asof_ranked(spark):
+    left, right = _data(spark)
+    out = asof_join_ranked(left, right, on="user", left_ts="ts", right_ts="ots")
+    got = {r["event_id"]: r["order_id"] for r in out.collect()}
+    assert got == EXPECTED
+
+
+def test_strategies_agree_on_real_data(spark):
+    from pyspark.sql import functions as F
+
+    from storm_spark.queries import _events, _t
+
+    sf = "/root/testdata/sf0.001"
+    ev = _events(spark, sf).select("event_id", "user_id", "ts").limit(200)
+    orders = (
+        _t(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("ots"))
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    a = {
+        r["event_id"]: r["o_orderkey"]
+        for r in asof_join(ev, orders, "user_id", "ts", "ots").collect()
+    }
+    b = {
+        r["event_id"]: r["o_orderkey"]
+        for r in asof_join_ranked(ev, orders, "user_id", "ts", "ots").collect()
+    }
+    assert a == b and len(a) == 200
