@@ -4,6 +4,14 @@ All pure Column expressions (whole-stage codegen; zero Python on the hot
 path), so they hold up at 100 TB: a scan + projection, no shuffle, fully
 pushdown-friendly. Each has an exact ANSI-SQL twin used by the DuckDB oracle
 (see ``storm_spark/queries.py``).
+
+Hot-path rule: tokenization (regex split) is the expensive step, so every
+operator has a ``*_t`` form that takes an ALREADY-MATERIALIZED token-array
+column. Materialize once (``select tokens(text) as toks``) and feed the
+``*_t`` forms — Catalyst's CollapseProject keeps a multiply-referenced
+non-trivial alias as its own projection, so the split runs once per row
+instead of once per derived column. The text-column forms are sugar for
+single-expression uses.
 """
 
 from __future__ import annotations
@@ -33,8 +41,54 @@ def tokens(col: Column | str) -> Column:
     return F.filter(parts, lambda x: x != F.lit(""))
 
 
+# --- token-array (``_t``) forms: the hot path --------------------------------
+
+
+def token_count_t(toks: Column) -> Column:
+    return F.size(toks).cast("bigint")
+
+
+def stopword_ratio_t(toks: Column, stopwords: list[str] | None = None, ndigits: int = 6) -> Column:
+    """Fraction of tokens that are stopwords (a quality signal)."""
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS_EN)])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.round(n_stop.cast("double") / F.greatest(F.size(toks), F.lit(1)), ndigits)
+
+
+def mean_token_len_t(toks: Column, ndigits: int = 6) -> Column:
+    total = F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+    return F.round(total.cast("double") / F.greatest(F.size(toks), F.lit(1)), ndigits)
+
+
+def lang_id_t(toks: Column) -> Column:
+    """Marker-stopword language guesser: the language whose marker tokens
+    appear most; ties and no-markers fall back to 'en'. (An n-gram model is
+    the production path; markers keep the oracle SQL exactly equivalent.)"""
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores.append((lang, F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))))
+    # argmax with deterministic tie-break on the declared order
+    best = F.lit("en")
+    best_score = F.lit(-1)
+    for lang, score in scores:
+        cond = score > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, score).otherwise(best_score)
+    return best
+
+
+def fingerprint_t(toks: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized token
+    stream (whitespace/case folded) — the exact-dedup key."""
+    return F.md5(F.concat_ws(" ", toks))
+
+
+# --- text-column sugar -------------------------------------------------------
+
+
 def token_count(col: Column | str) -> Column:
-    return F.size(tokens(col)).cast("bigint")
+    return token_count_t(tokens(col))
 
 
 def char_count(col: Column | str) -> Column:
@@ -50,56 +104,35 @@ def punct_ratio(col: Column | str, ndigits: int = 6) -> Column:
 
 
 def stopword_ratio(col: Column | str, stopwords: list[str] | None = None, ndigits: int = 6) -> Column:
-    """Fraction of tokens that are stopwords (a quality signal)."""
-    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS_EN)])
-    toks = tokens(col)
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return F.round(n_stop.cast("double") / F.greatest(F.size(toks), F.lit(1)), ndigits)
+    return stopword_ratio_t(tokens(col), stopwords, ndigits)
 
 
 def mean_token_len(col: Column | str, ndigits: int = 6) -> Column:
-    toks = tokens(col)
-    total = F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
-    return F.round(total.cast("double") / F.greatest(F.size(toks), F.lit(1)), ndigits)
+    return mean_token_len_t(tokens(col), ndigits)
 
 
-def quality_score(col: Column | str, ndigits: int = 6) -> Column:
+def quality_score_t(col: Column | str, toks: Column, ndigits: int = 6) -> Column:
     """Composite [0,1] quality heuristic: long-enough docs with low punctuation
     noise and a natural stopword rate score high. Deterministic and
     SQL-expressible; the exact formula is a policy, not a contract."""
     c = F.col(col) if isinstance(col, str) else col
     len_score = F.least(F.length(c).cast("double") / F.lit(500.0), F.lit(1.0))
     punct_pen = F.lit(1.0) - F.least(punct_ratio(c, 10) * 5, F.lit(1.0))
-    sw = stopword_ratio(c, None, 10)
+    sw = stopword_ratio_t(toks, None, 10)
     sw_score = F.lit(1.0) - F.least(F.abs(sw - F.lit(0.4)), F.lit(1.0))
     return F.round((len_score + punct_pen + sw_score) / 3.0, ndigits)
 
 
+def quality_score(col: Column | str, ndigits: int = 6) -> Column:
+    return quality_score_t(col, tokens(col), ndigits)
+
+
 def lang_id(col: Column | str) -> Column:
-    """Marker-stopword language guesser: the language whose marker tokens
-    appear most; ties and no-markers fall back to 'en'. (An n-gram model is
-    the production path; markers keep the oracle SQL exactly equivalent.)"""
-    toks = tokens(col)
-    scores = []
-    for lang, markers in LANG_MARKERS.items():
-        arr = F.array(*[F.lit(m) for m in markers])
-        scores.append(
-            (lang, F.size(F.filter(toks, lambda t: F.array_contains(arr, t))))
-        )
-    # argmax with deterministic tie-break on the declared order
-    best = F.lit("en")
-    best_score = F.lit(-1)
-    for lang, score in scores:
-        cond = score > best_score
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_score = F.when(cond, score).otherwise(best_score)
-    return best
+    return lang_id_t(tokens(col))
 
 
 def fingerprint(col: Column | str) -> Column:
-    """Deterministic document fingerprint: md5 of the normalized token
-    stream (whitespace/case folded) — the exact-dedup key."""
-    return F.md5(F.concat_ws(" ", tokens(col)))
+    return fingerprint_t(tokens(col))
 
 
 def ngrams_from_tokens(toks: Column, n: int) -> Column:
@@ -127,15 +160,21 @@ def word_ngrams(col: Column | str, n: int) -> Column:
 
 
 def analyze(df: DataFrame, text_col: str = "text", ndigits: int = 6) -> DataFrame:
-    """One-pass text profile: counts, ratios, language, fingerprint."""
-    return df.select(
-        "*",
-        token_count(text_col).alias("n_tokens"),
+    """One-pass text profile: counts, ratios, language, fingerprint.
+
+    Tokenizes once (materialized ``__toks__`` projection), derives every
+    token-based metric from the array.
+    """
+    base = df.select("*", tokens(text_col).alias("__toks__"))
+    t = F.col("__toks__")
+    return base.select(
+        *df.columns,
+        token_count_t(t).alias("n_tokens"),
         char_count(text_col).alias("n_chars_m"),
         punct_ratio(text_col, ndigits).alias("punct_ratio"),
-        stopword_ratio(text_col, None, ndigits).alias("stopword_ratio"),
-        mean_token_len(text_col, ndigits).alias("mean_token_len"),
-        quality_score(text_col, ndigits).alias("quality"),
-        lang_id(text_col).alias("lang_guess"),
-        fingerprint(text_col).alias("fingerprint"),
+        stopword_ratio_t(t, None, ndigits).alias("stopword_ratio"),
+        mean_token_len_t(t, ndigits).alias("mean_token_len"),
+        quality_score_t(text_col, t, ndigits).alias("quality"),
+        lang_id_t(t).alias("lang_guess"),
+        fingerprint_t(t).alias("fingerprint"),
     )

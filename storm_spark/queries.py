@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from storm_spark.fields import Fields
 from storm_spark.operations import Count, MapGet, Split, Sum
 from storm_spark.operations.base import LambdaFunction
+from storm_spark.session import rebalance_scan
 from storm_spark.state import ParquetMapState
 from storm_spark.topology import FeederSource, LocalCluster, Topology
 from storm_spark.functions import dedup, similarity, text
@@ -36,8 +37,19 @@ from storm_spark.functions.text import LANG_MARKERS, STOPWORDS_EN, TOKEN_SPLIT_R
 # ---------------------------------------------------------------------------
 
 
+#: tables too small to ever be worth a rebalance shuffle (broadcast-side dims)
+_TINY = {"region", "nation", "supplier"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _TINY:
+        return df
+    # The testdata tables are single-row-group files: unsplittable, so every
+    # scan is one task. Rebalance to cluster parallelism (filters/pruning
+    # still reach the scan — Catalyst pushes both through Repartition); on a
+    # properly-chunked table this is a no-op.
+    return rebalance_scan(df)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,7 +60,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    return df
+    return rebalance_scan(df)
 
 
 def cents(c) -> F.Column:
@@ -809,14 +821,19 @@ def q_ann_lsh(spark, sf_dir):
 
 def q_text_profile(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    # tokenize ONCE into a materialized projection; every token-based metric
+    # derives from the array (CollapseProject keeps multiply-referenced
+    # non-trivial aliases separate, so the regex split runs once per row)
+    base = docs.select("doc_id", "text", text.tokens("text").alias("__toks__"))
+    t = F.col("__toks__")
+    return base.select(
         "doc_id",
-        text.token_count("text").alias("n_tokens"),
+        text.token_count_t(t).alias("n_tokens"),
         text.punct_ratio("text").alias("punct_ratio"),
-        text.stopword_ratio("text").alias("stopword_ratio"),
-        text.mean_token_len("text").alias("mean_token_len"),
-        text.lang_id("text").alias("lang_guess"),
-        text.fingerprint("text").alias("fingerprint"),
+        text.stopword_ratio_t(t).alias("stopword_ratio"),
+        text.mean_token_len_t(t).alias("mean_token_len"),
+        text.lang_id_t(t).alias("lang_guess"),
+        text.fingerprint_t(t).alias("fingerprint"),
     )
 
 
@@ -1001,6 +1018,24 @@ def q_embedding_near_dup(spark, sf_dir):
 # registry
 # ---------------------------------------------------------------------------
 
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal binary-column pipeline (north star): treat each document's
+    bytes as an opaque encoded asset, decode + feature-extract via the
+    Arrow-batched ``mapInPandas`` kernel (decode itself is a deterministic
+    stub — codecs aren't in this image; the Spark plumbing is real).
+    No SQL oracle: binary decode kernels aren't SQL-expressible (rows-only
+    check)."""
+    from storm_spark.functions import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("content"),
+        F.lit("image/png").alias("mime"),
+    )
+    return multimodal.image_features(assets, "content", "doc_id")
+
+
 QUERIES = {
     "q1": q1,
     "project_filter": q_project_filter,
@@ -1038,6 +1073,7 @@ QUERIES = {
     "approx_distinct": q_approx_distinct,
     "percentile": q_percentile,
     "embedding_near_dup": q_embedding_near_dup,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLES = {

@@ -48,3 +48,20 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def rebalance_scan(df, min_partitions: int | None = None):
+    """Spread an under-partitioned scan across the cluster.
+
+    A parquet file is splittable only at row-group boundaries, so a table
+    written as a handful of large row groups scans as a handful of tasks no
+    matter how many cores exist. When the scan has fewer partitions than the
+    cluster's parallelism, round-robin repartition it so downstream CPU-heavy
+    work (shingling, hashing, UDFs) uses every core; on a well-chunked table
+    (the normal case at scale) this is a metadata check and a no-op.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
