@@ -1006,12 +1006,96 @@ def q_percentile(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via LSH buckets (approximate —
-    rows-only check; the exact-cosine twin is cosine_topk)."""
+    """Embedding-cosine near-dup pairs via LSH buckets. The hyperplanes are
+    md5-derived (no RNG), so even the 'approximate' path has an exact SQL
+    twin: same plane literals, same bucket join, same rounded-cosine filter."""
     emb = _t(spark, sf_dir, "embeddings")
     # the synthetic embeddings are near-orthogonal random vectors (max pair
     # cosine ~0.5) — 0.45 exercises the operator non-trivially
     return similarity.embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.45, n_planes=6)
+
+
+def _sql_lsh_sig(vec_expr: str, n_planes: int, dim: int) -> str:
+    """DuckDB twin of similarity.lsh signature: same md5-derived plane
+    literals, same >=0 sign bits packed into an int."""
+    from storm_spark.functions.similarity import _hyperplanes
+
+    terms = []
+    for p, comps in enumerate(_hyperplanes(dim, n_planes)):
+        arr = "[" + ",".join(repr(c) for c in comps) + "]::DOUBLE[]"
+        terms.append(
+            f"CASE WHEN list_inner_product({vec_expr}, {arr}) >= 0 THEN {1 << p} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+SQL_COS = (
+    "list_inner_product({a}, {b}) / "
+    "(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))"
+)
+
+
+def _oracle_embedding_near_dup(threshold=0.45, n_planes=6, dim=64):
+    sig = _sql_lsh_sig("embedding::DOUBLE[]", n_planes, dim)
+    cos = SQL_COS.format(a="a.vv", b="b.vv")
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv, {sig} AS sig FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cos_sim
+  FROM v a JOIN v b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
+"""
+
+
+ORACLE_EMBEDDING_NEAR_DUP = _oracle_embedding_near_dup()
+
+
+def _oracle_ann_lsh(k=5, n_planes=6, dim=64):
+    sig = _sql_lsh_sig("embedding::DOUBLE[]", n_planes, dim)
+    cos = SQL_COS.format(a="qv", b="cv")
+    return f"""
+WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, {sig} AS sig FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, {sig} AS sig FROM embeddings WHERE vec_id < 20),
+pairs AS (
+  SELECT query_id, neighbor_id, {cos} AS cs
+  FROM q JOIN c USING (sig) WHERE query_id <> neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cs,
+         row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS rank
+  FROM pairs)
+SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+ORACLE_ANN_LSH = _oracle_ann_lsh()
+
+
+def q_percentile_exact(spark, sf_dir):
+    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``: pos = p*(n-1), linear interpolation)."""
+    ps = [0.5, 0.95, 0.99]
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.percentile(cents("o_totalprice"), ps).alias("p_c"))
+        .select(
+            "o_orderpriority",
+            F.round(F.col("p_c")[0], 4).alias("p50_c"),
+            F.round(F.col("p_c")[1], 4).alias("p95_c"),
+            F.round(F.col("p_c")[2], 4).alias("p99_c"),
+        )
+    )
+
+
+ORACLE_PERCENTILE_EXACT = f"""
+SELECT o_orderpriority,
+       round(quantile_cont(c, 0.5), 4)  AS p50_c,
+       round(quantile_cont(c, 0.95), 4) AS p95_c,
+       round(quantile_cont(c, 0.99), 4) AS p99_c
+FROM (SELECT o_orderpriority, {SQL_CENTS.format(x='o_totalprice')} AS c FROM orders)
+GROUP BY o_orderpriority
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1072,6 +1156,7 @@ QUERIES = {
     "count_distinct": q_count_distinct,
     "approx_distinct": q_approx_distinct,
     "percentile": q_percentile,
+    "percentile_exact": q_percentile_exact,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_features": q_multimodal_features,
 }
@@ -1104,14 +1189,17 @@ ORACLES = {
     "minhash_lsh": ORACLE_MINHASH_LSH,
     "simhash": ORACLE_SIMHASH,
     "cosine_topk": ORACLE_COSINE_TOPK,
-    # ann_lsh: approximate — no oracle (rows-only check)
+    "ann_lsh": ORACLE_ANN_LSH,
     "text_profile": ORACLE_TEXT_PROFILE,
     "asof_join": ORACLE_ASOF_JOIN,
     "cube": ORACLE_CUBE,
     "pivot": ORACLE_PIVOT,
     "count_distinct": ORACLE_COUNT_DISTINCT,
-    # approx_distinct / percentile / embedding_near_dup: estimator-specific —
-    # rows-only checks; exact twins (count_distinct / cosine_topk) are gated
+    "percentile_exact": ORACLE_PERCENTILE_EXACT,
+    "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
+    # approx_distinct / percentile (approx sketch) / multimodal_features:
+    # estimator-specific or non-SQL kernels — rows-only checks; exact twins
+    # (count_distinct / percentile_exact) are hash-gated
 }
 
 
