@@ -142,17 +142,94 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    ``n_lists`` Voronoi cells, probe the ``n_probe`` nearest cells per query,
+    exact re-rank inside the probed cells.
+
+    Centroids are the ``n_lists`` smallest-id corpus vectors — deterministic
+    (and SQL-expressible) rather than k-means-trained; swap in trained
+    centroids for recall without touching the plan shape. Scale: the
+    centroid set is tiny and broadcast twice (corpus assignment, query
+    probing); the corpus shuffles once on cell id; per-query work is
+    |probe cells| instead of |corpus|.
+    """
+    cents = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_lists)
+        .select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).cast("array<double>").alias("__cent__"),
+        )
+    )
+
+    def cos(a: Column, b: Column) -> Column:
+        return _dot(a, b) / (_norm(a) * _norm(b))
+
+    # corpus → nearest centroid (rank 1 by cosine, centroid id tie-break)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("__cv__")
+    )
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.col("__cc__").desc(), F.col("cent_id").asc()
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("__cc__", cos(F.col("__cv__"), F.col("__cent__")))
+        .withColumn("__r__", F.row_number().over(w_assign))
+        .filter(F.col("__r__") == 1)
+        .select("neighbor_id", "__cv__", F.col("cent_id").alias("__cell__"))
+    )
+    # query → n_probe nearest centroids
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("__qv__")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.col("__qc__").desc(), F.col("cent_id").asc())
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__qc__", cos(F.col("__qv__"), F.col("__cent__")))
+        .withColumn("__r__", F.row_number().over(w_probe))
+        .filter(F.col("__r__") <= n_probe)
+        .select("query_id", "__qv__", F.col("cent_id").alias("__cell__"))
+    )
+    pairs = probed.join(assigned, on="__cell__").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    # each corpus vector lives in exactly one cell and probed cells are
+    # distinct, so (query, neighbor) pairs are already unique — no dedup
+    sim = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cos(F.col("__qv__"), F.col("__cv__")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_planes: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold)
     via LSH buckets + exact verify — the embedding-space analogue of
     minhash dedup."""
-    topk = lsh_bucket_topk(df, df, id_col, vec_col, k=1000, n_planes=n_planes)
+    topk = lsh_bucket_topk(df, df, id_col, vec_col, k=1000, n_planes=n_planes, dim=dim)
     return (
         topk.filter((F.col("cos_sim") >= threshold) & (F.col("query_id") < F.col("neighbor_id")))
         .select(

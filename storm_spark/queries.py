@@ -811,7 +811,7 @@ def q_ann_lsh(spark, sf_dir):
     oracle (driver records the weaker rows-only check)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 20)
-    return similarity.lsh_bucket_topk(emb, queries_df, "vec_id", "embedding", k=5, n_planes=6)
+    return similarity.lsh_bucket_topk(emb, queries_df, "vec_id", "embedding", k=5, n_planes=6, dim=64)
 
 
 # ---------------------------------------------------------------------------
@@ -1012,7 +1012,7 @@ def q_embedding_near_dup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     # the synthetic embeddings are near-orthogonal random vectors (max pair
     # cosine ~0.5) — 0.45 exercises the operator non-trivially
-    return similarity.embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.45, n_planes=6)
+    return similarity.embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.45, n_planes=6, dim=64)
 
 
 def _sql_lsh_sig(vec_expr: str, n_planes: int, dim: int) -> str:
@@ -1069,6 +1069,48 @@ FROM ranked WHERE rank <= {k}
 
 
 ORACLE_ANN_LSH = _oracle_ann_lsh()
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF approximate NN: Voronoi-cell partition + probe-n_probe-cells
+    (the scale path for similarity search; centroids deterministic so the
+    SQL twin is exact)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return similarity.ivf_topk(emb, queries_df, "vec_id", "embedding", k=5, n_lists=16, n_probe=4)
+
+
+def _oracle_ann_ivf(k=5, n_lists=16, n_probe=4):
+    cos_cc = SQL_COS.format(a="c.vv", b="t.vv")
+    cos_qc = SQL_COS.format(a="q.vv", b="t.vv")
+    cos_qn = SQL_COS.format(a="q.vv", b="c.vv")
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, vv FROM v ORDER BY vec_id ASC LIMIT {n_lists}),
+assigned AS (
+  SELECT vec_id AS neighbor_id, vv, cent_id AS cell FROM (
+    SELECT c.vec_id, c.vv, t.cent_id,
+           row_number() OVER (PARTITION BY c.vec_id ORDER BY {cos_cc} DESC, t.cent_id ASC) AS r
+    FROM v c CROSS JOIN cents t) WHERE r = 1),
+probed AS (
+  SELECT vec_id AS query_id, vv, cent_id AS cell FROM (
+    SELECT q.vec_id, q.vv, t.cent_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos_qc} DESC, t.cent_id ASC) AS r
+    FROM v q CROSS JOIN cents t WHERE q.vec_id < 20) WHERE r <= {n_probe}),
+sim AS (
+  SELECT q.query_id, c.neighbor_id, {cos_qn} AS cs
+  FROM probed q JOIN assigned c USING (cell)
+  WHERE q.query_id <> c.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cs,
+         row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS rank
+  FROM sim)
+SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+ORACLE_ANN_IVF = _oracle_ann_ivf()
 
 
 def q_percentile_exact(spark, sf_dir):
@@ -1149,6 +1191,7 @@ QUERIES = {
     "simhash": q_simhash,
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "text_profile": q_text_profile,
     "asof_join": q_asof_join,
     "cube": q_cube,
@@ -1190,6 +1233,7 @@ ORACLES = {
     "simhash": ORACLE_SIMHASH,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "ann_lsh": ORACLE_ANN_LSH,
+    "ann_ivf": ORACLE_ANN_IVF,
     "text_profile": ORACLE_TEXT_PROFILE,
     "asof_join": ORACLE_ASOF_JOIN,
     "cube": ORACLE_CUBE,

@@ -1,0 +1,73 @@
+"""Similarity search: exact brute-force vs LSH and IVF approximate paths."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from storm_spark.functions import similarity
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = random.Random(7)
+    dim = 16
+    base = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(40)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # a deliberate near-duplicate of each base vector (tiny perturbation)
+        rows.append((100 + i, [float(x + rng.uniform(-0.01, 0.01)) for x in v]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def _cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+
+def test_cosine_topk_matches_python(vectors):
+    data = {r.vec_id: list(r.embedding) for r in vectors.collect()}
+    qs = vectors.filter(F.col("vec_id") < 3)
+    got = similarity.cosine_topk(vectors, qs, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cos_sim))
+    for qid, rows in by_q.items():
+        rows.sort()
+        exact = sorted(
+            ((_cos(data[qid], v), -nid) for nid, v in data.items() if nid != qid),
+            reverse=True,
+        )[:3]
+        for (rank, nid, sim), (esim, enid) in zip(rows, exact):
+            assert nid == -enid
+            assert abs(sim - esim) < 1e-5
+        # the planted near-duplicate must be the top neighbor
+        assert rows[0][1] == 100 + qid
+
+
+def test_ivf_topk_finds_planted_duplicates(vectors):
+    qs = vectors.filter(F.col("vec_id") < 10)
+    got = similarity.ivf_topk(vectors, qs, k=1, n_lists=8, n_probe=3).collect()
+    top = {r.query_id: r.neighbor_id for r in got}
+    # the near-duplicate sits in the same Voronoi cell as its base vector,
+    # so IVF must recover it for every query
+    hits = sum(1 for q, n in top.items() if n == 100 + q)
+    assert hits == 10
+
+
+def test_ivf_deterministic(vectors):
+    qs = vectors.filter(F.col("vec_id") < 5)
+    a = sorted(map(tuple, similarity.ivf_topk(vectors, qs, k=3).collect()))
+    b = sorted(map(tuple, similarity.ivf_topk(vectors, qs, k=3).collect()))
+    assert a == b
+
+
+def test_lsh_bucket_topk_subset_of_exact_ranking(vectors):
+    qs = vectors.filter(F.col("vec_id") < 5)
+    data = {r.vec_id: list(r.embedding) for r in vectors.collect()}
+    got = similarity.lsh_bucket_topk(vectors, qs, k=3, n_planes=4).collect()
+    for r in got:
+        # every reported similarity must equal the true cosine (re-rank is exact)
+        assert abs(r.cos_sim - _cos(data[r.query_id], data[r.neighbor_id])) < 1e-5
