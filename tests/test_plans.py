@@ -74,6 +74,91 @@ def test_semi_join_plan(spark):
     assert "LeftSemi" in plan
 
 
+#: every catalog query that must stay fully JVM-side (no row-at-a-time or
+#: Arrow Python eval anywhere in the plan) — i.e. everything except the
+#: deliberately-pandas paths (multimodal decode kernels, general Aggregator
+#: contracts) and the state/feeder-driven queries
+_EXPRESSION_ONLY = [
+    "q1",
+    "project_filter",
+    "each_compute",
+    "split_explode",
+    "wordcount",
+    "groupby_sum",
+    "chained_agg",
+    "distinct",
+    "rollup",
+    "merge",
+    "join_inner",
+    "join_outer",
+    "join_nway",
+    "semi_join",
+    "anti_join",
+    "first_n",
+    "topk_per_group",
+    "window_hourly",
+    "sessionize",
+    "json_extract",
+    "dedup_exact",
+    "dedup_jaccard",
+    "minhash_lsh",
+    "simhash",
+    "cosine_topk",
+    "ann_lsh",
+    "ann_ivf",
+    "text_profile",
+    "cube",
+    "pivot",
+    "count_distinct",
+    "approx_distinct",
+    "percentile",
+    "percentile_exact",
+    "embedding_near_dup",
+]
+
+
+def test_no_python_eval_on_expression_paths(spark):
+    from storm_spark.queries import QUERIES
+
+    offenders = []
+    for name in _EXPRESSION_ONLY:
+        plan = _plan(QUERIES[name](spark, SF))
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan or "MapInPandas" in plan:
+            offenders.append(name)
+    assert not offenders, f"Python eval leaked into hot path: {offenders}"
+
+
+def test_text_profile_tokenizes_once(spark):
+    """The token array must be materialized once per row — if CollapseProject
+    inlines it, the regex split reappears once per derived column."""
+    from storm_spark.functions.text import TOKEN_SPLIT_RE
+    from storm_spark.queries import q_text_profile
+
+    plan = _plan(q_text_profile(spark, SF))
+    assert plan.count(TOKEN_SPLIT_RE) == 1, plan.count(TOKEN_SPLIT_RE)
+
+
+def test_ann_ivf_broadcasts_centroids(spark):
+    from storm_spark.queries import q_ann_ivf
+
+    plan = _plan(q_ann_ivf(spark, SF))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    from storm_spark.queries import q_cosine_topk
+
+    plan = _plan(q_cosine_topk(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_asof_join_no_cartesian(spark):
+    from storm_spark.queries import q_asof_join
+
+    plan = _plan(q_asof_join(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_state_query_is_join_not_collect(spark):
     """stateQuery compiles to a join against the state table, never a
     driver-side lookup loop."""
