@@ -36,6 +36,10 @@ HEADLINE = [
     "simhash",
     "cosine_topk",
     "text_profile",
+    "asof_join",
+    "ann_ivf",
+    "percentile_exact",
+    "embedding_near_dup",
 ]
 
 
