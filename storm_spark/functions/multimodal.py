@@ -54,19 +54,20 @@ def image_features(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                px = _decode_image_stub(r[content_col])
-                pooled = np.resize(px.mean(axis=0), IMAGE_FEATURE_DIM).astype(np.float32)
-                rows.append(
-                    {
-                        id_col: r[id_col],
-                        "feature": pooled.tolist(),
-                        "width": px.shape[1],
-                        "height": px.shape[0],
-                    }
-                )
-            yield pd.DataFrame(rows)
+            feats, widths, heights = [], [], []
+            for content in pdf[content_col]:
+                px = _decode_image_stub(content)
+                feats.append(np.resize(px.mean(axis=0), IMAGE_FEATURE_DIM).astype(np.float32).tolist())
+                widths.append(px.shape[1])
+                heights.append(px.shape[0])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "feature": feats,
+                    "width": widths,
+                    "height": heights,
+                }
+            )
 
     return df.mapInPandas(kernel, out_schema)
 
@@ -85,19 +86,15 @@ def frame_sample(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                content = r[content_col] or b""
+            ids, frame_nos, frames = [], [], []
+            for doc_id, content in zip(pdf[id_col], pdf[content_col]):
+                content = content or b""
                 n_frames = max(len(content) // frame_bytes, 1)
                 for fno in range(0, n_frames, every_n):
-                    rows.append(
-                        {
-                            id_col: r[id_col],
-                            "frame_no": fno,
-                            "frame": content[fno * frame_bytes : (fno + 1) * frame_bytes],
-                        }
-                    )
-            yield pd.DataFrame(rows)
+                    ids.append(doc_id)
+                    frame_nos.append(fno)
+                    frames.append(content[fno * frame_bytes : (fno + 1) * frame_bytes])
+            yield pd.DataFrame({id_col: ids, "frame_no": frame_nos, "frame": frames})
 
     return df.mapInPandas(kernel, out_schema)
 
