@@ -1,0 +1,93 @@
+"""Skew-handling utilities: salted two-phase aggregation and salted joins.
+
+Spark already neutralizes most skew: decomposable aggregates partial-combine
+map-side before the shuffle, and AQE splits oversized sort-merge join
+partitions at runtime. These helpers are the explicit overrides for the
+cases that remain:
+
+- :func:`replicated_join` — a hot join key that AQE can't split (broadcast
+  ineligible, stream-static joins, bucketed inputs): salt the big side and
+  replicate the small side across the salt domain, so one hot key fans out
+  over ``salt`` co-located tasks.
+- :func:`salted_aggregate` — aggregation pipelines whose reduce state is too
+  heavy to funnel hot keys into one reducer (large collect-style state, or a
+  final shuffle dominated by a handful of keys): spread each key over
+  ``salt`` sub-keys, then merge the partials.
+
+Salts are ``rand(seed)``-derived: deterministic given the input partitioning,
+uniform within a partition, and correctness never depends on the assignment —
+the merge phase is assignment-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: aggregates with a (partial, merge) decomposition usable under salting:
+#: name -> (partial expr fn, merge expr fn)
+_MERGEABLE = {
+    "sum": (F.sum, F.sum),
+    "count": (lambda c: F.count(c), F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+    "collect_list": (F.collect_list, lambda c: F.flatten(F.collect_list(c))),
+    "collect_set": (F.collect_set, lambda c: F.array_distinct(F.flatten(F.collect_list(c)))),
+}
+
+
+def _salt(salt: int, seed: int = 42):
+    return (F.rand(seed) * salt).cast("int")
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation with an explicit salt on the group key.
+
+    ``aggs`` maps output column name -> (agg name, input column), where agg
+    name is one of ``sum/count/min/max/collect_list/collect_set`` (avg etc.
+    compose from sum+count). Phase 1 groups by (keys..., salt) — a hot key
+    spreads over ``salt`` reducers; phase 2 merges the ``salt`` partials per
+    key. Result equals ``df.groupBy(keys).agg(...)`` for any input (list
+    order within collect_list is partition-dependent in both forms).
+    """
+    for name, (fn, _col) in aggs.items():
+        if fn not in _MERGEABLE:
+            raise ValueError(f"{fn!r} is not salt-decomposable: {sorted(_MERGEABLE)}")
+    partial_exprs = [
+        _MERGEABLE[fn][0](F.col(col)).alias(f"__p_{name}__")
+        for name, (fn, col) in aggs.items()
+    ]
+    partial = df.withColumn("__salt__", _salt(salt)).groupBy(*keys, "__salt__").agg(*partial_exprs)
+    merge_exprs = [
+        _MERGEABLE[fn][1](F.col(f"__p_{name}__")).alias(name) for name, (fn, _c) in aggs.items()
+    ]
+    return partial.groupBy(*keys).agg(*merge_exprs)
+
+
+def replicated_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``big`` has skewed join keys: salt the big side's rows
+    into ``salt`` sub-keys and replicate every small-side row across the full
+    salt domain, so one hot key becomes ``salt`` co-located tasks.
+
+    Semantically identical to ``big.join(small, on, how)`` for inner/left
+    joins. Cost: the small side shuffles ``salt``× — use only when the big
+    side's skew dominates.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("replicated_join supports inner/left joins")
+    big_s = big.withColumn("__salt__", _salt(salt))
+    small_s = small.withColumn(
+        "__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return big_s.join(small_s, on + ["__salt__"], how).drop("__salt__")
