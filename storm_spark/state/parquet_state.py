@@ -2,13 +2,16 @@
 
 A direct, shuffle-parallel port of the reference's opaque/transactional value
 protocol (``OpaqueValue.java:37-58``, ``OpaqueMap.java:54-85``,
-``TransactionalMap.java:66-76``) onto a versioned parquet table:
+``TransactionalMap.java:66-76``) onto a bucket-versioned parquet table:
 
     state table columns: <key cols...>, __curr__, __prev__, __txid__
+    layout:  <path>/data/s<seq>/__bucket__=<b>/*.parquet
+    pointer: <path>/_VERSION.json  {"txid": t, "buckets": {"<b>": seq, ...}}
 
-Per epoch the engine computes the batch's per-key partial aggregate (one row
-per touched key — Spark's partial+final hash agg), then FULL OUTER joins it
-with the current state and applies, per key::
+Keys are hash-bucketed (``pmod(hash(keys), num_buckets)``). Per epoch the
+engine computes the batch's per-key partial aggregate (one row per touched
+key — Spark's partial+final hash agg), finds the TOUCHED buckets, and FULL
+OUTER joins only those buckets' state with the batch, applying per key::
 
     no stored row          -> curr = combine(zero, delta);       prev = zero
     stored.txid == txid    -> curr = combine(prev, delta)        (replay: redo
@@ -17,14 +20,21 @@ with the current state and applies, per key::
     delta is null          -> row untouched
 
 TRANSACTIONAL skips the update when stored.txid == txid; NON_TRANSACTIONAL
-always combines. Writes land in a new version directory; ``commit(txid)``
-flips the version pointer — a poor-man's snapshot isolation that at cluster
-scale would be a Delta/Iceberg transactional commit (jars not in this image;
-the merge logic is identical).
+always combines. The new bucket files land under a fresh write sequence;
+``commit(txid)`` atomically flips the manifest so each bucket points at its
+latest sequence — untouched buckets carry forward BY REFERENCE, so per-epoch
+I/O is O(touched buckets), not O(total state). At cluster scale this becomes
+a Delta/Iceberg MERGE (jars not in this image; the merge logic is identical —
+the manifest plays the role of the table snapshot).
 
-Scale notes: the merge is one shuffle on the key columns (state and batch agg
-are both hash-partitioned by key); the state table is written hash-bucketed by
-key so successive epochs co-locate. Nothing collects to the driver.
+A replayed txid reads the previously committed manifest while writing its own
+sequence, so replay isolation holds even mid-crash. Unreferenced sequences
+are garbage-collected at commit.
+
+Scale notes: the merge is one shuffle on the key columns; hot-key batches
+touch few buckets; a uniform batch over all keys degrades to a full rewrite
+(the same cost as a naive full-state merge). Nothing collects to the driver
+except the touched-bucket id list (<= num_buckets ints).
 """
 
 from __future__ import annotations
@@ -41,6 +51,7 @@ from pyspark.sql.types import LongType, StructType
 from storm_spark.state.base import MapState, StateType
 
 CURR, PREV, TXID = "__curr__", "__prev__", "__txid__"
+BUCKET = "__bucket__"
 
 
 class ParquetMapState(MapState):
@@ -63,8 +74,8 @@ class ParquetMapState(MapState):
         self.state_type = state_type
         self.num_buckets = num_buckets
         self._cur_txid: int | None = None
-        self._pending_seq: int | None = None
-        os.makedirs(path, exist_ok=True)
+        self._pending: dict[str, int] | None = None
+        os.makedirs(self._data_dir(), exist_ok=True)
 
     @classmethod
     def factory(
@@ -81,29 +92,30 @@ class ParquetMapState(MapState):
 
         return make
 
-    # -- version pointer ---------------------------------------------------
-    # Data directories are keyed by a monotonically increasing write sequence
-    # (NOT the txid — a replayed txid must be able to read the old version
-    # while writing the new one); _VERSION.json points at the committed seq.
+    # -- manifest ----------------------------------------------------------
+
+    def _data_dir(self) -> str:
+        return os.path.join(self.path, "data")
+
+    def _seq_dir(self, seq: int) -> str:
+        return os.path.join(self._data_dir(), f"s{seq}")
 
     def _meta_path(self) -> str:
         return os.path.join(self.path, "_VERSION.json")
 
-    def _committed_version(self) -> int | None:
+    def _manifest(self) -> dict[str, int]:
+        """bucket id (str) -> committed write sequence holding its data."""
         try:
             with open(self._meta_path()) as f:
-                return json.load(f)["version"]
+                return json.load(f)["buckets"]
         except (FileNotFoundError, json.JSONDecodeError, KeyError):
-            return None
-
-    def _version_dir(self, v: int) -> str:
-        return os.path.join(self.path, f"v{v}")
+            return {}
 
     def _next_seq(self) -> int:
         existing = [
             int(d[1:])
-            for d in os.listdir(self.path)
-            if d.startswith("v") and d[1:].isdigit()
+            for d in os.listdir(self._data_dir())
+            if d.startswith("s") and d[1:].isdigit()
         ]
         return (max(existing) + 1) if existing else 1
 
@@ -114,36 +126,70 @@ class ParquetMapState(MapState):
         s = StructType(self.key_schema.fields.copy())
         return s.add(CURR, vt).add(PREV, vt).add(TXID, LongType())
 
-    def _read_state(self) -> DataFrame:
-        v = self._committed_version()
-        if v is None:
+    def _bucket_col(self) -> F.Column:
+        return F.pmod(F.hash(*[F.col(k) for k in self.key_names]), F.lit(self.num_buckets))
+
+    def _read_buckets(self, manifest: dict[str, int], buckets: list[int] | None = None) -> DataFrame:
+        """Scan the manifest's (bucket -> seq) partition directories — one
+        multi-path parquet scan; partition pruning via the explicit dir list."""
+        wanted = [str(b) for b in buckets] if buckets is not None else list(manifest)
+        dirs = [
+            os.path.join(self._seq_dir(manifest[b]), f"{BUCKET}={b}")
+            for b in wanted
+            if b in manifest
+        ]
+        dirs = [d for d in dirs if os.path.isdir(d)]
+        if not dirs:
             return self.spark.createDataFrame([], self._full_schema())
-        return self.spark.read.parquet(self._version_dir(v))
+        # recursiveFileLookup disables partition discovery — the bucket id is
+        # derivable from the keys, so the partition column isn't needed and
+        # mixed-sequence dir lists would otherwise conflict
+        return (
+            self.spark.read.option("recursiveFileLookup", "true")
+            .parquet(*dirs)
+            .select(*self.key_names, CURR, PREV, TXID)
+        )
 
     # -- lifecycle ---------------------------------------------------------
     def begin_commit(self, txid: int) -> None:
         self._cur_txid = txid
-        self._pending_seq: int | None = None
+        self._pending = None
 
     def commit(self, txid: int) -> None:
-        pending = getattr(self, "_pending_seq", None)
-        if pending is not None:
-            with open(self._meta_path(), "w") as f:
-                json.dump({"version": pending, "txid": txid}, f)
-            # the new version fully materialized at commit; drop older ones
-            for d in os.listdir(self.path):
-                if d.startswith("v") and d[1:].isdigit() and int(d[1:]) != pending:
-                    shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        if self._pending is not None:
+            tmp = self._meta_path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"version": max(self._pending.values(), default=0),
+                           "txid": txid, "buckets": self._pending}, f)
+            os.replace(tmp, self._meta_path())
+            # GC: drop write sequences no longer referenced by any bucket
+            referenced = {self._pending[b] for b in self._pending}
+            for d in os.listdir(self._data_dir()):
+                if d.startswith("s") and d[1:].isdigit() and int(d[1:]) not in referenced:
+                    shutil.rmtree(os.path.join(self._data_dir(), d), ignore_errors=True)
         self._cur_txid = None
-        self._pending_seq = None
+        self._pending = None
 
     # -- set-oriented merge (the hot path) ---------------------------------
     def update_from_agg(self, agg_df: DataFrame, agg, txid: int) -> None:
-        """Merge one epoch's per-key partial aggregates (``__delta__`` col)."""
-        state = self._read_state()
-        zero = agg.zero_expr().cast(self.value_type)
-        batch = agg_df.withColumnRenamed("__delta__", "__b__")
+        """Merge one epoch's per-key partial aggregates (``__delta__`` col)
+        into the touched buckets only."""
+        manifest = self._manifest()
+        # the batch agg feeds two consumers (touched-bucket discovery + the
+        # merge join) — persist so the upstream aggregation runs once
+        batch = (
+            agg_df.withColumnRenamed("__delta__", "__b__")
+            .withColumn(BUCKET, self._bucket_col())
+            .persist()
+        )
+        touched = [r[0] for r in batch.select(BUCKET).distinct().collect()]
+        if not touched:
+            batch.unpersist()
+            self._pending = dict(manifest)  # empty batch: carry all forward
+            return
+        state = self._read_buckets(manifest, touched)
 
+        zero = agg.zero_expr().cast(self.value_type)
         j = state.alias("s").join(batch.alias("b"), on=self.key_names, how="full_outer")
         s_curr, s_prev, s_txid = F.col(CURR), F.col(PREV), F.col(TXID)
         b = F.col("__b__").cast(self.value_type)
@@ -183,11 +229,20 @@ class ParquetMapState(MapState):
             new_curr.cast(self.value_type).alias(CURR),
             new_prev.cast(self.value_type).alias(PREV),
             new_txid.alias(TXID),
+            self._bucket_col().alias(BUCKET),
         )
         seq = self._next_seq()
-        target = self._version_dir(seq)
-        out.repartition(self.num_buckets, *self.key_names).write.mode("overwrite").parquet(target)
-        self._pending_seq = seq
+        (
+            out.repartition(len(touched), BUCKET)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET)
+            .parquet(self._seq_dir(seq))
+        )
+        batch.unpersist()
+        pending = dict(manifest)
+        for bkt in touched:
+            pending[str(bkt)] = seq
+        self._pending = pending
 
     # -- point API (parity / tests; batched through the JVM) ---------------
     def multi_get(self, keys: Sequence[tuple]) -> list[Any]:
@@ -205,7 +260,7 @@ class ParquetMapState(MapState):
         raise NotImplementedError("use update_from_agg / partition_persist")
 
     def dataframe(self, spark: SparkSession) -> DataFrame:
-        return self._read_state().select(
+        return self._read_buckets(self._manifest()).select(
             *self.key_names, F.col(CURR).alias(self.value_field)
         )
 
