@@ -324,3 +324,14 @@ def test_multi_reduce(spark):
     out = topo.multi_reduce([s1, s2], JoinLikeReducer(), ["k", "n1", "n2"]).df
     got = {r["k"]: (r["n1"], r["n2"]) for r in out.collect()}
     assert got == {"k1": (2, 1), "k2": (1, 0), "k3": (0, 1)}
+
+
+def test_unknown_drpc_function_raises(spark):
+    from storm_spark import FeederSource, LocalCluster, Topology
+
+    topo = Topology(spark)
+    feeder = FeederSource(["x"])
+    topo.new_stream("s", feeder)
+    cluster = LocalCluster(topo)
+    with pytest.raises(KeyError):
+        cluster.execute_drpc("nope", "args")
