@@ -604,16 +604,21 @@ FROM wc WHERE word IN ('data', 'query', 'zzznotaword', 'the')
 
 
 def q_window_hourly(spark, sf_dir):
-    """Tumbling event-time window aggregation (F.window)."""
-    e = _events(spark, sf_dir)
+    """Tumbling event-time window aggregation (Stream.window_aggregate)."""
+    topo = Topology(spark)
     return (
-        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents("value")).alias("value_c"))
-        .select(
-            F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
+        topo.new_stream("events", _events(spark, sf_dir))
+        .window_aggregate(
+            "ts",
+            "1 hour",
+            ["event_type"],
+            {"n": F.count(F.lit(1)), "value_c": F.sum(cents("value")).cast("bigint")},
+        )
+        .df.select(
+            F.unix_timestamp("window_start").alias("hour_epoch"),
             "event_type",
             "n",
-            F.col("value_c").cast("bigint").alias("value_c"),
+            "value_c",
         )
     )
 

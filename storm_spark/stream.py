@@ -489,6 +489,69 @@ class Stream:
         """Engine extension (free Spark win, SURVEY §2.5 'not present')."""
         return self._with(lambda ctx: self._build(ctx).distinct())
 
+    # -- event-time windows (engine extension; the reference has no event
+    # time at all — SURVEY §2.8) --------------------------------------------
+
+    def window_aggregate(
+        self,
+        ts_field: str,
+        duration: str,
+        keys: Fields | list[str],
+        aggs: dict[str, Column],
+        slide: str | None = None,
+    ) -> "Stream":
+        """Tumbling (or sliding, with ``slide``) event-time window aggregation.
+
+        Output fields: ``window_start``, ``window_end`` (timestamps), the
+        keys, then one field per ``aggs`` entry. Works identically over batch
+        frames and (with a watermark upstream) streaming frames.
+        """
+        self._check_fields([ts_field, *as_field_list(keys)])
+        key_l = as_field_list(keys)
+
+        def build(ctx: Context) -> DataFrame:
+            df = self._build(ctx)
+            w = F.window(ts_field, duration, slide) if slide else F.window(ts_field, duration)
+            return (
+                df.groupBy(w.alias("__w__"), *key_l)
+                .agg(*[c.alias(n) for n, c in aggs.items()])
+                .select(
+                    F.col("__w__.start").alias("window_start"),
+                    F.col("__w__.end").alias("window_end"),
+                    *key_l,
+                    *aggs.keys(),
+                )
+            )
+
+        return self._with(build, ["window_start", "window_end", *key_l, *aggs.keys()])
+
+    def session_aggregate(
+        self,
+        ts_field: str,
+        gap: str,
+        keys: Fields | list[str],
+        aggs: dict[str, Column],
+    ) -> "Stream":
+        """Session-window aggregation: rows within ``gap`` of each other per
+        key merge into one session."""
+        self._check_fields([ts_field, *as_field_list(keys)])
+        key_l = as_field_list(keys)
+
+        def build(ctx: Context) -> DataFrame:
+            df = self._build(ctx)
+            return (
+                df.groupBy(F.session_window(ts_field, gap).alias("__w__"), *key_l)
+                .agg(*[c.alias(n) for n, c in aggs.items()])
+                .select(
+                    F.col("__w__.start").alias("window_start"),
+                    F.col("__w__.end").alias("window_end"),
+                    *key_l,
+                    *aggs.keys(),
+                )
+            )
+
+        return self._with(build, ["window_start", "window_end", *key_l, *aggs.keys()])
+
     def semi_join(self, other: "Stream", on: Fields | list[str]) -> "Stream":
         """EXISTS — keep rows with a match in ``other`` (engine extension;
         semi/anti come free in Spark, SURVEY §2.6)."""

@@ -66,3 +66,59 @@ def test_strategies_agree_on_real_data(spark):
         for r in asof_join_ranked(ev, orders, "user_id", "ts", "ots").collect()
     }
     assert a == b and len(a) == 200
+
+
+def test_stream_window_aggregate(spark):
+    from pyspark.sql import functions as F
+
+    from storm_spark.topology import Topology
+
+    df = spark.createDataFrame(
+        [("2024-01-01 10:05:00", "a", 2), ("2024-01-01 10:55:00", "a", 3),
+         ("2024-01-01 11:05:00", "a", 5), ("2024-01-01 10:10:00", "b", 7)],
+        "ts string, k string, v long",
+    ).select(F.to_timestamp("ts").alias("ts"), "k", "v")
+    topo = Topology(spark)
+    out = (
+        topo.new_stream("e", df)
+        .window_aggregate("ts", "1 hour", ["k"], {"total": F.sum("v"), "n": F.count("*")})
+        .df.collect()
+    )
+    got = sorted((str(r.window_start), r.k, r.total, r.n) for r in out)
+    assert got == [
+        ("2024-01-01 10:00:00", "a", 5, 2),
+        ("2024-01-01 10:00:00", "b", 7, 1),
+        ("2024-01-01 11:00:00", "a", 5, 1),
+    ]
+
+
+def test_stream_session_aggregate(spark):
+    from pyspark.sql import functions as F
+
+    from storm_spark.topology import Topology
+
+    df = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "u"), ("2024-01-01 10:04:00", "u"),
+         ("2024-01-01 12:00:00", "u")],
+        "ts string, k string",
+    ).select(F.to_timestamp("ts").alias("ts"), "k")
+    topo = Topology(spark)
+    out = (
+        topo.new_stream("e", df)
+        .session_aggregate("ts", "10 minutes", ["k"], {"n": F.count("*")})
+        .df.collect()
+    )
+    assert sorted(r.n for r in out) == [1, 2]
+
+
+def test_window_aggregate_validates_fields(spark):
+    import pytest as _pytest
+
+    from storm_spark.topology import Topology
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).selectExpr("current_timestamp() as ts", "id as k")
+    topo = Topology(spark)
+    s = topo.new_stream("e", df)
+    with _pytest.raises(ValueError):
+        s.window_aggregate("nope", "1 hour", ["k"], {"n": F.count("*")})
