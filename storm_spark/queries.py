@@ -1149,6 +1149,57 @@ GROUP BY o_orderpriority
 # registry
 # ---------------------------------------------------------------------------
 
+def q_salted_groupby(spark, sf_dir):
+    """Skew-handling path: salted two-phase aggregation must be value-identical
+    to a plain GROUP BY (the oracle IS the plain GROUP BY)."""
+    from storm_spark.functions.skew import salted_aggregate
+
+    li = _t(spark, sf_dir, "lineitem").withColumn("qty_c", cents("l_quantity"))
+    return salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {"sum_qty_c": ("sum", "qty_c"), "n": ("count", "qty_c")},
+        salt=16,
+    )
+
+
+ORACLE_SALTED_GROUPBY = f"""
+SELECT l_returnflag,
+       CAST(SUM({SQL_CENTS.format(x='l_quantity')}) AS BIGINT) AS sum_qty_c,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Multimodal 1-to-n frame fan-out (frame_sample over document bytes).
+    Frames are fixed byte windows, so the mapInPandas kernel has an exact SQL
+    twin (document text is ASCII: byte windows == char windows); frames are
+    reported as md5 to sidestep binary-vs-varchar schema differences."""
+    from storm_spark.functions import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = docs.select("doc_id", F.encode("text", "utf-8").alias("content"))
+    frames = multimodal.frame_sample(assets, "content", "doc_id", every_n=2)
+    return frames.select(
+        "doc_id",
+        "frame_no",
+        F.md5("frame").alias("frame_md5"),
+        F.length("frame").cast("bigint").alias("frame_len"),
+    )
+
+
+ORACLE_MULTIMODAL_FRAMES = """
+WITH d AS (SELECT doc_id, text, greatest(length(text) // 1024, 1) AS n_frames FROM documents),
+f AS (
+  SELECT doc_id, unnest(range(0, n_frames, 2)) AS frame_no, text FROM d)
+SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+       md5(substring(text, frame_no * 1024 + 1, 1024)) AS frame_md5,
+       CAST(length(substring(text, frame_no * 1024 + 1, 1024)) AS BIGINT) AS frame_len
+FROM f
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal binary-column pipeline (north star): treat each document's
     bytes as an opaque encoded asset, decode + feature-extract via the
@@ -1207,6 +1258,8 @@ QUERIES = {
     "percentile_exact": q_percentile_exact,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
+    "salted_groupby": q_salted_groupby,
 }
 
 ORACLES = {
@@ -1246,6 +1299,8 @@ ORACLES = {
     "count_distinct": ORACLE_COUNT_DISTINCT,
     "percentile_exact": ORACLE_PERCENTILE_EXACT,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
+    "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
+    "salted_groupby": ORACLE_SALTED_GROUPBY,
     # approx_distinct / percentile (approx sketch) / multimodal_features:
     # estimator-specific or non-SQL kernels — rows-only checks; exact twins
     # (count_distinct / percentile_exact) are hash-gated

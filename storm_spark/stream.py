@@ -391,6 +391,11 @@ class Stream:
         Parity: ``Stream.java:170-193``; ``PartitionPersistProcessor.java:36``.
         The engine runs the updater inside the per-batch commit (foreachBatch
         in streaming), giving the same committer semantics.
+
+        NOTE: the row-at-a-time StateUpdater contract runs driver-side over
+        the ``in_fields`` projection — it is the parity/test path. The scale
+        path for keyed writes is :meth:`persistent_aggregate` (set-oriented,
+        shuffle-parallel merge; nothing collects).
         """
         return self._topology._register_partition_persist(
             self, as_field_list(in_fields), updater, as_field_list(out_fields), state_factory
