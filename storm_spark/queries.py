@@ -631,6 +631,41 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_window_sliding(spark, sf_dir):
+    """Sliding event-time windows: 2-hour windows advancing hourly — each
+    event lands in exactly two windows."""
+    topo = Topology(spark)
+    return (
+        topo.new_stream("events", _events(spark, sf_dir))
+        .window_aggregate(
+            "ts",
+            "2 hours",
+            ["event_type"],
+            {"n": F.count(F.lit(1)), "value_c": F.sum(cents("value")).cast("bigint")},
+            slide="1 hour",
+        )
+        .df.select(
+            F.unix_timestamp("window_start").alias("win_epoch"),
+            "event_type",
+            "n",
+            "value_c",
+        )
+    )
+
+
+ORACLE_WINDOW_SLIDING = f"""
+WITH e AS (
+  SELECT event_type, {SQL_CENTS.format(x='value')} AS v,
+         CAST(epoch(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS BIGINT) AS h
+  FROM events),
+-- a 2h/1h sliding window: the event's hour starts one window, and the
+-- previous hour's window still covers it
+x AS (SELECT event_type, v, h - 3600 * unnest([0, 1]) AS win_epoch FROM e)
+SELECT win_epoch, event_type, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS value_c
+FROM x GROUP BY 1, 2
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Sessionization: 30-min-gap sessions per user (lag + cumulative-new-
     session — the batch twin of streaming session_window)."""
@@ -1239,6 +1274,7 @@ QUERIES = {
     "state_wordcount": q_state_wordcount,
     "drpc_state_lookup": q_drpc_state_lookup,
     "window_hourly": q_window_hourly,
+    "window_sliding": q_window_sliding,
     "sessionize": q_sessionize,
     "json_extract": q_json_extract,
     "dedup_exact": q_dedup_exact,
@@ -1283,6 +1319,7 @@ ORACLES = {
     "state_wordcount": ORACLE_STATE_WORDCOUNT,
     "drpc_state_lookup": ORACLE_DRPC_STATE_LOOKUP,
     "window_hourly": ORACLE_WINDOW_HOURLY,
+    "window_sliding": ORACLE_WINDOW_SLIDING,
     "sessionize": ORACLE_SESSIONIZE,
     "json_extract": ORACLE_JSON_EXTRACT,
     "dedup_exact": ORACLE_DEDUP_EXACT,
