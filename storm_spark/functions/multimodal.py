@@ -72,6 +72,56 @@ def image_features(
     return df.mapInPandas(kernel, out_schema)
 
 
+AUDIO_FEATURE_DIM = 8
+
+
+def _decode_audio_stub(content: bytes, sample_rate: int = 16000) -> np.ndarray:
+    """Deterministic fake PCM decoder. REPLACE with ``librosa.load`` /
+    ``soundfile.read`` when the codec is available."""
+    try:
+        import librosa  # noqa: F401  (not in this image)
+
+        raise NotImplementedError("real librosa decode path not wired yet")
+    except ImportError:
+        pass
+    arr = np.frombuffer(content[:8192], dtype=np.uint8).astype(np.float32)
+    if arr.size == 0:
+        arr = np.zeros(1, dtype=np.float32)
+    return (arr - 127.5) / 127.5  # pseudo-PCM in [-1, 1]
+
+
+def audio_features(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id", sample_rate: int = 16000
+) -> DataFrame:
+    """Decode audio and emit banded energy features per asset (the
+    mel-spectrogram shape without the codec): RMS energy over
+    ``AUDIO_FEATURE_DIM`` equal time bands, plus duration. Arrow-batched
+    ``mapInPandas`` — identical plumbing to :func:`image_features`."""
+    out_schema = f"{id_col} bigint, energy array<float>, n_samples int, duration_s float"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            energies, n_samples, durations = [], [], []
+            for content in pdf[content_col]:
+                pcm = _decode_audio_stub(content, sample_rate)
+                bands = np.array_split(pcm, AUDIO_FEATURE_DIM)
+                energies.append(
+                    [float(np.sqrt(np.mean(b * b))) if b.size else 0.0 for b in bands]
+                )
+                n_samples.append(pcm.size)
+                durations.append(pcm.size / sample_rate)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "energy": energies,
+                    "n_samples": n_samples,
+                    "duration_s": durations,
+                }
+            )
+
+    return df.mapInPandas(kernel, out_schema)
+
+
 def frame_sample(
     df: DataFrame,
     content_col: str = "content",

@@ -135,6 +135,41 @@ def fingerprint(col: Column | str) -> Column:
     return fingerprint_t(tokens(col))
 
 
+def kgram_hashes(col: Column | str, k: int = 8) -> Column:
+    """Rolling char-``k``-gram hash array of the normalized text (md5 prefix
+    — engine-portable). MATERIALIZE this in its own projection before feeding
+    :func:`winnow_from_hashes`: inlined, the per-window slice would recompute
+    every hash per window (O(n²) md5s)."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.lower(F.trim(c))
+    n_grams = F.length(norm) - (k - 1)
+    h = lambda i: F.conv(  # noqa: E731
+        F.substring(F.md5(norm.substr(i, F.lit(k))), 1, 15), 16, 10
+    ).cast("bigint")
+    # guard BEFORE building the sequence: sequence(1, n) DESCENDS for n < 1
+    return F.when(n_grams >= 1, F.transform(F.sequence(F.lit(1), n_grams), h)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def winnow_from_hashes(hashes: Column, w: int = 4) -> Column:
+    """Winnowing selection (Schleimer et al., SIGMOD 2003) over a
+    pre-materialized k-gram hash array: slide a window of ``w`` hashes, keep
+    each window's minimum, dedup. Shared fingerprints ⇒ shared substrings of
+    length ≥ k — the plagiarism/near-dup detection primitive. Guaranteed
+    density ~1/w; pure expressions, no Python, no shuffle."""
+    n_windows = F.size(hashes) - (w - 1)
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows), lambda j: F.array_min(F.slice(hashes, j, w))
+    )
+    selected = F.array_distinct(mins)
+    # short docs: fewer than w k-grams -> fall back to the global min hash
+    short = F.when(F.size(hashes) >= 1, F.array(F.array_min(hashes))).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    return F.when(n_windows >= 1, selected).otherwise(short)
+
+
 def ngrams_from_tokens(toks: Column, n: int) -> Column:
     """N-gram shingles from an ALREADY-MATERIALIZED token array column.
 

@@ -666,6 +666,36 @@ FROM x GROUP BY 1, 2
 """
 
 
+def q_winnow_fingerprint(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints (Schleimer et al. 2003): one row
+    per (doc, selected hash) — the shared-substring detection primitive.
+    Two-step select: the k-gram hash array materializes once, then the
+    window minima slice it (inlined it would be O(n²) md5s per doc)."""
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select("doc_id", text.kgram_hashes("text", k=8).alias("__hs__"))
+    return hashed.select(
+        "doc_id", F.explode(text.winnow_from_hashes(F.col("__hs__"), w=4)).alias("fp")
+    )
+
+
+ORACLE_WINNOW_FINGERPRINT = """
+WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+g AS (SELECT doc_id,
+             list_transform(range(1, greatest(length(t) - 7, 0) + 1),
+                            i -> ('0x' || substr(md5(substring(t, i, 8)), 1, 15))::BIGINT) AS hs
+      FROM d),
+win AS (SELECT doc_id, hs, len(hs) - 3 AS nw FROM g),
+sel AS (
+  SELECT doc_id,
+         CASE WHEN nw >= 1 THEN
+           list_distinct(list_transform(range(1, nw + 1), j -> list_min(hs[j:j+3])))
+         WHEN len(hs) >= 1 THEN [list_min(hs)]
+         ELSE [] END AS fps
+  FROM win)
+SELECT doc_id, unnest(fps) AS fp FROM sel
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Sessionization: 30-min-gap sessions per user (lag + cumulative-new-
     session — the batch twin of streaming session_window)."""
@@ -1285,6 +1315,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "text_profile": q_text_profile,
+    "winnow_fingerprint": q_winnow_fingerprint,
     "asof_join": q_asof_join,
     "cube": q_cube,
     "pivot": q_pivot,
@@ -1330,6 +1361,7 @@ ORACLES = {
     "ann_lsh": ORACLE_ANN_LSH,
     "ann_ivf": ORACLE_ANN_IVF,
     "text_profile": ORACLE_TEXT_PROFILE,
+    "winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,
     "asof_join": ORACLE_ASOF_JOIN,
     "cube": ORACLE_CUBE,
     "pivot": ORACLE_PIVOT,

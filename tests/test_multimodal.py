@@ -56,3 +56,17 @@ def test_byte_budget_partitions(assets):
     # tiny payload -> single partition; contract is "ceil(total/budget)"
     assert out.rdd.getNumPartitions() == 1
     assert out.count() == 4
+
+
+def test_audio_features_schema_and_bands(assets):
+    out = multimodal.audio_features(assets, "content", "doc_id")
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == {1, 2, 3, 4}
+    for r in got.values():
+        assert len(r.energy) == multimodal.AUDIO_FEATURE_DIM
+        assert all(e >= 0 for e in r.energy)
+        assert r.n_samples >= 1
+        assert abs(r.duration_s - r.n_samples / 16000) < 1e-6
+    # deterministic
+    again = {r.doc_id: r for r in multimodal.audio_features(assets).collect()}
+    assert got == again

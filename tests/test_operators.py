@@ -335,3 +335,22 @@ def test_unknown_drpc_function_raises(spark):
     cluster = LocalCluster(topo)
     with pytest.raises(KeyError):
         cluster.execute_drpc("nope", "args")
+
+
+def test_partition_by_colocates_equal_keys(spark):
+    """Parity: fields-grouping contract (executor.clj:32-39) — equal keys
+    land in the same partition."""
+    from pyspark.sql import functions as F
+
+    from storm_spark.topology import Topology
+
+    df = spark.range(1000).select((F.col("id") % 7).alias("k"), "id")
+    topo = Topology(spark)
+    s = topo.new_stream("s", df).partition_by(["k"])
+    parts = (
+        s.df.withColumn("p", F.spark_partition_id())
+        .groupBy("k")
+        .agg(F.countDistinct("p").alias("np"))
+        .collect()
+    )
+    assert all(r.np == 1 for r in parts)
