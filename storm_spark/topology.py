@@ -239,6 +239,54 @@ class Topology:
             as_field_list(out_fields), join_type,
         )
 
+    def multi_reduce_streams(self, streams, reducer, out_fields) -> Stream:
+        """Ungrouped N-input operator over the whole batch.
+
+        Parity: ``TridentTopology.java:171-204`` / ``MultiReducer.java:25-30``
+        / ``MultiReducerProcessor.java:35-93`` — one reducer instance sees
+        every tuple of every input stream (tagged by stream index), then
+        ``complete`` emits. The reference runs this per partition after a
+        repartition; a batch is the engine's unit, so the tagged union is
+        processed as one group (= the reference's ``global()`` placement)."""
+        out_l = as_field_list(out_fields)
+        slist = list(streams)
+
+        def build(ctx: Context) -> DataFrame:
+            import pandas as pd
+
+            tagged = None
+            for i, s in enumerate(slist):
+                df = s._build(ctx)
+                d = df.select(
+                    F.lit(i).alias("__src__"),
+                    F.to_json(F.struct(*[F.col(c) for c in s.fields])).alias("__payload__"),
+                )
+                tagged = d if tagged is None else tagged.union(d)
+
+            out_schema = StructType()
+            for name, t in zip(out_l, reducer.out_types):
+                out_schema = out_schema.add(name, _parse_ddl(t))
+            field_orders = [list(s.fields) for s in slist]
+
+            def run(batches):
+                import json
+
+                coll = TridentCollector()
+                state = reducer.init(coll)
+                for pdf in batches:
+                    for src, payload in zip(pdf["__src__"], pdf["__payload__"]):
+                        vals = json.loads(payload)
+                        fo = field_orders[int(src)]
+                        tup = TridentTuple([vals[f] for f in fo], {f: i for i, f in enumerate(fo)})
+                        reducer.execute(state, int(src), tup, coll)
+                reducer.complete(state, coll)
+                yield pd.DataFrame(coll.rows, columns=out_l)
+
+            # single group: the whole batch through one reducer instance
+            return tagged.coalesce(1).mapInPandas(run, out_schema)
+
+        return Stream(self, build, out_l, "multireduce")
+
     def multi_reduce(self, grouped_streams, reducer, out_fields) -> Stream:
         """Keyed cogroup over N streams (what join compiles to in the
         reference). Parity: ``TridentTopology.java:206-219`` /

@@ -354,3 +354,31 @@ def test_partition_by_colocates_equal_keys(spark):
         .collect()
     )
     assert all(r.np == 1 for r in parts)
+
+
+class SumAcrossStreams:
+    """Ungrouped MultiReducer: sums column 0 of every input stream, tagged
+    per stream; complete emits both sums and the grand total."""
+
+    out_types = ["bigint", "bigint", "bigint"]
+
+    def init(self, collector):
+        return {0: 0, 1: 0}
+
+    def execute(self, state, stream_index, tup, collector):
+        state[stream_index] += tup[0]
+
+    def complete(self, state, collector):
+        collector.emit([state[0], state[1], state[0] + state[1]])
+
+
+def test_multi_reduce_streams_ungrouped(spark):
+    topo = Topology(spark)
+    d1 = spark.createDataFrame([(1,), (2,), (3,)], "a bigint")
+    d2 = spark.createDataFrame([(10,), (20,)], "b bigint")
+    s1 = topo.new_stream("s1", d1)
+    s2 = topo.new_stream("s2", d2)
+    out = topo.multi_reduce_streams([s1, s2], SumAcrossStreams(), ["sum_a", "sum_b", "total"]).df
+    rows = out.collect()
+    assert len(rows) == 1
+    assert (rows[0]["sum_a"], rows[0]["sum_b"], rows[0]["total"]) == (6, 30, 36)
