@@ -17,6 +17,7 @@ from storm_spark.fields import Fields
 from storm_spark.session import get_spark
 from storm_spark.stream import Stream, GroupedStream
 from storm_spark.topology import Topology, LocalCluster, FeederSource, TridentState
+from storm_spark.builder import TopologyBuilder, BasicBolt
 
 __all__ = [
     "Fields",
@@ -27,6 +28,8 @@ __all__ = [
     "LocalCluster",
     "FeederSource",
     "TridentState",
+    "TopologyBuilder",
+    "BasicBolt",
 ]
 
 __version__ = "0.1.0"

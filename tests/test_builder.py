@@ -1,0 +1,78 @@
+"""Core-Storm TopologyBuilder facade — port of the classic word-count
+topology test (integration_test.clj:28-59: TestWordSpout → TestWordCounter
+with fields grouping; golden multiset assertions)."""
+
+import pytest
+
+from storm_spark.builder import BasicBolt, TopologyBuilder
+from storm_spark.operations.base import TridentCollector, TridentTuple
+from storm_spark.topology import FeederSource, LocalCluster, Topology
+
+
+class WordCounterBolt(BasicBolt):
+    """Parity: TestWordCounter (backtype/storm/testing/TestWordCounter.java:58)
+    — per-task running count, emits [word, count] per tuple."""
+
+    out_fields = ["word", "count"]
+    out_types = ["string", "bigint"]
+
+    def prepare(self):
+        self.counts = {}
+
+    def execute(self, tup, collector):
+        w = tup["word"]
+        self.counts[w] = self.counts.get(w, 0) + 1
+        collector.emit([w, self.counts[w]])
+
+
+class ExclaimBolt(BasicBolt):
+    out_fields = ["word"]
+    out_types = ["string"]
+
+    def execute(self, tup, collector):
+        collector.emit([tup["word"] + "!"])
+
+
+def test_wordcount_topology(spark):
+    topo = Topology(spark)
+    builder = TopologyBuilder(topo)
+    words = spark.createDataFrame(
+        [("nathan",), ("bertels",), ("jackson",), ("nathan",)], "word string"
+    )
+    builder.set_spout("1", words)
+    builder.set_bolt("2", WordCounterBolt(), 4).fields_grouping("1", ["word"])
+    out = builder.stream("2").df.collect()
+    # golden multiset (ms= semantics): running counts per word
+    got = sorted((r.word, r["count"]) for r in out)
+    assert got == [("bertels", 1), ("jackson", 1), ("nathan", 1), ("nathan", 2)]
+
+
+def test_bolt_chain_and_shuffle_grouping(spark):
+    topo = Topology(spark)
+    builder = TopologyBuilder(topo)
+    words = spark.createDataFrame([("a",), ("b",)], "word string")
+    builder.set_spout("w", words)
+    builder.set_bolt("ex", ExclaimBolt()).shuffle_grouping("w")
+    builder.set_bolt("ex2", ExclaimBolt()).shuffle_grouping("ex")
+    got = sorted(r.word for r in builder.stream("ex2").df.collect())
+    assert got == ["a!!", "b!!"]
+
+
+def test_bolt_merges_multiple_inputs(spark):
+    topo = Topology(spark)
+    builder = TopologyBuilder(topo)
+    a = spark.createDataFrame([("x",)], "word string")
+    b = spark.createDataFrame([("y",)], "word string")
+    builder.set_spout("a", a)
+    builder.set_spout("b", b)
+    builder.set_bolt("ex", ExclaimBolt()).shuffle_grouping("a").shuffle_grouping("b")
+    got = sorted(r.word for r in builder.stream("ex").df.collect())
+    assert got == ["x!", "y!"]
+
+
+def test_unwired_bolt_raises(spark):
+    topo = Topology(spark)
+    builder = TopologyBuilder(topo)
+    builder.set_bolt("lonely", ExclaimBolt())
+    with pytest.raises(ValueError):
+        builder.stream("lonely")
