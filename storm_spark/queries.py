@@ -42,6 +42,10 @@ _TINY = {"region", "nation", "supplier"}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver may call queries() with its own session — timestamp-epoch
+    # conversions (unix_timestamp, window bounds) are session-TZ dependent
+    # and the oracles assume UTC, so pin it here
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name in _TINY:
         return df
