@@ -213,3 +213,41 @@ def test_word_count_filter_null(spark):
     cluster = LocalCluster(topo)
     feeder.feed([["hello the man said"], ["the"]])
     assert cluster.execute_drpc("words", "the nosuchword") == [[2]]
+
+
+def test_drpc_multiple_functions_and_requests(spark):
+    """drpc_test.clj parity: several functions registered on one topology,
+    repeated requests with different args, results independent."""
+    from pyspark.sql import functions as F
+
+    from storm_spark import FeederSource, LocalCluster, Topology
+    from storm_spark.operations import Count, MapGet, Split
+    from storm_spark.state import MemoryMapState
+
+    topo = Topology(spark)
+    feeder = FeederSource(["sentence"])
+    wc = (
+        topo.new_stream("s", feeder)
+        .each(["sentence"], Split(), ["word"])
+        .group_by(["word"])
+        .persistent_aggregate(MemoryMapState.factory(), ["word"], Count(), ["count"])
+    )
+    # fn 1: per-word counts
+    (
+        topo.new_drpc_stream("counts")
+        .each(["args"], Split(), ["word"])
+        .state_query(wc, ["word"], MapGet(), ["count"])
+        .project(["word", "count"])
+    )
+    # fn 2: echo the args uppercased (no state)
+    topo.new_drpc_stream("shout").with_column("loud", F.upper(F.col("args"))).project(["loud"])
+
+    cluster = LocalCluster(topo)
+    feeder.feed([["the cat and the hat"], ["the dog"]])
+
+    got = dict(cluster.execute_drpc("counts", "the dog emu"))
+    assert got == {"the": 3, "dog": 1, "emu": None}
+    assert cluster.execute_drpc("shout", "hello") == [["HELLO"]]
+    # repeated requests are independent and repeatable
+    assert dict(cluster.execute_drpc("counts", "cat")) == {"cat": 1}
+    assert dict(cluster.execute_drpc("counts", "cat")) == {"cat": 1}
