@@ -211,6 +211,35 @@ class ReducerAggregator:
         raise NotImplementedError
 
 
+class ReducerStateAgg:
+    """Adapter making a ReducerAggregator usable by the keyed state layer.
+
+    Parity: ``MapReducerAggStateUpdater.java:36`` — per key, the batch's
+    contribution is its ROW LIST (not a mergeable partial), and the
+    cross-batch merge is ``fold(reduce, curr or init(), rows)``. The state
+    protocols (opaque/transactional replay handling) are value-agnostic, so
+    this slots into the same multi_update/merge machinery as combiners; the
+    fold itself runs in Python (reference parity: reducers never had
+    partials).
+    """
+
+    def __init__(self, reducer: ReducerAggregator, in_fields: list[str]):
+        self.reducer = reducer
+        self.in_fields = list(in_fields)
+        self.value_type = reducer.value_type
+        self._idx = {f: i for i, f in enumerate(self.in_fields)}
+
+    def zero(self) -> Any:
+        return None  # sentinel: fold starts from reducer.init()
+
+    def combine(self, curr: Any, rows: Any) -> Any:
+        base = self.reducer.init() if curr is None else curr
+        for r in rows or []:
+            vals = [r[f] for f in self.in_fields] if hasattr(r, "__getitem__") else list(r)
+            base = self.reducer.reduce(base, TridentTuple(vals, self._idx))
+        return base
+
+
 class Aggregator:
     """General aggregator: may emit any number of rows at any point.
 

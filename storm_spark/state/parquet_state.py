@@ -189,6 +189,15 @@ class ParquetMapState(MapState):
             return
         state = self._read_buckets(manifest, touched)
 
+        if not hasattr(agg, "zero_expr"):
+            # reducer path (ReducerStateAgg): the merge is a python fold —
+            # run the opaque/transactional protocol in an Arrow kernel over
+            # the same joined shape (plan identical, arithmetic in pandas)
+            out = self._python_merge(state, batch, agg, txid)
+            self._write_merged(out, manifest, touched)
+            batch.unpersist()
+            return
+
         zero = agg.zero_expr().cast(self.value_type)
         j = state.alias("s").join(batch.alias("b"), on=self.key_names, how="full_outer")
         s_curr, s_prev, s_txid = F.col(CURR), F.col(PREV), F.col(TXID)
@@ -231,6 +240,69 @@ class ParquetMapState(MapState):
             new_txid.alias(TXID),
             self._bucket_col().alias(BUCKET),
         )
+        self._write_merged(out, manifest, touched)
+        batch.unpersist()
+
+    def _python_merge(self, state: DataFrame, batch: DataFrame, agg, txid: int) -> DataFrame:
+        """Opaque/transactional merge with a python ``agg.combine(curr, rows)``
+        fold (ReducerAggregator parity: MapReducerAggStateUpdater.java:36)."""
+        import pandas as pd
+
+        j = state.join(batch.drop(BUCKET), on=self.key_names, how="full_outer")
+        key_names = self.key_names
+        state_type = self.state_type
+        out_schema = self._full_schema()
+
+        def _null(v):
+            if v is None or isinstance(v, (list, dict)):
+                return v
+            try:
+                return None if pd.isna(v) else v
+            except (TypeError, ValueError):
+                return v
+
+        def kernel(batches):
+            for pdf in batches:
+                curr_o, prev_o, tx_o = [], [], []
+                for i in range(len(pdf)):
+                    b = pdf["__b__"].iloc[i]
+                    has_delta = b is not None and len(b) > 0
+                    s_tx = pdf[TXID].iloc[i]
+                    stored = not pd.isna(s_tx)
+                    s_curr = _null(pdf[CURR].iloc[i])
+                    s_prev = _null(pdf[PREV].iloc[i])
+                    if not has_delta:
+                        curr_o.append(s_curr)
+                        prev_o.append(s_prev)
+                        tx_o.append(None if not stored else int(s_tx))
+                        continue
+                    rows = [dict(r) if not isinstance(r, dict) else r for r in b]
+                    if state_type is StateType.OPAQUE:
+                        if not stored:
+                            curr, prev = agg.combine(None, rows), None
+                        elif int(s_tx) == txid:
+                            curr, prev = agg.combine(s_prev, rows), s_prev
+                        else:
+                            curr, prev = agg.combine(s_curr, rows), s_curr
+                    elif state_type is StateType.TRANSACTIONAL:
+                        if stored and int(s_tx) == txid:
+                            curr, prev = s_curr, None
+                        else:
+                            curr, prev = agg.combine(s_curr if stored else None, rows), None
+                    else:
+                        curr, prev = agg.combine(s_curr if stored else None, rows), None
+                    curr_o.append(curr)
+                    prev_o.append(prev)
+                    tx_o.append(txid)
+                out = pdf[key_names].copy()
+                out[CURR] = curr_o
+                out[PREV] = prev_o
+                out[TXID] = pd.array(tx_o, dtype="Int64")
+                yield out
+
+        return j.mapInPandas(kernel, out_schema).withColumn(BUCKET, self._bucket_col())
+
+    def _write_merged(self, out: DataFrame, manifest: dict[str, int], touched: list[int]) -> None:
         seq = self._next_seq()
         (
             out.repartition(len(touched), BUCKET)
@@ -238,7 +310,6 @@ class ParquetMapState(MapState):
             .partitionBy(BUCKET)
             .parquet(self._seq_dir(seq))
         )
-        batch.unpersist()
         pending = dict(manifest)
         for bkt in touched:
             pending[str(bkt)] = seq

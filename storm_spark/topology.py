@@ -22,7 +22,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from storm_spark.fields import as_field_list
-from storm_spark.operations.base import CombinerAggregator, TridentCollector, TridentTuple
+from storm_spark.operations.base import (
+    CombinerAggregator,
+    ReducerAggregator,
+    ReducerStateAgg,
+    TridentCollector,
+    TridentTuple,
+)
 from storm_spark.operations.builtin import (
     MapGet,
     QueryFunction,
@@ -188,10 +194,10 @@ class Topology:
     def _register_persistent_aggregate(
         self, stream: Stream, keys, in_fields, agg, out_fields, state_factory
     ) -> TridentState:
-        if not isinstance(agg, CombinerAggregator):
+        if not isinstance(agg, (CombinerAggregator, ReducerAggregator)):
             raise NotImplementedError(
-                "persistent_aggregate currently requires a CombinerAggregator "
-                "(parity: combiner fast path; Reducer state updaters: TODO)"
+                "persistent_aggregate requires a CombinerAggregator (fast "
+                "path) or ReducerAggregator (MapReducerAggStateUpdater parity)"
             )
         value_field = out_fields[0]
         snapshot = not keys
@@ -486,8 +492,24 @@ class LocalCluster:
             coll = TridentCollector()
             spec.updater(spec.state, rows, coll)
             return
-        agg: CombinerAggregator = spec.agg
+        agg = spec.agg
         keys = [k for k in spec.keys if k != SNAPSHOT_KEY]
+        if isinstance(agg, ReducerAggregator):
+            # MapReducerAggStateUpdater parity: the batch delta is the key's
+            # row list; the state layer folds it into the stored value
+            gb = df.groupBy(*keys) if keys else df.groupBy()
+            agg_df = gb.agg(
+                F.collect_list(F.struct(*[F.col(f) for f in spec.in_fields])).alias(
+                    "__delta__"
+                )
+            )
+            agg = ReducerStateAgg(agg, spec.in_fields)
+            if not keys:
+                agg_df = agg_df.withColumn(SNAPSHOT_KEY, F.lit(0))
+            if agg_df.limit(1).count() == 0:
+                return
+            spec.state.update_from_agg(agg_df, agg, txid)
+            return
         cols = [F.col(f) for f in spec.in_fields]
         expr = agg.agg_expr(cols)
         if expr is not None:

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from storm_spark.operations import Count
+from storm_spark.operations.base import ReducerAggregator
 from storm_spark.state import (
     MemoryMapState,
     OpaqueValue,
@@ -220,3 +221,65 @@ def test_parquet_empty_batch_preserves_state(spark, tmp_path):
     st.update_from_agg(_batch(spark, []), Count(), 2)
     st.commit(2)
     assert st.as_dict() == {("a",): 2}
+
+
+class ConcatReducer(ReducerAggregator):
+    """ReducerAggregator: fold words into a '+'-joined string (order within a
+    batch follows the fold; deterministic for single-partition feeds)."""
+
+    value_type = "string"
+
+    def init(self):
+        return ""
+
+    def reduce(self, curr, tup):
+        w = tup["word"]
+        return w if not curr else f"{curr}+{w}"
+
+
+def test_reducer_persistent_aggregate_memory(spark):
+    from storm_spark import FeederSource, LocalCluster, Topology
+    from storm_spark.state import MemoryMapState
+
+    topo = Topology(spark)
+    feeder = FeederSource(["word"])
+    st = (
+        topo.new_stream("s", feeder)
+        .group_by(["word"])
+        .persistent_aggregate(MemoryMapState.factory(), ["word"], ConcatReducer(), ["joined"])
+    )
+    cluster = LocalCluster(topo)
+    cluster.feed(feeder, [["a"], ["b"], ["a"]])
+    d1 = {k[0]: v for k, v in st.state.as_dict().items()}
+    assert d1 == {"a": "a+a", "b": "b"}
+    cluster.feed(feeder, [["a"]])
+    d2 = {k[0]: v for k, v in st.state.as_dict().items()}
+    assert d2 == {"a": "a+a+a", "b": "b"}
+
+
+def test_reducer_persistent_aggregate_parquet_opaque_replay(spark, tmp_path):
+    """Reducer fold over ParquetMapState: opaque replay with CHANGED batch
+    content recomputes from prev (MapReducerAggStateUpdater + OpaqueMap)."""
+    from storm_spark import FeederSource, LocalCluster, Topology
+
+    topo = Topology(spark)
+    feeder = FeederSource(["word"])
+    st = (
+        topo.new_stream("s", feeder)
+        .group_by(["word"])
+        .persistent_aggregate(
+            ParquetMapState.factory(str(tmp_path / "red")), ["word"], ConcatReducer(), ["joined"]
+        )
+    )
+    cluster = LocalCluster(topo)
+    t1 = cluster.feed(feeder, [["a"], ["a"], ["b"]])
+    d1 = {k[0]: v for k, v in st.state.as_dict().items()}
+    assert d1 == {"a": "a+a", "b": "b"}
+
+    t2 = cluster.feed(feeder, [["a"]])
+    assert {k[0]: v for k, v in st.state.as_dict().items()}["a"] == "a+a+a"
+    # replay txid 2 with DIFFERENT content: recompute from prev ("a+a")
+    cluster.feed(feeder, [["a"], ["a"]], txid=t2)
+    d3 = {k[0]: v for k, v in st.state.as_dict().items()}
+    assert d3["a"] == "a+a+a+a"
+    assert d3["b"] == "b"
