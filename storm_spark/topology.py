@@ -76,6 +76,8 @@ class _StateSpec:
         self.state = state
         self.value_field = value_field
         self.updater = updater  # partition_persist path
+        #: keys touched by the most recent batch (newValuesStream narrowing)
+        self.last_touched_keys = None
 
 
 class TridentState:
@@ -97,14 +99,19 @@ class TridentState:
         return df
 
     def new_values_stream(self) -> Stream:
-        """Stream of current state rows (keys + value).
-
-        Parity: ``TridentState.newValuesStream`` — the reference emits only
-        the keys updated in the batch; in batch mode the engine exposes the
-        full post-commit state (a superset; the streaming driver narrows it).
-        """
+        """Stream of the rows UPDATED by the most recent batch (keys + new
+        value) — parity: ``TridentState.newValuesStream``. Before any batch
+        runs, this is the (empty) full state."""
         fields = ([] if self._snapshot else list(self._spec.keys)) + [self._spec.value_field]
-        return Stream(self._topology, lambda ctx: self.dataframe(), fields, "state-values")
+
+        def build(ctx) -> DataFrame:
+            df = self.dataframe()
+            touched = self._spec.last_touched_keys
+            if touched is not None and not self._snapshot:
+                df = df.join(F.broadcast(touched), on=self._spec.keys, how="left_semi")
+            return df
+
+        return Stream(self._topology, build, fields, "state-values")
 
     # join implementation behind Stream.state_query
     def _query(self, ctx, df: DataFrame, in_fields: list[str], query_fn: QueryFunction, out_fields: list[str]) -> DataFrame:
@@ -509,6 +516,7 @@ class LocalCluster:
             if agg_df.limit(1).count() == 0:
                 return
             spec.state.update_from_agg(agg_df, agg, txid)
+            self._record_touched(spec, agg_df)
             return
         cols = [F.col(f) for f in spec.in_fields]
         expr = agg.agg_expr(cols)
@@ -530,6 +538,14 @@ class LocalCluster:
         if agg_df.limit(1).count() == 0:
             return  # nothing to merge this batch
         spec.state.update_from_agg(agg_df, agg, txid)
+        self._record_touched(spec, agg_df)
+
+    def _record_touched(self, spec: _StateSpec, agg_df: DataFrame) -> None:
+        """Track the batch's touched keys for newValuesStream (replacing the
+        previous batch's persisted frame)."""
+        if spec.last_touched_keys is not None:
+            spec.last_touched_keys.unpersist()
+        spec.last_touched_keys = agg_df.select(*spec.keys).persist()
 
     # -- DRPC ---------------------------------------------------------------
 

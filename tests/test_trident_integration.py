@@ -251,3 +251,27 @@ def test_drpc_multiple_functions_and_requests(spark):
     # repeated requests are independent and repeatable
     assert dict(cluster.execute_drpc("counts", "cat")) == {"cat": 1}
     assert dict(cluster.execute_drpc("counts", "cat")) == {"cat": 1}
+
+
+def test_new_values_stream_emits_only_updated_keys(spark):
+    """Parity: TridentState.newValuesStream — only the batch's touched keys."""
+    from storm_spark import FeederSource, LocalCluster, Topology
+    from storm_spark.operations import Count, Split
+    from storm_spark.state import MemoryMapState
+
+    topo = Topology(spark)
+    feeder = FeederSource(["sentence"])
+    wc = (
+        topo.new_stream("s", feeder)
+        .each(["sentence"], Split(), ["word"])
+        .group_by(["word"])
+        .persistent_aggregate(MemoryMapState.factory(), ["word"], Count(), ["count"])
+    )
+    cluster = LocalCluster(topo)
+    feeder.feed([["a b"]])
+    assert sorted(map(tuple, wc.new_values_stream().df.collect())) == [("a", 1), ("b", 1)]
+    feeder.feed([["b c"]])
+    # only b and c were touched by batch 2 (with their NEW running counts)
+    assert sorted(map(tuple, wc.new_values_stream().df.collect())) == [("b", 2), ("c", 1)]
+    # the full state still holds all three
+    assert sorted(map(tuple, wc.dataframe().collect())) == [("a", 1), ("b", 2), ("c", 1)]
