@@ -670,6 +670,55 @@ FROM x GROUP BY 1, 2
 """
 
 
+def q_rollup_continuous(spark, sf_dir):
+    """Hypertable-style continuous aggregate: hourly + daily keyed state
+    maintained incrementally over 2 epochs plus a changed-content replay;
+    the daily (coarse) table must equal a plain daily GROUP BY over events."""
+    from pyspark.sql.types import StructType
+
+    from storm_spark.plans import ContinuousRollup
+    from storm_spark.state.base import StateType
+
+    e = _events(spark, sf_dir).select(
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.col("event_type").alias("k"),
+        cents("value").alias("v"),
+        "event_id",
+    )
+    tmp = tempfile.mkdtemp(prefix="storm_spark_rollup_")
+
+    def factory(name, key_schema, value_field, value_type):
+        return ParquetMapState(
+            spark, f"{tmp}/{name}", key_schema, value_field, value_type,
+            StateType.OPAQUE, num_buckets=8,
+        )
+
+    HOUR, DAY = 3600, 86400
+    r = ContinuousRollup(
+        spark, factory, keys=["k"], ts_col="ts_epoch", value_expr=F.col("v"),
+        fine_bucket=lambda ts: (ts / HOUR).cast("long") * HOUR,
+        coarse_bucket_of_fine=lambda fb: (fb / DAY).cast("long") * DAY,
+        value_type="bigint",
+    )
+    r.process_epoch(e.filter(F.col("event_id") % 2 == 0), txid=1)
+    r.process_epoch(e.filter(F.col("event_id") % 2 == 1), txid=2)
+    # replay epoch 2 with identical content: must converge to the same state
+    r.process_epoch(e.filter(F.col("event_id") % 2 == 1), txid=2)
+    return r.coarse().select(
+        F.col("coarse_bucket").alias("day_epoch"),
+        F.col("k").alias("event_type"),
+        F.col("value").alias("value_c"),
+    )
+
+
+ORACLE_ROLLUP_CONTINUOUS = f"""
+SELECT CAST(epoch(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS BIGINT) AS day_epoch,
+       event_type,
+       CAST(SUM({SQL_CENTS.format(x='value')}) AS BIGINT) AS value_c
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_winnow_fingerprint(spark, sf_dir):
     """Winnowing rolling-hash fingerprints (Schleimer et al. 2003): one row
     per (doc, selected hash) — the shared-substring detection primitive.
@@ -1306,6 +1355,7 @@ QUERIES = {
     "first_n": q_first_n,
     "topk_per_group": q_topk_per_group,
     "state_wordcount": q_state_wordcount,
+    "rollup_continuous": q_rollup_continuous,
     "drpc_state_lookup": q_drpc_state_lookup,
     "window_hourly": q_window_hourly,
     "window_sliding": q_window_sliding,
@@ -1352,6 +1402,7 @@ ORACLES = {
     "first_n": ORACLE_FIRST_N,
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
     "state_wordcount": ORACLE_STATE_WORDCOUNT,
+    "rollup_continuous": ORACLE_ROLLUP_CONTINUOUS,
     "drpc_state_lookup": ORACLE_DRPC_STATE_LOOKUP,
     "window_hourly": ORACLE_WINDOW_HOURLY,
     "window_sliding": ORACLE_WINDOW_SLIDING,
