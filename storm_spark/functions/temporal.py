@@ -1,5 +1,5 @@
-"""Temporal joins — as-of join (engine extension; absent in both the
-reference (SURVEY §2.6 'not present') and core Spark).
+"""Temporal joins — as-of join and interval range join (engine extensions;
+absent in both the reference (SURVEY §2.6 'not present') and core Spark).
 
 Two strategies:
 
@@ -76,6 +76,50 @@ def asof_join(
         .cogroup(right.groupBy(*on_l))
         .applyInPandas(merge, out_schema)
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    on: str | list[str] | None = None,
+    bucket_seconds: int = 86400,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval range join: each point row pairs with the interval rows
+    whose ``[start, end)`` contains its timestamp (plus optional equi-keys).
+
+    Scale strategy — interval bucketing: a naive ``ts BETWEEN start AND end``
+    theta join is a (broadcast) nested loop, O(|points| × |intervals|). Here
+    each interval explodes to the coarse time buckets it overlaps and each
+    point maps to its one bucket; the join becomes an EQUI-join on
+    (bucket [, keys]) followed by the exact range filter — shuffle-parallel,
+    cost ∝ co-bucketed pairs. Pick ``bucket_seconds`` near the typical
+    interval length: shorter ⇒ more interval replication, longer ⇒ more
+    false-pair filtering. All timestamp columns are epoch-second longs.
+    """
+    if how != "inner":
+        raise ValueError("range_join is inner-only (outer + range filter is ill-defined)")
+    on_l = [on] if isinstance(on, str) else list(on or [])
+    b = F.lit(bucket_seconds)
+    pts = points.withColumn("__bkt__", (F.col(ts_col) / b).cast("long"))
+    spans = intervals.withColumn(
+        "__bkt__",
+        F.explode(
+            F.sequence(
+                (F.col(start_col) / b).cast("long"),
+                # end is exclusive: an interval ending exactly on a bucket
+                # boundary does not reach into the next bucket
+                ((F.col(end_col) - 1) / b).cast("long"),
+            )
+        ),
+    )
+    joined = pts.join(spans, on=["__bkt__", *on_l], how=how).filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    return joined.drop("__bkt__")
 
 
 def asof_join_ranked(

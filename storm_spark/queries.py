@@ -670,6 +670,41 @@ FROM x GROUP BY 1, 2
 """
 
 
+def q_range_join(spark, sf_dir):
+    """Interval range join (bucketed equi-join + exact filter — never a
+    nested loop): events against synthetic per-day windows [10:00, 14:00)
+    keyed by event_type."""
+    from storm_spark.functions.temporal import range_join
+
+    e = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("event_type").alias("k"),
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+    days = (
+        e.select(F.floor(F.col("ts_epoch") / 86400).alias("d"), "k")
+        .distinct()
+        .select(
+            "k",
+            (F.col("d") * 86400 + 10 * 3600).alias("win_start"),
+            (F.col("d") * 86400 + 14 * 3600).alias("win_end"),
+        )
+    )
+    out = range_join(e, days, "ts_epoch", "win_start", "win_end", on=["k"], bucket_seconds=86400)
+    return out.select("event_id", F.col("k").alias("event_type"), "win_start")
+
+
+ORACLE_RANGE_JOIN = """
+WITH e AS (SELECT event_id, event_type AS k, CAST(epoch(ts) AS BIGINT) AS ts_epoch FROM events),
+days AS (
+  SELECT DISTINCT k, (ts_epoch // 86400) * 86400 + 10*3600 AS win_start,
+                     (ts_epoch // 86400) * 86400 + 14*3600 AS win_end
+  FROM e)
+SELECT e.event_id, e.k AS event_type, d.win_start
+FROM e JOIN days d ON e.k = d.k AND e.ts_epoch >= d.win_start AND e.ts_epoch < d.win_end
+"""
+
+
 def q_rollup_continuous(spark, sf_dir):
     """Hypertable-style continuous aggregate: hourly + daily keyed state
     maintained incrementally over 2 epochs plus a changed-content replay;
@@ -1371,6 +1406,7 @@ QUERIES = {
     "text_profile": q_text_profile,
     "winnow_fingerprint": q_winnow_fingerprint,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "cube": q_cube,
     "pivot": q_pivot,
     "count_distinct": q_count_distinct,
@@ -1418,6 +1454,7 @@ ORACLES = {
     "text_profile": ORACLE_TEXT_PROFILE,
     "winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,
     "asof_join": ORACLE_ASOF_JOIN,
+    "range_join": ORACLE_RANGE_JOIN,
     "cube": ORACLE_CUBE,
     "pivot": ORACLE_PIVOT,
     "count_distinct": ORACLE_COUNT_DISTINCT,

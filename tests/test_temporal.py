@@ -122,3 +122,31 @@ def test_window_aggregate_validates_fields(spark):
     s = topo.new_stream("e", df)
     with _pytest.raises(ValueError):
         s.window_aggregate("nope", "1 hour", ["k"], {"n": F.count("*")})
+
+
+def test_range_join_bucketed_matches_naive(spark):
+    from pyspark.sql import functions as F
+
+    from storm_spark.functions.temporal import range_join
+
+    pts = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 250), (3, "b", 100), (4, "a", 900)],
+        "id bigint, k string, ts bigint",
+    )
+    iv = spark.createDataFrame(
+        # interval spanning multiple buckets + exclusive-end edge case
+        [("a", 50, 300, "w1"), ("a", 300, 901, "w2"), ("b", 0, 100, "w3")],
+        "k string, s bigint, e bigint, w string",
+    )
+    got = range_join(pts, iv, "ts", "s", "e", on=["k"], bucket_seconds=100)
+    naive = pts.join(iv, ["k"]).filter((F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e")))
+    assert sorted(map(tuple, got.select("id", "w").collect())) == sorted(
+        map(tuple, naive.select("id", "w").collect())
+    )
+    # exclusive end: ts=100 not in w3 [0,100)
+    assert ("3",) not in {tuple(map(str, r)) for r in got.select("id").collect()}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        range_join(pts, iv, "ts", "s", "e", how="left")
