@@ -183,3 +183,12 @@ def test_state_query_is_join_not_collect(spark):
     feeder.feed([["a b"]])
     plan = _plan(cluster.drpc_dataframe("words", "a"))
     assert "Join" in plan
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    """The bucketing must turn the interval theta-join into an equi-join."""
+    from storm_spark.queries import q_range_join
+
+    plan = _plan(q_range_join(spark, SF))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
