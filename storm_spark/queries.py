@@ -670,6 +670,48 @@ FROM x GROUP BY 1, 2
 """
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch (novel-sketch surface): build a 4×256 sketch over
+    orders' customer keys, estimate the frequency of the first 50 customers.
+    md5-derived buckets make the sketch exactly reproducible in SQL."""
+    from storm_spark.functions.sketch import cms_build, cms_estimate
+
+    orders = _t(spark, sf_dir, "orders")
+    sk = cms_build(orders, "o_custkey", depth=4, width=256)
+    keys = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 50).select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return cms_estimate(sk, keys, "o_custkey", depth=4, width=256).select(
+        F.col("o_custkey").alias("custkey"), "est"
+    )
+
+
+def _oracle_cms(depth=4, width=256):
+    bucket = (
+        "CAST(('0x' || substr(md5({d} || ':' || CAST({k} AS VARCHAR)), 1, 15))::BIGINT % {w} AS BIGINT)"
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT c_custkey AS k, {d} AS d, {bucket.format(d=d, k='c_custkey', w=width)} AS bucket "
+        f"FROM customer WHERE c_custkey <= 50"
+        for d in range(depth)
+    )
+    sketch_rows = " UNION ALL ".join(
+        f"SELECT {d} AS d, {bucket.format(d=d, k='o_custkey', w=width)} AS bucket FROM orders"
+        for d in range(depth)
+    )
+    return f"""
+WITH sketch AS (
+  SELECT d, bucket, COUNT(*) AS cnt FROM ({sketch_rows}) GROUP BY d, bucket),
+probes AS ({probe_rows})
+SELECT p.k AS custkey, CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS est
+FROM probes p LEFT JOIN sketch s ON p.d = s.d AND p.bucket = s.bucket
+GROUP BY p.k
+"""
+
+
+ORACLE_CMS_HEAVY_HITTERS = _oracle_cms()
+
+
 def q_range_join(spark, sf_dir):
     """Interval range join (bucketed equi-join + exact filter — never a
     nested loop): events against synthetic per-day windows [10:00, 14:00)
@@ -1411,6 +1453,7 @@ QUERIES = {
     "pivot": q_pivot,
     "count_distinct": q_count_distinct,
     "approx_distinct": q_approx_distinct,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
     "percentile": q_percentile,
     "percentile_exact": q_percentile_exact,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1459,6 +1502,7 @@ ORACLES = {
     "pivot": ORACLE_PIVOT,
     "count_distinct": ORACLE_COUNT_DISTINCT,
     "percentile_exact": ORACLE_PERCENTILE_EXACT,
+    "cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
     "salted_groupby": ORACLE_SALTED_GROUPBY,
