@@ -40,6 +40,12 @@ HEADLINE = [
     "ann_ivf",
     "percentile_exact",
     "embedding_near_dup",
+    "winnow_fingerprint",
+    "window_sliding",
+    "range_join",
+    "cms_heavy_hitters",
+    "salted_groupby",
+    "multimodal_frames",
 ]
 
 
