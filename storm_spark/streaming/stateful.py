@@ -71,6 +71,62 @@ def stateful_running_agg(
     )
 
 
+def stateful_sessionize(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Streaming sessionization with explicit state + event-time timeout:
+    rows within ``gap_seconds`` of each other per key extend an open session;
+    when the watermark passes the session end + gap, the CLOSED session emits
+    (key, session_start, session_end, n_events) and its state clears.
+
+    This is the custom-stateful-operator shape `session_window` can't cover
+    when you need side effects or custom merge logic at session close.
+    Requires ``withWatermark(ts_col, ...)`` upstream.
+    """
+    import pickle
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            start, end, n = pickle.loads(state.get[0])
+            state.remove()
+            yield pd.DataFrame(
+                [{key_col: key[0], "session_start": start, "session_end": end, "n_events": n}]
+            )
+            return
+        start, end, n = (
+            pickle.loads(state.get[0]) if state.exists else (None, None, 0)
+        )
+        for pdf in pdfs:
+            for ts in pdf[ts_col]:
+                t = ts.timestamp()
+                if start is None:
+                    start, end, n = t, t, 1
+                elif t - end <= gap_seconds:
+                    end, n = max(end, t), n + 1
+                else:
+                    # gap exceeded within the data itself: emit the old
+                    # session immediately, start a new one
+                    yield pd.DataFrame(
+                        [{key_col: key[0], "session_start": start, "session_end": end, "n_events": n}]
+                    )
+                    start, end, n = t, t, 1
+        state.update((pickle.dumps((start, end, n)),))
+        # close when the event-time watermark passes session end + gap
+        state.setTimeoutTimestamp(int((end + gap_seconds) * 1000))
+        yield pd.DataFrame([], columns=[key_col, "session_start", "session_end", "n_events"])
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=f"{key_col} string, session_start double, session_end double, n_events long",
+        stateStructType="state binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def running_word_counts(stream_df: DataFrame, word_col: str = "word") -> DataFrame:
     """The reference's canonical streaming word count as an in-stream
     stateful op: emits (word, count) with the cumulative count every time a

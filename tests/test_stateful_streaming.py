@@ -51,3 +51,49 @@ def test_running_word_counts_across_batches(spark, tmp_path):
     for r in rows:
         latest[r.word] = max(latest.get(r.word, 0), r["count"])
     assert latest == {"the": 3, "cow": 1, "man": 1}
+
+
+def test_stateful_sessionize_closes_on_watermark(spark, tmp_path):
+    """A session emits once the event-time watermark passes its end + gap."""
+    from storm_spark.streaming.stateful import stateful_sessionize
+
+    indir = tmp_path / "sin"
+    os.makedirs(indir)
+
+    def batch(rows, name):
+        df = spark.createDataFrame(rows, "ts string, user string").select(
+            F.to_timestamp("ts").alias("ts"), "user"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(indir / name))
+
+    # batch 1: one session for u1 (2 events, 4 min apart)
+    batch([("2024-01-01 10:00:00", "u1"), ("2024-01-01 10:04:00", "u1")], "b1")
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{indir}/*")
+    ).withWatermark("ts", "1 minute")
+    out = stateful_sessionize(stream, "user", "ts", gap_seconds=600)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions")
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("select * from sessions").count() == 0  # still open
+        # batch 2: much later event advances the watermark past end+gap
+        batch([("2024-01-01 11:00:00", "u1")], "b2")
+        q.processAllAvailable()
+        # one more batch so the timeout fires in a trigger after watermark moved
+        batch([("2024-01-01 11:30:00", "u2")], "b3")
+        q.processAllAvailable()
+        rows = spark.sql("select * from sessions").collect()
+    finally:
+        q.stop()
+
+    closed = [(r.user, r.n_events) for r in rows]
+    assert ("u1", 2) in closed
