@@ -218,6 +218,33 @@ def ivf_topk(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "q_embedding"
+) -> DataFrame:
+    """Symmetric int8 quantization: per-vector scale = max|x| / 127, stored
+    as (array<tinyint>, scale float). Shrinks the vector payload 4× vs
+    float32 — at 100 TB the ANN candidate shuffles and the broadcast corpus
+    move 4× less data; cosine on dequantized values is within ~1e-2 of
+    exact, and the exact re-rank step can read the full-precision column."""
+    v = F.col(vec_col).cast("array<double>")
+    scale = F.greatest(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))) / F.lit(127.0),
+        F.lit(1e-12),
+    )
+    return df.withColumn("__scale__", scale).withColumn(
+        out_col,
+        F.transform(v, lambda x: F.round(x / F.col("__scale__")).cast("tinyint")),
+    ).withColumnRenamed("__scale__", f"{out_col}_scale")
+
+
+def dequantized_cosine(qa: Column, sa: Column, qb: Column, sb: Column) -> Column:
+    """Cosine over two quantized vectors — scales cancel in the cosine, so
+    this is just the int dot product normalized (cheap: int8 multiply-adds)."""
+    a = qa.cast("array<double>")
+    b = qb.cast("array<double>")
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -71,3 +71,30 @@ def test_lsh_bucket_topk_subset_of_exact_ranking(vectors):
     for r in got:
         # every reported similarity must equal the true cosine (re-rank is exact)
         assert abs(r.cos_sim - _cos(data[r.query_id], data[r.neighbor_id])) < 1e-5
+
+
+def test_quantize_embeddings_roundtrip_accuracy(vectors):
+    q = similarity.quantize_embeddings(vectors)
+    rows = q.select("vec_id", "embedding", "q_embedding", "q_embedding_scale").collect()
+    for r in rows:
+        deq = [x * r.q_embedding_scale for x in r.q_embedding]
+        for orig, d in zip(r.embedding, deq):
+            assert abs(orig - d) <= r.q_embedding_scale / 2 + 1e-9  # half-ULP bound
+        assert all(-127 <= x <= 127 for x in r.q_embedding)
+
+
+def test_quantized_cosine_close_to_exact(vectors):
+    from pyspark.sql import functions as F
+
+    q = similarity.quantize_embeddings(vectors).filter(F.col("vec_id") < 10)
+    a = q.alias("a").crossJoin(q.alias("b")).filter(F.col("a.vec_id") < F.col("b.vec_id"))
+    out = a.select(
+        similarity.cosine_similarity(F.col("a.embedding"), F.col("b.embedding")).alias("exact"),
+        similarity.dequantized_cosine(
+            F.col("a.q_embedding"), F.col("a.q_embedding_scale"),
+            F.col("b.q_embedding"), F.col("b.q_embedding_scale"),
+        ).alias("approx"),
+    ).collect()
+    assert out
+    for r in out:
+        assert abs(r.exact - r.approx) < 0.02
