@@ -76,6 +76,11 @@ def cents(c) -> F.Column:
 #: SQL twin of :func:`cents`
 SQL_CENTS = "CAST(round({x} * 100) AS BIGINT)"
 
+SQL_SHINGLES = (
+    "list_transform(generate_series(1, greatest(len({t}) - {nm1}, 0)), "
+    "i -> array_to_string({t}[i:i+{nm1}], ' '))"
+)
+
 #: SQL twin of storm_spark.functions.text.tokens
 SQL_TOKS = (
     "list_filter(string_split_regex(lower(trim({x})), '[^a-z0-9'']+'), x -> x <> '')"
@@ -670,6 +675,61 @@ FROM x GROUP BY 1, 2
 """
 
 
+def q_corpus_clean(spark, sf_dir):
+    """End-to-end training-corpus cleaning (the LLM-pipeline capstone):
+    quality filter (length + punctuation) → exact dedup (min-id per
+    fingerprint) → near-dup removal (drop the larger id of each Jaccard
+    pair). Returns the surviving docs with their token counts."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text", text.tokens("text").alias("__toks__"))
+    t = F.col("__toks__")
+    profiled = base.select(
+        "doc_id",
+        "text",
+        text.token_count_t(t).alias("n_tokens"),
+        text.punct_ratio("text").alias("punct_ratio"),
+    )
+    quality = profiled.filter((F.col("n_tokens") >= 20) & (F.col("punct_ratio") <= 0.2))
+    exact = dedup.dedup_exact(quality, "doc_id", "text")
+    near_pairs = dedup.ngram_jaccard_pairs(exact, "doc_id", "text", n=3, threshold=0.5)
+    drop = near_pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return exact.join(drop, on="doc_id", how="left_anti").select("doc_id", "n_tokens")
+
+
+def _oracle_corpus_clean(n=3, threshold=0.5):
+    toks = SQL_TOKS.format(x="text")
+    sh = SQL_SHINGLES.format(t="toks", nm1=n - 1)
+    return f"""
+WITH profiled AS (
+  SELECT doc_id, text, {toks} AS toks,
+         CAST(len({toks}) AS BIGINT) AS n_tokens,
+         round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+               / greatest(length(text), 1), 6) AS punct_ratio
+  FROM documents),
+quality AS (SELECT * FROM profiled WHERE n_tokens >= 20 AND punct_ratio <= 0.2),
+keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM (
+    SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM quality)
+  GROUP BY fp),
+exact AS (SELECT q.* FROM quality q SEMI JOIN keep k ON q.doc_id = k.doc_id),
+shg AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS s
+        FROM (SELECT doc_id, unnest({sh}) AS s FROM exact)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shg GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM shg a JOIN shg b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+drops AS (
+  SELECT DISTINCT id_b AS doc_id
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(i / (sa.n + sb.n - i), 6) >= {threshold})
+SELECT e.doc_id, e.n_tokens FROM exact e ANTI JOIN drops d ON e.doc_id = d.doc_id
+"""
+
+
+ORACLE_CORPUS_CLEAN = _oracle_corpus_clean()
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-min sketch (novel-sketch surface): build a 4×256 sketch over
     orders' customer keys, estimate the frequency of the first 50 customers.
@@ -890,11 +950,6 @@ FROM (SELECT doc_id, md5(array_to_string({SQL_TOKS.format(x='text')}, ' ')) AS f
 GROUP BY fp
 """
 
-
-SQL_SHINGLES = (
-    "list_transform(generate_series(1, greatest(len({t}) - {nm1}, 0)), "
-    "i -> array_to_string({t}[i:i+{nm1}], ' '))"
-)
 
 
 def q_dedup_jaccard(spark, sf_dir):
@@ -1440,6 +1495,7 @@ QUERIES = {
     "json_extract": q_json_extract,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
+    "corpus_clean": q_corpus_clean,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
     "cosine_topk": q_cosine_topk,
@@ -1489,6 +1545,7 @@ ORACLES = {
     "json_extract": ORACLE_JSON_EXTRACT,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,
+    "corpus_clean": ORACLE_CORPUS_CLEAN,
     "minhash_lsh": ORACLE_MINHASH_LSH,
     "simhash": ORACLE_SIMHASH,
     "cosine_topk": ORACLE_COSINE_TOPK,
