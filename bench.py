@@ -46,6 +46,7 @@ HEADLINE = [
     "cms_heavy_hitters",
     "salted_groupby",
     "multimodal_frames",
+    "corpus_clean",
 ]
 
 
