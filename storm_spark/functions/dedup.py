@@ -37,10 +37,17 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Exact dedup: keep the min-id representative of each normalized text."""
+def dedup_exact(
+    df: DataFrame, id_col: str, text_col: str, toks_col: str | None = None
+) -> DataFrame:
+    """Exact dedup: keep the min-id representative of each normalized text.
+    Pass ``toks_col`` (a pre-materialized token array) to skip re-tokenizing
+    in composed pipelines."""
+    from storm_spark.functions.text import fingerprint_t
+
+    fp = fingerprint_t(F.col(toks_col)) if toks_col else fingerprint(text_col)
     keep = (
-        df.select(F.col(id_col), fingerprint(text_col).alias("__fp__"))
+        df.select(F.col(id_col), fp.alias("__fp__"))
         .groupBy("__fp__")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
@@ -49,7 +56,12 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _shingle_index(
-    df: DataFrame, id_col: str, text_col: str, n: int, max_shingle_df: int | None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_shingle_df: int | None,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """(id, shingle-hash) inverted index, distinct per doc, optionally
     dropping ultra-frequent shingles (the scale guard).
@@ -58,8 +70,9 @@ def _shingle_index(
     the self-join: an 8-byte join key instead of a ~25-byte string cuts the
     shuffle roughly 3× and keeps the sort-merge comparisons cheap."""
     sh_hash = F.conv(F.substring(F.md5(F.col("__s__")), 1, 15), 16, 10).cast("bigint")
+    toks = F.col(toks_col) if toks_col else tokens(text_col)
     idx = (
-        df.select(F.col(id_col).alias("__id__"), tokens(text_col).alias("__toks__"))
+        df.select(F.col(id_col).alias("__id__"), toks.alias("__toks__"))
         .select(F.col("__id__"), F.explode(ngrams_from_tokens(F.col("__toks__"), n)).alias("__s__"))
         .select(F.col("__id__"), sh_hash.alias("__sh__"))
         .distinct()
@@ -83,6 +96,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_shingle_df: int | None = None,
     ndigits: int = 6,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard similarity.
 
@@ -94,7 +108,7 @@ def ngram_jaccard_pairs(
     The index feeds three plan branches (both join sides + sizes); it is
     persisted so tokenization/hashing runs once, not three times.
     """
-    idx = _shingle_index(df, id_col, text_col, n, max_shingle_df).persist()
+    idx = _shingle_index(df, id_col, text_col, n, max_shingle_df, toks_col).persist()
     sizes = idx.groupBy("__id__").agg(F.count(F.lit(1)).alias("__n__"))
     a, b = idx.alias("a"), idx.alias("b")
     inter = (

@@ -681,17 +681,23 @@ def q_corpus_clean(spark, sf_dir):
     fingerprint) → near-dup removal (drop the larger id of each Jaccard
     pair). Returns the surviving docs with their token counts."""
     docs = _t(spark, sf_dir, "documents")
+    # tokenize ONCE; every downstream stage (profile, fingerprint, shingles)
+    # reads the materialized array
     base = docs.select("doc_id", "text", text.tokens("text").alias("__toks__"))
     t = F.col("__toks__")
     profiled = base.select(
         "doc_id",
-        "text",
+        "__toks__",
         text.token_count_t(t).alias("n_tokens"),
         text.punct_ratio("text").alias("punct_ratio"),
     )
     quality = profiled.filter((F.col("n_tokens") >= 20) & (F.col("punct_ratio") <= 0.2))
-    exact = dedup.dedup_exact(quality, "doc_id", "text")
-    near_pairs = dedup.ngram_jaccard_pairs(exact, "doc_id", "text", n=3, threshold=0.5)
+    # exact feeds both the near-dup index and the final anti-join — persist
+    # so the filter+fingerprint subtree runs once
+    exact = dedup.dedup_exact(quality, "doc_id", "text", toks_col="__toks__").persist()
+    near_pairs = dedup.ngram_jaccard_pairs(
+        exact, "doc_id", "text", n=3, threshold=0.5, toks_col="__toks__"
+    )
     drop = near_pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return exact.join(drop, on="doc_id", how="left_anti").select("doc_id", "n_tokens")
 
