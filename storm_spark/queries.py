@@ -567,6 +567,47 @@ GROUP BY word
 """
 
 
+def q_streaming_wordcount(spark, sf_dir):
+    """The REAL Structured Streaming path, oracle-gated: documents written as
+    3 files → ``readStream`` (one file per trigger) → foreachBatch epochs →
+    opaque parquet state commits. Final state must equal the batch SQL."""
+    import os
+
+    from storm_spark.streaming.driver import run_stream_to_state
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="storm_spark_stream_")
+    indir = os.path.join(tmp, "in")
+    for b in range(3):
+        docs.filter(F.col("doc_id") % 3 == b).select("text").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(indir, f"b{b}"))
+
+    topo = Topology(spark)
+    feeder = FeederSource(["text"])
+    tok_fn = LambdaFunction(lambda cols: [F.explode(text.tokens(cols[0]))])
+    wc = (
+        topo.new_stream("docs", feeder)
+        .each(["text"], tok_fn, ["word"])
+        .group_by(["word"])
+        .persistent_aggregate(
+            ParquetMapState.factory(os.path.join(tmp, "state")), ["word"], Count(), ["count"]
+        )
+    )
+    run_stream_to_state(
+        topo,
+        feeder,
+        f"{indir}/*",
+        docs.select("text").schema,
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+        max_files_per_trigger=1,
+    )
+    return wc.dataframe()
+
+
+ORACLE_STREAMING_WORDCOUNT = ORACLE_STATE_WORDCOUNT
+
+
 def q_drpc_state_lookup(spark, sf_dir):
     """DRPC parameterized query over persistent state: split args →
     stateQuery(MapGet) → Sum (the reference word-count DRPC, integration
@@ -1493,6 +1534,7 @@ QUERIES = {
     "first_n": q_first_n,
     "topk_per_group": q_topk_per_group,
     "state_wordcount": q_state_wordcount,
+    "streaming_wordcount": q_streaming_wordcount,
     "rollup_continuous": q_rollup_continuous,
     "drpc_state_lookup": q_drpc_state_lookup,
     "window_hourly": q_window_hourly,
@@ -1543,6 +1585,7 @@ ORACLES = {
     "first_n": ORACLE_FIRST_N,
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
     "state_wordcount": ORACLE_STATE_WORDCOUNT,
+    "streaming_wordcount": ORACLE_STREAMING_WORDCOUNT,
     "rollup_continuous": ORACLE_ROLLUP_CONTINUOUS,
     "drpc_state_lookup": ORACLE_DRPC_STATE_LOOKUP,
     "window_hourly": ORACLE_WINDOW_HOURLY,
