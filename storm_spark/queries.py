@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from storm_spark.fields import Fields
 from storm_spark.operations import Count, MapGet, Split, Sum
-from storm_spark.operations.base import LambdaFunction
+from storm_spark.operations.base import Aggregator, LambdaFunction
 from storm_spark.session import rebalance_scan
 from storm_spark.state import ParquetMapState
 from storm_spark.topology import FeederSource, LocalCluster, Topology
@@ -564,6 +564,49 @@ ORACLE_STATE_WORDCOUNT = f"""
 SELECT word, COUNT(*) AS count
 FROM (SELECT unnest({SQL_TOKS.format(x='text')}) AS word FROM documents)
 GROUP BY word
+"""
+
+
+class _SecondMaxAgg(Aggregator):
+    """General python Aggregator (Aggregator.java:22-25 contract): tracks the
+    two largest values seen, emits the second at complete()."""
+
+    out_types = ["bigint"]
+
+    def init(self, batch_id, collector):
+        return [None, None]  # [max, second]
+
+    def aggregate(self, state, tup, collector):
+        v = tup[0]
+        if state[0] is None or v > state[0]:
+            state[0], state[1] = v, state[0]
+        elif state[1] is None or v > state[1]:
+            state[1] = v
+
+    def complete(self, state, collector):
+        if state[1] is not None:
+            collector.emit([state[1]])
+
+
+def q_custom_agg_second_max(spark, sf_dir):
+    """The general python Aggregator contract on the gate: per-priority
+    second-largest order total (python UDA via grouped applyInPandas —
+    deliberately NOT an expression; the SQL twin uses a rank window)."""
+    topo = Topology(spark)
+    return (
+        topo.new_stream("orders", _t(spark, sf_dir, "orders"))
+        .with_column("price_c", cents("o_totalprice"))
+        .group_by(["o_orderpriority"])
+        .aggregate(["price_c"], _SecondMaxAgg(), ["second_max_c"])
+        .df
+    )
+
+
+ORACLE_CUSTOM_AGG_SECOND_MAX = f"""
+SELECT o_orderpriority, CAST(c AS BIGINT) AS second_max_c FROM (
+  SELECT o_orderpriority, {SQL_CENTS.format(x='o_totalprice')} AS c,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY {SQL_CENTS.format(x='o_totalprice')} DESC) AS r
+  FROM orders) WHERE r = 2
 """
 
 
@@ -1523,6 +1566,7 @@ QUERIES = {
     "wordcount": q_wordcount,
     "groupby_sum": q_groupby_sum,
     "chained_agg": q_chained_agg,
+    "custom_agg_second_max": q_custom_agg_second_max,
     "distinct": q_distinct,
     "rollup": q_rollup,
     "merge": q_merge,
@@ -1574,6 +1618,7 @@ ORACLES = {
     "wordcount": ORACLE_WORDCOUNT,
     "groupby_sum": ORACLE_GROUPBY_SUM,
     "chained_agg": ORACLE_CHAINED_AGG,
+    "custom_agg_second_max": ORACLE_CUSTOM_AGG_SECOND_MAX,
     "distinct": ORACLE_DISTINCT,
     "rollup": ORACLE_ROLLUP,
     "merge": ORACLE_MERGE,
