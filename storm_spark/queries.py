@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from storm_spark.fields import Fields
 from storm_spark.operations import Count, MapGet, Split, Sum
-from storm_spark.operations.base import Aggregator, LambdaFunction
+from storm_spark.operations.base import Aggregator, LambdaFunction, PandasFunction
 from storm_spark.session import rebalance_scan
 from storm_spark.state import ParquetMapState
 from storm_spark.topology import FeederSource, LocalCluster, Topology
@@ -564,6 +564,43 @@ ORACLE_STATE_WORDCOUNT = f"""
 SELECT word, COUNT(*) AS count
 FROM (SELECT unnest({SQL_TOKS.format(x='text')}) AS word FROM documents)
 GROUP BY word
+"""
+
+
+class _TierFn(PandasFunction):
+    """PandasFunction (arbitrary-python each): quantity tier label + a
+    python-computed code. Deliberately the Arrow slow path — the gate proves
+    the row-at-a-time contract end-to-end against a SQL CASE twin."""
+
+    out_types = ["string"]
+
+    def prepare(self):
+        pass
+
+    def execute(self, tup, collector):
+        q = tup["l_quantity"]
+        collector.emit(["low" if q < 15 else ("mid" if q < 35 else "high")])
+
+
+def q_python_each(spark, sf_dir):
+    """each() with a python (Arrow-batched) Function — SURVEY §2.11's
+    arbitrary-code path; 0..n-rows-out contract with appended fields."""
+    topo = Topology(spark)
+    return (
+        topo.new_stream("li", _t(spark, sf_dir, "lineitem"))
+        .project(["l_orderkey", "l_linenumber", "l_quantity"])
+        .each(["l_quantity"], _TierFn(), ["tier"])
+        .project(["l_orderkey", "l_linenumber", "tier"])
+        .df
+    )
+
+
+ORACLE_PYTHON_EACH = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_quantity < 15 THEN 'low'
+            WHEN l_quantity < 35 THEN 'mid'
+            ELSE 'high' END AS tier
+FROM lineitem
 """
 
 
@@ -1562,6 +1599,7 @@ QUERIES = {
     "q1": q1,
     "project_filter": q_project_filter,
     "each_compute": q_each_compute,
+    "python_each": q_python_each,
     "split_explode": q_split_explode,
     "wordcount": q_wordcount,
     "groupby_sum": q_groupby_sum,
@@ -1614,6 +1652,7 @@ ORACLES = {
     "q1": ORACLE_Q1,
     "project_filter": ORACLE_PROJECT_FILTER,
     "each_compute": ORACLE_EACH_COMPUTE,
+    "python_each": ORACLE_PYTHON_EACH,
     "split_explode": ORACLE_SPLIT_EXPLODE,
     "wordcount": ORACLE_WORDCOUNT,
     "groupby_sum": ORACLE_GROUPBY_SUM,
