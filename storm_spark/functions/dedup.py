@@ -197,31 +197,40 @@ def simhash64(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> Data
     """SimHash fingerprint: per token, md5 → ``bits`` bit votes (+1/-1),
     summed over the doc; the sign vector is packed into a bigint.
 
-    ``bits`` <= 60 to stay in signed-64 range. One explode + one groupBy with
-    ``bits`` conditional-sum expressions — a single shuffle, codegen'd.
+    ``bits`` <= 60 to stay in signed-64 range. SHUFFLE-FREE: the token hash
+    array materializes once per row (multi-use alias — CollapseProject keeps
+    it), then ``bits`` map-side array folds tally the votes. No explode, no
+    groupBy — at scale this is a pure scan+projection, vs the naive
+    explode-and-aggregate's shuffle of one row per token.
     """
     if not 1 <= bits <= 60:
         raise ValueError("bits must be in [1, 60]")
-    tok = df.select(F.col(id_col), tokens(text_col).alias("__toks__")).select(
-        F.col(id_col), F.explode(F.col("__toks__")).alias("__t__")
-    )
     # big-endian md5 hex prefix as a bigint — exactly ceil(bits/4) hex chars
     # so bit i of h is the same bit in every engine
     hex_chars = (bits + 3) // 4
-    h = F.conv(F.substring(F.md5(F.col("__t__")), 1, hex_chars), 16, 10).cast("bigint")
-    tok = tok.select(id_col, h.alias("__h__"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("__h__"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{i}")
-        for i in range(bits)
-    ]
-    agg = tok.groupBy(id_col).agg(*votes)
+    # zero-token docs have no votes and no fingerprint (the explode-based
+    # formulation and the SQL oracle drop them; keep that contract)
+    base = df.select(F.col(id_col), tokens(text_col).alias("__toks__")).filter(
+        F.size("__toks__") >= 1
+    )
+    hashed = base.select(
+        F.col(id_col),
+        F.transform(
+            F.col("__toks__"),
+            lambda t: F.conv(F.substring(F.md5(t), 1, hex_chars), 16, 10).cast("bigint"),
+        ).alias("__hs__"),
+    )
     packed = None
     for i in range(bits):
-        bit = F.when(F.col(f"v{i}") > 0, F.lit(2 ** i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        vote = F.aggregate(
+            F.col("__hs__"),
+            F.lit(0),
+            lambda acc, x: acc
+            + F.when(F.shiftright(x, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit = F.when(vote > 0, F.lit(2 ** i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         packed = bit if packed is None else packed + bit
-    return agg.select(F.col(id_col), packed.alias("simhash"))
+    return hashed.select(F.col(id_col), packed.alias("simhash"))
 
 
 def simhash_near_pairs(
