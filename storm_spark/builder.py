@@ -125,6 +125,33 @@ class TopologyBuilder:
         return _run_bolt(merged, bolt)
 
 
+def complete_topology(
+    builder: TopologyBuilder, mocked_sources: dict[str, list[list]] | None = None
+) -> dict[str, list[tuple]]:
+    """Run every component to completion and capture every output stream —
+    parity: ``testing.clj:436-497`` (``complete-topology`` + ``read-tuples``:
+    mock the spouts with literal tuples, run, read all streams). Compare
+    results with multiset semantics (``ms=`` ⇒ sorted-rows equality).
+
+    ``mocked_sources`` maps spout id -> literal rows, replacing that spout's
+    frame (the ``FixedTupleSpout`` mock). Returns component id -> rows.
+    """
+    if mocked_sources:
+        for sid, rows in mocked_sources.items():
+            if sid not in builder._spouts:
+                raise KeyError(f"unknown spout {sid!r}")
+            orig = builder._spouts[sid]
+            spark = builder._topology.spark
+            df = spark.createDataFrame([tuple(r) for r in rows], orig.build().schema)
+            builder._spouts[sid] = builder._topology.new_stream(sid, df)
+    out: dict[str, list[tuple]] = {}
+    for sid in builder._spouts:
+        out[sid] = sorted(map(tuple, builder.stream(sid).df.collect()))
+    for bid in builder._order:
+        out[bid] = sorted(map(tuple, builder.stream(bid).df.collect()))
+    return out
+
+
 def _run_bolt(stream: Stream, bolt: BasicBolt) -> Stream:
     """Execute a BasicBolt over the stream: Arrow-batched, output fields
     REPLACE the input fields (core-Storm contract, unlike Trident append)."""

@@ -76,3 +76,23 @@ def test_unwired_bolt_raises(spark):
     builder.set_bolt("lonely", ExclaimBolt())
     with pytest.raises(ValueError):
         builder.stream("lonely")
+
+
+def test_complete_topology_golden_output(spark):
+    """testing.clj:436-497 port: mock the spout, run to completion, read
+    every stream, assert with multiset (ms=) semantics."""
+    from storm_spark.builder import complete_topology
+
+    topo = Topology(spark)
+    builder = TopologyBuilder(topo)
+    placeholder = spark.createDataFrame([("ignored",)], "word string")
+    builder.set_spout("1", placeholder)
+    builder.set_bolt("2", WordCounterBolt(), 4).fields_grouping("1", ["word"])
+
+    results = complete_topology(
+        builder, mocked_sources={"1": [["nathan"], ["bertels"], ["jackson"], ["nathan"]]}
+    )
+    # ms= on the spout stream
+    assert results["1"] == sorted([("nathan",), ("bertels",), ("jackson",), ("nathan",)])
+    # ms= on the counter bolt (integration_test.clj:28-59 expectations)
+    assert results["2"] == [("bertels", 1), ("jackson", 1), ("nathan", 1), ("nathan", 2)]
