@@ -24,10 +24,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from storm_spark.fields import Fields
-from storm_spark.operations import Count, MapGet, Split, Sum
+from storm_spark.operations import Count, MapGet, SnapshotGet, Split, Sum
 from storm_spark.operations.base import Aggregator, LambdaFunction, PandasFunction
 from storm_spark.session import rebalance_scan
-from storm_spark.state import ParquetMapState
+from storm_spark.state import MemoryMapState, ParquetMapState
 from storm_spark.topology import FeederSource, LocalCluster, Topology
 from storm_spark.functions import dedup, similarity, text
 from storm_spark.functions.text import LANG_MARKERS, STOPWORDS_EN, TOKEN_SPLIT_RE
@@ -644,6 +644,57 @@ SELECT o_orderpriority, CAST(c AS BIGINT) AS second_max_c FROM (
   SELECT o_orderpriority, {SQL_CENTS.format(x='o_totalprice')} AS c,
          row_number() OVER (PARTITION BY o_orderpriority ORDER BY {SQL_CENTS.format(x='o_totalprice')} DESC) AS r
   FROM orders) WHERE r = 2
+"""
+
+
+def q_builtin_filters(spark, sf_dir):
+    """The reference's builtin filter set chained (§2.3): FilterNull on the
+    comment, Equals on two columns, Negate(Equals) on another pair."""
+    from storm_spark.operations import Equals, FilterNull, Negate
+
+    topo = Topology(spark)
+    return (
+        topo.new_stream("li", _t(spark, sf_dir, "lineitem"))
+        .each(["l_shipdate"], FilterNull())
+        .each(["l_quantity", "l_linenumber"], Equals())
+        .each(["l_returnflag", "l_linestatus"], Negate(Equals()))
+        .project(["l_orderkey", "l_linenumber", "l_returnflag"])
+        .df
+    )
+
+
+ORACLE_BUILTIN_FILTERS = """
+SELECT l_orderkey, l_linenumber, l_returnflag
+FROM lineitem
+WHERE l_shipdate IS NOT NULL
+  AND l_quantity = l_linenumber
+  AND NOT (l_returnflag = l_linestatus)
+"""
+
+
+def q_state_snapshot_total(spark, sf_dir):
+    """Global (non-grouped) persistentAggregate into Snapshottable state +
+    SnapshotGet lookup (§2.9 SnapshottableMap parity): count all order rows
+    across 3 feeds, then read the snapshot back through a stateQuery."""
+    orders = _t(spark, sf_dir, "orders")
+    topo = Topology(spark)
+    feeder = FeederSource(["o_orderkey"], ["bigint"])
+    total = topo.new_stream("orders", feeder).persistent_aggregate(
+        MemoryMapState.factory(), [], Count(), ["total"]
+    )
+    q = (
+        topo.new_drpc_stream("total")
+        .state_query(total, None, SnapshotGet(), ["total"])
+        .project(["total"])
+    )
+    cluster = LocalCluster(topo)
+    for b in range(3):
+        cluster.feed_dataframe(feeder, orders.filter(F.col("o_orderkey") % 3 == b).select("o_orderkey"))
+    return cluster.drpc_dataframe("total", "-")
+
+
+ORACLE_STATE_SNAPSHOT_TOTAL = """
+SELECT COUNT(*) AS total FROM orders
 """
 
 
@@ -1598,6 +1649,7 @@ def q_multimodal_features(spark, sf_dir):
 QUERIES = {
     "q1": q1,
     "project_filter": q_project_filter,
+    "builtin_filters": q_builtin_filters,
     "each_compute": q_each_compute,
     "python_each": q_python_each,
     "split_explode": q_split_explode,
@@ -1617,6 +1669,7 @@ QUERIES = {
     "topk_per_group": q_topk_per_group,
     "state_wordcount": q_state_wordcount,
     "streaming_wordcount": q_streaming_wordcount,
+    "state_snapshot_total": q_state_snapshot_total,
     "rollup_continuous": q_rollup_continuous,
     "drpc_state_lookup": q_drpc_state_lookup,
     "window_hourly": q_window_hourly,
@@ -1651,6 +1704,7 @@ QUERIES = {
 ORACLES = {
     "q1": ORACLE_Q1,
     "project_filter": ORACLE_PROJECT_FILTER,
+    "builtin_filters": ORACLE_BUILTIN_FILTERS,
     "each_compute": ORACLE_EACH_COMPUTE,
     "python_each": ORACLE_PYTHON_EACH,
     "split_explode": ORACLE_SPLIT_EXPLODE,
@@ -1670,6 +1724,7 @@ ORACLES = {
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
     "state_wordcount": ORACLE_STATE_WORDCOUNT,
     "streaming_wordcount": ORACLE_STREAMING_WORDCOUNT,
+    "state_snapshot_total": ORACLE_STATE_SNAPSHOT_TOTAL,
     "rollup_continuous": ORACLE_ROLLUP_CONTINUOUS,
     "drpc_state_lookup": ORACLE_DRPC_STATE_LOOKUP,
     "window_hourly": ORACLE_WINDOW_HOURLY,
