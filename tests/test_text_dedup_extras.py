@@ -1,0 +1,50 @@
+"""Direct coverage for the remaining public text/dedup surface:
+exact_duplicates groups, simhash near-pair detection, the one-pass analyze
+profile, and the quality-score range."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from storm_spark.functions import dedup, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, "The quick  brown fox jumps over the lazy dog again and again today"),  # = 1 normalized
+        (3, "an entirely different document about spark engines and data plumbing"),
+        (4, "the quick brown fox jumps over the lazy dog again and again tonight"),  # near-dup of 1
+        (5, "!!! ??? ###"),  # junk
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_duplicates_groups(docs):
+    groups = dedup.exact_duplicates(docs, "doc_id", "text").collect()
+    assert [(r.keep_id, r.n_dups) for r in groups] == [(1, 2)]
+
+
+def test_simhash_near_pairs_finds_near_dup(docs):
+    pairs = dedup.simhash_near_pairs(docs, "doc_id", "text", bits=32, max_hamming=6).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in found  # identical docs: hamming 0
+    assert (1, 4) in found or (2, 4) in found  # one-word difference
+    for r in pairs:
+        assert r.hamming <= 6
+
+
+def test_analyze_profile_columns(docs):
+    out = text.analyze(docs, "text").collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].n_tokens == 13
+    assert by_id[1].lang_guess == "en"
+    assert by_id[5].n_tokens == 0
+    for r in out:
+        assert 0.0 <= r.quality <= 1.0
+        assert 0.0 <= r.punct_ratio <= 1.0
+        assert len(r.fingerprint) == 32  # md5 hex
+    # normalized duplicates share a fingerprint
+    assert by_id[1].fingerprint == by_id[2].fingerprint
+    # junk doc scores worse than real prose
+    assert by_id[5].quality < by_id[1].quality
