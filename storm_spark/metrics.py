@@ -36,9 +36,19 @@ class MultiCountMetric:
         self.name = name
 
     def exprs(self) -> list[Column]:
+        # Count per distinct key, then build the map — map_from_entries over
+        # raw (key, 1) pairs would produce duplicate map keys and throw under
+        # spark.sql.mapKeyDedupPolicy=EXCEPTION on the first repeated key.
+        arr = F.collect_list(F.col(self.key_col))
         return [
             F.map_from_entries(
-                F.collect_list(F.struct(F.col(self.key_col), F.lit(1)))
+                F.transform(
+                    F.array_distinct(arr),
+                    lambda k: F.struct(
+                        k.alias("key"),
+                        F.size(F.filter(arr, lambda x: x == k)).alias("value"),
+                    ),
+                )
             ).alias(self.name)
         ]
 

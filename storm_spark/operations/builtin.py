@@ -264,10 +264,12 @@ class FirstN:
         self.reverse = reverse
 
     def apply(self, stream):  # -> Stream
-        df = stream.df
+        # Lazy: compose on the deferred plan, never materialize stream.df here
+        # (an eager build would capture an empty Context and freeze a
+        # Feeder/DRPC-bound stream to its empty first snapshot).
         if self.sort_field is not None:
             order = F.col(self.sort_field).desc() if self.reverse else F.col(self.sort_field).asc()
-            df = df.orderBy(order).limit(self.n)
-        else:
-            df = df.limit(self.n)
-        return stream._with_df(df)
+            return stream._with(
+                lambda ctx, _s=stream: _s._build(ctx).orderBy(order).limit(self.n)
+            )
+        return stream._with(lambda ctx, _s=stream: _s._build(ctx).limit(self.n))

@@ -109,6 +109,21 @@ class MemoryMapState(MapState):
                 s.curr = combine(s.curr, d)
                 out.append(s.curr)
                 continue
+            if (
+                t is not None
+                and s is not None
+                and s.txid is not None
+                and t < s.txid
+                and self.state_type is not StateType.NON_TRANSACTIONAL
+            ):
+                # parity: OpaqueValue.java:44 fail-fast — a txid behind the
+                # stored one means the epoch counter was reset (fresh
+                # checkpoint against existing state); updating would corrupt
+                # the replay chain silently
+                raise ValueError(
+                    f"Current batch ({t}) is behind state's batch ({s.txid}) "
+                    f"for key {k}: refusing to update (stale/reset txid)"
+                )
             if self.state_type is StateType.OPAQUE:
                 # parity: OpaqueValue.update (OpaqueValue.java:37-47)
                 if s is None:

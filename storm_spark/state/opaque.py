@@ -21,9 +21,22 @@ class OpaqueValue:
         self.prev = prev
 
     def update(self, batch_txid: int | None, value: Any) -> "OpaqueValue":
-        """Parity: ``OpaqueValue.java:37-47``."""
+        """Parity: ``OpaqueValue.java:37-47`` — including the ``:44`` fail-fast
+        when the batch txid is *behind* the stored txid (e.g. a restart with a
+        fresh checkpoint whose epoch ids reset to 0 against existing state):
+        silently treating it as a new transaction would corrupt the prev/curr
+        replay chain."""
         if batch_txid is not None and batch_txid == self.curr_txid:
             return OpaqueValue(batch_txid, value, self.prev)
+        if (
+            batch_txid is not None
+            and self.curr_txid is not None
+            and batch_txid < self.curr_txid
+        ):
+            raise ValueError(
+                f"Current batch ({batch_txid}) is behind state's batch "
+                f"({self.curr_txid}): refusing to update (stale/reset txid)"
+            )
         return OpaqueValue(batch_txid, value, self.curr)
 
     def get(self, txid: int | None) -> Any:

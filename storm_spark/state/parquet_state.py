@@ -205,9 +205,24 @@ class ParquetMapState(MapState):
         t = F.lit(txid)
 
         stored = s_txid.isNotNull()
+        # Fail-fast (parity: OpaqueValue.java:44 "Current batch is behind
+        # state's batch"): a batch txid BEHIND the stored txid means the epoch
+        # counter was reset (fresh checkpoint against existing state);
+        # merging would corrupt the prev/curr replay chain silently.
+        stale = stored & b.isNotNull() & (s_txid > t)
+        stale_err = F.raise_error(
+            F.concat(
+                F.lit("Current batch ("),
+                t.cast("string"),
+                F.lit(") is behind state's batch ("),
+                s_txid.cast("string"),
+                F.lit("): refusing to update (stale/reset txid)"),
+            )
+        ).cast(self.value_type)
         if self.state_type is StateType.OPAQUE:
             new_curr = (
-                F.when(b.isNull(), s_curr)
+                F.when(stale, stale_err)
+                .when(b.isNull(), s_curr)
                 .when(~stored, agg.combine_expr(zero, b))
                 .when(s_txid == t, agg.combine_expr(F.coalesce(s_prev, zero), b))
                 .otherwise(agg.combine_expr(s_curr, b))
@@ -220,7 +235,8 @@ class ParquetMapState(MapState):
             )
         elif self.state_type is StateType.TRANSACTIONAL:
             new_curr = (
-                F.when(b.isNull(), s_curr)
+                F.when(stale, stale_err)
+                .when(b.isNull(), s_curr)
                 .when(~stored, agg.combine_expr(zero, b))
                 .when(s_txid == t, s_curr)  # same txid replay: skip
                 .otherwise(agg.combine_expr(s_curr, b))
@@ -277,6 +293,16 @@ class ParquetMapState(MapState):
                         tx_o.append(None if not stored else int(s_tx))
                         continue
                     rows = [dict(r) if not isinstance(r, dict) else r for r in b]
+                    if (
+                        stored
+                        and int(s_tx) > txid
+                        and state_type is not StateType.NON_TRANSACTIONAL
+                    ):
+                        # parity: OpaqueValue.java:44 fail-fast on reset txids
+                        raise ValueError(
+                            f"Current batch ({txid}) is behind state's batch "
+                            f"({int(s_tx)}): refusing to update (stale/reset txid)"
+                        )
                     if state_type is StateType.OPAQUE:
                         if not stored:
                             curr, prev = agg.combine(None, rows), None

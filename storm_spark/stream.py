@@ -81,16 +81,35 @@ class Stream:
         self._build = build
         self.fields = list(fields)
         self._name = name
+        #: DRPC functions this stream belongs to — every derived stream
+        #: re-registers as the function's terminal (parity: the last node of
+        #: the DRPC chain is what executes; ``TridentTopology.java:135-157``).
+        #: Propagated through ALL derivation paths, including joins and
+        #: multiReduce, so a chain ending in a join is still the terminal.
+        self._drpc_names: tuple[str, ...] = ()
 
     # -- plumbing -----------------------------------------------------------
+
+    def _adopt_drpc(self, *parents: "Stream") -> "Stream":
+        names: list[str] = []
+        for p in parents:
+            for n in getattr(p, "_drpc_names", ()):
+                if n not in names:
+                    names.append(n)
+        self._drpc_names = tuple(names)
+        for n in names:
+            self._topology._register_drpc_terminal(n, self)
+        return self
 
     def _with(
         self, build: Callable[[Context], DataFrame], fields: list[str] | None = None
     ) -> "Stream":
-        return Stream(self._topology, build, fields if fields is not None else self.fields, self._name)
+        s = Stream(self._topology, build, fields if fields is not None else self.fields, self._name)
+        return s._adopt_drpc(self)
 
     def _with_df(self, df: DataFrame) -> "Stream":
-        return Stream(self._topology, lambda ctx: df, df.columns, self._name)
+        s = Stream(self._topology, lambda ctx: df, df.columns, self._name)
+        return s._adopt_drpc(self)
 
     def _check_fields(self, fields: list[str], what: str = "input") -> None:
         for f in fields:
@@ -454,7 +473,7 @@ class Stream:
                 out = out.union(d)
             return out
 
-        return self._with(build, list(self.fields))
+        return self._with(build, list(self.fields))._adopt_drpc(*streams)
 
     def join(
         self,

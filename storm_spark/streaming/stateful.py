@@ -99,20 +99,26 @@ def stateful_sessionize(
         start, end, n = (
             pickle.loads(state.get[0]) if state.exists else (None, None, 0)
         )
-        for pdf in pdfs:
-            for ts in pdf[ts_col]:
-                t = ts.timestamp()
-                if start is None:
-                    start, end, n = t, t, 1
-                elif t - end <= gap_seconds:
-                    end, n = max(end, t), n + 1
-                else:
-                    # gap exceeded within the data itself: emit the old
-                    # session immediately, start a new one
-                    yield pd.DataFrame(
-                        [{key_col: key[0], "session_start": start, "session_end": end, "n_events": n}]
-                    )
-                    start, end, n = t, t, 1
+        # fold in event-time order — arrival order would let a
+        # later-then-earlier pair within the watermark prematurely close a
+        # session and mis-place its boundaries
+        times = sorted(
+            ts.timestamp() for pdf in pdfs for ts in pdf[ts_col]
+        )
+        for t in times:
+            if start is None:
+                start, end, n = t, t, 1
+            elif t - end <= gap_seconds:
+                # an event earlier than the open session's start (carried
+                # over from a previous batch) extends it backwards
+                start, end, n = min(start, t), max(end, t), n + 1
+            else:
+                # gap exceeded within the data itself: emit the old
+                # session immediately, start a new one
+                yield pd.DataFrame(
+                    [{key_col: key[0], "session_start": start, "session_end": end, "n_events": n}]
+                )
+                start, end, n = t, t, 1
         state.update((pickle.dumps((start, end, n)),))
         # close when the event-time watermark passes session end + gap
         state.setTimeoutTimestamp(int((end + gap_seconds) * 1000))

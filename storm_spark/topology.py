@@ -188,10 +188,11 @@ class Topology:
             return df
 
         s = Stream(self, build, ["args"], f"drpc:{function}")
-        s._drpc_name = function  # propagated by Stream._with via __dict__? no — see below
+        # every stream derived from this one (through _with, joins, merge,
+        # multiReduce — see Stream._adopt_drpc) re-registers as the terminal
+        s._drpc_names = (function,)
         self._register_drpc_terminal(function, s)
-        # wrap _with so every derived stream re-registers as the terminal
-        return _track_drpc(self, function, s)
+        return s
 
     def _register_drpc_terminal(self, function: str, stream: Stream) -> None:
         self._drpc[function] = stream
@@ -298,7 +299,7 @@ class Topology:
             # single group: the whole batch through one reducer instance
             return tagged.coalesce(1).mapInPandas(run, out_schema)
 
-        return Stream(self, build, out_l, "multireduce")
+        return Stream(self, build, out_l, "multireduce")._adopt_drpc(*slist)
 
     def multi_reduce(self, grouped_streams, reducer, out_fields) -> Stream:
         """Keyed cogroup over N streams (what join compiles to in the
@@ -356,20 +357,7 @@ class Topology:
             kcols = [f"__k{j}__" for j in range(nkeys)]
             return tagged.groupBy(*kcols).applyInPandas(run, out_schema)
 
-        return Stream(self, build, out_l, "multireduce")
-
-
-def _track_drpc(topology: Topology, function: str, stream: Stream) -> Stream:
-    """Wrap a stream so every derived stream becomes the DRPC terminal."""
-    orig_with = stream._with
-
-    def tracked_with(build, fields=None):
-        s = orig_with(build, fields)
-        topology._register_drpc_terminal(function, s)
-        return _track_drpc(topology, function, s)
-
-    stream._with = tracked_with  # type: ignore[method-assign]
-    return stream
+        return Stream(self, build, out_l, "multireduce")._adopt_drpc(*streams)
 
 
 # ---------------------------------------------------------------------------
@@ -443,7 +431,7 @@ def join_streams(
                     pos += 1
         return acc.select(*out_cols)
 
-    return Stream(topology, build, list(out_fields), "join")
+    return Stream(topology, build, list(out_fields), "join")._adopt_drpc(*streams)
 
 
 # ---------------------------------------------------------------------------
