@@ -262,3 +262,94 @@ class Aggregator:
 
 
 AnyAggregator = CombinerAggregator | ReducerAggregator | Aggregator
+
+
+# ---------------------------------------------------------------------------
+# partitionPersist scale path (StateUpdater contract)
+# ---------------------------------------------------------------------------
+
+
+class ReplaceCombiner(CombinerAggregator):
+    """Last-write-wins merge — gives ``PartitionBuffer.put`` its replace
+    semantics through the same opaque/transactional state machinery
+    (``combine(stored, new) = new``)."""
+
+    def __init__(self, value_type: str = "string"):
+        self.value_type = value_type
+
+    def combine_expr(self, a: Column, b: Column) -> Column:
+        return F.coalesce(b, a)
+
+    def zero_expr(self) -> Column:
+        return F.lit(None)
+
+    def init(self, tup: TridentTuple) -> Any:
+        return tup[0]
+
+    def combine(self, a: Any, b: Any) -> Any:
+        return b if b is not None else a
+
+    def zero(self) -> Any:
+        return None
+
+
+class PartitionBuffer:
+    """Partition-local write buffer handed to
+    :meth:`KeyedStateUpdater.update_state` — the executor-side stand-in for
+    the reference's live ``State`` handle (which there is a remote KV store
+    reachable from workers; here writes buffer locally and merge set-oriented
+    afterwards)."""
+
+    def __init__(self, combine: Callable[[Any, Any], Any]):
+        self._combine = combine
+        self._buf: dict[tuple, Any] = {}
+
+    def update(self, key: tuple, delta: Any) -> None:
+        """Accumulate a delta for ``key`` (merged with ``agg.combine``)."""
+        key = tuple(key)
+        cur = self._buf.get(key)
+        self._buf[key] = delta if key not in self._buf else self._combine(cur, delta)
+
+    def put(self, key: tuple, value: Any) -> None:
+        """Overwrite ``key`` (within this partition; cross-partition order of
+        conflicting puts is undefined, as in the reference)."""
+        self._buf[tuple(key)] = value
+
+    def items(self):
+        return self._buf.items()
+
+
+class KeyedStateUpdater:
+    """Scale-path StateUpdater for ``partition_persist``.
+
+    Parity: ``trident/state/StateUpdater.java`` +
+    ``PartitionPersistProcessor.java:36`` — ``update_state`` runs ONCE PER
+    PARTITION per batch, exactly like the reference runs updaters inside each
+    partition's bolt. Here it executes inside an Arrow ``mapInPandas``
+    kernel on the executors; the rows it writes into the
+    :class:`PartitionBuffer` flow out as ``(key..., delta)`` rows, are
+    combined per key (one shuffle), and merge into the backing ``MapState``
+    under the usual opaque/transactional txid protocol. Nothing collects to
+    the driver.
+
+    ``agg`` (a :class:`CombinerAggregator`) defines how deltas merge — with
+    each other across partitions and with the stored value across batches.
+    Use :class:`ReplaceCombiner` for put-style (last-write-wins) state.
+    """
+
+    def __init__(self, key_fields: list[str], agg: CombinerAggregator):
+        self.key_fields = list(key_fields)
+        self.agg = agg
+
+    def update_state(
+        self, buffer: PartitionBuffer, tuples: list[TridentTuple], collector: TridentCollector
+    ) -> None:
+        raise NotImplementedError
+
+    def reduce_expr(self, delta_col: Column) -> Column | None:
+        """Optional: a direct aggregate expression combining this updater's
+        deltas per key (e.g. ``F.sum``) — keeps the cross-partition combine
+        in codegen'd partial+final hash aggregation. Default: a
+        ``collect_list`` + ``F.aggregate`` fold of ``agg.combine_expr``
+        (bounded: at most one delta row per key per partition)."""
+        return None

@@ -25,7 +25,12 @@ from pyspark.sql import functions as F
 
 from storm_spark.fields import Fields
 from storm_spark.operations import Count, MapGet, SnapshotGet, Split, Sum
-from storm_spark.operations.base import Aggregator, LambdaFunction, PandasFunction
+from storm_spark.operations.base import (
+    Aggregator,
+    KeyedStateUpdater,
+    LambdaFunction,
+    PandasFunction,
+)
 from storm_spark.session import rebalance_scan
 from storm_spark.state import MemoryMapState, ParquetMapState
 from storm_spark.topology import FeederSource, LocalCluster, Topology
@@ -564,6 +569,59 @@ ORACLE_STATE_WORDCOUNT = f"""
 SELECT word, COUNT(*) AS count
 FROM (SELECT unnest({SQL_TOKS.format(x='text')}) AS word FROM documents)
 GROUP BY word
+"""
+
+
+class _FlagQtyUpdater(KeyedStateUpdater):
+    """Custom partitionPersist StateUpdater: accumulates quantity cents per
+    returnflag, with arbitrary per-tuple python logic (skip qty > 45) that no
+    built-in aggregate verb expresses. Runs per partition on the executors
+    (KeyedStateUpdater contract — StateUpdater.java /
+    PartitionPersistProcessor.java:36 parity)."""
+
+    def __init__(self):
+        super().__init__(["l_returnflag"], Sum("bigint"))
+
+    def update_state(self, buffer, tuples, collector):
+        for t in tuples:
+            if t["qty_c"] <= 4500:
+                buffer.update((t["l_returnflag"],), t["qty_c"])
+
+    def reduce_expr(self, delta_col):
+        return F.sum(delta_col)
+
+
+def q_partition_persist(spark, sf_dir):
+    """partitionPersist (scale path): a custom KeyedStateUpdater run per
+    partition on the executors across 3 epochs + 1 same-txid replay, merging
+    into ParquetMapState under the opaque protocol. Final state must equal
+    the batch SQL (the updater's skip-qty>45 logic is the WHERE twin)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", cents("l_quantity").alias("qty_c")
+    )
+    tmp = tempfile.mkdtemp(prefix="storm_spark_pp_")
+    topo = Topology(spark)
+    feeder = FeederSource(["l_returnflag", "qty_c"], ["string", "bigint"])
+    st = topo.new_stream("li", feeder).partition_persist(
+        ParquetMapState.factory(tmp), ["l_returnflag", "qty_c"], _FlagQtyUpdater(), ["sum_qty_c"]
+    )
+    cluster = LocalCluster(topo)
+    last = None
+    for b in range(3):
+        batch = li.filter(F.col("l_orderkey") % 3 == b).select("l_returnflag", "qty_c")
+        last = cluster.feed_dataframe(feeder, batch)
+    # same-txid replay: opaque merge must converge, not double-count
+    cluster.feed_dataframe(
+        feeder, li.filter(F.col("l_orderkey") % 3 == 2).select("l_returnflag", "qty_c"), txid=last
+    )
+    return st.dataframe().select("l_returnflag", F.col("sum_qty_c"))
+
+
+ORACLE_PARTITION_PERSIST = f"""
+SELECT l_returnflag, CAST(SUM({SQL_CENTS.format(x='l_quantity')}) AS BIGINT) AS sum_qty_c
+FROM lineitem
+WHERE {SQL_CENTS.format(x='l_quantity')} <= 4500
+GROUP BY l_returnflag
 """
 
 
@@ -1678,6 +1736,7 @@ QUERIES = {
     "first_n": q_first_n,
     "topk_per_group": q_topk_per_group,
     "state_wordcount": q_state_wordcount,
+    "partition_persist": q_partition_persist,
     "streaming_wordcount": q_streaming_wordcount,
     "state_snapshot_total": q_state_snapshot_total,
     "rollup_continuous": q_rollup_continuous,
@@ -1733,6 +1792,7 @@ ORACLES = {
     "first_n": ORACLE_FIRST_N,
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
     "state_wordcount": ORACLE_STATE_WORDCOUNT,
+    "partition_persist": ORACLE_PARTITION_PERSIST,
     "streaming_wordcount": ORACLE_STREAMING_WORDCOUNT,
     "state_snapshot_total": ORACLE_STATE_SNAPSHOT_TOTAL,
     "rollup_continuous": ORACLE_ROLLUP_CONTINUOUS,

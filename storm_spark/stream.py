@@ -411,10 +411,13 @@ class Stream:
         The engine runs the updater inside the per-batch commit (foreachBatch
         in streaming), giving the same committer semantics.
 
-        NOTE: the row-at-a-time StateUpdater contract runs driver-side over
-        the ``in_fields`` projection — it is the parity/test path. The scale
-        path for keyed writes is :meth:`persistent_aggregate` (set-oriented,
-        shuffle-parallel merge; nothing collects).
+        Pass a :class:`~storm_spark.operations.base.KeyedStateUpdater` for
+        the SCALE path: ``update_state`` runs once per partition on the
+        executors (Arrow ``mapInPandas``), buffered writes combine per key in
+        one shuffle and merge into the state table under the txid protocol —
+        no driver collect. A plain ``callable(state, tuples, collector)``
+        keeps the reference's row-at-a-time driver-side contract
+        (test/parity fixture for ``MemoryMapState`` only).
         """
         return self._topology._register_partition_persist(
             self, as_field_list(in_fields), updater, as_field_list(out_fields), state_factory

@@ -224,11 +224,24 @@ class Topology:
         return TridentState(self, spec, snapshot)
 
     def _register_partition_persist(self, stream, in_fields, updater, out_fields, state_factory) -> TridentState:
-        up_schema = StructType(
-            [f for f in stream.build(Context(self.spark)).schema.fields if f.name in in_fields]
-        )
-        state = state_factory(up_schema, (out_fields or ["value"])[0], "string")
-        spec = _StateSpec(stream, in_fields, in_fields, None, state, (out_fields or ["value"])[0], updater)
+        from storm_spark.operations.base import KeyedStateUpdater
+
+        up_fields = {f.name: f for f in stream.build(Context(self.spark)).schema.fields}
+        if isinstance(updater, KeyedStateUpdater):
+            # scale path: state is keyed by the updater's key fields; deltas
+            # merge via the updater's CombinerAggregator
+            ks = StructType([up_fields[k] for k in updater.key_fields])
+            value_field = (out_fields or ["value"])[0]
+            state = state_factory(ks, value_field, updater.agg.value_type)
+            spec = _StateSpec(
+                stream, updater.key_fields, in_fields, updater.agg, state, value_field, updater
+            )
+        else:
+            # legacy driver-side row-at-a-time contract (test/parity path for
+            # MemoryMapState fixtures only — see LocalCluster._process_spec)
+            up_schema = StructType([up_fields[f] for f in in_fields])
+            state = state_factory(up_schema, (out_fields or ["value"])[0], "string")
+            spec = _StateSpec(stream, in_fields, in_fields, None, state, (out_fields or ["value"])[0], updater)
         spec.snapshot = False
         self._state_specs.append(spec)
         return TridentState(self, spec, False)
@@ -360,6 +373,54 @@ class Topology:
         return Stream(self, build, out_l, "multireduce")._adopt_drpc(*streams)
 
 
+def _run_keyed_updater(df: DataFrame, in_fields: list[str], updater) -> DataFrame:
+    """Run a KeyedStateUpdater per partition and combine its buffered deltas
+    per key: mapInPandas (executor-side update_state over the partition's
+    tuples) -> one groupBy shuffle on the key fields. Returns one
+    ``(key..., __delta__)`` row per touched key, ready for
+    ``MapState.update_from_agg``."""
+    import pandas as pd
+
+    from storm_spark.operations.base import PartitionBuffer
+
+    key_fields = list(updater.key_fields)
+    agg = updater.agg
+    names = df.columns
+    pos = [names.index(f) for f in in_fields]
+    idx = {f: i for i, f in enumerate(in_fields)}
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    out_schema = StructType([])
+    for k in key_fields:
+        out_schema = out_schema.add(k, schema[k])
+    out_schema = out_schema.add("__delta__", _parse_ddl(agg.value_type))
+
+    def run(batches):
+        buffer = PartitionBuffer(agg.combine)
+        coll = TridentCollector()
+        tuples = [
+            TridentTuple([row[p] for p in pos], idx)
+            for pdf in batches
+            for row in pdf.itertuples(index=False, name=None)
+        ]
+        updater.update_state(buffer, tuples, coll)
+        yield pd.DataFrame(
+            [(*k, v) for k, v in buffer.items()],
+            columns=key_fields + ["__delta__"],
+        )
+
+    deltas = df.mapInPandas(run, out_schema)
+    red = updater.reduce_expr(F.col("__delta__"))
+    if red is None:
+        # generic fold of the updater's combiner over the per-partition
+        # deltas — bounded input (≤ one row per key per partition)
+        red = F.aggregate(
+            F.collect_list("__delta__"),
+            F.lit(None).cast(agg.value_type),
+            lambda acc, x: F.when(acc.isNull(), x).otherwise(agg.combine_expr(acc, x)),
+        )
+    return deltas.groupBy(*key_fields).agg(red.alias("__delta__"))
+
+
 # ---------------------------------------------------------------------------
 # Joins
 # ---------------------------------------------------------------------------
@@ -477,9 +538,24 @@ class LocalCluster:
         return txid
 
     def _process_spec(self, spec: _StateSpec, ctx: Context, txid: int) -> None:
+        from storm_spark.operations.base import KeyedStateUpdater
+
         df = spec.stream.build(ctx)
+        if isinstance(spec.updater, KeyedStateUpdater):
+            # scale path: updater runs per partition on the executors
+            # (mapInPandas), its buffered (key, delta) rows combine per key
+            # in one shuffle, then merge into the state table — no driver
+            # collect anywhere (PartitionPersistProcessor.java:36 parity)
+            agg_df = _run_keyed_updater(df, spec.in_fields, spec.updater)
+            if agg_df.limit(1).count() == 0:
+                return
+            spec.state.update_from_agg(agg_df, spec.updater.agg, txid)
+            self._record_touched(spec, agg_df)
+            return
         if spec.updater is not None:
-            # partition_persist: StateUpdater(state, tuples, collector)
+            # legacy driver-side path: StateUpdater(state, tuples, collector)
+            # row-at-a-time against the live state handle. Parity/test
+            # fixture ONLY (MemoryMapState) — it collects the batch
             rows = [
                 TridentTuple(tuple(r), {f: i for i, f in enumerate(df.columns)})
                 for r in df.select(*spec.in_fields).collect()
