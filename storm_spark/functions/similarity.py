@@ -73,19 +73,36 @@ def cosine_topk(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+def _hyperplanes(dim: int, n_planes: int, table: int = 0) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5 — reproducible with
-    no RNG dependency (each component is md5(p:i) mapped to [-1, 1))."""
+    no RNG dependency (each component is md5(table:p:i) mapped to [-1, 1)).
+    ``table`` seeds independent plane sets for multi-table LSH."""
     import hashlib
 
     planes = []
     for p in range(n_planes):
         comps = []
         for i in range(dim):
-            h = int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8], 16)
+            h = int(hashlib.md5(f"{table}:{p}:{i}".encode()).hexdigest()[:8], 16)
             comps.append((h / 0x7FFFFFFF) - 1.0)
         planes.append(comps)
     return planes
+
+
+def _sig_expr(v: Column, planes: list[list[float]]) -> Column:
+    """Pack the sign bit of v·plane for each plane into one int signature."""
+    out = None
+    for p, comps in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in comps])
+        bit = F.when(_dot(v, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        out = bit if out is None else out + bit
+    return out
+
+
+def _multi_table_sigs(vc: Column, dim: int, n_planes: int, n_tables: int) -> Column:
+    """Array of ``n_tables`` independent LSH signatures (OR-construction)."""
+    v = vc.cast("array<double>")
+    return F.array(*[_sig_expr(v, _hyperplanes(dim, n_planes, t)) for t in range(n_tables)])
 
 
 def lsh_bucket_topk(
@@ -95,44 +112,60 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 4,
     dim: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: random-hyperplane signature buckets + exact
-    re-rank within each bucket. ~2^n_planes-fold candidate reduction; recall
-    depends on bucket granularity (an IVF-style probe-multiple-buckets
-    extension is the next notch). No SQL oracle — approximate by design."""
+    """Approximate top-k: multi-table random-hyperplane LSH + exact re-rank.
+
+    Band-style OR-construction (the minhash-banding shape in embedding
+    space): ``n_tables`` independent ``n_planes``-bit signature tables,
+    candidates = union of per-table bucket matches, then exact cosine
+    re-rank. Per-table buckets stay small (2^n_planes of them — within-bucket
+    candidate generation is O(n²/2^n_planes) per table, bounded by the table
+    count, never one global O(n²/buckets) blob), while recall compounds
+    across tables: 1-(1-p^n_planes)^n_tables for per-plane agreement p.
+    Raise ``n_planes`` for scale (smaller buckets), raise ``n_tables`` to
+    buy recall back. No RNG — planes derive from md5, so results are
+    reproducible and SQL-twinnable.
+
+    ``dim`` is required: the plane literals are baked into the plan, and
+    inferring it would force a corpus scan at plan-build time.
+    """
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes)
-
-    def signature(vc: Column) -> Column:
-        v = vc.cast("array<double>")
-        bits = []
-        for p, comps in enumerate(planes):
-            plane = F.array(*[F.lit(x) for x in comps])
-            bits.append(F.when(_dot(v, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
-
+        raise ValueError(
+            "dim is required (pass your embedding dimension explicitly — "
+            "inferring it would scan the corpus at plan-build time)"
+        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv__"),
-        signature(F.col(vec_col)).alias("__sig__"),
+        F.posexplode(_multi_table_sigs(F.col(vec_col), dim, n_planes, n_tables)).alias(
+            "__t__", "__sig__"
+        ),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv__"),
-        signature(F.col(vec_col)).alias("__sig__"),
-    )
-    pairs = q.join(c, on="__sig__").filter(F.col("query_id") != F.col("neighbor_id"))
-    sim = pairs.select(
-        "query_id",
-        "neighbor_id",
-        (_dot(F.col("__qv__"), F.col("__cv__")) / (_norm(F.col("__qv__")) * _norm(F.col("__cv__")))).alias(
-            "cos_sim"
+        F.posexplode(_multi_table_sigs(F.col(vec_col), dim, n_planes, n_tables)).alias(
+            "__t__", "__sig__"
         ),
+    )
+    pairs = q.join(c, on=["__t__", "__sig__"]).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    # cosine computed map-side after the bucket join; a pair surfacing in
+    # several tables dedups in the same shuffle as the top-k (max = identical
+    # values) — cheaper than shuffling vectors to dedup first
+    sim = (
+        pairs.select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("__qv__"), F.col("__cv__")) / (_norm(F.col("__qv__")) * _norm(F.col("__cv__")))).alias(
+                "cos_sim"
+            ),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -251,17 +284,39 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_planes: int = 8,
+    n_tables: int = 4,
     dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold)
-    via LSH buckets + exact verify — the embedding-space analogue of
-    minhash dedup."""
-    topk = lsh_bucket_topk(df, df, id_col, vec_col, k=1000, n_planes=n_planes, dim=dim)
-    return (
-        topk.filter((F.col("cos_sim") >= threshold) & (F.col("query_id") < F.col("neighbor_id")))
-        .select(
-            F.col("query_id").alias("id_a"),
-            F.col("neighbor_id").alias("id_b"),
-            F.col("cos_sim"),
+    via multi-table LSH candidates + exact verify — the embedding-space
+    analogue of minhash-LSH banding (same OR-construction: union candidates
+    across ``n_tables`` independent signature tables, then exact cosine).
+    ``dim`` is required (see :func:`lsh_bucket_topk`)."""
+    if dim is None:
+        raise ValueError(
+            "dim is required (pass your embedding dimension explicitly — "
+            "inferring it would scan the corpus at plan-build time)"
         )
+    v = df.select(
+        F.col(id_col).alias("__id__"),
+        F.col(vec_col).cast("array<double>").alias("__v__"),
+        F.posexplode(_multi_table_sigs(F.col(vec_col), dim, n_planes, n_tables)).alias(
+            "__t__", "__sig__"
+        ),
     )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(b, on=["__t__", "__sig__"]).filter(F.col("a.__id__") < F.col("b.__id__"))
+    sim = (
+        pairs.select(
+            F.col("a.__id__").alias("id_a"),
+            F.col("b.__id__").alias("id_b"),
+            (
+                _dot(F.col("a.__v__"), F.col("b.__v__"))
+                / (_norm(F.col("a.__v__")) * _norm(F.col("b.__v__")))
+            ).alias("cos_sim"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.round(F.max("cos_sim"), 6).alias("cos_sim"))
+    )
+    # threshold on the ROUNDED value (matches the SQL twin's WHERE)
+    return sim.filter(F.col("cos_sim") >= threshold).select("id_a", "id_b", "cos_sim")

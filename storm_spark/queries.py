@@ -1298,11 +1298,14 @@ FROM ranked WHERE rank <= 5
 
 
 def q_ann_lsh(spark, sf_dir):
-    """Approximate NN via hyperplane LSH — approximate by design, so no SQL
-    oracle (driver records the weaker rows-only check)."""
+    """Approximate NN via multi-table hyperplane LSH (3 independent 6-plane
+    tables, union candidates, exact re-rank). md5-derived planes make the
+    selection deterministic, so the SQL twin is exact."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 20)
-    return similarity.lsh_bucket_topk(emb, queries_df, "vec_id", "embedding", k=5, n_planes=6, dim=64)
+    return similarity.lsh_bucket_topk(
+        emb, queries_df, "vec_id", "embedding", k=5, n_planes=6, n_tables=3, dim=64
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1497,22 +1500,26 @@ def q_percentile(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via LSH buckets. The hyperplanes are
-    md5-derived (no RNG), so even the 'approximate' path has an exact SQL
-    twin: same plane literals, same bucket join, same rounded-cosine filter."""
+    """Embedding-cosine near-dup pairs via multi-table LSH (OR-construction:
+    3 independent 6-plane tables, union candidates, exact verify). The
+    hyperplanes are md5-derived (no RNG), so even the 'approximate' path has
+    an exact SQL twin: same plane literals, same per-table bucket joins
+    unioned, same rounded-cosine filter."""
     emb = _t(spark, sf_dir, "embeddings")
     # the synthetic embeddings are near-orthogonal random vectors (max pair
     # cosine ~0.5) — 0.45 exercises the operator non-trivially
-    return similarity.embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.45, n_planes=6, dim=64)
+    return similarity.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.45, n_planes=6, n_tables=3, dim=64
+    )
 
 
-def _sql_lsh_sig(vec_expr: str, n_planes: int, dim: int) -> str:
+def _sql_lsh_sig(vec_expr: str, n_planes: int, dim: int, table: int = 0) -> str:
     """DuckDB twin of similarity.lsh signature: same md5-derived plane
     literals, same >=0 sign bits packed into an int."""
     from storm_spark.functions.similarity import _hyperplanes
 
     terms = []
-    for p, comps in enumerate(_hyperplanes(dim, n_planes)):
+    for p, comps in enumerate(_hyperplanes(dim, n_planes, table)):
         arr = "[" + ",".join(repr(c) for c in comps) + "]::DOUBLE[]"
         terms.append(
             f"CASE WHEN list_inner_product({vec_expr}, {arr}) >= 0 THEN {1 << p} ELSE 0 END"
@@ -1526,14 +1533,25 @@ SQL_COS = (
 )
 
 
-def _oracle_embedding_near_dup(threshold=0.45, n_planes=6, dim=64):
-    sig = _sql_lsh_sig("embedding::DOUBLE[]", n_planes, dim)
+def _oracle_embedding_near_dup(threshold=0.45, n_planes=6, n_tables=3, dim=64):
+    sigs = ", ".join(
+        f"{_sql_lsh_sig('embedding::DOUBLE[]', n_planes, dim, t)} AS sig{t}"
+        for t in range(n_tables)
+    )
+    cand_selects = "\n  UNION\n".join(
+        f"  SELECT a.vec_id AS id_a, b.vec_id AS id_b\n"
+        f"  FROM v a JOIN v b ON a.sig{t} = b.sig{t} AND a.vec_id < b.vec_id"
+        for t in range(n_tables)
+    )
     cos = SQL_COS.format(a="a.vv", b="b.vv")
     return f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv, {sig} AS sig FROM embeddings),
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv, {sigs} FROM embeddings),
+cand AS (
+{cand_selects}
+),
 pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cos_sim
-  FROM v a JOIN v b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+  SELECT id_a, id_b, round({cos}, 6) AS cos_sim
+  FROM cand JOIN v a ON a.vec_id = cand.id_a JOIN v b ON b.vec_id = cand.id_b)
 SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
 """
 
@@ -1541,15 +1559,27 @@ SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
 ORACLE_EMBEDDING_NEAR_DUP = _oracle_embedding_near_dup()
 
 
-def _oracle_ann_lsh(k=5, n_planes=6, dim=64):
-    sig = _sql_lsh_sig("embedding::DOUBLE[]", n_planes, dim)
-    cos = SQL_COS.format(a="qv", b="cv")
+def _oracle_ann_lsh(k=5, n_planes=6, n_tables=3, dim=64):
+    sigs = ", ".join(
+        f"{_sql_lsh_sig('embedding::DOUBLE[]', n_planes, dim, t)} AS sig{t}"
+        for t in range(n_tables)
+    )
+    cand_selects = "\n  UNION\n".join(
+        f"  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id\n"
+        f"  FROM q JOIN c ON q.sig{t} = c.sig{t} AND q.vec_id <> c.vec_id"
+        for t in range(n_tables)
+    )
+    cos = SQL_COS.format(a="q.vv", b="c.vv")
     return f"""
-WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, {sig} AS sig FROM embeddings),
-q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, {sig} AS sig FROM embeddings WHERE vec_id < 20),
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv, {sigs} FROM embeddings),
+c AS (SELECT * FROM v),
+q AS (SELECT * FROM v WHERE vec_id < 20),
+cand AS (
+{cand_selects}
+),
 pairs AS (
-  SELECT query_id, neighbor_id, {cos} AS cs
-  FROM q JOIN c USING (sig) WHERE query_id <> neighbor_id),
+  SELECT cand.query_id, cand.neighbor_id, {cos} AS cs
+  FROM cand JOIN v q ON q.vec_id = cand.query_id JOIN v c ON c.vec_id = cand.neighbor_id),
 ranked AS (
   SELECT query_id, neighbor_id, cs,
          row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS rank

@@ -67,10 +67,52 @@ def test_ivf_deterministic(vectors):
 def test_lsh_bucket_topk_subset_of_exact_ranking(vectors):
     qs = vectors.filter(F.col("vec_id") < 5)
     data = {r.vec_id: list(r.embedding) for r in vectors.collect()}
-    got = similarity.lsh_bucket_topk(vectors, qs, k=3, n_planes=4).collect()
+    got = similarity.lsh_bucket_topk(vectors, qs, k=3, n_planes=4, n_tables=2, dim=16).collect()
     for r in got:
         # every reported similarity must equal the true cosine (re-rank is exact)
         assert abs(r.cos_sim - _cos(data[r.query_id], data[r.neighbor_id])) < 1e-5
+
+
+def test_lsh_requires_dim(vectors):
+    with pytest.raises(ValueError, match="dim is required"):
+        similarity.lsh_bucket_topk(vectors, vectors, k=3)
+    with pytest.raises(ValueError, match="dim is required"):
+        similarity.embedding_near_dup_pairs(vectors)
+
+
+def test_multi_table_lsh_recall_beats_single_table(vectors):
+    """OR-construction recall: union of candidates over L independent tables
+    finds strictly more of the exact top-k than any one table, and every
+    planted near-duplicate pair must surface with enough tables."""
+    qs = vectors.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(vectors, qs, k=1).collect()
+    }
+
+    def recall(n_tables):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.lsh_bucket_topk(
+                vectors, qs, k=1, n_planes=6, n_tables=n_tables, dim=16
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1
+    # planted duplicates have cosine ~0.9998 (agree on ~99.5% of planes):
+    # 4 tables of 6 planes give each pair P(miss) < 1e-5
+    assert r4 == 1.0
+
+
+def test_embedding_near_dup_multi_table_finds_planted(vectors):
+    got = similarity.embedding_near_dup_pairs(
+        vectors, threshold=0.99, n_planes=6, n_tables=4, dim=16
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    planted = {(i, 100 + i) for i in range(40)}
+    assert planted <= pairs
 
 
 def test_quantize_embeddings_roundtrip_accuracy(vectors):
