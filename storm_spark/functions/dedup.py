@@ -94,7 +94,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
     ndigits: int = 6,
     toks_col: str | None = None,
 ) -> DataFrame:
@@ -104,6 +104,15 @@ def ngram_jaccard_pairs(
     |A∩B| from the self-join, |A|,|B| from per-doc shingle counts,
     J = inter / (|A| + |B| - inter). Returns (id_a, id_b, jaccard) with
     id_a < id_b and jaccard >= threshold.
+
+    ``max_shingle_df`` (PRODUCTION DEFAULT: 1000) drops shingles appearing
+    in more than that many documents before the self-join. On natural-
+    language corpora a handful of stock phrases appear in a large fraction
+    of documents; each contributes O(df²) candidate pairs, turning the
+    inverted-index join superlinear — the cap bounds any shingle's
+    contribution at O(cap²) while barely moving Jaccard for genuinely
+    similar pairs (hot shingles carry no discriminative signal). Pass
+    ``None`` only when exact uncapped Jaccard semantics are required.
 
     The index feeds three plan branches (both join sides + sizes); it is
     persisted so tokenization/hashing runs once, not three times.

@@ -926,7 +926,7 @@ def q_corpus_clean(spark, sf_dir):
     # so the filter+fingerprint subtree runs once
     exact = dedup.dedup_exact(quality, "doc_id", "text", toks_col="__toks__").persist()
     near_pairs = dedup.ngram_jaccard_pairs(
-        exact, "doc_id", "text", n=3, threshold=0.5, toks_col="__toks__"
+        exact, "doc_id", "text", n=3, threshold=0.5, max_shingle_df=None, toks_col="__toks__"
     )
     drop = near_pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return exact.join(drop, on="doc_id", how="left_anti").select("doc_id", "n_tokens")
@@ -1189,17 +1189,39 @@ GROUP BY fp
 
 
 def q_dedup_jaccard(spark, sf_dir):
+    """Uncapped exact Jaccard (max_shingle_df=None passed explicitly — the
+    production default caps hot shingles; see q_dedup_jaccard_capped)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.12)
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.12, max_shingle_df=None
+    )
 
 
-def _oracle_jaccard(n=3, threshold=0.12):
+def q_dedup_jaccard_capped(spark, sf_dir):
+    """The PRODUCTION path: hot-shingle cap active (max_shingle_df) so the
+    inverted-index self-join stays near-linear on natural-language corpora.
+    Cap=4 actually bites at sf0.01 (max shingle df there is 7), so this gate
+    proves the capped semantics, not just the uncapped twin."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.12, max_shingle_df=4
+    )
+
+
+def _oracle_jaccard(n=3, threshold=0.12, max_shingle_df=None):
     nm1 = n - 1
     sh = SQL_SHINGLES.format(t="toks", nm1=nm1)
+    cap = (
+        f""",
+hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > {max_shingle_df}),
+sh AS (SELECT * FROM sh0 ANTI JOIN hot USING (s))"""
+        if max_shingle_df is not None
+        else ",\nsh AS (SELECT * FROM sh0)"
+    )
     return f"""
 WITH tk AS (SELECT doc_id, {SQL_TOKS.format(x='text')} AS toks FROM documents),
 raw AS (SELECT doc_id, unnest({sh}) AS s FROM tk),
-sh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS s FROM raw),
+sh0 AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS s FROM raw){cap},
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
@@ -1213,6 +1235,7 @@ WHERE round(i / (sa.n + sb.n - i), 6) >= {threshold}
 
 
 ORACLE_DEDUP_JACCARD = _oracle_jaccard()
+ORACLE_DEDUP_JACCARD_CAPPED = _oracle_jaccard(max_shingle_df=4)
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -1777,6 +1800,7 @@ QUERIES = {
     "json_extract": q_json_extract,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_jaccard_capped": q_dedup_jaccard_capped,
     "corpus_clean": q_corpus_clean,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
@@ -1833,6 +1857,7 @@ ORACLES = {
     "json_extract": ORACLE_JSON_EXTRACT,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,
+    "dedup_jaccard_capped": ORACLE_DEDUP_JACCARD_CAPPED,
     "corpus_clean": ORACLE_CORPUS_CLEAN,
     "minhash_lsh": ORACLE_MINHASH_LSH,
     "simhash": ORACLE_SIMHASH,
