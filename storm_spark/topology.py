@@ -281,13 +281,20 @@ class Topology:
         def build(ctx: Context) -> DataFrame:
             import pandas as pd
 
+            # typed struct-column tagged union: each stream carries its own
+            # payload struct column (others null) — Arrow moves native typed
+            # structs, no per-row JSON codec anywhere
+            dfs = [s._build(ctx) for s in slist]
+            payload_types = [StructType(d.schema.fields.copy()) for d in dfs]
             tagged = None
-            for i, s in enumerate(slist):
-                df = s._build(ctx)
-                d = df.select(
-                    F.lit(i).alias("__src__"),
-                    F.to_json(F.struct(*[F.col(c) for c in s.fields])).alias("__payload__"),
-                )
+            for i, (s, df) in enumerate(zip(slist, dfs)):
+                cols = [F.lit(i).alias("__src__")]
+                for j in range(len(slist)):
+                    if j == i:
+                        cols.append(F.struct(*[F.col(c) for c in s.fields]).alias(f"__p{j}__"))
+                    else:
+                        cols.append(F.lit(None).cast(payload_types[j]).alias(f"__p{j}__"))
+                d = df.select(*cols)
                 tagged = d if tagged is None else tagged.union(d)
 
             out_schema = StructType()
@@ -296,20 +303,25 @@ class Topology:
             field_orders = [list(s.fields) for s in slist]
 
             def run(batches):
-                import json
-
                 coll = TridentCollector()
                 state = reducer.init(coll)
                 for pdf in batches:
-                    for src, payload in zip(pdf["__src__"], pdf["__payload__"]):
-                        vals = json.loads(payload)
-                        fo = field_orders[int(src)]
-                        tup = TridentTuple([vals[f] for f in fo], {f: i for i, f in enumerate(fo)})
-                        reducer.execute(state, int(src), tup, coll)
+                    srcs = pdf["__src__"]
+                    payloads = [pdf[f"__p{j}__"] for j in range(len(field_orders))]
+                    for r in range(len(pdf)):
+                        src = int(srcs.iloc[r])
+                        row = payloads[src].iloc[r]  # Arrow struct -> dict
+                        fo = field_orders[src]
+                        tup = TridentTuple(
+                            [row[f] for f in fo], {f: i for i, f in enumerate(fo)}
+                        )
+                        reducer.execute(state, src, tup, coll)
                 reducer.complete(state, coll)
                 yield pd.DataFrame(coll.rows, columns=out_l)
 
-            # single group: the whole batch through one reducer instance
+            # single group (the reference's global() placement): the whole
+            # batch through one reducer instance — an inherent one-partition
+            # bound of the ungrouped MultiReducer contract
             return tagged.coalesce(1).mapInPandas(run, out_schema)
 
         return Stream(self, build, out_l, "multireduce")._adopt_drpc(*slist)
@@ -330,18 +342,26 @@ class Topology:
         def build(ctx: Context) -> DataFrame:
             import pandas as pd
 
-            key_schema = None
+            # typed struct payloads per source stream (see multi_reduce_streams)
+            dfs = [s._build(ctx) for s in streams]
+            key_schema = [f for f in dfs[0].schema.fields if f.name in keys_list[0]]
+            rest_list = [
+                [c for c in df.columns if c not in ks] for df, ks in zip(dfs, keys_list)
+            ]
+            payload_types = [
+                StructType([f for f in df.schema.fields if f.name in rest])
+                for df, rest in zip(dfs, rest_list)
+            ]
             tagged = None
-            for i, (s, ks) in enumerate(zip(streams, keys_list)):
-                df = s._build(ctx)
-                if key_schema is None:
-                    key_schema = [f for f in df.schema.fields if f.name in ks]
-                rest = [c for c in df.columns if c not in ks]
-                d = df.select(
-                    *[F.col(k).alias(f"__k{j}__") for j, k in enumerate(ks)],
-                    F.lit(i).alias("__src__"),
-                    F.to_json(F.struct(*rest)).alias("__payload__"),
-                )
+            for i, (df, ks, rest) in enumerate(zip(dfs, keys_list, rest_list)):
+                cols = [F.col(k).alias(f"__k{j}__") for j, k in enumerate(ks)]
+                cols.append(F.lit(i).alias("__src__"))
+                for j in range(len(streams)):
+                    if j == i:
+                        cols.append(F.struct(*[F.col(c) for c in rest]).alias(f"__p{j}__"))
+                    else:
+                        cols.append(F.lit(None).cast(payload_types[j]).alias(f"__p{j}__"))
+                d = df.select(*cols)
                 tagged = d if tagged is None else tagged.union(d)
 
             out_schema = StructType()
@@ -349,18 +369,21 @@ class Topology:
                 out_schema = out_schema.add(out_l[j], f.dataType)
             for name, t in zip(out_l[nkeys:], reducer.out_types):
                 out_schema = out_schema.add(name, _parse_ddl(t))
+            field_orders = list(rest_list)
 
             def run(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
-                import json
-
                 coll = TridentCollector()
                 state = reducer.init(coll)
-                i_src = pdf.columns.get_loc("__src__")
-                i_payload = pdf.columns.get_loc("__payload__")
-                for row in pdf.itertuples(index=False, name=None):
-                    payload = json.loads(row[i_payload])
-                    vals = list(payload.values())
-                    reducer.execute(state, int(row[i_src]), TridentTuple(vals, {}), coll)
+                srcs = pdf["__src__"]
+                payloads = [pdf[f"__p{j}__"] for j in range(len(field_orders))]
+                for r in range(len(pdf)):
+                    src = int(srcs.iloc[r])
+                    row = payloads[src].iloc[r]  # Arrow struct -> dict
+                    fo = field_orders[src]
+                    vals = [row[f] for f in fo]
+                    reducer.execute(
+                        state, src, TridentTuple(vals, {f: i for i, f in enumerate(fo)}), coll
+                    )
                 reducer.complete(state, coll)
                 return pd.DataFrame(
                     [list(key) + r for r in coll.rows],
