@@ -41,40 +41,74 @@ class BasicBolt:
     def prepare(self) -> None:
         pass
 
-    def execute(self, tup: TridentTuple, collector: TridentCollector) -> None:
+    def execute(self, tup: TridentTuple, collector: "BoltCollector") -> None:
         raise NotImplementedError
+
+    def declare_streams(self) -> dict[str, tuple[list[str], list[str]]]:
+        """Declare the bolt's named output streams: ``{stream_id: (fields,
+        types)}`` — parity: ``OutputFieldsDeclarer.declareStream`` (thrift
+        ``StreamInfo``; components may emit several named streams,
+        ``storm.thrift``). Default: one ``'default'`` stream from
+        ``out_fields``/``out_types`` (``declareOutputFields``)."""
+        return {"default": (list(self.out_fields), list(self.out_types))}
+
+
+class BoltCollector(TridentCollector):
+    """Collector with named-stream emits — parity:
+    ``BasicOutputCollector.emit(tuple)`` / ``emit(streamId, tuple)``
+    (``topology/BasicOutputCollector.java:30-40``)."""
+
+    def __init__(self):
+        super().__init__()
+        self.by_stream: dict[str, list[list]] = {}
+
+    def emit(self, values_or_stream, values=None) -> None:
+        """``emit(values)`` → the 'default' stream;
+        ``emit(stream_id, values)`` → that named stream."""
+        if values is None:
+            sid, vals = "default", values_or_stream
+        else:
+            sid, vals = values_or_stream, values
+        self.by_stream.setdefault(sid, []).append(list(vals))
+        if sid == "default":
+            self.rows.append(list(vals))
 
 
 class _BoltDeclarer:
-    """Parity: ``InputDeclarer.java:26-51`` — grouping declaration, fluent."""
+    """Parity: ``InputDeclarer.java:26-51`` — grouping declaration, fluent.
+    Every grouping takes an optional ``stream_id`` to subscribe to a named
+    output stream of the source component (the reference's two-arg
+    overloads, e.g. ``shuffleGrouping(componentId, streamId)``)."""
 
     def __init__(self, builder: "TopologyBuilder", bolt_id: str):
         self._builder = builder
         self._bolt_id = bolt_id
 
-    def _wire(self, source_id: str, grouping: tuple) -> "_BoltDeclarer":
-        self._builder._inputs[self._bolt_id].append((source_id, grouping))
+    def _wire(self, source_id: str, stream_id: str, grouping: tuple) -> "_BoltDeclarer":
+        self._builder._inputs[self._bolt_id].append((source_id, stream_id, grouping))
         return self
 
-    def shuffle_grouping(self, source_id: str) -> "_BoltDeclarer":
-        return self._wire(source_id, ("shuffle",))
+    def shuffle_grouping(self, source_id: str, stream_id: str = "default") -> "_BoltDeclarer":
+        return self._wire(source_id, stream_id, ("shuffle",))
 
-    def fields_grouping(self, source_id: str, fields: Sequence[str]) -> "_BoltDeclarer":
-        return self._wire(source_id, ("fields", list(fields)))
+    def fields_grouping(
+        self, source_id: str, fields: Sequence[str], stream_id: str = "default"
+    ) -> "_BoltDeclarer":
+        return self._wire(source_id, stream_id, ("fields", list(fields)))
 
-    def global_grouping(self, source_id: str) -> "_BoltDeclarer":
-        return self._wire(source_id, ("global",))
+    def global_grouping(self, source_id: str, stream_id: str = "default") -> "_BoltDeclarer":
+        return self._wire(source_id, stream_id, ("global",))
 
-    def all_grouping(self, source_id: str) -> "_BoltDeclarer":
+    def all_grouping(self, source_id: str, stream_id: str = "default") -> "_BoltDeclarer":
         # replicate-to-all is a physical concern in the reference; per-batch
         # semantics are identical to a single consumer seeing every tuple
-        return self._wire(source_id, ("all",))
+        return self._wire(source_id, stream_id, ("all",))
 
-    def none_grouping(self, source_id: str) -> "_BoltDeclarer":
-        return self._wire(source_id, ("shuffle",))
+    def none_grouping(self, source_id: str, stream_id: str = "default") -> "_BoltDeclarer":
+        return self._wire(source_id, stream_id, ("shuffle",))
 
-    def local_or_shuffle_grouping(self, source_id: str) -> "_BoltDeclarer":
-        return self._wire(source_id, ("shuffle",))
+    def local_or_shuffle_grouping(self, source_id: str, stream_id: str = "default") -> "_BoltDeclarer":
+        return self._wire(source_id, stream_id, ("shuffle",))
 
 
 class TopologyBuilder:
@@ -84,8 +118,9 @@ class TopologyBuilder:
         self._topology = topology
         self._spouts: dict[str, Stream] = {}
         self._bolts: dict[str, BasicBolt] = {}
-        self._inputs: dict[str, list[tuple[str, tuple]]] = {}
+        self._inputs: dict[str, list[tuple[str, str, tuple]]] = {}
         self._order: list[str] = []
+        self._compiled: dict[str, dict[str, Stream]] = {}
 
     def set_spout(self, spout_id: str, source: FeederSource | DataFrame) -> None:
         self._spouts[spout_id] = self._topology.new_stream(spout_id, source)
@@ -98,22 +133,33 @@ class TopologyBuilder:
         self._order.append(bolt_id)
         return _BoltDeclarer(self, bolt_id)
 
-    def stream(self, component_id: str) -> Stream:
-        """The compiled output Stream of a spout or bolt."""
+    def stream(self, component_id: str, stream_id: str = "default") -> Stream:
+        """The compiled output Stream of a spout or bolt — ``stream_id``
+        selects a named output stream (``declareStream``/``emit(streamId)``)."""
         if component_id in self._spouts:
+            if stream_id != "default":
+                raise KeyError(f"spout {component_id!r} has only the default stream")
             return self._spouts[component_id]
         if component_id not in self._bolts:
             raise KeyError(f"unknown component {component_id!r}")
-        return self._compile_bolt(component_id)
+        streams = self._compile_bolt(component_id)
+        if stream_id not in streams:
+            raise KeyError(
+                f"component {component_id!r} declares streams {sorted(streams)}; "
+                f"no stream {stream_id!r}"
+            )
+        return streams[stream_id]
 
-    def _compile_bolt(self, bolt_id: str) -> Stream:
+    def _compile_bolt(self, bolt_id: str) -> dict[str, Stream]:
+        if bolt_id in self._compiled:
+            return self._compiled[bolt_id]
         bolt = self._bolts[bolt_id]
         wires = self._inputs[bolt_id]
         if not wires:
             raise ValueError(f"bolt {bolt_id!r} has no inputs")
         upstreams = []
-        for source_id, grouping in wires:
-            s = self.stream(source_id)
+        for source_id, stream_id, grouping in wires:
+            s = self.stream(source_id, stream_id)
             kind = grouping[0]
             if kind == "fields":
                 s = s.partition_by(grouping[1])
@@ -122,7 +168,8 @@ class TopologyBuilder:
             # shuffle/all: no repartition needed for per-batch semantics
             upstreams.append(s)
         merged = upstreams[0] if len(upstreams) == 1 else upstreams[0].merge(*upstreams[1:])
-        return _run_bolt(merged, bolt)
+        self._compiled[bolt_id] = _run_bolt(merged, bolt)
+        return self._compiled[bolt_id]
 
 
 def complete_topology(
@@ -148,37 +195,119 @@ def complete_topology(
     for sid in builder._spouts:
         out[sid] = sorted(map(tuple, builder.stream(sid).df.collect()))
     for bid in builder._order:
-        out[bid] = sorted(map(tuple, builder.stream(bid).df.collect()))
+        # read-tuples parity: the default stream under the component id,
+        # named streams under "component:stream"
+        for sid in builder._bolts[bid].declare_streams():
+            key = bid if sid == "default" else f"{bid}:{sid}"
+            out[key] = sorted(map(tuple, builder.stream(bid, sid).df.collect()))
     return out
 
 
-def _run_bolt(stream: Stream, bolt: BasicBolt) -> Stream:
+def _run_bolt(stream: Stream, bolt: BasicBolt) -> dict[str, Stream]:
     """Execute a BasicBolt over the stream: Arrow-batched, output fields
-    REPLACE the input fields (core-Storm contract, unlike Trident append)."""
+    REPLACE the input fields (core-Storm contract, unlike Trident append).
+    Returns ``{stream_id: Stream}`` — one entry per declared output stream.
+
+    Multi-stream bolts run ONE kernel emitting a tagged union (a typed
+    struct column per stream); each named Stream filters its tag and
+    unnests its struct. Consumers of several streams of one bolt share the
+    tagged subtree (memoized per Context build)."""
+    import weakref
+
+    from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
     from storm_spark.stream import Context, _parse_ddl
 
-    out_fields = list(bolt.out_fields)
-    out_schema = StructType()
-    for n, t in zip(out_fields, bolt.out_types):
-        out_schema = out_schema.add(n, _parse_ddl(t))
+    decl = bolt.declare_streams()
     in_fields = list(stream.fields)
 
-    def build(ctx: Context) -> DataFrame:
+    if set(decl) == {"default"}:
+        out_fields, out_types = decl["default"]
+        out_schema = StructType()
+        for n, t in zip(out_fields, out_types):
+            out_schema = out_schema.add(n, _parse_ddl(t))
+
+        def build(ctx: Context) -> DataFrame:
+            import pandas as pd
+
+            df = stream._build(ctx)
+            idx = {f: i for i, f in enumerate(in_fields)}
+
+            def run(batches):
+                bolt.prepare()
+                for pdf in batches:
+                    coll = BoltCollector()
+                    for row in pdf[in_fields].itertuples(index=False, name=None):
+                        bolt.execute(TridentTuple(list(row), idx), coll)
+                    bad = set(coll.by_stream) - {"default"}
+                    if bad:
+                        raise KeyError(f"bolt emitted to undeclared streams {sorted(bad)}")
+                    yield pd.DataFrame(coll.rows, columns=out_fields)
+
+            return df.mapInPandas(run, out_schema)
+
+        return {"default": Stream(stream._topology, build, out_fields, "bolt")}
+
+    # multi-stream: __sid__ tag + one struct column per declared stream
+    sids = list(decl)
+    struct_types = {}
+    tagged_schema = StructType().add("__sid__", _parse_ddl("string"))
+    for sid in sids:
+        fields_l, types_l = decl[sid]
+        st = StructType()
+        for n, t in zip(fields_l, types_l):
+            st = st.add(n, _parse_ddl(t))
+        struct_types[sid] = st
+        tagged_schema = tagged_schema.add(f"__p_{sid}__", st)
+
+    cache: "weakref.WeakKeyDictionary[Context, DataFrame]" = weakref.WeakKeyDictionary()
+
+    def tagged_build(ctx: Context) -> DataFrame:
         import pandas as pd
 
+        if ctx in cache:
+            return cache[ctx]
         df = stream._build(ctx)
         idx = {f: i for i, f in enumerate(in_fields)}
 
         def run(batches):
             bolt.prepare()
             for pdf in batches:
-                coll = TridentCollector()
+                coll = BoltCollector()
                 for row in pdf[in_fields].itertuples(index=False, name=None):
                     bolt.execute(TridentTuple(list(row), idx), coll)
-                yield pd.DataFrame(coll.rows, columns=out_fields)
+                bad = set(coll.by_stream) - set(sids)
+                if bad:
+                    raise KeyError(f"bolt emitted to undeclared streams {sorted(bad)}")
+                out_rows = []
+                for sid in sids:
+                    fields_l, _ = decl[sid]
+                    for vals in coll.by_stream.get(sid, []):
+                        row_d = {"__sid__": sid}
+                        for other in sids:
+                            row_d[f"__p_{other}__"] = (
+                                dict(zip(fields_l, vals)) if other == sid else None
+                            )
+                        out_rows.append(row_d)
+                yield pd.DataFrame(
+                    out_rows, columns=["__sid__"] + [f"__p_{s}__" for s in sids]
+                )
 
-        return df.mapInPandas(run, out_schema)
+        tagged = df.mapInPandas(run, tagged_schema)
+        cache[ctx] = tagged
+        return tagged
 
-    return Stream(stream._topology, build, out_fields, "bolt")
+    out: dict[str, Stream] = {}
+    for sid in sids:
+        fields_l, _ = decl[sid]
+
+        def build_sid(ctx: Context, _sid=sid, _fields=fields_l) -> DataFrame:
+            return (
+                tagged_build(ctx)
+                .filter(F.col("__sid__") == _sid)
+                .select(*[F.col(f"__p_{_sid}__.{f}").alias(f) for f in _fields])
+            )
+
+        out[sid] = Stream(stream._topology, build_sid, fields_l, f"bolt:{sid}")
+    return out

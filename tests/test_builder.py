@@ -96,3 +96,81 @@ def test_complete_topology_golden_output(spark):
     assert results["1"] == sorted([("nathan",), ("bertels",), ("jackson",), ("nathan",)])
     # ms= on the counter bolt (integration_test.clj:28-59 expectations)
     assert results["2"] == [("bertels", 1), ("jackson", 1), ("nathan", 1), ("nathan", 2)]
+
+
+# ---------------------------------------------------------------------------
+# Named multi-stream outputs (declareStream / emit(streamId, ...))
+# ---------------------------------------------------------------------------
+
+
+class SplitLenBolt(BasicBolt):
+    """One bolt, two named output streams — the trident/integration_test.clj
+    :145-164 split-merge shape expressed as a core-Storm component with
+    declareStream (OutputFieldsDeclarer) + emit(streamId, tuple)."""
+
+    def declare_streams(self):
+        return {
+            "words": (["word"], ["string"]),
+            "lens": (["len"], ["bigint"]),
+        }
+
+    def execute(self, tup, collector):
+        for w in tup["args"].split():
+            collector.emit("words", [w])
+        collector.emit("lens", [len(tup["args"])])
+
+
+def test_multi_stream_bolt_split_merge(spark):
+    """Golden-output port of test-split-merge: two streams from ONE bolt,
+    merged downstream; ms= against the reference's expected output."""
+    from storm_spark.builder import complete_topology
+
+    topo = Topology(spark)
+    builder = TopologyBuilder(topo)
+    builder.set_spout("args", spark.createDataFrame([("the man",)], "args string"))
+    builder.set_bolt("split", SplitLenBolt()).shuffle_grouping("args")
+
+    words = builder.stream("split", "words")
+    lens = builder.stream("split", "lens")
+    # merge narrows types to string (documented dynamic-typing narrowing)
+    merged = lens.with_column("v", "cast(len as string)").project(["v"]).merge(
+        words.with_column("v", "cast(word as string)").project(["v"])
+    )
+    got = sorted(r.v for r in merged.df.collect())
+    # reference expectation: (ms= [[7] ["the"] ["man"]])
+    assert got == sorted(["7", "the", "man"])
+
+
+def test_multi_stream_bolt_wiring_and_capture(spark):
+    """Downstream bolts subscribe to named streams via grouping(stream_id);
+    complete_topology captures each stream separately (read-tuples parity)."""
+    from storm_spark.builder import complete_topology
+
+    topo = Topology(spark)
+    builder = TopologyBuilder(topo)
+    builder.set_spout("args", spark.createDataFrame([("a bb",), ("ccc",)], "args string"))
+    builder.set_bolt("split", SplitLenBolt()).shuffle_grouping("args")
+    builder.set_bolt("count", WordCounterBolt()).fields_grouping(
+        "split", ["word"], stream_id="words"
+    )
+
+    results = complete_topology(builder)
+    assert results["split:words"] == [("a",), ("bb",), ("ccc",)]
+    assert results["split:lens"] == [(3,), (4,)]
+    assert sorted(results["count"]) == [("a", 1), ("bb", 1), ("ccc", 1)]
+
+
+def test_emit_to_undeclared_stream_raises(spark):
+    class BadBolt(BasicBolt):
+        out_fields = ["x"]
+        out_types = ["string"]
+
+        def execute(self, tup, collector):
+            collector.emit("nope", ["v"])
+
+    topo = Topology(spark)
+    builder = TopologyBuilder(topo)
+    builder.set_spout("s", spark.createDataFrame([("a",)], "x string"))
+    builder.set_bolt("bad", BadBolt()).shuffle_grouping("s")
+    with pytest.raises(Exception, match="undeclared"):
+        builder.stream("bad").df.collect()
