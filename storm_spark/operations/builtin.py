@@ -104,8 +104,13 @@ class Max(CombinerAggregator):
 
 
 class Avg(CombinerAggregator):
-    """Mean (engine builtin). No ``combine_expr`` — not state-mergeable as a
-    scalar; use Sum+Count state pairs for cross-batch means."""
+    """Mean (engine builtin).
+
+    A mean is not state-mergeable as a scalar, so the persistent-state path
+    uses the COMPOSITE state protocol (``state_*`` hooks): the stored value
+    is a ``struct<s,c>`` Sum+Count pair merged exactly across batches, and
+    reads finish it to ``s / c``. ``persistent_aggregate(..., Avg(), ...)``
+    therefore Just Works — users never see the pair."""
 
     value_type = "double"
 
@@ -114,6 +119,35 @@ class Avg(CombinerAggregator):
 
     def zero_expr(self) -> Column:
         return F.lit(None).cast(self.value_type)
+
+    # -- composite state protocol ------------------------------------------
+    state_value_type = "struct<s:double,c:bigint>"
+
+    def state_agg_expr(self, cols: list[Column]) -> Column:
+        return F.struct(
+            F.sum(cols[0].cast("double")).alias("s"), F.count(cols[0]).alias("c")
+        )
+
+    def state_zero_expr(self) -> Column:
+        return F.struct(F.lit(0.0).alias("s"), F.lit(0).cast("bigint").alias("c"))
+
+    def state_combine_expr(self, a: Column, b: Column) -> Column:
+        return F.struct((a["s"] + b["s"]).alias("s"), (a["c"] + b["c"]).alias("c"))
+
+    def finish_expr(self, v: Column) -> Column:
+        return v["s"] / v["c"]
+
+    # python twins (MemoryMapState path; values arrive as Row/tuple pairs)
+    def state_zero(self):
+        return (0.0, 0)
+
+    def state_combine(self, a, b):
+        a = a or (0.0, 0)
+        b = b or (0.0, 0)
+        return (a[0] + b[0], a[1] + b[1])
+
+    def state_finish(self, v):
+        return None if v is None or not v[1] else v[0] / v[1]
 
 
 # ---------------------------------------------------------------------------

@@ -625,6 +625,43 @@ GROUP BY l_returnflag
 """
 
 
+def q_state_avg(spark, sf_dir):
+    """persistent_aggregate(Avg()) across 3 epochs + a same-txid replay: the
+    composite Sum+Count struct state merges exactly (integer cents, exact in
+    double), reads finish to s/c. Oracle: SUM(x)::DOUBLE / COUNT(*)."""
+    from storm_spark.operations import Avg
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", cents("l_quantity").alias("qty_c")
+    )
+    topo = Topology(spark)
+    feeder = FeederSource(["l_returnflag", "qty_c"], ["string", "bigint"])
+    tmp = tempfile.mkdtemp(prefix="storm_spark_avg_")
+    st = (
+        topo.new_stream("li", feeder)
+        .group_by(["l_returnflag"])
+        .persistent_aggregate(ParquetMapState.factory(tmp), ["qty_c"], Avg(), ["avg_qty_c"])
+    )
+    cluster = LocalCluster(topo)
+    last = None
+    for b in range(3):
+        batch = li.filter(F.col("l_orderkey") % 3 == b).select("l_returnflag", "qty_c")
+        last = cluster.feed_dataframe(feeder, batch)
+    cluster.feed_dataframe(
+        feeder, li.filter(F.col("l_orderkey") % 3 == 2).select("l_returnflag", "qty_c"), txid=last
+    )
+    return st.dataframe().select(
+        "l_returnflag", F.round("avg_qty_c", 6).alias("avg_qty_c")
+    )
+
+
+ORACLE_STATE_AVG = f"""
+SELECT l_returnflag,
+       round(CAST(SUM({SQL_CENTS.format(x='l_quantity')}) AS DOUBLE) / COUNT(*), 6) AS avg_qty_c
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 class _TierFn(PandasFunction):
     """PandasFunction (arbitrary-python each): quantity tier label + a
     python-computed code. Deliberately the Arrow slow path — the gate proves
@@ -1790,6 +1827,7 @@ QUERIES = {
     "topk_per_group": q_topk_per_group,
     "state_wordcount": q_state_wordcount,
     "partition_persist": q_partition_persist,
+    "state_avg": q_state_avg,
     "streaming_wordcount": q_streaming_wordcount,
     "state_snapshot_total": q_state_snapshot_total,
     "rollup_continuous": q_rollup_continuous,
@@ -1847,6 +1885,7 @@ ORACLES = {
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
     "state_wordcount": ORACLE_STATE_WORDCOUNT,
     "partition_persist": ORACLE_PARTITION_PERSIST,
+    "state_avg": ORACLE_STATE_AVG,
     "streaming_wordcount": ORACLE_STREAMING_WORDCOUNT,
     "state_snapshot_total": ORACLE_STATE_SNAPSHOT_TOTAL,
     "rollup_continuous": ORACLE_ROLLUP_CONTINUOUS,

@@ -80,6 +80,28 @@ class _StateSpec:
         self.last_touched_keys = None
 
 
+class _CompositeStateAgg:
+    """Adapter exposing an aggregator's composite-state hooks (``state_*``,
+    e.g. Avg's Sum+Count struct) under the plain CombinerAggregator surface
+    the state backends consume."""
+
+    def __init__(self, agg):
+        self._agg = agg
+        self.value_type = agg.state_value_type
+
+    def zero_expr(self):
+        return self._agg.state_zero_expr()
+
+    def combine_expr(self, a, b):
+        return self._agg.state_combine_expr(a, b)
+
+    def zero(self):
+        return self._agg.state_zero()
+
+    def combine(self, a, b):
+        return self._agg.state_combine(a, b)
+
+
 class TridentState:
     """Handle to a persistent, queryable state (parity: ``trident/TridentState.java``)."""
 
@@ -92,8 +114,18 @@ class TridentState:
     def state(self):
         return self._spec.state
 
-    def dataframe(self) -> DataFrame:
+    def _read_df(self) -> DataFrame:
+        """State table with composite values FINISHED to the user-facing
+        value (e.g. Avg's struct<s,c> → s/c); key columns intact."""
         df = self._spec.state.dataframe(self._topology.spark)
+        finish = getattr(self._spec.agg, "finish_expr", None)
+        if finish is not None:
+            vf = self._spec.value_field
+            df = df.withColumn(vf, finish(F.col(vf)))
+        return df
+
+    def dataframe(self) -> DataFrame:
+        df = self._read_df()
         if self._snapshot:
             df = df.drop(SNAPSHOT_KEY)
         return df
@@ -115,8 +147,7 @@ class TridentState:
 
     # join implementation behind Stream.state_query
     def _query(self, ctx, df: DataFrame, in_fields: list[str], query_fn: QueryFunction, out_fields: list[str]) -> DataFrame:
-        spark = self._topology.spark
-        sdf = self._spec.state.dataframe(spark)
+        sdf = self._read_df()
         keys = self._spec.keys if not self._snapshot else []
         value_field = self._spec.value_field
         if isinstance(query_fn, MapGet):
@@ -217,7 +248,11 @@ class Topology:
         else:
             for k in keys:
                 ks = ks.add(k, up_schema[k])
-        state = state_factory(ks, value_field, agg.value_type)
+        # composite-state aggregators (e.g. Avg) store a mergeable pair, not
+        # the user-facing scalar; reads finish it back (TridentState._read_df)
+        state = state_factory(
+            ks, value_field, getattr(agg, "state_value_type", agg.value_type)
+        )
         spec = _StateSpec(stream, keys if not snapshot else [SNAPSHOT_KEY], in_fields, agg, state, value_field)
         spec.snapshot = snapshot
         self._state_specs.append(spec)
@@ -606,7 +641,8 @@ class LocalCluster:
             self._record_touched(spec, agg_df)
             return
         cols = [F.col(f) for f in spec.in_fields]
-        expr = agg.agg_expr(cols)
+        state_agg_expr = getattr(agg, "state_agg_expr", None)
+        expr = state_agg_expr(cols) if state_agg_expr is not None else agg.agg_expr(cols)
         if expr is not None:
             gb = df.groupBy(*keys) if keys else df.groupBy()
             agg_df = gb.agg(expr.alias("__delta__"))
@@ -624,7 +660,10 @@ class LocalCluster:
             agg_df = agg_df.withColumn(SNAPSHOT_KEY, F.lit(0))
         if agg_df.limit(1).count() == 0:
             return  # nothing to merge this batch
-        spec.state.update_from_agg(agg_df, agg, txid)
+        merge_agg = (
+            _CompositeStateAgg(agg) if hasattr(agg, "state_value_type") else agg
+        )
+        spec.state.update_from_agg(agg_df, merge_agg, txid)
         self._record_touched(spec, agg_df)
 
     def _record_touched(self, spec: _StateSpec, agg_df: DataFrame) -> None:

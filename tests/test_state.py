@@ -283,3 +283,66 @@ def test_reducer_persistent_aggregate_parquet_opaque_replay(spark, tmp_path):
     d3 = {k[0]: v for k, v in st.state.as_dict().items()}
     assert d3["a"] == "a+a+a+a"
     assert d3["b"] == "b"
+
+
+# ---------------------------------------------------------------------------
+# Composite state (Avg -> Sum+Count struct behind one persistent_aggregate)
+# ---------------------------------------------------------------------------
+
+
+def test_persistent_avg_memory(spark):
+    from storm_spark.operations import Avg, MapGet
+    from storm_spark.topology import FeederSource, LocalCluster, Topology
+
+    topo = Topology(spark)
+    feeder = FeederSource(["k", "v"], ["string", "bigint"])
+    st = (
+        topo.new_stream("s", feeder)
+        .group_by(["k"])
+        .persistent_aggregate(MemoryMapState.factory(), ["v"], Avg(), ["avg_v"])
+    )
+    cluster = LocalCluster(topo)
+    cluster.feed(feeder, [["a", 10], ["a", 20], ["b", 7]])
+    cluster.feed(feeder, [["a", 60], ["b", 1]])
+    got = {r["k"]: r["avg_v"] for r in st.dataframe().collect()}
+    assert got == {"a": 30.0, "b": 4.0}
+
+
+def test_persistent_avg_parquet_with_replay(spark, tmp_path):
+    from storm_spark.operations import Avg
+    from storm_spark.topology import FeederSource, LocalCluster, Topology
+
+    topo = Topology(spark)
+    feeder = FeederSource(["k", "v"], ["string", "bigint"])
+    st = (
+        topo.new_stream("s", feeder)
+        .group_by(["k"])
+        .persistent_aggregate(
+            ParquetMapState.factory(str(tmp_path / "avg")), ["v"], Avg(), ["avg_v"]
+        )
+    )
+    cluster = LocalCluster(topo)
+    cluster.feed(feeder, [["a", 10], ["a", 20]])
+    t2 = cluster.feed(feeder, [["a", 60]])
+    got = {r["k"]: r["avg_v"] for r in st.dataframe().collect()}
+    assert got == {"a": 30.0}
+    # opaque replay of t2 with CHANGED content: recompute from prev pair
+    cluster.feed(feeder, [["a", 90], ["b", 5]], txid=t2)
+    got = {r["k"]: r["avg_v"] for r in st.dataframe().collect()}
+    assert got == {"a": 40.0, "b": 5.0}  # (10+20+90)/3
+
+
+def test_persistent_avg_snapshot_global(spark):
+    from storm_spark.operations import Avg
+    from storm_spark.topology import FeederSource, LocalCluster, Topology
+
+    topo = Topology(spark)
+    feeder = FeederSource(["v"], ["bigint"])
+    st = topo.new_stream("s", feeder).persistent_aggregate(
+        MemoryMapState.factory(), ["v"], Avg(), ["avg_v"]
+    )
+    cluster = LocalCluster(topo)
+    cluster.feed(feeder, [[4], [8]])
+    cluster.feed(feeder, [[12]])
+    rows = st.dataframe().collect()
+    assert len(rows) == 1 and rows[0]["avg_v"] == 8.0
