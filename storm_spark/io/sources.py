@@ -6,7 +6,10 @@ Parity map (SURVEY §2.1/§2.2):
   file/table source: the offset log + deterministic listing IS the
   coordinator/emitter contract (``Source.getBatch(start, end)``).
 - ``IPartitionedTridentSpout`` (transactional partitioned source, e.g.
-  Kafka) — ``readStream`` with recorded offsets; same txid ⇒ same batch.
+  Kafka) — :class:`PartitionedOffsetSource`: a non-file partitioned source
+  with a persisted per-txid offset log; same txid ⇒ same batch, across
+  restarts (a real broker client slots into the same recorded-ranges
+  contract).
 - ``IOpaquePartitionedTridentSpout`` — any source + the opaque state merge
   (replays may differ; state converges — see state/parquet_state.py).
 - ``RichSpoutBatchExecutor`` (cap batch size) — ``maxFilesPerTrigger`` /
@@ -107,6 +110,161 @@ def stream_file_source(
     if max_files_per_trigger:
         r = r.option("maxFilesPerTrigger", max_files_per_trigger)
     return r.load(path)
+
+
+class PartitionedOffsetSource:
+    """A partitioned, offset-addressable NON-FILE source with a persisted
+    per-txid offset log — the engine's ``IPartitionedTridentSpout`` port
+    (``IPartitionedTridentSpout.java:33-73``: Coordinator knows the
+    partition set; Emitter records partition metadata for a new txid via
+    ``emitPartitionBatchNew`` and re-emits the IDENTICAL batch for a
+    replayed txid via ``emitPartitionBatch``).
+
+    Kafka-shaped model: a fixed set of numbered partitions, each a
+    monotonically growing log addressed by offset; ``produce`` advances a
+    partition's high-water mark (the broker side). The emitter contract:
+
+    - ``batch_df(txid)`` — first sighting of a txid snapshots
+      ``[committed floor, high-water mark)`` per partition into the offset
+      log (``<path>/tx<id>.json``, atomic rename — the reference's
+      partition metadata in ZK), then builds the batch as a union of
+      ``spark.range(start, end)`` per partition mapped through the record
+      expression: rows materialize ON THE EXECUTORS, never the driver.
+    - A REPLAYED txid — same id, including from a fresh instance after a
+      restart — rebuilds the batch from the recorded ranges: same txid ⇒
+      same batch, row-identical. This is what makes TRANSACTIONAL state
+      (skip on seen txid) exact on this source.
+    - ``commit(txid)`` advances the committed floor to the txid's ends.
+
+    Records derive deterministically from (partition, offset) through
+    ``record_expr`` (default: an md5 payload) — swap in any Column
+    expression; a real broker client would instead fetch by the same
+    recorded ranges (the contract is the offset log, not the payload).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n_partitions: int = 4,
+        record_expr=None,
+    ):
+        import os
+
+        self.spark = spark
+        self.path = path
+        self.n_partitions = n_partitions
+        self._record_expr = record_expr
+        os.makedirs(path, exist_ok=True)
+
+    # -- broker side --------------------------------------------------------
+    def _hwm_path(self) -> str:
+        import os
+
+        return os.path.join(self.path, "hwm.json")
+
+    def _hwm(self) -> dict[str, int]:
+        import json
+
+        try:
+            with open(self._hwm_path()) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return {str(p): 0 for p in range(self.n_partitions)}
+
+    def produce(self, partition: int, n: int) -> None:
+        """Advance a partition's high-water mark by ``n`` records."""
+        import json
+        import os
+
+        hwm = self._hwm()
+        hwm[str(partition)] = hwm.get(str(partition), 0) + n
+        tmp = self._hwm_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(hwm, f)
+        os.replace(tmp, self._hwm_path())
+
+    # -- coordinator / emitter ----------------------------------------------
+    def partitions(self) -> list[int]:
+        """Parity: ``Coordinator.getPartitionsForBatch``."""
+        return list(range(self.n_partitions))
+
+    def _tx_path(self, txid: int) -> str:
+        import os
+
+        return os.path.join(self.path, f"tx{txid}.json")
+
+    def _load_tx(self, txid: int) -> dict[str, list[int]] | None:
+        import json
+
+        try:
+            with open(self._tx_path(txid)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _committed_floor(self) -> dict[str, int]:
+        """Start offsets for the next new batch: the ends of the highest
+        RECORDED txid (batches partition the log sequentially)."""
+        import os
+        import re
+
+        txids = [
+            int(m.group(1))
+            for d in os.listdir(self.path)
+            if (m := re.fullmatch(r"tx(\d+)\.json", d))
+        ]
+        if not txids:
+            return {str(p): 0 for p in range(self.n_partitions)}
+        meta = self._load_tx(max(txids)) or {}
+        return {p: rng[1] for p, rng in meta.items()}
+
+    def batch_df(self, txid: int) -> DataFrame:
+        """The batch for ``txid`` — recorded once, replayed identically."""
+        import json
+        import os
+
+        from pyspark.sql import functions as F
+
+        meta = self._load_tx(txid)
+        if meta is None:
+            floor = self._committed_floor()
+            hwm = self._hwm()
+            meta = {
+                str(p): [floor.get(str(p), 0), hwm.get(str(p), 0)]
+                for p in range(self.n_partitions)
+            }
+            tmp = self._tx_path(txid) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, self._tx_path(txid))
+
+        out = None
+        for p in range(self.n_partitions):
+            start, end = meta.get(str(p), [0, 0])
+            part = self.spark.range(start, end).select(
+                F.lit(p).alias("partition"), F.col("id").alias("offset")
+            )
+            out = part if out is None else out.union(part)
+        rec = self._record_expr or (
+            lambda pc, oc: {"value": F.md5(F.concat(pc.cast("string"), F.lit(":"), oc.cast("string")))}
+        )
+        cols = rec(F.col("partition"), F.col("offset"))
+        return out.select("partition", "offset", *[c.alias(n) for n, c in cols.items()])
+
+    def commit(self, txid: int) -> None:
+        """Advance the committed floor (kept implicit in the tx log: the
+        floor derives from the highest recorded txid's ends; commit prunes
+        logs older than the previous txid so replays of the CURRENT txid
+        stay reproducible — MasterBatchCoordinator keeps exactly one
+        in-flight txid at a time)."""
+        import os
+        import re
+
+        for d in os.listdir(self.path):
+            m = re.fullmatch(r"tx(\d+)\.json", d)
+            if m and int(m.group(1)) < txid - 1:
+                os.remove(os.path.join(self.path, d))
 
 
 def rate_limited_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:

@@ -71,3 +71,93 @@ def test_stream_file_source_to_parquet_sink(spark, tmp_path):
     finally:
         q.stop()
     assert sorted(map(tuple, spark.read.parquet(outdir).collect())) == [("a", 1)]
+
+
+# ---------------------------------------------------------------------------
+# PartitionedOffsetSource (IPartitionedTridentSpout contract)
+# ---------------------------------------------------------------------------
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_partitioned_offset_source_same_txid_same_batch(spark, tmp_path):
+    from storm_spark.io.sources import PartitionedOffsetSource
+
+    src = PartitionedOffsetSource(spark, str(tmp_path / "pos"), n_partitions=3)
+    src.produce(0, 5)
+    src.produce(1, 3)
+    b1 = _rows(src.batch_df(1))
+    assert len(b1) == 8
+    # replay before any new production: identical
+    assert _rows(src.batch_df(1)) == b1
+    # new data lands; replaying txid 1 must STILL return the original batch
+    src.produce(0, 2)
+    src.produce(2, 4)
+    assert _rows(src.batch_df(1)) == b1
+    # txid 2 gets exactly the new records
+    b2 = _rows(src.batch_df(2))
+    assert len(b2) == 6
+    assert set(b2).isdisjoint(b1)
+
+
+def test_partitioned_offset_source_restart_replays_identically(spark, tmp_path):
+    """The emitPartitionBatch contract across a RESTART: a fresh instance
+    pointed at the same offset log re-emits the same batch for the same
+    txid (the recorded partition metadata, not instance state, is the
+    source of truth — IPartitionedTridentSpout.java:33-73)."""
+    from storm_spark.io.sources import PartitionedOffsetSource
+
+    path = str(tmp_path / "pos_restart")
+    src = PartitionedOffsetSource(spark, path, n_partitions=2)
+    src.produce(0, 4)
+    src.produce(1, 1)
+    b1 = _rows(src.batch_df(1))
+
+    # "crash" and restart: new instance, same log
+    src2 = PartitionedOffsetSource(spark, path, n_partitions=2)
+    assert _rows(src2.batch_df(1)) == b1
+    # and the next txid continues from txid 1's recorded ends
+    src2.produce(1, 3)
+    b2 = _rows(src2.batch_df(2))
+    assert len(b2) == 3 and set(b2).isdisjoint(b1)
+
+
+def test_partitioned_offset_source_transactional_state(spark, tmp_path):
+    """End-to-end: same-txid ⇒ same batch makes TRANSACTIONAL state (skip on
+    seen txid) exact — feed two epochs + a replay through a transactional
+    ParquetMapState and the counts must not double."""
+    from pyspark.sql import functions as F
+
+    from storm_spark.io.sources import PartitionedOffsetSource
+    from storm_spark.operations import Count
+    from storm_spark.state import ParquetMapState, StateType
+    from storm_spark.topology import FeederSource, LocalCluster, Topology
+
+    src = PartitionedOffsetSource(spark, str(tmp_path / "pos_tx"), n_partitions=2)
+    topo = Topology(spark)
+    feeder = FeederSource(["partition", "offset", "value"], ["int", "bigint", "string"])
+    st = (
+        topo.new_stream("s", feeder)
+        .with_column("bucket", F.expr("substring(value, 1, 1)"))
+        .group_by(["bucket"])
+        .persistent_aggregate(
+            ParquetMapState.factory(str(tmp_path / "st"), StateType.TRANSACTIONAL),
+            ["value"],
+            Count(),
+            ["n"],
+        )
+    )
+    cluster = LocalCluster(topo)
+    src.produce(0, 10)
+    cluster.feed_dataframe(feeder, src.batch_df(1), txid=1)
+    src.commit(1)
+    after_one = dict(st.state.as_dict())
+    # replay txid 1 (same recorded batch): transactional skip, no change
+    cluster.feed_dataframe(feeder, src.batch_df(1), txid=1)
+    assert dict(st.state.as_dict()) == after_one
+    src.produce(1, 6)
+    cluster.feed_dataframe(feeder, src.batch_df(2), txid=2)
+    src.commit(2)
+    assert sum(dict(st.state.as_dict()).values()) == 16
