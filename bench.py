@@ -32,6 +32,8 @@ HEADLINE = [
     "json_extract",
     "dedup_exact",
     "dedup_jaccard",
+    "dedup_jaccard_capped",
+    "ann_lsh",
     "minhash_lsh",
     "simhash",
     "cosine_topk",
