@@ -172,3 +172,64 @@ class MemoryMapState(MapState):
 
     def as_dict(self) -> dict[tuple, Any]:
         return {k: s.curr for k, s in self._map.items()}
+
+
+class LRUMemoryMapState(MemoryMapState):
+    """Bounded-memory variant: at most ``max_size`` keys are retained; the
+    least-recently-used keys are EVICTED (their state silently restarts from
+    zero if written again) — parity:
+    ``trident/testing/LRUMemoryMapState.java:34-97`` (LRUMap backing)."""
+
+    def __init__(
+        self,
+        key_schema: StructType,
+        value_field: str,
+        value_type: str,
+        state_type: StateType = StateType.OPAQUE,
+        max_size: int = 1000,
+    ):
+        from collections import OrderedDict
+
+        super().__init__(key_schema, value_field, value_type, state_type)
+        self._map = OrderedDict()
+        self.max_size = max_size
+
+    @classmethod
+    def factory(
+        cls, max_size: int = 1000, state_type: StateType = StateType.OPAQUE
+    ) -> Callable:
+        def make(key_schema: StructType, value_field: str, value_type: str) -> "LRUMemoryMapState":
+            return cls(key_schema, value_field, value_type, state_type, max_size)
+
+        return make
+
+    def _touch_and_evict(self, keys: Sequence[tuple]) -> None:
+        for k in keys:
+            kt = tuple(k)
+            if kt in self._map:
+                self._map.move_to_end(kt)
+        while len(self._map) > self.max_size:
+            self._map.popitem(last=False)
+
+    def multi_get(self, keys: Sequence[tuple]) -> list[Any]:
+        out = super().multi_get(keys)
+        for k in keys:
+            kt = tuple(k)
+            if kt in self._map:
+                self._map.move_to_end(kt)
+        return out
+
+    def multi_put(self, keys: Sequence[tuple], vals: Sequence[Any]) -> None:
+        super().multi_put(keys, vals)
+        self._touch_and_evict(keys)
+
+    def multi_update(
+        self,
+        keys: Sequence[tuple],
+        deltas: Sequence[Any],
+        combine: Callable[[Any, Any], Any],
+        zero: Any = None,
+    ) -> list[Any]:
+        out = super().multi_update(keys, deltas, combine, zero)
+        self._touch_and_evict(keys)
+        return out

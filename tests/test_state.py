@@ -346,3 +346,68 @@ def test_persistent_avg_snapshot_global(spark):
     cluster.feed(feeder, [[12]])
     rows = st.dataframe().collect()
     assert len(rows) == 1 and rows[0]["avg_v"] == 8.0
+
+
+# ---------------------------------------------------------------------------
+# CachedMap (LRU read cache) + LRUMemoryMapState
+# ---------------------------------------------------------------------------
+
+
+def _mk_memory():
+    return MemoryMapState(
+        StructType().add("k", "string"), "count", "bigint", StateType.OPAQUE
+    )
+
+
+def test_cached_map_serves_hits_and_writes_through():
+    from storm_spark.state import CachedMap
+
+    inner = _mk_memory()
+    cm = CachedMap(inner, cache_size=3)
+    cm.begin_commit(1)
+    cm.multi_update([("a",), ("b",)], [2, 3], _count_combine, 0)
+    cm.commit(1)
+    # first read of c misses (and caches the None, like the reference's
+    # LRUMap); a/b were cached by the update write-through
+    assert cm.multi_get([("a",), ("b",), ("c",)]) == [2, 3, None]
+    h0, m0 = cm.cache_hits, cm.cache_misses
+    assert (h0, m0) == (2, 1)
+    # repeat: all hits, no delegate traffic change
+    assert cm.multi_get([("a",), ("b",)]) == [2, 3]
+    assert cm.cache_hits == h0 + 2 and cm.cache_misses == m0
+
+
+def test_cached_map_lru_evicts_and_replay_reads_prev():
+    from storm_spark.state import CachedMap
+
+    inner = _mk_memory()
+    cm = CachedMap(inner, cache_size=2)
+    cm.begin_commit(1)
+    cm.multi_update([("a",), ("b",), ("c",)], [1, 1, 1], _count_combine, 0)
+    cm.commit(1)
+    # cache holds only 2 entries (b, c) after the 3-key write-through
+    assert len(cm._cache) == 2
+    # replay txid 1: begin_commit clears the cache, so the read sees the
+    # delegate's PREV value (opaque replay contract), not a stale cached curr
+    cm.begin_commit(1)
+    assert cm.multi_get([("a",)]) == [None]
+
+
+def test_lru_memory_map_state_evicts_cold_keys():
+    from storm_spark.state import LRUMemoryMapState
+
+    st = LRUMemoryMapState(
+        StructType().add("k", "string"), "count", "bigint", StateType.OPAQUE, max_size=2
+    )
+    st.begin_commit(1)
+    st.multi_update([("a",), ("b",)], [1, 1], _count_combine, 0)
+    st.commit(1)
+    st.begin_commit(2)
+    st.multi_get([("a",)])  # touch a: b becomes the LRU key
+    st.multi_update([("c",)], [1], _count_combine, 0)
+    st.commit(2)
+    assert set(st.as_dict()) == {("a",), ("c",)}  # b evicted
+    # evicted key restarts from zero on the next write
+    st.begin_commit(3)
+    assert st.multi_update([("b",)], [5], _count_combine, 0) == [5]
+    st.commit(3)
