@@ -209,6 +209,72 @@ def minhash_lsh_pairs(
     )
 
 
+def near_dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: (id, cluster_id)
+    with ``cluster_id`` = the minimum id reachable from ``id``. The dedup
+    capstone step — pairwise output (jaccard/minhash/simhash/embedding)
+    becomes keep-one-per-cluster via ``cluster_id == id``.
+
+    Min-label propagation ("hash-to-min"): each round every node takes the
+    min label among itself and its neighbors — one join + one groupBy per
+    round, converging in graph-diameter rounds. Near-dup graphs are unions
+    of near-cliques (diameter ~2-3), so rounds stay small at any scale; the
+    iteration cap + convergence check bound adversarial chains.
+    ``localCheckpoint`` truncates lineage each round so plans don't nest.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("cluster_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .select(F.col("src").alias("id"), "cluster_id")
+        )
+        new_labels = (
+            labels.union(neighbor_min)
+            .groupBy("id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_near_cluster(
+    df: DataFrame, id_col: str, pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Keep one representative (the min id) per near-dup cluster: rows not
+    in any pair survive untouched; clustered rows survive iff they ARE the
+    cluster representative."""
+    clusters = near_dup_clusters(pairs, id_a, id_b)
+    losers = clusters.filter(F.col("cluster_id") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """SimHash fingerprint: per token, md5 → ``bits`` bit votes (+1/-1),
     summed over the doc; the sign vector is packed into a bigint.

@@ -1304,6 +1304,37 @@ FROM bands a JOIN bands b
 ORACLE_MINHASH_LSH = _oracle_minhash()
 
 
+def q_dedup_cluster(spark, sf_dir):
+    """Dedup capstone step: pairwise near-dup output (MinHash-LSH) →
+    connected components → (id, cluster_id = min reachable id). Min-label
+    propagation, one join+groupBy round per iteration (diameter-bounded)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_perm=12, bands=4)
+    return dedup.near_dup_clusters(pairs).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+    )
+
+
+def _oracle_dedup_cluster(n=3, num_perm=12, bands=4):
+    """Recursive-CTE twin: min reachable id over the same pair graph."""
+    base = _oracle_minhash(n, num_perm, bands).strip().rstrip()
+    return f"""
+WITH RECURSIVE pairs AS ({base}),
+e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
+SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id
+"""
+
+
+ORACLE_DEDUP_CLUSTER = _oracle_dedup_cluster()
+
+
 def q_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash64(docs, "doc_id", "text", bits=32)
@@ -1841,6 +1872,7 @@ QUERIES = {
     "dedup_jaccard_capped": q_dedup_jaccard_capped,
     "corpus_clean": q_corpus_clean,
     "minhash_lsh": q_minhash_lsh,
+    "dedup_cluster": q_dedup_cluster,
     "simhash": q_simhash,
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
@@ -1899,6 +1931,7 @@ ORACLES = {
     "dedup_jaccard_capped": ORACLE_DEDUP_JACCARD_CAPPED,
     "corpus_clean": ORACLE_CORPUS_CLEAN,
     "minhash_lsh": ORACLE_MINHASH_LSH,
+    "dedup_cluster": ORACLE_DEDUP_CLUSTER,
     "simhash": ORACLE_SIMHASH,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "ann_lsh": ORACLE_ANN_LSH,

@@ -48,3 +48,27 @@ def test_analyze_profile_columns(docs):
     assert by_id[1].fingerprint == by_id[2].fingerprint
     # junk doc scores worse than real prose
     assert by_id[5].quality < by_id[1].quality
+
+
+def test_near_dup_clusters_chain_and_clique(spark):
+    """Min-label propagation: a 4-chain (worst diameter case), a triangle,
+    and an isolated pair all resolve to min-reachable-id clusters."""
+    from storm_spark.functions.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4; triangle 10-11-12; pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {r.id: r.cluster_id for r in near_dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_near_cluster_keeps_representatives(spark):
+    from storm_spark.functions.dedup import dedup_near_cluster
+
+    df = spark.createDataFrame([(i, f"doc{i}") for i in [1, 2, 3, 7, 9]], "doc_id bigint, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a bigint, id_b bigint")
+    kept = sorted(r.doc_id for r in dedup_near_cluster(df, "doc_id", pairs).collect())
+    # cluster {1,2,3} -> keep 1; 7 and 9 untouched
+    assert kept == [1, 7, 9]
