@@ -1,10 +1,12 @@
 """Multimodal column plumbing — image/audio/video as opaque binary columns.
 
 The Spark-side contract is real and tested: typed schemas, Arrow-batched
-``mapInPandas`` decode/feature kernels, partition sizing by byte budget. The
-actual codecs (PIL/librosa/ffmpeg) are NOT in this image, so the decode step
-is a clearly-marked deterministic stub behind ``import``-try — swap
-``_decode_image_stub`` for a real decoder and nothing else changes.
+``mapInPandas`` decode/feature kernels, partition sizing by byte budget.
+Decoders use the real codec (PIL / soundfile) when importable and the bytes
+decode; otherwise they fall back to a clearly-marked deterministic fake so
+the pipeline plumbing stays testable in codec-less images (this container
+has neither codec; ffmpeg frame extraction remains stubbed as fixed byte
+windows).
 
 Schema convention for a multimodal table::
 
@@ -26,13 +28,19 @@ IMAGE_FEATURE_DIM = 16
 
 
 def _decode_image_stub(content: bytes) -> np.ndarray:
-    """Deterministic fake decoder: derives a pseudo-pixel array from the
-    bytes. REPLACE with ``PIL.Image.open`` when the codec is available."""
+    """Image decode: real ``PIL.Image.open`` when the codec is importable
+    AND the bytes are a decodable image; otherwise a deterministic fake
+    (pseudo-pixel array derived from the bytes) so the pipeline plumbing
+    stays testable in codec-less images."""
     try:
-        import PIL.Image  # noqa: F401  (not in this image)
+        import io
 
-        raise NotImplementedError("real PIL decode path not wired yet")
-    except ImportError:
+        import PIL.Image
+
+        with PIL.Image.open(io.BytesIO(content)) as img:
+            return np.asarray(img.convert("L"), dtype=np.float32)
+    except Exception:
+        # PIL absent, or bytes aren't a decodable image → deterministic fake
         pass
     arr = np.frombuffer(content[:4096], dtype=np.uint8)
     if arr.size == 0:
@@ -76,13 +84,17 @@ AUDIO_FEATURE_DIM = 8
 
 
 def _decode_audio_stub(content: bytes, sample_rate: int = 16000) -> np.ndarray:
-    """Deterministic fake PCM decoder. REPLACE with ``librosa.load`` /
-    ``soundfile.read`` when the codec is available."""
+    """Audio decode: real ``soundfile.read`` when the codec is importable
+    AND the bytes are a decodable container; otherwise a deterministic
+    pseudo-PCM fake (same contract as the image stub)."""
     try:
-        import librosa  # noqa: F401  (not in this image)
+        import io
 
-        raise NotImplementedError("real librosa decode path not wired yet")
-    except ImportError:
+        import soundfile
+
+        data, _ = soundfile.read(io.BytesIO(content), dtype="float32")
+        return data if data.ndim == 1 else data.mean(axis=1)
+    except Exception:
         pass
     arr = np.frombuffer(content[:8192], dtype=np.uint8).astype(np.float32)
     if arr.size == 0:

@@ -133,3 +133,89 @@ def test_windowed_stream_aggregate(spark, tmp_path):
     )
     rows = {r["window"]["start"].hour: (r["n"], r["sv"]) for r in out.collect()}
     assert rows == {0: (2, 3.0), 1: (1, 10.0)}
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup (dedup family, streaming side)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_dedup_fingerprint_across_batches(spark, tmp_path):
+    """Re-deliveries of identical content in LATER micro-batches are
+    dropped; state carries across batches via the checkpoint."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from storm_spark.streaming.dedup import streaming_dedup_fingerprint
+
+    indir = tmp_path / "din"
+    os.makedirs(indir)
+    b1 = spark.createDataFrame([(1, "hello world"), (2, "unique one")], "doc_id bigint, text string")
+    b2 = spark.createDataFrame([(3, "hello  world"), (4, "fresh doc")], "doc_id bigint, text string")
+    b1.coalesce(1).write.parquet(str(indir / "b1"))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{indir}/*")
+    )
+    out = streaming_dedup_fingerprint(stream, "text")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sdedup")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b2.coalesce(1).write.parquet(str(indir / "b2"))
+        q.processAllAvailable()
+        got = sorted(r.doc_id for r in spark.sql("select * from sdedup").collect())
+    finally:
+        q.stop()
+    # doc 3 is a whitespace-variant duplicate of doc 1 -> dropped
+    assert got == [1, 2, 4]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from storm_spark.streaming.dedup import streaming_dedup_within_watermark
+
+    indir = tmp_path / "win"
+    os.makedirs(indir)
+
+    def write(rows, name):
+        df = spark.createDataFrame(rows, "ts string, k string").select(
+            F.to_timestamp("ts").alias("ts"), "k"
+        )
+        df.coalesce(1).write.parquet(str(indir / name))
+
+    write([("2024-01-01 10:00:00", "a"), ("2024-01-01 10:00:30", "a")], "b1")
+
+    stream = (
+        spark.readStream.schema("ts timestamp, k string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{indir}/*")
+    )
+    out = streaming_dedup_within_watermark(stream, ["k"], "ts", "5 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wdedup")
+        .option("checkpointLocation", str(tmp_path / "wck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # same key again within the horizon -> dropped
+        write([("2024-01-01 10:01:00", "a"), ("2024-01-01 10:01:00", "b")], "b2")
+        q.processAllAvailable()
+        got = sorted((r.k, str(r.ts)) for r in spark.sql("select * from wdedup").collect())
+    finally:
+        q.stop()
+    assert [k for k, _ in got] == ["a", "b"]
