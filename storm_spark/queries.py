@@ -34,6 +34,8 @@ from storm_spark.operations.base import (
 from storm_spark.session import rebalance_scan
 from storm_spark.state import MemoryMapState, ParquetMapState
 from storm_spark.topology import FeederSource, LocalCluster, Topology
+from storm_spark.builder import BasicBolt
+from storm_spark.drpc import BatchBolt
 from storm_spark.functions import dedup, similarity, text
 from storm_spark.functions.text import LANG_MARKERS, STOPWORDS_EN, TOKEN_SPLIT_RE
 
@@ -871,6 +873,76 @@ WITH wc AS (
   GROUP BY word)
 SELECT CAST(SUM(cnt) AS BIGINT) AS sum
 FROM wc WHERE word IN ('data', 'query', 'zzznotaword', 'the')
+"""
+
+
+class _NationLookupBolt(BasicBolt):
+    """LinearDRPC lookup bolt: args = region name → one row per nation.
+    Holds the (tiny) region→nations dim as an in-bolt map — the reference's
+    linear-DRPC bolts do per-request store lookups the same way (e.g.
+    storm-starter ReachTopology's GetFollowers); at scale the map side is a
+    broadcast dim, built once driver-side here (25 rows)."""
+
+    out_fields = ["id", "nation"]
+    out_types = ["bigint", "string"]
+
+    def __init__(self, region_nations):
+        self._map = region_nations
+
+    def execute(self, tup, collector):
+        for n in self._map.get(tup["args"], []):
+            collector.emit([tup["request"], n])
+
+
+class _CsvJoinBolt(BatchBolt):
+    """Per-request IBatchBolt: fold the request's nations into the single
+    [id, result] tuple JoinResult expects."""
+
+    out_fields = ["id", "result"]
+    out_types = ["bigint", "string"]
+
+    def prepare(self, request_id):
+        self.request_id = request_id
+        self.vals = []
+
+    def execute(self, tup):
+        self.vals.append(tup["nation"])
+
+    def finish_batch(self, collector):
+        collector.emit([self.request_id, ",".join(sorted(self.vals))])
+
+
+def q_linear_drpc(spark, sf_dir):
+    """LinearDRPCTopologyBuilder end-to-end: five concurrent requests (one
+    per region name) ride one plan — lookup bolt fans each request out to its
+    nations, a per-request IBatchBolt folds them back to [id, result], and
+    JoinResult pairs results with their requests. Parity:
+    ``LinearDRPCTopologyBuilder.java:48-95`` (see ``storm_spark/drpc.py``)."""
+    from storm_spark.drpc import LinearDRPCTopologyBuilder
+
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    pairs = (
+        region.join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("r_name", "n_name")
+        .collect()
+    )
+    m: dict = {}
+    for r in pairs:
+        m.setdefault(r.r_name, []).append(r.n_name)
+    topo = Topology(spark)
+    b = LinearDRPCTopologyBuilder(topo, "nations_of_region")
+    b.add_bolt(_NationLookupBolt(m))
+    b.add_bolt(_CsvJoinBolt()).fields_grouping(["id"])
+    drpc = b.create_local_topology()
+    return drpc.dataframe(sorted(m.keys()))
+
+
+ORACLE_LINEAR_DRPC = """
+SELECT r_name AS args,
+       string_agg(n_name, ',' ORDER BY n_name) AS result
+FROM region JOIN nation ON n_regionkey = r_regionkey
+GROUP BY r_name
 """
 
 
@@ -1863,6 +1935,7 @@ QUERIES = {
     "state_snapshot_total": q_state_snapshot_total,
     "rollup_continuous": q_rollup_continuous,
     "drpc_state_lookup": q_drpc_state_lookup,
+    "linear_drpc": q_linear_drpc,
     "window_hourly": q_window_hourly,
     "window_sliding": q_window_sliding,
     "sessionize": q_sessionize,
@@ -1922,6 +1995,7 @@ ORACLES = {
     "state_snapshot_total": ORACLE_STATE_SNAPSHOT_TOTAL,
     "rollup_continuous": ORACLE_ROLLUP_CONTINUOUS,
     "drpc_state_lookup": ORACLE_DRPC_STATE_LOOKUP,
+    "linear_drpc": ORACLE_LINEAR_DRPC,
     "window_hourly": ORACLE_WINDOW_HOURLY,
     "window_sliding": ORACLE_WINDOW_SLIDING,
     "sessionize": ORACLE_SESSIONIZE,

@@ -30,6 +30,17 @@ def get_spark(
     shuffle_partitions = shuffle_partitions or cpus
     driver_memory = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
 
+    # Python workers unpickle engine classes (BoltCollector, Aggregator
+    # kernels) by module reference; make the package importable there even
+    # when the driver script runs from an unrelated cwd with only a
+    # sys.path.insert. Must happen before the JVM forks the first worker.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pythonpath = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pythonpath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + pythonpath if pythonpath else "")
+        )
+
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
