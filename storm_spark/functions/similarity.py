@@ -175,6 +175,82 @@ def lsh_bucket_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    n_iters: int = 5,
+) -> DataFrame:
+    """Spherical k-means (Lloyd's) centroid trainer for :func:`ivf_topk` —
+    returns ``(cent_id, __cent__)`` directly pluggable as its ``centroids``
+    argument.
+
+    Spark-first iteration shape, per round:
+
+    - **assign** — broadcast the k centroids (tiny), rank-1 by cosine per
+      corpus vector; map-side only, no shuffle of vectors.
+    - **recompute** — element-wise mean per cell via ``posexplode`` →
+      ``groupBy(cell, pos)``: ONE shuffle of (cell, pos, partial-sum)
+      partials per iteration (partial aggregation pre-combines map-side, so
+      shuffle volume is ~k·dim per upstream partition, not n·dim), then the
+      k·dim result collects to the driver for the next broadcast. Cosine is
+      norm-invariant, so the unnormalized mean is a valid spherical update.
+
+    Deterministic end-to-end: init picks the k corpus vectors with the
+    smallest ``md5(id)`` (a seedless pseudo-random sample — spread, unlike
+    first-k ids which reflect insertion order); ties and empty cells resolve
+    by id order. Empty cells keep their previous centroid. At 100 TB:
+    ``n_iters`` passes over the corpus, each embarrassingly parallel with a
+    k·dim-bounded shuffle — the classic scalable k-means profile; swap the
+    init for k-means|| sampling if k grows large.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("__id__"), F.col(vec_col).cast("array<double>").alias("__cv__")
+    )
+    init = (
+        c.orderBy(F.md5(F.col("__id__").cast("string")).asc(), F.col("__id__").asc())
+        .limit(k)
+        .select("__cv__")
+        .collect()
+    )
+    cents = [list(r["__cv__"]) for r in init]
+
+    def cos(a: Column, b: Column) -> Column:
+        return _dot(a, b) / (_norm(a) * _norm(b))
+
+    spark = corpus.sparkSession
+    for _ in range(n_iters):
+        cent_df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(cents)], "cent_id bigint, __cent__ array<double>"
+        )
+        w = Window.partitionBy("__id__").orderBy(F.col("__cc__").desc(), F.col("cent_id").asc())
+        assigned = (
+            c.crossJoin(F.broadcast(cent_df))
+            .withColumn("__cc__", cos(F.col("__cv__"), F.col("__cent__")))
+            .withColumn("__r__", F.row_number().over(w))
+            .filter(F.col("__r__") == 1)
+            .select("cent_id", "__cv__")
+        )
+        means = (
+            assigned.select("cent_id", F.posexplode("__cv__").alias("pos", "x"))
+            .groupBy("cent_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cent_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cent_id", F.col("pm.m").alias("__cent__"))
+            .collect()
+        )
+        new_cents = list(cents)  # empty cells keep their previous centroid
+        for r in means:
+            new_cents[r["cent_id"]] = list(r["__cent__"])
+        cents = new_cents
+
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cents)], "cent_id bigint, __cent__ array<double>"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -183,20 +259,24 @@ def ivf_topk(
     k: int = 5,
     n_lists: int = 16,
     n_probe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     ``n_lists`` Voronoi cells, probe the ``n_probe`` nearest cells per query,
     exact re-rank inside the probed cells.
 
-    Centroids are the ``n_lists`` smallest-id corpus vectors — deterministic
-    (and SQL-expressible) rather than k-means-trained; swap in trained
-    centroids for recall without touching the plan shape. Scale: the
-    centroid set is tiny and broadcast twice (corpus assignment, query
-    probing); the corpus shuffles once on cell id; per-query work is
+    Default centroids are the ``n_lists`` smallest-id corpus vectors —
+    deterministic (and SQL-expressible, which the exact-oracle gate needs);
+    pass ``centroids=kmeans_centroids(corpus, ..., k=n_lists)`` for trained
+    cells — better recall at the same ``n_probe``, identical plan shape.
+    Scale: the centroid set is tiny and broadcast twice (corpus assignment,
+    query probing); the corpus shuffles once on cell id; per-query work is
     |probe cells| instead of |corpus|.
     """
     cents = (
-        corpus.orderBy(F.col(id_col).asc())
+        centroids
+        if centroids is not None
+        else corpus.orderBy(F.col(id_col).asc())
         .limit(n_lists)
         .select(
             F.col(id_col).alias("cent_id"),

@@ -1461,13 +1461,14 @@ FROM ranked WHERE rank <= 5
 
 
 def q_ann_lsh(spark, sf_dir):
-    """Approximate NN via multi-table hyperplane LSH (3 independent 6-plane
-    tables, union candidates, exact re-rank). md5-derived planes make the
+    """Approximate NN via multi-table hyperplane LSH (4 independent 8-plane
+    tables, union candidates, exact re-rank; 8 planes quarter the per-table
+    n²/2^planes candidate bound vs 6, tables buy the recall back). md5-derived planes make the
     selection deterministic, so the SQL twin is exact."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 20)
     return similarity.lsh_bucket_topk(
-        emb, queries_df, "vec_id", "embedding", k=5, n_planes=6, n_tables=3, dim=64
+        emb, queries_df, "vec_id", "embedding", k=5, n_planes=8, n_tables=4, dim=64
     )
 
 
@@ -1672,7 +1673,7 @@ def q_embedding_near_dup(spark, sf_dir):
     # the synthetic embeddings are near-orthogonal random vectors (max pair
     # cosine ~0.5) — 0.45 exercises the operator non-trivially
     return similarity.embedding_near_dup_pairs(
-        emb, "vec_id", "embedding", threshold=0.45, n_planes=6, n_tables=3, dim=64
+        emb, "vec_id", "embedding", threshold=0.45, n_planes=8, n_tables=4, dim=64
     )
 
 
@@ -1696,7 +1697,7 @@ SQL_COS = (
 )
 
 
-def _oracle_embedding_near_dup(threshold=0.45, n_planes=6, n_tables=3, dim=64):
+def _oracle_embedding_near_dup(threshold=0.45, n_planes=8, n_tables=4, dim=64):
     sigs = ", ".join(
         f"{_sql_lsh_sig('embedding::DOUBLE[]', n_planes, dim, t)} AS sig{t}"
         for t in range(n_tables)
@@ -1722,7 +1723,7 @@ SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
 ORACLE_EMBEDDING_NEAR_DUP = _oracle_embedding_near_dup()
 
 
-def _oracle_ann_lsh(k=5, n_planes=6, n_tables=3, dim=64):
+def _oracle_ann_lsh(k=5, n_planes=8, n_tables=4, dim=64):
     sigs = ", ".join(
         f"{_sql_lsh_sig('embedding::DOUBLE[]', n_planes, dim, t)} AS sig{t}"
         for t in range(n_tables)

@@ -140,3 +140,75 @@ def test_quantized_cosine_close_to_exact(vectors):
     assert out
     for r in out:
         assert abs(r.exact - r.approx) < 0.02
+
+
+@pytest.fixture(scope="module")
+def clustered_vectors(spark):
+    """4 well-separated gaussian-ish clusters whose members arrive
+    INTERLEAVED by id — first-k-by-id init lands several centroids in the
+    same cluster, which trained centroids must fix."""
+    rng = random.Random(11)
+    dim = 8
+    centers = [[rng.choice([-5.0, 5.0]) for _ in range(dim)] for _ in range(4)]
+    rows = []
+    for i in range(80):
+        c = centers[i % 4]
+        rows.append((i, [float(x + rng.uniform(-0.3, 0.3)) for x in c]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_kmeans_centroids_shape_and_determinism(clustered_vectors):
+    a = similarity.kmeans_centroids(clustered_vectors, k=4, n_iters=3)
+    b = similarity.kmeans_centroids(clustered_vectors, k=4, n_iters=3)
+    ra, rb = (sorted(map(tuple, d.collect())) for d in (a, b))
+    assert ra == rb
+    assert len(ra) == 4
+    assert all(len(v) == 8 for _, v in ra)
+
+
+def test_kmeans_recovers_cluster_structure(clustered_vectors):
+    """After training, each of the 4 planted clusters owns exactly one
+    centroid: every member's nearest centroid agrees with its cluster, and
+    mean cosine-to-nearest-centroid beats the untrained first-k init."""
+    data = {r.vec_id: list(r.embedding) for r in clustered_vectors.collect()}
+    trained = similarity.kmeans_centroids(clustered_vectors, k=4, n_iters=5)
+    cents = {r["cent_id"]: list(r["__cent__"]) for r in trained.collect()}
+
+    def nearest(v, cmap):
+        return max(cmap, key=lambda cid: _cos(v, cmap[cid]))
+
+    by_cluster = {}
+    for vid, v in data.items():
+        by_cluster.setdefault(vid % 4, set()).add(nearest(v, cents))
+    # one distinct centroid per planted cluster, no sharing
+    owners = [next(iter(s)) for s in by_cluster.values()]
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert len(set(owners)) == 4
+
+    init = {
+        i: data[i] for i in sorted(data)[:4]  # ivf_topk's default first-k init
+    }
+    mean_cos = lambda cmap: sum(
+        max(_cos(v, c) for c in cmap.values()) for v in data.values()
+    ) / len(data)
+    assert mean_cos(cents) > mean_cos(init)
+
+
+def test_ivf_with_trained_centroids_recall(clustered_vectors):
+    """Plugging kmeans centroids into ivf_topk: with 1-probe the trained
+    cells must recover every query's exact nearest neighbor (same-cluster
+    neighbors land in the same Voronoi cell); the untrained first-k init
+    cannot, since ids interleave clusters."""
+    qs = clustered_vectors.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(clustered_vectors, qs, k=1).collect()
+    }
+    trained = similarity.kmeans_centroids(clustered_vectors, k=4, n_iters=5)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(
+            clustered_vectors, qs, k=1, n_probe=1, centroids=trained
+        ).collect()
+    }
+    assert exact == got
