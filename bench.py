@@ -47,6 +47,8 @@ HEADLINE = [
     "range_join",
     "cms_heavy_hitters",
     "salted_groupby",
+    "dataset_split",
+    "chunk_tokens",
     "multimodal_frames",
     "corpus_clean",
 ]

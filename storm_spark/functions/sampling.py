@@ -1,0 +1,160 @@
+"""Deterministic sampling, splitting, and chunking for training-data curation.
+
+The operations a 100 TB corpus pipeline runs between cleaning and training:
+assign train/val/test splits, downsample per stratum (language, source,
+quality band), and cut documents into token windows for sequence packing.
+
+All expression-only (JVM-side, codegen'd) and **hash-deterministic**: no RNG
+state, no ``rand()`` — membership is a pure function of (salt, id), so
+
+- results are identical across runs, executor counts, and retries (a Spark
+  ``sample()`` re-draws per task attempt; an md5 threshold cannot),
+- splits are STABLE under corpus growth: adding documents never moves an
+  existing document between splits — the property training pipelines need to
+  avoid test-set leakage across dataset versions,
+- every operator has an exact DuckDB twin (md5 is identical everywhere;
+  ``conv(substr(md5,1,15),16,10)`` == ``('0x'||substr(md5,1,15))::BIGINT``).
+
+Scale shape: split/sample are stateless per-row projections — zero shuffles,
+filters push into the scan's partition pruning when splits are materialized
+as partition columns. Chunking is a 1-to-n ``posexplode`` whose output size
+is corpus_tokens/stride — the one operator here that grows data; it carries
+no shuffle either (explode is map-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000
+
+
+def hash_bucket(col: Column, salt: str, buckets: int = _BUCKETS) -> Column:
+    """Deterministic uniform bucket in [0, buckets): the first 60 bits of
+    ``md5(salt || ':' || value)`` reduced mod ``buckets``. The salt decouples
+    independent decisions on the same key (split vs sample vs shard)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), col.cast("string"))), 1, 15), 16, 10
+    ).cast("bigint")
+    return h % buckets
+
+
+def _sql_hash_bucket(expr: str, salt: str, buckets: int = _BUCKETS) -> str:
+    return (
+        f"(('0x' || substr(md5('{salt}:' || CAST({expr} AS VARCHAR)), 1, 15))::BIGINT"
+        f" % {buckets})"
+    )
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row a split label (train/val/test by default) from its
+    id hash. Weights need not sum to 1 — they're normalized. Label order is
+    the dict order, so the same weights always carve the same bucket ranges."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    b = hash_bucket(F.col(id_col), salt)
+    expr = None
+    cum = 0.0
+    labels = list(weights.items())
+    for name, w in labels[:-1]:
+        cum += w
+        cond = b < int(cum / total * _BUCKETS)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = labels[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def sql_split_expr(
+    id_expr: str, weights: dict[str, float] | None = None, salt: str = "split"
+) -> str:
+    """DuckDB twin of :func:`deterministic_split`'s label expression."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    b = _sql_hash_bucket(id_expr, salt)
+    labels = list(weights.items())
+    cases, cum = [], 0.0
+    for name, w in labels[:-1]:
+        cum += w
+        cases.append(f"WHEN {b} < {int(cum / total * _BUCKETS)} THEN '{name}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{labels[-1][0]}' END"
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    fractions: float | dict = 0.1,
+    stratum_col: str | None = None,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep a deterministic fraction of rows — uniformly, or per stratum
+    value when ``fractions`` is a ``{stratum: fraction}`` dict (the
+    rebalancing move: downsample an over-represented language/source to a
+    target rate; strata absent from the dict are kept whole)."""
+    b = hash_bucket(F.col(id_col), salt)
+    if isinstance(fractions, dict):
+        if stratum_col is None:
+            raise ValueError("stratum_col is required with per-stratum fractions")
+        thr = None
+        for val, frac in fractions.items():
+            cond = F.col(stratum_col) == val
+            t = F.lit(int(frac * _BUCKETS))
+            thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+        thr = thr.otherwise(F.lit(_BUCKETS))
+        return df.filter(b < thr)
+    return df.filter(b < int(fractions * _BUCKETS))
+
+
+def sql_sample_pred(
+    id_expr: str, fractions: float | dict = 0.1, stratum_expr: str | None = None,
+    salt: str = "sample",
+) -> str:
+    """DuckDB twin of :func:`stratified_sample`'s keep-predicate."""
+    b = _sql_hash_bucket(id_expr, salt)
+    if isinstance(fractions, dict):
+        cases = " ".join(
+            f"WHEN {stratum_expr} = '{v}' THEN {int(f * _BUCKETS)}"
+            for v, f in fractions.items()
+        )
+        return f"{b} < (CASE {cases} ELSE {_BUCKETS} END)"
+    return f"{b} < {int(fractions * _BUCKETS)}"
+
+
+def chunk_token_windows(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: Column | str,
+    max_len: int,
+    stride: int | None = None,
+    out_text_col: str = "chunk_text",
+) -> DataFrame:
+    """Cut each document's token array into (optionally overlapping) windows
+    of ``max_len`` tokens every ``stride`` positions — the pre-packing step
+    of an LLM training pipeline. Emits one row per window:
+    ``(id, chunk_no, chunk_text, n_tokens)``; empty documents emit nothing.
+
+    ``stride`` defaults to ``max_len`` (disjoint windows); ``stride <
+    max_len`` overlaps them. Map-side 1-to-n explode, no shuffle; output
+    volume is Σ tokens/stride rows.
+    """
+    stride = stride or max_len
+    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    base = df.select(id_col, toks.alias("__toks__")).filter(F.size("__toks__") > 0)
+    starts = F.sequence(F.lit(1), F.size("__toks__"), F.lit(stride))
+    chunk = F.slice(F.col("__toks__"), F.col("__start__"), max_len)
+    return (
+        base.select(id_col, "__toks__", F.posexplode(starts).alias("chunk_no", "__start__"))
+        .select(
+            id_col,
+            "chunk_no",
+            F.array_join(chunk, " ").alias(out_text_col),
+            F.size(chunk).alias("n_tokens"),
+        )
+    )

@@ -36,7 +36,7 @@ from storm_spark.state import MemoryMapState, ParquetMapState
 from storm_spark.topology import FeederSource, LocalCluster, Topology
 from storm_spark.builder import BasicBolt
 from storm_spark.drpc import BatchBolt
-from storm_spark.functions import dedup, similarity, text
+from storm_spark.functions import dedup, sampling, similarity, text
 from storm_spark.functions.text import LANG_MARKERS, STOPWORDS_EN, TOKEN_SPLIT_RE
 
 # ---------------------------------------------------------------------------
@@ -1477,6 +1477,56 @@ def q_ann_lsh(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test assignment + per-language stratified
+    downsampling — the dataset-curation tail of a corpus pipeline. Pure
+    hash arithmetic (no RNG), so membership is stable across runs, cluster
+    sizes, and corpus growth; zero shuffles before the count."""
+    docs = _t(spark, sf_dir, "documents")
+    sampled = sampling.stratified_sample(
+        docs, "doc_id", {"en": 0.5, "de": 0.25}, stratum_col="lang"
+    )
+    split = sampling.deterministic_split(
+        sampled, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return (
+        split.groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
+ORACLE_DATASET_SPLIT = f"""
+SELECT lang,
+       {sampling.sql_split_expr('doc_id', {'train': 0.9, 'val': 0.05, 'test': 0.05})} AS split,
+       COUNT(*) AS n_docs
+FROM documents
+WHERE {sampling.sql_sample_pred('doc_id', {'en': 0.5, 'de': 0.25}, 'lang')}
+GROUP BY 1, 2
+"""
+
+
+def q_chunk_tokens(spark, sf_dir):
+    """Overlapping token-window chunking (max_len=64, stride=48) — the
+    pre-packing step of an LLM training pipeline. Map-side 1-to-n explode
+    over the single materialized tokenization; no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", text.tokens("text").alias("toks"))
+    return sampling.chunk_token_windows(base, "doc_id", "toks", max_len=64, stride=48)
+
+
+ORACLE_CHUNK_TOKENS = f"""
+WITH base AS (
+  SELECT doc_id, {SQL_TOKS.format(x='text')} AS toks FROM documents),
+nonempty AS (SELECT * FROM base WHERE len(toks) > 0)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS INT) AS chunk_no,
+       array_to_string(toks[start : start + 63], ' ') AS chunk_text,
+       CAST(len(toks[start : start + 63]) AS INT) AS n_tokens
+FROM nonempty, LATERAL unnest(range(1, len(toks) + 1, 48)) AS t(start)
+"""
+
+
 def q_text_profile(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     # tokenize ONCE into a materialized projection; every token-based metric
@@ -1952,6 +2002,8 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "text_profile": q_text_profile,
+    "dataset_split": q_dataset_split,
+    "chunk_tokens": q_chunk_tokens,
     "winnow_fingerprint": q_winnow_fingerprint,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -2012,6 +2064,8 @@ ORACLES = {
     "ann_lsh": ORACLE_ANN_LSH,
     "ann_ivf": ORACLE_ANN_IVF,
     "text_profile": ORACLE_TEXT_PROFILE,
+    "dataset_split": ORACLE_DATASET_SPLIT,
+    "chunk_tokens": ORACLE_CHUNK_TOKENS,
     "winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,
     "asof_join": ORACLE_ASOF_JOIN,
     "range_join": ORACLE_RANGE_JOIN,

@@ -1,0 +1,95 @@
+"""Deterministic sampling/splitting/chunking (functions/sampling.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from storm_spark.functions import sampling
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"lang{i % 3}") for i in range(2000)]
+    return spark.createDataFrame(rows, "doc_id bigint, lang string")
+
+
+def test_split_stable_under_corpus_growth(spark, docs):
+    """The property that prevents test-set leakage across dataset versions:
+    growing the corpus never moves an existing row between splits."""
+    small = docs.filter(F.col("doc_id") < 500)
+    a = {
+        r.doc_id: r.split
+        for r in sampling.deterministic_split(small, "doc_id").collect()
+    }
+    b = {
+        r.doc_id: r.split
+        for r in sampling.deterministic_split(docs, "doc_id").collect()
+    }
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_split_weights_approximate(docs):
+    out = sampling.deterministic_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.75 < counts["train"] / 2000 < 0.85
+    assert counts["train"] + counts["val"] + counts["test"] == 2000
+
+
+def test_split_and_sample_decisions_independent(docs):
+    """Different salts decouple decisions on the same id: the sampled subset
+    must show the same split proportions as the full set (no correlation)."""
+    kept = sampling.stratified_sample(docs, "doc_id", 0.5)
+    split = sampling.deterministic_split(kept, "doc_id", {"train": 0.8, "val": 0.2})
+    n = kept.count()
+    tr = split.filter(F.col("split") == "train").count()
+    assert 0.74 < tr / n < 0.86
+
+
+def test_stratified_fractions_per_stratum(docs):
+    out = sampling.stratified_sample(
+        docs, "doc_id", {"lang0": 0.2, "lang1": 0.6}, stratum_col="lang"
+    )
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert 0.12 < counts["lang0"] / 667 < 0.28
+    assert 0.5 < counts["lang1"] / 667 < 0.7
+    assert counts["lang2"] == 666  # absent stratum kept whole
+
+
+def test_stratified_requires_stratum_col(docs):
+    with pytest.raises(ValueError, match="stratum_col"):
+        sampling.stratified_sample(docs, "doc_id", {"x": 0.5})
+
+
+def test_chunk_windows_cover_and_overlap(spark):
+    df = spark.createDataFrame(
+        [(1, [f"t{i}" for i in range(10)]), (2, ["a"]), (3, [])],
+        "doc_id bigint, toks array<string>",
+    )
+    out = sampling.chunk_token_windows(df, "doc_id", "toks", max_len=4, stride=3)
+    rows = sorted((r.doc_id, r.chunk_no, r.chunk_text, r.n_tokens) for r in out.collect())
+    # doc 1: starts 1,4,7,10 → windows of ≤4 tokens, 1-token overlap
+    assert rows == [
+        (1, 0, "t0 t1 t2 t3", 4),
+        (1, 1, "t3 t4 t5 t6", 4),
+        (1, 2, "t6 t7 t8 t9", 4),
+        (1, 3, "t9", 1),
+        (2, 0, "a", 1),
+    ]
+    # disjoint default: stride = max_len reconstructs the document exactly
+    disjoint = sampling.chunk_token_windows(df, "doc_id", "toks", max_len=4)
+    joined = " ".join(
+        r.chunk_text
+        for r in sorted(
+            disjoint.filter(F.col("doc_id") == 1).collect(), key=lambda r: r.chunk_no
+        )
+    )
+    assert joined == " ".join(f"t{i}" for i in range(10))
+
+
+def test_chunk_plan_has_no_shuffle(spark):
+    df = spark.createDataFrame([(1, ["a", "b"])], "doc_id bigint, toks array<string>")
+    out = sampling.chunk_token_windows(df, "doc_id", "toks", max_len=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
