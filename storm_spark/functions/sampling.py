@@ -127,6 +127,68 @@ def sql_sample_pred(
     return f"{b} < {int(fractions * _BUCKETS)}"
 
 
+def pack_token_budget(
+    df: DataFrame,
+    id_cols: list[str],
+    len_col: str,
+    budget: int,
+    n_shards: int = 32,
+    salt: str = "pack",
+) -> DataFrame:
+    """Assign chunks to fixed-token-budget training bins — the sequence-
+    packing step after :func:`chunk_token_windows`. Emits the input plus
+    ``(shard, bin)``; a training job reads one (shard, bin) group per sample.
+
+    Distributed next-fit shelf packing: rows hash into ``n_shards``
+    independent shards (each shard packs in parallel — the global-sort
+    bottleneck of exact first-fit-decreasing never materializes); within a
+    shard, a deterministic hash-ordered running sum opens a new bin each
+    time the budget would overflow: ``bin = floor(exclusive_cumsum / budget)``.
+    Each bin holds ≤ budget tokens plus at most one straddling chunk (bounded
+    by the max chunk length — callers chunking at ``max_len ≤ budget`` get
+    ≤ ``budget + max_len`` per bin, the standard approximation distributed
+    training pipelines accept in exchange for one window shuffle instead of
+    a sequential pass).
+
+    One shuffle (partition by shard, sort by hash) — at 100 TB raise
+    ``n_shards`` so each shard's chunk list fits a task. Deterministic: the
+    order inside a shard is the md5 of the id columns, not arrival order.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws(":", F.lit(salt), *[F.col(c).cast("string") for c in id_cols]))
+    shard = (
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % n_shards
+    ).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("__h__")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    excl_cumsum = F.coalesce(F.sum(len_col).over(w), F.lit(0))
+    return (
+        df.select("*", shard, h.alias("__h__"))
+        .withColumn("bin", F.floor(excl_cumsum / budget))
+        .drop("__h__")
+    )
+
+
+def sql_pack_exprs(
+    id_exprs: list[str], len_expr: str, budget: int, n_shards: int = 32, salt: str = "pack"
+) -> tuple[str, str, str]:
+    """DuckDB twin of :func:`pack_token_budget`: (hash, shard, bin) SQL
+    snippets — bin needs the hash exposed for the window order."""
+    ids = " || ':' || ".join(f"CAST({e} AS VARCHAR)" for e in id_exprs)
+    h = f"md5('{salt}:' || {ids})"
+    shard = f"(('0x' || substr({h}, 1, 15))::BIGINT % {n_shards})"
+    bin_ = (
+        f"CAST(FLOOR(COALESCE(SUM({len_expr}) OVER ("
+        f"PARTITION BY {shard} ORDER BY {h} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {budget}) AS BIGINT)"
+    )
+    return h, shard, bin_
+
+
 def chunk_token_windows(
     df: DataFrame,
     id_col: str,

@@ -1,3 +1,4 @@
+from storm_spark.io.bucketed import read_bucketed, write_bucketed
 from storm_spark.io.sources import (
     FixedBatchSource,
     csv_source,
@@ -8,6 +9,8 @@ from storm_spark.io.sources import (
 )
 
 __all__ = [
+    "read_bucketed",
+    "write_bucketed",
     "FixedBatchSource",
     "csv_source",
     "json_source",

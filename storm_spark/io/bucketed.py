@@ -1,0 +1,53 @@
+"""Bucketed tables — co-located joins and aggregations without a shuffle.
+
+The scale lever the prompt for every big join: when two tables are written
+bucketed by the join key into the SAME number of buckets, Spark's scan
+already satisfies the join's required distribution, so the SortMergeJoin
+runs with NO Exchange on either side — at 100 TB that deletes the two
+largest shuffles in a fact-fact join (e.g. lineitem ⋈ orders). A groupBy on
+the bucket key likewise aggregates in place.
+
+This is the storage-side complement of the reference's `partitionBy`
+repartitioning verb (`Stream.java:207`): the reference co-locates by
+hash-routing tuples at runtime per batch; a lake engine co-locates ONCE at
+write time and every later query inherits it. Write cost is one shuffle —
+amortized over every downstream join/agg on the key.
+
+Plan contract (asserted in `tests/test_plans.py`): bucketed ⋈ bucketed on
+the bucket key → zero Exchange; the same join on unbucketed parquet → two.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    n_buckets: int,
+    path: str,
+    sort: bool = True,
+) -> DataFrame:
+    """Write ``df`` as a bucketed parquet table registered as ``table``
+    (data at ``path``), bucketed by ``keys`` into ``n_buckets`` files per
+    partition. ``sort=True`` also sorts within buckets — SortMergeJoin then
+    skips its sort as well. Returns the re-read table.
+
+    Size ``n_buckets`` so one bucket ≈ 100–200 MB at the target scale; both
+    sides of a co-located join must use the same keys and bucket count.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    w = df.write.mode("overwrite").option("path", path).bucketBy(n_buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.saveAsTable(table)
+    return spark.table(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table — the bucket spec only survives through the
+    catalog (``spark.table``), not a raw ``read.parquet`` of the same path."""
+    return spark.table(table)

@@ -1527,6 +1527,72 @@ FROM nonempty, LATERAL unnest(range(1, len(toks) + 1, 48)) AS t(start)
 """
 
 
+def q_bucketed_join(spark, sf_dir):
+    """Co-located fact-fact join: both sides written bucketed by the join
+    key, so the SortMergeJoin runs with ZERO Exchange (asserted in
+    `test_plans.py::test_bucketed_join_has_no_exchange`) — at 100 TB this
+    deletes the two largest shuffles of lineitem ⋈ orders; write cost is one
+    shuffle amortized over every downstream query on the key."""
+    from storm_spark.io.bucketed import write_bucketed
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", cents("l_quantity").alias("qty_c"))
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    tmp = tempfile.mkdtemp(prefix="storm_spark_bucketed_")
+    bl = write_bucketed(li, "bk_lineitem", ["l_orderkey"], 8, f"{tmp}/lineitem")
+    bo = write_bucketed(od, "bk_orders", ["o_orderkey"], 8, f"{tmp}/orders")
+    return (
+        bl.hint("merge")
+        .join(bo, bl.l_orderkey == bo.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("qty_c").alias("sum_qty_c"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_BUCKETED_JOIN = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       SUM({SQL_CENTS.format(x='l_quantity')}) AS sum_qty_c
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_pack_chunks(spark, sf_dir):
+    """Sequence packing: chunked token windows → fixed-token-budget bins
+    (distributed next-fit shelf packing — hash shards pack in parallel, one
+    window shuffle, deterministic hash order)."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", text.tokens("text").alias("toks"))
+    chunks = sampling.chunk_token_windows(base, "doc_id", "toks", max_len=64, stride=48)
+    packed = sampling.pack_token_budget(
+        chunks.drop("chunk_text"), ["doc_id", "chunk_no"], "n_tokens",
+        budget=256, n_shards=8,
+    )
+    return packed.select("doc_id", "chunk_no", "n_tokens", "shard", "bin")
+
+
+_PACK_H, _PACK_SHARD, _PACK_BIN = sampling.sql_pack_exprs(
+    ["doc_id", "chunk_no"], "n_tokens", budget=256, n_shards=8
+)
+
+ORACLE_PACK_CHUNKS = f"""
+WITH base AS (
+  SELECT doc_id, {SQL_TOKS.format(x='text')} AS toks FROM documents),
+nonempty AS (SELECT * FROM base WHERE len(toks) > 0),
+chunks AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS INT) AS chunk_no,
+         CAST(len(toks[start : start + 63]) AS INT) AS n_tokens
+  FROM nonempty, LATERAL unnest(range(1, len(toks) + 1, 48)) AS t(start))
+SELECT doc_id, chunk_no, n_tokens, {_PACK_SHARD} AS shard, {_PACK_BIN} AS bin
+FROM chunks
+"""
+
+
 def q_text_profile(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     # tokenize ONCE into a materialized projection; every token-based metric
@@ -2004,6 +2070,8 @@ QUERIES = {
     "text_profile": q_text_profile,
     "dataset_split": q_dataset_split,
     "chunk_tokens": q_chunk_tokens,
+    "pack_chunks": q_pack_chunks,
+    "bucketed_join": q_bucketed_join,
     "winnow_fingerprint": q_winnow_fingerprint,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -2066,6 +2134,8 @@ ORACLES = {
     "text_profile": ORACLE_TEXT_PROFILE,
     "dataset_split": ORACLE_DATASET_SPLIT,
     "chunk_tokens": ORACLE_CHUNK_TOKENS,
+    "pack_chunks": ORACLE_PACK_CHUNKS,
+    "bucketed_join": ORACLE_BUCKETED_JOIN,
     "winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,
     "asof_join": ORACLE_ASOF_JOIN,
     "range_join": ORACLE_RANGE_JOIN,

@@ -192,3 +192,29 @@ def test_range_join_is_hash_join_not_nested_loop(spark):
     plan = _plan(q_range_join(spark, SF))
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join contract: two tables bucketed by the join key into
+    the same bucket count sort-merge-join with ZERO Exchange; the identical
+    join on unbucketed frames needs two."""
+    from storm_spark.io.bucketed import write_bucketed
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    od = spark.read.parquet(f"{sf}/orders.parquet").select("o_orderkey", "o_custkey")
+    bl = write_bucketed(li, "bkt_li", ["l_orderkey"], 4, str(tmp_path / "li"))
+    bo = write_bucketed(od, "bkt_od", ["o_orderkey"], 4, str(tmp_path / "od"))
+    plan = (
+        bl.hint("merge")
+        .join(bo, bl.l_orderkey == bo.o_orderkey)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    unplan = (
+        li.hint("merge")
+        .join(od, li.l_orderkey == od.o_orderkey)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert unplan.count("Exchange") == 2

@@ -93,3 +93,32 @@ def test_chunk_plan_has_no_shuffle(spark):
     out = sampling.chunk_token_windows(df, "doc_id", "toks", max_len=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pack_token_budget_invariants(spark):
+    rows = [(i, 0, 10 + (i * 7) % 55) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id bigint, chunk_no int, n_tokens int")
+    packed = sampling.pack_token_budget(
+        df, ["doc_id", "chunk_no"], "n_tokens", budget=128, n_shards=4
+    )
+    out = packed.collect()
+    assert len(out) == 400  # packing assigns, never drops
+    max_len = max(r.n_tokens for r in out)
+    totals = {}
+    for r in out:
+        totals[(r.shard, r.bin)] = totals.get((r.shard, r.bin), 0) + r.n_tokens
+    # next-fit shelf bound: budget + one straddling chunk
+    assert all(t <= 128 + max_len for t in totals.values())
+    # bins are contiguous from 0 within each shard
+    by_shard = {}
+    for (s, b) in totals:
+        by_shard.setdefault(s, set()).add(b)
+    for bins in by_shard.values():
+        assert bins == set(range(len(bins)))
+    # every full bin (all but the last per shard) is ≥ budget - max_len full
+    for s, bins in by_shard.items():
+        for b in sorted(bins)[:-1]:
+            assert totals[(s, b)] > 128 - max_len
+
+    again = sorted(map(tuple, packed.collect()))
+    assert again == sorted(map(tuple, out))
