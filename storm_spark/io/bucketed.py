@@ -51,3 +51,21 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table — the bucket spec only survives through the
     catalog (``spark.table``), not a raw ``read.parquet`` of the same path."""
     return spark.table(table)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> DataFrame:
+    """Write ``df`` hive-partitioned by ``partition_cols`` (one directory
+    per value combination) and return the re-read frame.
+
+    The partition-pruning lever: a filter on a partition column prunes at
+    PLANNING time — unmatched directories are never listed, opened, or
+    scanned (``PartitionFilters`` in the plan, asserted in
+    ``tests/test_plans.py``). On a 100 TB events lake partitioned by day, a
+    one-day query reads 1/365th of the data before a single task launches.
+    Choose low-cardinality columns queries actually filter on (date, tenant,
+    source); high-cardinality partitioning makes a small-files problem —
+    bucket those instead (:func:`write_bucketed`)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    return df.sparkSession.read.parquet(path)

@@ -1527,6 +1527,39 @@ FROM nonempty, LATERAL unnest(range(1, len(toks) + 1, 48)) AS t(start)
 """
 
 
+def q_partition_pruned(spark, sf_dir):
+    """Partition-layout pruning: events written hive-partitioned by day, a
+    one-day filter prunes unmatched directories at planning time
+    (`PartitionFilters`, asserted in `test_plans.py`) — on a date-partitioned
+    100 TB lake a day query scans 1/365th of the bytes."""
+    from storm_spark.io.bucketed import write_partitioned
+
+    ev = _events(spark, sf_dir).withColumn(
+        "event_date", F.to_date("ts").cast("string")
+    )
+    tmp = tempfile.mkdtemp(prefix="storm_spark_part_")
+    pe = write_partitioned(ev, tmp, ["event_date"])
+    return (
+        pe.filter(F.col("event_date") == "2024-01-02")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents("value")).alias("sum_value_c"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_PARTITION_PRUNED = f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM({SQL_CENTS.format(x='value')}) AS sum_value_c
+FROM events
+WHERE CAST(ts AS DATE) = DATE '2024-01-02'
+GROUP BY event_type
+"""
+
+
 def q_bucketed_join(spark, sf_dir):
     """Co-located fact-fact join: both sides written bucketed by the join
     key, so the SortMergeJoin runs with ZERO Exchange (asserted in
@@ -2072,6 +2105,7 @@ QUERIES = {
     "chunk_tokens": q_chunk_tokens,
     "pack_chunks": q_pack_chunks,
     "bucketed_join": q_bucketed_join,
+    "partition_pruned": q_partition_pruned,
     "winnow_fingerprint": q_winnow_fingerprint,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -2136,6 +2170,7 @@ ORACLES = {
     "chunk_tokens": ORACLE_CHUNK_TOKENS,
     "pack_chunks": ORACLE_PACK_CHUNKS,
     "bucketed_join": ORACLE_BUCKETED_JOIN,
+    "partition_pruned": ORACLE_PARTITION_PRUNED,
     "winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,
     "asof_join": ORACLE_ASOF_JOIN,
     "range_join": ORACLE_RANGE_JOIN,

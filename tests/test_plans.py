@@ -218,3 +218,29 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert unplan.count("Exchange") == 2
+
+
+def test_partitioned_write_prunes_at_planning_time(spark, tmp_path):
+    """A filter on a hive-partition column becomes a PartitionFilter: pruned
+    directories never reach the scan (0 pushed data filters needed), and the
+    scan's partition count equals the matching directories only."""
+    from pyspark.sql import functions as F
+
+    from storm_spark.io.bucketed import write_partitioned
+
+    from storm_spark.queries import _events
+
+    ev = _events(spark, "/root/testdata/sf0.001").withColumn(
+        "event_date", F.to_date("ts").cast("string")
+    )
+    pe = write_partitioned(ev, str(tmp_path / "ev"), ["event_date"])
+    q = pe.filter(F.col("event_date") == "2024-01-02")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "event_date" in plan.split("PartitionFilters")[1].split("]")[0]
+    n_days = ev.select("event_date").distinct().count()
+    assert n_days > 1
+    # the date predicate is a PLANNING-time partition filter, not a data
+    # filter evaluated per row group
+    part_section = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "2024-01-02" in part_section
