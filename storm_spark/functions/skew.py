@@ -91,3 +91,76 @@ def replicated_join(
         "__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     return big_s.join(small_s, on + ["__salt__"], how).drop("__salt__")
+
+
+def bloom_pruned_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str | None = None,
+    how: str = "inner",
+    bits_per_key: int = 12,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Join after pruning the big side with a Bloom filter built from the
+    small side's keys — result-identical to the plain join (false positives
+    only let extra rows REACH the exact join, never through it), but the big
+    side's shuffle carries just the rows that can match.
+
+    The 100 TB case: joining a huge fact table against a filtered dimension
+    too selective for the planner to see — the bloom (~1.5 bytes/key at 12
+    bits/key, fp ≈ 0.3%) rides into the scan stage and drops the fact-side
+    shuffle from |fact| to ~|matching|. Spark's own runtime bloom injection
+    (`spark.sql.optimizer.runtime.bloomFilter.enabled`, on by default) does
+    this automatically for eligible equi-joins; this verb is the explicit
+    override for shapes the rule skips (stream-static joins, pre-filtered
+    dims behind non-pushable predicates, bucketed scans).
+
+    Implementation is expression-only on the probe side: k = ``n_hashes``
+    bit positions per key via seeded ``xxhash64`` double-hashing; the build
+    side's DISTINCT positions collect once to the driver (bounded by the
+    bitmap size, not the key count) into a long[] bitmap embedded as a plan
+    literal, and membership tests are ``element_at`` + shift — no Python,
+    no extra shuffle, fully codegen'd. Driver memory bounds this at ~1M-key
+    filters (~2 MB literal); past that, rely on the native injection rule.
+
+    Only ``inner`` and ``left_semi`` joins can prune the big side safely
+    (outer joins must keep non-matching rows).
+    """
+    if how not in ("inner", "left_semi", "semi"):
+        raise ValueError("bloom pruning only applies to inner/left_semi joins")
+    small_key = small_key or big_key
+    n = small.count() or 1
+    m = max(((n * bits_per_key + 63) // 64) * 64, 1024)  # bits, 64-aligned
+
+    def positions(col):
+        # double hashing: pos_i = (h1 + i*h2) mod m; reduce each hash mod m
+        # FIRST so the combination never overflows long under ANSI mode
+        h1 = F.pmod(F.xxhash64(col, F.lit(1)), F.lit(m))
+        h2 = F.pmod(F.xxhash64(col, F.lit(2)), F.lit(m))
+        return [F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(n_hashes)]
+
+    pos_rows = (
+        small.select(F.explode(F.array(*positions(F.col(small_key)))).alias("p"))
+        .distinct()
+        .collect()
+    )
+    words = [0] * (m // 64)
+    for r in pos_rows:
+        p = r["p"]
+        words[p // 64] |= 1 << (p % 64)
+    # two's-complement fold to signed 64-bit for the BIGINT literal array
+    arr = F.lit([w - (1 << 64) if w >= (1 << 63) else w for w in words])
+
+    def might_contain(col):
+        cond = None
+        for p in positions(col):
+            word = F.element_at(arr, (p / 64).cast("int") + 1)
+            bit = F.call_function("getbit", word, (p % 64).cast("int")) == 1
+            cond = bit if cond is None else cond & bit
+        return cond
+
+    pruned = big.filter(might_contain(F.col(big_key)))
+    if how in ("left_semi", "semi"):
+        return pruned.join(small, pruned[big_key] == small[small_key], "left_semi")
+    return pruned.join(small, pruned[big_key] == small[small_key], how)

@@ -1527,6 +1527,34 @@ FROM nonempty, LATERAL unnest(range(1, len(toks) + 1, 48)) AS t(start)
 """
 
 
+def q_bloom_join(spark, sf_dir):
+    """Bloom-pruned fact⋈dim join: a bloom filter of the (filtered) orders
+    keys broadcasts ahead of the exact join, so the lineitem shuffle carries
+    only can-match rows (~selectivity + fpp). Result-identical to the plain
+    join — false positives die in the exact join — hence the exact oracle."""
+    from storm_spark.functions.skew import bloom_pruned_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", cents("l_quantity").alias("qty_c"))
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey", "o_orderpriority")
+    j = bloom_pruned_join(li, urgent, "l_orderkey", "o_orderkey")
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum("qty_c").alias("sum_qty_c"),
+    )
+
+
+ORACLE_BLOOM_JOIN = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       SUM({SQL_CENTS.format(x='l_quantity')}) AS sum_qty_c
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderpriority
+"""
+
+
 def q_partition_pruned(spark, sf_dir):
     """Partition-layout pruning: events written hive-partitioned by day, a
     one-day filter prunes unmatched directories at planning time
@@ -2106,6 +2134,7 @@ QUERIES = {
     "pack_chunks": q_pack_chunks,
     "bucketed_join": q_bucketed_join,
     "partition_pruned": q_partition_pruned,
+    "bloom_join": q_bloom_join,
     "winnow_fingerprint": q_winnow_fingerprint,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -2171,6 +2200,7 @@ ORACLES = {
     "pack_chunks": ORACLE_PACK_CHUNKS,
     "bucketed_join": ORACLE_BUCKETED_JOIN,
     "partition_pruned": ORACLE_PARTITION_PRUNED,
+    "bloom_join": ORACLE_BLOOM_JOIN,
     "winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,
     "asof_join": ORACLE_ASOF_JOIN,
     "range_join": ORACLE_RANGE_JOIN,

@@ -64,3 +64,45 @@ def test_replicated_left_join_keeps_unmatched(spark, skewed):
     want = skewed.join(dim, ["k"], "left")
     assert got.count() == want.count()
     assert got.filter(F.col("label").isNull()).count() == 100
+
+
+def test_bloom_pruned_join_identical_to_plain(spark):
+    """Bloom pruning is result-transparent: false positives reach the exact
+    join and die there; the joined output matches the plain join exactly."""
+    from storm_spark.functions.skew import bloom_pruned_join
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    od = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .filter("o_orderpriority = '1-URGENT'")
+        .select("o_orderkey")
+    )
+    got = sorted(
+        map(tuple, bloom_pruned_join(li, od, "l_orderkey", "o_orderkey").collect())
+    )
+    want = sorted(map(tuple, li.join(od, li.l_orderkey == od.o_orderkey).collect()))
+    assert got == want and len(got) > 0
+
+    semi = sorted(
+        map(
+            tuple,
+            bloom_pruned_join(li, od, "l_orderkey", "o_orderkey", how="left_semi").collect(),
+        )
+    )
+    want_semi = sorted(
+        map(tuple, li.join(od, li.l_orderkey == od.o_orderkey, "left_semi").collect())
+    )
+    assert semi == want_semi
+
+
+def test_bloom_pruned_join_rejects_outer(spark):
+    import pytest as _pytest
+
+    from storm_spark.functions.skew import bloom_pruned_join
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf}/orders.parquet")
+    with _pytest.raises(ValueError, match="inner/left_semi"):
+        bloom_pruned_join(li, od, "l_orderkey", "o_orderkey", how="left")
