@@ -364,3 +364,51 @@ def simhash_near_pairs(
     return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def ngram_containment(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    threshold: float = 0.5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Eval-set decontamination: for each TEST document, the fraction of its
+    word-n-grams that appear ANYWHERE in the train corpus (corpus-level
+    containment — the standard LLM contamination measure; ``n`` runs longer
+    than near-dup shingling because only verbatim overlaps of meaningful
+    length matter). Returns ``(id, n_shingles, n_contained, containment)``
+    for test docs with containment ≥ ``threshold`` — the drop list.
+
+    Plan: one inverted-index join of the test shingle index against the
+    DISTINCT train shingle set (8-byte hashed shingles). Never pairwise —
+    cost is |test shingles| + |train shingles|, independent of train×test
+    document combinations; the train set can be 100 TB while the index join
+    shuffles only hashes. No df cap: unlike near-dup pairing there is no df²
+    blowup (the train side is deduplicated to one row per shingle).
+    """
+    t_idx = _shingle_index(test, id_col, text_col, n, None)
+    train_sh = (
+        _shingle_index(train, id_col, text_col, n, None).select("__sh__").distinct()
+    )
+    sizes = t_idx.groupBy("__id__").agg(F.count(F.lit(1)).alias("n_shingles"))
+    contained = (
+        t_idx.join(train_sh, "__sh__", "left_semi")
+        .groupBy("__id__")
+        .agg(F.count(F.lit(1)).alias("n_contained"))
+    )
+    return (
+        sizes.join(contained, "__id__", "left")
+        .select(
+            F.col("__id__").alias(id_col),
+            "n_shingles",
+            F.coalesce("n_contained", F.lit(0)).alias("n_contained"),
+            F.round(
+                F.coalesce("n_contained", F.lit(0)).cast("double") / F.col("n_shingles"),
+                ndigits,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

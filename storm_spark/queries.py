@@ -1527,6 +1527,40 @@ FROM nonempty, LATERAL unnest(range(1, len(toks) + 1, 48)) AS t(start)
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination: fraction of each test doc's 5-grams found
+    anywhere in the train corpus (corpus-level containment); docs over the
+    threshold are the drop list. One inverted-index semi-join against the
+    distinct train shingle set — never pairwise."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup.ngram_containment(train, test, "doc_id", "text", n=5, threshold=0.5)
+
+
+def _oracle_decontaminate(n=5, threshold=0.5):
+    toks = SQL_TOKS.format(x="text")
+    sh = SQL_SHINGLES.format(t="toks", nm1=n - 1)
+    return f"""
+WITH base AS (SELECT doc_id, {toks} AS toks FROM documents),
+tr AS (SELECT DISTINCT ('0x' || substr(md5(s), 1, 15))::BIGINT AS sh
+       FROM (SELECT unnest({sh}) AS s FROM base WHERE doc_id % 2 = 0)),
+te AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS sh
+       FROM (SELECT doc_id, unnest({sh}) AS s FROM base WHERE doc_id % 2 = 1)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM te GROUP BY doc_id),
+cont AS (SELECT doc_id, COUNT(*) AS n_contained
+         FROM te SEMI JOIN tr ON te.sh = tr.sh GROUP BY doc_id)
+SELECT s.doc_id, s.n_shingles,
+       COALESCE(c.n_contained, 0) AS n_contained,
+       round(COALESCE(c.n_contained, 0) / s.n_shingles, 6) AS containment
+FROM sizes s LEFT JOIN cont c ON s.doc_id = c.doc_id
+WHERE round(COALESCE(c.n_contained, 0) / s.n_shingles, 6) >= {threshold}
+"""
+
+
+ORACLE_DECONTAMINATE = _oracle_decontaminate()
+
+
 def q_bloom_join(spark, sf_dir):
     """Bloom-pruned fact⋈dim join: a bloom filter of the (filtered) orders
     keys broadcasts ahead of the exact join, so the lineitem shuffle carries
@@ -2135,6 +2169,7 @@ QUERIES = {
     "bucketed_join": q_bucketed_join,
     "partition_pruned": q_partition_pruned,
     "bloom_join": q_bloom_join,
+    "decontaminate": q_decontaminate,
     "winnow_fingerprint": q_winnow_fingerprint,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -2201,6 +2236,7 @@ ORACLES = {
     "bucketed_join": ORACLE_BUCKETED_JOIN,
     "partition_pruned": ORACLE_PARTITION_PRUNED,
     "bloom_join": ORACLE_BLOOM_JOIN,
+    "decontaminate": ORACLE_DECONTAMINATE,
     "winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,
     "asof_join": ORACLE_ASOF_JOIN,
     "range_join": ORACLE_RANGE_JOIN,

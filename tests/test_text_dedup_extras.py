@@ -72,3 +72,38 @@ def test_dedup_near_cluster_keeps_representatives(spark):
     kept = sorted(r.doc_id for r in dedup_near_cluster(df, "doc_id", pairs).collect())
     # cluster {1,2,3} -> keep 1; 7 and 9 untouched
     assert kept == [1, 7, 9]
+
+
+def test_ngram_containment_decontamination(spark):
+    """Corpus-level containment: verbatim copies score 1.0, half-overlapping
+    docs score the overlap fraction, fresh docs 0 (dropped by threshold)."""
+    from storm_spark.functions import dedup
+
+    train = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id bigint, text string",
+    )
+    test = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),  # verbatim
+            (3, "one two three four five completely different tail here now"),
+            (5, "totally novel words with no overlap whatsoever at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: (r.n_shingles, r.n_contained, r.containment)
+        for r in dedup.ngram_containment(
+            train, test, "doc_id", "text", n=3, threshold=0.0
+        ).collect()
+    }
+    assert out[1][2] == 1.0
+    # doc 3: 8 trigrams, 3 contained ("one two three", "two three four",
+    # "three four five")
+    assert out[3] == (8, 3, 0.375)
+    assert out[5][2] == 0.0
+    dropped = dedup.ngram_containment(train, test, "doc_id", "text", n=3, threshold=0.5)
+    assert [r.doc_id for r in dropped.collect()] == [1]
