@@ -213,3 +213,30 @@ def analyze(df: DataFrame, text_col: str = "text", ndigits: int = 6) -> DataFram
         lang_id_t(t).alias("lang_guess"),
         fingerprint_t(t).alias("fingerprint"),
     )
+
+
+def repetition_ratio_t(toks: Column, n: int = 3, ndigits: int = 6) -> Column:
+    """Within-document n-gram repetition: ``1 - distinct_ngrams / ngrams``
+    (0 = no repeated n-gram, →1 = the same phrase looping). The Gopher-rule
+    style quality signal that catches boilerplate/generated loops which
+    length and punctuation ratios miss. Expression-only over a materialized
+    token array; 0.0 for docs shorter than ``n`` tokens."""
+    grams = ngrams_from_tokens(toks, n)
+    n_grams = F.size(grams)
+    return F.when(n_grams <= 0, F.lit(0.0)).otherwise(
+        F.round(1.0 - F.size(F.array_distinct(grams)) / n_grams, ndigits)
+    )
+
+
+def top_token_ratio_t(toks: Column, ndigits: int = 6) -> Column:
+    """Fraction of the document occupied by its single most frequent token —
+    high values flag keyword-stuffed or looping text. Expression-only:
+    aggregate over the distinct tokens of the count of each."""
+    counts = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.size(F.filter(toks, lambda x: x == t)),
+    )
+    mx = F.array_max(counts)
+    return F.when(F.size(toks) <= 0, F.lit(0.0)).otherwise(
+        F.round(mx / F.size(toks), ndigits)
+    )

@@ -1527,6 +1527,37 @@ FROM nonempty, LATERAL unnest(range(1, len(toks) + 1, 48)) AS t(start)
 """
 
 
+def q_quality_repetition(spark, sf_dir):
+    """Within-doc repetition quality signals (Gopher-rule style): 3-gram
+    repetition ratio + most-frequent-token share. Pure scan+projection over
+    one materialized tokenization; zero shuffles before the final sort."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", text.tokens("text").alias("__toks__"))
+    t = F.col("__toks__")
+    return base.select(
+        "doc_id",
+        text.repetition_ratio_t(t, n=3).alias("rep3"),
+        text.top_token_ratio_t(t).alias("top_tok"),
+    )
+
+
+_SQL_REP_TOKS = SQL_TOKS.format(x="text")
+_SQL_REP_GRAMS = SQL_SHINGLES.format(t="toks", nm1=2)
+
+ORACLE_QUALITY_REPETITION = f"""
+WITH base AS (SELECT doc_id, {_SQL_REP_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, toks, {_SQL_REP_GRAMS} AS grams FROM base)
+SELECT doc_id,
+       CASE WHEN len(grams) <= 0 THEN 0.0
+            ELSE round(1.0 - len(list_distinct(grams)) / len(grams), 6) END AS rep3,
+       CASE WHEN len(toks) <= 0 THEN 0.0
+            ELSE round(list_max(list_transform(list_distinct(toks),
+                       t -> len(list_filter(toks, x -> x = t)))) / len(toks), 6)
+       END AS top_tok
+FROM g
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Eval-set decontamination: fraction of each test doc's 5-grams found
     anywhere in the train corpus (corpus-level containment); docs over the
@@ -2170,6 +2201,7 @@ QUERIES = {
     "partition_pruned": q_partition_pruned,
     "bloom_join": q_bloom_join,
     "decontaminate": q_decontaminate,
+    "quality_repetition": q_quality_repetition,
     "winnow_fingerprint": q_winnow_fingerprint,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -2237,6 +2269,7 @@ ORACLES = {
     "partition_pruned": ORACLE_PARTITION_PRUNED,
     "bloom_join": ORACLE_BLOOM_JOIN,
     "decontaminate": ORACLE_DECONTAMINATE,
+    "quality_repetition": ORACLE_QUALITY_REPETITION,
     "winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,
     "asof_join": ORACLE_ASOF_JOIN,
     "range_join": ORACLE_RANGE_JOIN,

@@ -107,3 +107,30 @@ def test_ngram_containment_decontamination(spark):
     assert out[5][2] == 0.0
     dropped = dedup.ngram_containment(train, test, "doc_id", "text", n=3, threshold=0.5)
     assert [r.doc_id for r in dropped.collect()] == [1]
+
+
+def test_repetition_signals(spark):
+    from pyspark.sql import functions as F
+
+    from storm_spark.functions import text
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),
+            (2, "each word here appears exactly once only"),
+            (3, "ab"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: (r.rep3, r.top_tok)
+        for r in df.select(
+            "doc_id",
+            text.repetition_ratio_t(text.tokens("text"), n=3).alias("rep3"),
+            text.top_token_ratio_t(text.tokens("text")).alias("top_tok"),
+        ).collect()
+    }
+    # "buy now ..." has 6 trigrams but only 2 distinct; top token = 4/8
+    assert out[1] == (round(1 - 2 / 6, 6), 0.5)
+    assert out[2] == (0.0, round(1 / 7, 6))
+    assert out[3] == (0.0, 1.0)  # shorter than n: no grams, single token
