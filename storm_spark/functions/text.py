@@ -231,7 +231,12 @@ def repetition_ratio_t(toks: Column, n: int = 3, ndigits: int = 6) -> Column:
 def top_token_ratio_t(toks: Column, ndigits: int = 6) -> Column:
     """Fraction of the document occupied by its single most frequent token —
     high values flag keyword-stuffed or looping text. Expression-only:
-    aggregate over the distinct tokens of the count of each."""
+    aggregate over the distinct tokens of the count of each.
+
+    Cost is O(distinct × length) per document — fine for web-document
+    lengths (the common case this signal exists for); for book-length texts
+    compute it via explode → groupBy(doc, token) → max/sum instead (one
+    shuffle, linear)."""
     counts = F.transform(
         F.array_distinct(toks),
         lambda t: F.size(F.filter(toks, lambda x: x == t)),

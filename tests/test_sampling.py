@@ -122,3 +122,31 @@ def test_pack_token_budget_invariants(spark):
 
     again = sorted(map(tuple, packed.collect()))
     assert again == sorted(map(tuple, out))
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(st.integers(1, 40), min_size=1, max_size=8),
+    st.integers(2, 10),
+    st.integers(1, 10),
+)
+def test_chunk_windows_properties(spark, doc_lens, max_len, stride):
+    """For any corpus/window/stride: every chunk ≤ max_len tokens, every
+    token position lands in ≥1 chunk, and chunk 0 starts at the document
+    start."""
+    stride = min(stride, max_len)
+    rows = [(i, [f"w{i}_{j}" for j in range(ln)]) for i, ln in enumerate(doc_lens)]
+    df = spark.createDataFrame(rows, "doc_id bigint, toks array<string>")
+    out = sampling.chunk_token_windows(df, "doc_id", "toks", max_len, stride)
+    chunks = {}
+    for r in out.collect():
+        chunks.setdefault(r.doc_id, {})[r.chunk_no] = r.chunk_text.split(" ")
+    for i, ln in enumerate(doc_lens):
+        got = chunks[i]
+        assert all(len(c) <= max_len for c in got.values())
+        covered = {w for c in got.values() for w in c}
+        assert covered == {f"w{i}_{j}" for j in range(ln)}
+        assert got[0][0] == f"w{i}_0"
