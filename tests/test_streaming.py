@@ -219,3 +219,88 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     finally:
         q.stop()
     assert [k for k, _ in got] == ["a", "b"]
+
+
+def test_streaming_curation_pipeline_end_to_end(spark, tmp_path):
+    """The curation ops compose in Structured Streaming: quality filter
+    (expressions) → content dedup (stateful, cross-batch) → split assignment
+    → token-window chunking (map-side explode). The streamed result over two
+    micro-batches equals the same pipeline run as one batch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from storm_spark.functions import sampling, text
+    from storm_spark.streaming.dedup import streaming_dedup_fingerprint
+
+    rows1 = [
+        (1, "the quick brown fox jumps over the lazy dog again and again ok"),
+        (2, "x"),  # fails quality (too short)
+        (3, "many different tokens make a reasonable document for the chunker here"),
+    ]
+    rows2 = [
+        (4, "the quick  brown fox jumps over the lazy dog again and again ok"),  # dup of 1
+        (5, "a second batch document with enough distinct words to pass quality"),
+    ]
+    indir = tmp_path / "cin"
+    os.makedirs(indir)
+    spark.createDataFrame(rows1, "doc_id bigint, text string").coalesce(1).write.parquet(
+        str(indir / "b1")
+    )
+
+    def curate(df):
+        base = df.withColumn("__toks__", text.tokens("text")).filter(
+            F.size("__toks__") >= 5
+        )
+        deduped = streaming_dedup_fingerprint(base, "text")
+        split = sampling.deterministic_split(deduped, "doc_id", {"train": 0.8, "val": 0.2})
+        return sampling.chunk_token_windows(
+            split.select("doc_id", "__toks__"), "doc_id", "__toks__", max_len=4, stride=4
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{indir}/*")
+    )
+    q = (
+        curate(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("curated")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, "doc_id bigint, text string").coalesce(1).write.parquet(
+            str(indir / "b2")
+        )
+        q.processAllAvailable()
+        streamed = sorted(
+            map(tuple, spark.sql("select * from curated").collect())
+        )
+    finally:
+        q.stop()
+
+    batch_df = spark.createDataFrame(rows1 + rows2, "doc_id bigint, text string")
+    base = batch_df.withColumn("__toks__", text.tokens("text")).filter(
+        F.size("__toks__") >= 5
+    )
+    # batch twin of the streaming dedup: first arrival (min doc_id) per fingerprint
+    from storm_spark.functions.text import fingerprint
+
+    keep = base.withColumn("__fp__", fingerprint("text")).groupBy("__fp__").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    deduped = base.join(keep, "doc_id", "left_semi")
+    expected = sorted(
+        map(
+            tuple,
+            sampling.chunk_token_windows(
+                deduped.select("doc_id", "__toks__"), "doc_id", "__toks__", max_len=4, stride=4
+            ).collect(),
+        )
+    )
+    assert streamed == expected
+    assert {t[0] for t in streamed} == {1, 3, 5}  # 2 fails quality, 4 is a dup
