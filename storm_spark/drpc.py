@@ -145,10 +145,18 @@ class LocalDRPC:
         rows = self.dataframe([args]).collect()
         return rows[0]["result"] if rows else None
 
-    def execute_many(self, args_list: Sequence[str]) -> dict[str, Any]:
-        """N concurrent requests, one execution — each paired with its own
-        result (JoinResult keying)."""
-        return {r["args"]: r["result"] for r in self.dataframe(args_list).collect()}
+    def execute_many(self, args_list: Sequence[str]) -> list[Any]:
+        """N concurrent requests, one execution — returns one result per
+        request, aligned to ``args_list`` order (JoinResult keys on request
+        id, so duplicate args are distinct requests with their own results)."""
+        spark = self._topology.spark
+        adf = spark.createDataFrame(
+            [(i, a) for i, a in enumerate(args_list)],
+            StructType().add("request", _parse_ddl("bigint")).add("args", _parse_ddl("string")),
+        )
+        ctx = Context(spark, {f"__lineardrpc__:{self._function}": adf}, 0)
+        m = {r["request"]: r["result"] for r in self._terminal.build(ctx).collect()}
+        return [m.get(i) for i in range(len(args_list))]
 
 
 class LinearDRPCTopologyBuilder:

@@ -389,7 +389,9 @@ def ngram_containment(
     shuffles only hashes. No df cap: unlike near-dup pairing there is no df²
     blowup (the train side is deduplicated to one row per shingle).
     """
-    t_idx = _shingle_index(test, id_col, text_col, n, None)
+    # the test index feeds two branches (sizes + containment join) —
+    # persist so test-side tokenization/hashing runs once
+    t_idx = _shingle_index(test, id_col, text_col, n, None).persist()
     train_sh = (
         _shingle_index(train, id_col, text_col, n, None).select("__sh__").distinct()
     )

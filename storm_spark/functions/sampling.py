@@ -119,8 +119,14 @@ def sql_sample_pred(
     """DuckDB twin of :func:`stratified_sample`'s keep-predicate."""
     b = _sql_hash_bucket(id_expr, salt)
     if isinstance(fractions, dict):
+        def lit(v):
+            # mirror the Spark comparison's typing: strings quoted (escaped),
+            # numerics bare
+            if isinstance(v, str):
+                return "'" + v.replace("'", "''") + "'"
+            return str(v)
         cases = " ".join(
-            f"WHEN {stratum_expr} = '{v}' THEN {int(f * _BUCKETS)}"
+            f"WHEN {stratum_expr} = {lit(v)} THEN {int(f * _BUCKETS)}"
             for v, f in fractions.items()
         )
         return f"{b} < (CASE {cases} ELSE {_BUCKETS} END)"
@@ -202,14 +208,23 @@ def chunk_token_windows(
     of an LLM training pipeline. Emits one row per window:
     ``(id, chunk_no, chunk_text, n_tokens)``; empty documents emit nothing.
 
-    ``stride`` defaults to ``max_len`` (disjoint windows); ``stride <
-    max_len`` overlaps them. Map-side 1-to-n explode, no shuffle; output
-    volume is Σ tokens/stride rows.
+    ``stride`` defaults to ``max_len`` (abutting windows); ``stride <
+    max_len`` overlaps them. The LAST window clamps to ``len - max_len + 1``
+    instead of running past the end: every window is exactly ``max_len``
+    tokens (short docs yield one whole-doc window), no degenerate tail
+    chunk whose content is a suffix of the previous window — the tail would
+    otherwise be over-weighted in the packed training set. Map-side 1-to-n
+    explode, no shuffle; output volume is Σ tokens/stride rows.
     """
     stride = stride or max_len
     toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     base = df.select(id_col, toks.alias("__toks__")).filter(F.size("__toks__") > 0)
-    starts = F.sequence(F.lit(1), F.size("__toks__"), F.lit(stride))
+    L = F.size("__toks__")
+    full = F.sequence(F.lit(1), F.greatest(L - max_len + 1, F.lit(1)), F.lit(stride))
+    last_end = F.element_at(full, -1) + F.lit(max_len - 1)
+    starts = F.when(L <= max_len, F.array(F.lit(1))).otherwise(
+        F.when(last_end < L, F.concat(full, F.array(L - max_len + 1))).otherwise(full)
+    )
     chunk = F.slice(F.col("__toks__"), F.col("__start__"), max_len)
     return (
         base.select(id_col, "__toks__", F.posexplode(starts).alias("chunk_no", "__start__"))

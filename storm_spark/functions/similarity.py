@@ -29,11 +29,14 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _cos(a: Column, b: Column) -> Column:
+    """Cosine of two already-double array columns (internal fast form)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity of two numeric arrays, computed in double."""
-    ad = a.cast("array<double>")
-    bd = b.cast("array<double>")
-    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+    return _cos(a.cast("array<double>"), b.cast("array<double>"))
 
 
 def cosine_topk(
@@ -223,9 +226,6 @@ def kmeans_centroids(
     )
     cents = [list(r["__cv__"]) for r in init]
 
-    def cos(a: Column, b: Column) -> Column:
-        return _dot(a, b) / (_norm(a) * _norm(b))
-
     spark = corpus.sparkSession
     for _ in range(n_iters):
         cent_df = spark.createDataFrame(
@@ -234,7 +234,7 @@ def kmeans_centroids(
         w = Window.partitionBy("__id__").orderBy(F.col("__cc__").desc(), F.col("cent_id").asc())
         assigned = (
             c.crossJoin(F.broadcast(cent_df))
-            .withColumn("__cc__", cos(F.col("__cv__"), F.col("__cent__")))
+            .withColumn("__cc__", _cos(F.col("__cv__"), F.col("__cent__")))
             .withColumn("__r__", F.row_number().over(w))
             .filter(F.col("__r__") == 1)
             .select("cent_id", "__cv__")
@@ -291,9 +291,6 @@ def ivf_topk(
         )
     )
 
-    def cos(a: Column, b: Column) -> Column:
-        return _dot(a, b) / (_norm(a) * _norm(b))
-
     # corpus → nearest centroid (rank 1 by cosine, centroid id tie-break)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("__cv__")
@@ -303,7 +300,7 @@ def ivf_topk(
     )
     assigned = (
         c.crossJoin(F.broadcast(cents))
-        .withColumn("__cc__", cos(F.col("__cv__"), F.col("__cent__")))
+        .withColumn("__cc__", _cos(F.col("__cv__"), F.col("__cent__")))
         .withColumn("__r__", F.row_number().over(w_assign))
         .filter(F.col("__r__") == 1)
         .select("neighbor_id", "__cv__", F.col("cent_id").alias("__cell__"))
@@ -315,7 +312,7 @@ def ivf_topk(
     w_probe = Window.partitionBy("query_id").orderBy(F.col("__qc__").desc(), F.col("cent_id").asc())
     probed = (
         q.crossJoin(F.broadcast(cents))
-        .withColumn("__qc__", cos(F.col("__qv__"), F.col("__cent__")))
+        .withColumn("__qc__", _cos(F.col("__qv__"), F.col("__cent__")))
         .withColumn("__r__", F.row_number().over(w_probe))
         .filter(F.col("__r__") <= n_probe)
         .select("query_id", "__qv__", F.col("cent_id").alias("__cell__"))
@@ -328,7 +325,7 @@ def ivf_topk(
     sim = pairs.select(
         "query_id",
         "neighbor_id",
-        cos(F.col("__qv__"), F.col("__cv__")).alias("cos_sim"),
+        _cos(F.col("__qv__"), F.col("__cv__")).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (

@@ -130,6 +130,9 @@ def bloom_pruned_join(
     if how not in ("inner", "left_semi", "semi"):
         raise ValueError("bloom pruning only applies to inner/left_semi joins")
     small_key = small_key or big_key
+    # the build side runs two actions (count, positions) before the join —
+    # persist so an expensive dim subtree computes once, not three times
+    small = small.persist()
     n = small.count() or 1
     m = max(((n * bits_per_key + 63) // 64) * 64, 1024)  # bits, 64-aligned
 
@@ -161,6 +164,8 @@ def bloom_pruned_join(
         return cond
 
     pruned = big.filter(might_contain(F.col(big_key)))
-    if how in ("left_semi", "semi"):
-        return pruned.join(small, pruned[big_key] == small[small_key], "left_semi")
-    return pruned.join(small, pruned[big_key] == small[small_key], how)
+    resolved = "left_semi" if how in ("left_semi", "semi") else how
+    if big_key == small_key:
+        # on=[key] merges the key column — same shape as the plain join
+        return pruned.join(small, on=[big_key], how=resolved)
+    return pruned.join(small, pruned[big_key] == small[small_key], resolved)

@@ -1515,15 +1515,30 @@ def q_chunk_tokens(spark, sf_dir):
     return sampling.chunk_token_windows(base, "doc_id", "toks", max_len=64, stride=48)
 
 
+SQL_CHUNK_STARTS = """
+CASE WHEN len(toks) <= {ml} THEN [1]
+     ELSE CASE WHEN list_extract(gs, len(gs)) + {ml} - 1 < len(toks)
+               THEN list_append(gs, len(toks) - {ml} + 1)
+               ELSE gs END
+END
+"""
+
 ORACLE_CHUNK_TOKENS = f"""
 WITH base AS (
   SELECT doc_id, {SQL_TOKS.format(x='text')} AS toks FROM documents),
-nonempty AS (SELECT * FROM base WHERE len(toks) > 0)
+nonempty AS (
+  SELECT doc_id, toks,
+         list(s ORDER BY s) AS gs
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - 63, 1), 48)) AS s
+        FROM base WHERE len(toks) > 0)
+  GROUP BY doc_id, toks),
+st AS (SELECT doc_id, toks, {SQL_CHUNK_STARTS.format(ml=64)} AS starts FROM nonempty)
 SELECT doc_id,
        CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS INT) AS chunk_no,
        array_to_string(toks[start : start + 63], ' ') AS chunk_text,
        CAST(len(toks[start : start + 63]) AS INT) AS n_tokens
-FROM nonempty, LATERAL unnest(range(1, len(toks) + 1, 48)) AS t(start)
+FROM st, LATERAL unnest(starts) AS t(start)
 """
 
 
@@ -1708,12 +1723,18 @@ _PACK_H, _PACK_SHARD, _PACK_BIN = sampling.sql_pack_exprs(
 ORACLE_PACK_CHUNKS = f"""
 WITH base AS (
   SELECT doc_id, {SQL_TOKS.format(x='text')} AS toks FROM documents),
-nonempty AS (SELECT * FROM base WHERE len(toks) > 0),
+nonempty AS (
+  SELECT doc_id, toks, list(s ORDER BY s) AS gs
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - 63, 1), 48)) AS s
+        FROM base WHERE len(toks) > 0)
+  GROUP BY doc_id, toks),
+st AS (SELECT doc_id, toks, {SQL_CHUNK_STARTS.format(ml=64)} AS starts FROM nonempty),
 chunks AS (
   SELECT doc_id,
          CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS INT) AS chunk_no,
          CAST(len(toks[start : start + 63]) AS INT) AS n_tokens
-  FROM nonempty, LATERAL unnest(range(1, len(toks) + 1, 48)) AS t(start))
+  FROM st, LATERAL unnest(starts) AS t(start))
 SELECT doc_id, chunk_no, n_tokens, {_PACK_SHARD} AS shard, {_PACK_BIN} AS bin
 FROM chunks
 """

@@ -94,12 +94,10 @@ def test_split_count_chain_multi_request(spark):
     b.add_bolt(SplitWordsBolt())
     b.add_bolt(CountJoinBolt()).fields_grouping(["id"])
     drpc = b.create_local_topology()
-    out = drpc.execute_many(["the quick the", "fox", "a b a b a"])
-    assert out == {
-        "the quick the": "quick:1,the:2",
-        "fox": "fox:1",
-        "a b a b a": "a:3,b:2",
-    }
+    out = drpc.execute_many(["the quick the", "fox", "a b a b a", "fox"])
+    # one result per request, input-aligned — duplicate args are distinct
+    # requests (PrepareRequest assigns each its own id)
+    assert out == ["quick:1,the:2", "fox:1", "a:3,b:2", "fox:1"]
 
 
 def test_keyed_fair_bolt_wrapper(spark):
@@ -152,5 +150,4 @@ def test_global_grouping_final_aggregate(spark):
     b.add_bolt(SplitWordsBolt())
     b.add_bolt(CountJoinBolt()).global_grouping()
     drpc = b.create_local_topology()
-    out = drpc.execute_many(["p q p", "r"])
-    assert out == {"p q p": "p:2,q:1", "r": "r:1"}
+    assert drpc.execute_many(["p q p", "r"]) == ["p:2,q:1", "r:1"]

@@ -69,23 +69,25 @@ def test_chunk_windows_cover_and_overlap(spark):
     )
     out = sampling.chunk_token_windows(df, "doc_id", "toks", max_len=4, stride=3)
     rows = sorted((r.doc_id, r.chunk_no, r.chunk_text, r.n_tokens) for r in out.collect())
-    # doc 1: starts 1,4,7,10 → windows of ≤4 tokens, 1-token overlap
+    # doc 1: full-window starts 1,4,7 cover through the last token — no
+    # degenerate tail chunk; every window is exactly max_len tokens
     assert rows == [
         (1, 0, "t0 t1 t2 t3", 4),
         (1, 1, "t3 t4 t5 t6", 4),
         (1, 2, "t6 t7 t8 t9", 4),
-        (1, 3, "t9", 1),
         (2, 0, "a", 1),
     ]
-    # disjoint default: stride = max_len reconstructs the document exactly
+    # abutting stride: starts 1,5 leave t8,t9 uncovered → the final window
+    # CLAMPS to start 7 (full max_len, overlapping) instead of emitting a
+    # 2-token tail
     disjoint = sampling.chunk_token_windows(df, "doc_id", "toks", max_len=4)
-    joined = " ".join(
+    texts = [
         r.chunk_text
         for r in sorted(
             disjoint.filter(F.col("doc_id") == 1).collect(), key=lambda r: r.chunk_no
         )
-    )
-    assert joined == " ".join(f"t{i}" for i in range(10))
+    ]
+    assert texts == ["t0 t1 t2 t3", "t4 t5 t6 t7", "t6 t7 t8 t9"]
 
 
 def test_chunk_plan_has_no_shuffle(spark):

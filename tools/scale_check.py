@@ -24,7 +24,10 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
-# id column to re-key per replica (None = copy unchanged; dims stay fixed)
+# id column to re-key per replica (None = copy unchanged; dims stay fixed).
+# ONE shared offset across all tables: keys that join across tables
+# (o_orderkey = l_orderkey) must shift identically in every replica, or the
+# replicated joins go empty and the "scaling" measurement is fiction.
 REKEY = {
     "orders": "o_orderkey",
     "lineitem": "l_orderkey",
@@ -32,6 +35,7 @@ REKEY = {
     "embeddings": "vec_id",
     "events": "event_id",
 }
+REKEY_OFFSET = 10_000_000  # > any base key at any supported factor
 DEFAULT_QUERIES = [
     "q1", "wordcount", "dedup_exact", "simhash", "text_profile",
     "chunk_tokens", "pack_chunks", "dataset_split", "ann_lsh",
@@ -58,7 +62,7 @@ def replicate(spark, factor: int, out_dir: str) -> None:
         reps = spark.range(factor).withColumnRenamed("id", "__rep__")
         out = (
             df.crossJoin(reps)
-            .withColumn(key, F.col(key) + F.col("__rep__") * (n * 10))
+            .withColumn(key, F.col(key) + F.col("__rep__") * F.lit(REKEY_OFFSET))
             .drop("__rep__")
         )
         out.repartition(32).write.mode("overwrite").parquet(dst)
