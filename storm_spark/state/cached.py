@@ -10,9 +10,13 @@ Engine divergence (documented): the reference's cache sits below the
 opaque/transactional wrappers, caching raw stored ``{txid,curr,prev}``
 records. Here the protocol lives inside the backends, so the cache holds
 *resolved* values — to stay correct under txid replay (where a read must
-see ``prev``), the cache clears on ``begin_commit``. The target workload is
-unchanged: read-heavy stateQuery/DRPC traffic BETWEEN commits, where hot
-keys hit memory instead of the backing store.
+see ``prev``), the cache clears on ``begin_commit``, and reads during an
+OPEN commit attempt bypass cache population (a replayed attempt resolves
+un-updated keys to their pre-batch ``prev``, which must not be served as
+``curr`` after the commit; update/put write-through still caches — those
+define the post-commit ``curr``). The target workload is unchanged:
+read-heavy stateQuery/DRPC traffic BETWEEN commits, where hot keys hit
+memory instead of the backing store.
 """
 
 from __future__ import annotations
@@ -30,6 +34,7 @@ class CachedMap(MapState):
         self._delegate = delegate
         self._cache: "OrderedDict[tuple, Any]" = OrderedDict()
         self._size = cache_size
+        self._in_commit = False
         # surface the delegate's protocol metadata
         self.state_type = delegate.state_type
         for attr in ("key_schema", "value_field", "value_type"):
@@ -57,10 +62,12 @@ class CachedMap(MapState):
         # replay reads must see the delegate's prev values — resolved-value
         # caching across a commit boundary would serve stale curr
         self._cache.clear()
+        self._in_commit = True
         self._delegate.begin_commit(txid)
 
     def commit(self, txid: int) -> None:
         self._delegate.commit(txid)
+        self._in_commit = False
 
     # -- point API (CachedMap.java:40-71) -----------------------------------
     def multi_get(self, keys: Sequence[tuple]) -> list[Any]:
@@ -77,8 +84,12 @@ class CachedMap(MapState):
         self._misses = self.cache_misses + len(to_get)
         if to_get:
             fetched = self._delegate.multi_get(to_get)
+            # mid-attempt resolved values may be replay PREV values — they
+            # must not outlive the attempt as cached "current" values
+            cacheable = not self._in_commit
             for k, v in zip(to_get, fetched):
-                self._put(k, v)
+                if cacheable:
+                    self._put(k, v)
                 results[k] = v
         return [results[k] for k in keys]
 

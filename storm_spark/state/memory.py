@@ -67,7 +67,8 @@ class MemoryMapState(MapState):
     def multi_get(self, keys: Sequence[tuple]) -> list[Any]:
         out = []
         for k in keys:
-            s = self._map.get(tuple(k))
+            k = tuple(k)
+            s = self._map.get(k)
             if s is None:
                 out.append(None)
             elif (
@@ -84,11 +85,12 @@ class MemoryMapState(MapState):
         return out
 
     def multi_put(self, keys: Sequence[tuple], vals: Sequence[Any]) -> None:
-        for k, v in zip(keys, vals):
-            k = tuple(k)
-            s = self._map.get(k)
-            prev = s.curr if s is not None else None
-            self._map[k] = _Opaque(self._cur_txid, v, prev)
+        """Set values through the same replay-aware path as multi_update (a
+        put is an update whose combine ignores the stored value): a REPLAYED
+        txid must keep the original pre-batch ``prev`` (not the prior
+        attempt's own write), and the keys must register as batch-updated so
+        later reads/updates in this attempt see the new value."""
+        self.multi_update(keys, list(vals), lambda _cur, v: v, zero=None)
 
     def multi_update(
         self,

@@ -391,13 +391,8 @@ class Stream:
         Parity: ``Stream.java:282-318`` (global variant wraps
         ``SnapshottableMap.java:26``). Call on a grouped stream for keyed state.
         """
-        if agg is None:  # (state_factory, agg, out_fields) overload
-            state_factory, in_fields, agg, out_fields = (
-                state_factory,
-                [],
-                in_fields,
-                out_fields,
-            )
+        if out_fields is None:  # (state_factory, agg, out_fields) overload
+            in_fields, agg, out_fields = [], in_fields, agg
         return self._topology._register_persistent_aggregate(
             self, [], as_field_list(in_fields) or [], agg, as_field_list(out_fields), state_factory
         )

@@ -120,8 +120,15 @@ def stateful_sessionize(
                 )
                 start, end, n = t, t, 1
         state.update((pickle.dumps((start, end, n)),))
-        # close when the event-time watermark passes session end + gap
-        state.setTimeoutTimestamp(int((end + gap_seconds) * 1000))
+        # close when the event-time watermark passes session end + gap;
+        # clamp above the CURRENT watermark — a key whose newest event sits
+        # behind the stream's max event time can have end+gap already past
+        # the watermark, and Spark rejects (kills the query on) a timeout
+        # earlier than the watermark. The clamped deadline fires on the next
+        # watermark advance, closing the session then.
+        deadline = int((end + gap_seconds) * 1000)
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(deadline, wm + 1))
         yield pd.DataFrame([], columns=[key_col, "session_start", "session_end", "n_events"])
 
     return stream_df.groupBy(key_col).applyInPandasWithState(

@@ -166,7 +166,19 @@ class TridentState:
                 *[f"__sk_{i}__" for i in range(len(keys))]
             )
         if isinstance(query_fn, SnapshotGet):
-            one = sdf.select(F.col(value_field).alias(out_fields[0])).limit(1)
+            # reference parity: an empty (never-updated) snapshot emits the
+            # null snapshot value, not zero rows — union a null fallback row
+            # and keep the real row when one exists (flag-ordered limit 1)
+            real = sdf.select(
+                F.col(value_field).alias(out_fields[0]), F.lit(0).alias("__fb__")
+            )
+            vtype = real.schema[out_fields[0]].dataType.simpleString()
+            fallback = sdf.sparkSession.sql(
+                f"SELECT CAST(NULL AS {vtype}) AS {out_fields[0]}, 1 AS __fb__"
+            )
+            one = (
+                real.unionByName(fallback).orderBy("__fb__").limit(1).drop("__fb__")
+            )
             return df.crossJoin(F.broadcast(one))
         if isinstance(query_fn, TupleCollectionGet):
             cols = ([] if self._snapshot else list(keys)) + [value_field]
@@ -379,7 +391,8 @@ class Topology:
 
             # typed struct payloads per source stream (see multi_reduce_streams)
             dfs = [s._build(ctx) for s in streams]
-            key_schema = [f for f in dfs[0].schema.fields if f.name in keys_list[0]]
+            by_name = {f.name: f for f in dfs[0].schema.fields}
+            key_schema = [by_name[k] for k in keys_list[0]]
             rest_list = [
                 [c for c in df.columns if c not in ks] for df, ks in zip(dfs, keys_list)
             ]
@@ -605,8 +618,10 @@ class LocalCluster:
             # in one shuffle, then merge into the state table — no driver
             # collect anywhere (PartitionPersistProcessor.java:36 parity)
             agg_df = _run_keyed_updater(df, spec.in_fields, spec.updater)
-            if agg_df.limit(1).count() == 0:
-                return
+            # no emptiness probe: it would execute the whole batch agg an
+            # extra time, and both backends no-op on empty merged input;
+            # _record_touched must run even for empty batches so
+            # new_values_stream reports THIS batch's (empty) key set
             spec.state.update_from_agg(agg_df, spec.updater.agg, txid)
             self._record_touched(spec, agg_df)
             return
@@ -615,7 +630,7 @@ class LocalCluster:
             # row-at-a-time against the live state handle. Parity/test
             # fixture ONLY (MemoryMapState) — it collects the batch
             rows = [
-                TridentTuple(tuple(r), {f: i for i, f in enumerate(df.columns)})
+                TridentTuple(tuple(r), {f: i for i, f in enumerate(spec.in_fields)})
                 for r in df.select(*spec.in_fields).collect()
             ]
             coll = TridentCollector()
@@ -635,8 +650,6 @@ class LocalCluster:
             agg = ReducerStateAgg(agg, spec.in_fields)
             if not keys:
                 agg_df = agg_df.withColumn(SNAPSHOT_KEY, F.lit(0))
-            if agg_df.limit(1).count() == 0:
-                return
             spec.state.update_from_agg(agg_df, agg, txid)
             self._record_touched(spec, agg_df)
             return
@@ -658,8 +671,6 @@ class LocalCluster:
             agg_df = tmp.build(ctx)
         if not keys:  # snapshottable: constant key
             agg_df = agg_df.withColumn(SNAPSHOT_KEY, F.lit(0))
-        if agg_df.limit(1).count() == 0:
-            return  # nothing to merge this batch
         merge_agg = (
             _CompositeStateAgg(agg) if hasattr(agg, "state_value_type") else agg
         )
