@@ -172,6 +172,13 @@ class TopologyBuilder:
         return self._compiled[bolt_id]
 
 
+def _none_safe(t: tuple):
+    """Sort key tolerating None alongside values (None sorts first; mixed
+    types compare by string) — nullable bolt outputs must not crash the
+    multiset comparison harness."""
+    return tuple((v is None, str(v)) for v in t)
+
+
 def complete_topology(
     builder: TopologyBuilder, mocked_sources: dict[str, list[list]] | None = None
 ) -> dict[str, list[tuple]]:
@@ -193,13 +200,13 @@ def complete_topology(
             builder._spouts[sid] = builder._topology.new_stream(sid, df)
     out: dict[str, list[tuple]] = {}
     for sid in builder._spouts:
-        out[sid] = sorted(map(tuple, builder.stream(sid).df.collect()))
+        out[sid] = sorted(map(tuple, builder.stream(sid).df.collect()), key=_none_safe)
     for bid in builder._order:
         # read-tuples parity: the default stream under the component id,
         # named streams under "component:stream"
         for sid in builder._bolts[bid].declare_streams():
             key = bid if sid == "default" else f"{bid}:{sid}"
-            out[key] = sorted(map(tuple, builder.stream(bid, sid).df.collect()))
+            out[key] = sorted(map(tuple, builder.stream(bid, sid).df.collect()), key=_none_safe)
     return out
 
 

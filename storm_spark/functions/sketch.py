@@ -40,18 +40,39 @@ def cms_build(df: DataFrame, col: str, depth: int = 4, width: int = 256) -> Data
         rows.select(F.col("__d__.d").alias("d"), F.col("__d__.bucket").alias("bucket"))
         .groupBy("d", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # stamp the parameters: estimates against a sketch built with
+        # different depth/width are silently garbage, so cms_estimate reads
+        # them from here instead of trusting caller-supplied defaults
+        .withColumn("__depth__", F.lit(depth))
+        .withColumn("__width__", F.lit(width))
     )
 
 
 def cms_estimate(
-    sketch: DataFrame, keys: DataFrame, key_col: str, depth: int = 4, width: int = 256
+    sketch: DataFrame, keys: DataFrame, key_col: str,
+    depth: int | None = None, width: int | None = None,
 ) -> DataFrame:
     """Estimate each key's frequency: min over its depth bucket counters.
     The (tiny, fixed-size) sketch is broadcast; missing buckets count 0.
 
+    ``depth``/``width`` default to the parameters STAMPED on the sketch by
+    :func:`cms_build` — mismatched probe parameters would compute buckets
+    mod the wrong width and collapse every estimate toward 0, violating the
+    one-sided-error guarantee with no error raised.
+
     Returns (key_col, est) — est >= true count always (one-sided error
     ≤ e/width · N with probability 1 - e^-depth).
     """
+    if depth is None or width is None:
+        if "__depth__" not in sketch.columns:
+            raise ValueError(
+                "sketch carries no stamped parameters; pass depth= and width= "
+                "matching the build"
+            )
+        meta = sketch.select("__depth__", "__width__").first()
+        depth = depth if depth is not None else meta[0]
+        width = width if width is not None else meta[1]
+    sketch = sketch.select("d", "bucket", "cnt")
     probes = keys.select(
         F.col(key_col),
         F.explode(

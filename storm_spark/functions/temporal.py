@@ -40,6 +40,14 @@ def asof_join(
 
     on_l = [on] if isinstance(on, str) else list(on)
     right_cols = [c for c in right.columns if c not in on_l]
+    shared = [c for c in right_cols if c in left.columns and c != right_ts]
+    if shared:
+        # pd.merge_asof would keep LEFT's values under these names and the
+        # right side's would silently vanish — refuse instead of corrupting
+        raise ValueError(
+            f"asof_join: right columns {shared} collide with left columns; "
+            "rename them (or use asof_join_ranked, which aliases internally)"
+        )
     out_fields = list(left.schema.fields) + [
         f for f in right.schema.fields if f.name not in on_l
     ]
@@ -49,27 +57,38 @@ def asof_join(
     l_names = left.columns
 
     def merge(key, lpdf: "pd.DataFrame", rpdf: "pd.DataFrame") -> "pd.DataFrame":
-        lpdf = lpdf.sort_values(left_ts, kind="mergesort")
+        import numpy as np
+
+        # merge_asof raises on null merge keys: null-ts left rows can never
+        # match (pad them), null-ts right rows can never BE matched (drop)
+        lnull = lpdf[lpdf[left_ts].isna()]
+        lpdf = lpdf[lpdf[left_ts].notna()].sort_values(left_ts, kind="mergesort")
+        rpdf = rpdf[rpdf[right_ts].notna()]
+        frames = []
         if rpdf.empty:
+            merged = lpdf.copy()
             for c in right_cols:
-                lpdf[c] = None
-            return lpdf[l_names + right_cols]
-        rpdf = rpdf.sort_values(right_ts, kind="mergesort")[[right_ts] + [c for c in right_cols if c != right_ts]]
-        merged = pd.merge_asof(
-            lpdf,
-            rpdf,
-            left_on=left_ts,
-            right_on=right_ts,
-            direction=direction,
-            suffixes=("", "__r__"),
-        )
-        if right_ts in merged.columns and f"{right_ts}__r__" in merged.columns:
-            merged[right_ts] = merged[f"{right_ts}__r__"]
-        cols = l_names + right_cols
-        for c in right_cols:
-            if c not in merged.columns and f"{c}__r__" in merged.columns:
-                merged[c] = merged[f"{c}__r__"]
-        return merged[cols]
+                merged[c] = None
+            frames.append(merged[l_names + right_cols])
+        else:
+            rpdf = rpdf.sort_values(right_ts, kind="mergesort")[[right_ts] + [c for c in right_cols if c != right_ts]]
+            merged = pd.merge_asof(
+                lpdf,
+                rpdf,
+                left_on=left_ts,
+                right_on=right_ts,
+                direction=direction,
+                suffixes=("", "__r__"),
+            )
+            if right_ts in merged.columns and f"{right_ts}__r__" in merged.columns:
+                merged[right_ts] = merged[f"{right_ts}__r__"]
+            frames.append(merged[l_names + right_cols])
+        if not lnull.empty:
+            padded = lnull.copy()
+            for c in right_cols:
+                padded[c] = None
+            frames.append(padded[l_names + right_cols])
+        return pd.concat(frames, ignore_index=True)
 
     return (
         left.groupBy(*on_l)
@@ -108,12 +127,19 @@ def range_join(
     spans = intervals.withColumn(
         "__bkt__",
         F.explode(
-            F.sequence(
-                (F.col(start_col) / b).cast("long"),
-                # end is exclusive: an interval ending exactly on a bucket
-                # boundary does not reach into the next bucket
-                ((F.col(end_col) - 1) / b).cast("long"),
-            )
+            # guard: sequence(a, b) DESCENDS when b < a, so an inverted or
+            # empty interval (end <= start — bad data) would explode into
+            # thousands of bucket rows instead of zero; emit no buckets
+            # (explode of an empty array drops the row)
+            F.when(
+                F.col(end_col) > F.col(start_col),
+                F.sequence(
+                    (F.col(start_col) / b).cast("long"),
+                    # end is exclusive: an interval ending exactly on a bucket
+                    # boundary does not reach into the next bucket
+                    ((F.col(end_col) - 1) / b).cast("long"),
+                ),
+            ).otherwise(F.array().cast("array<long>")),
         ),
     )
     joined = pts.join(spans, on=["__bkt__", *on_l], how=how).filter(

@@ -198,14 +198,25 @@ def analyze(df: DataFrame, text_col: str = "text", ndigits: int = 6) -> DataFram
     """One-pass text profile: counts, ratios, language, fingerprint.
 
     Tokenizes once (materialized ``__toks__`` projection), derives every
-    token-based metric from the array.
+    token-based metric from the array. The char count is named
+    ``n_chars_text`` (not ``n_chars``) because source tables commonly carry
+    their own ``n_chars`` metadata column and ``analyze`` keeps all input
+    columns; any other collision between an input column and a profile
+    column fails fast instead of silently duplicating names.
     """
+    profile_cols = [
+        "n_tokens", "n_chars_text", "punct_ratio", "stopword_ratio",
+        "mean_token_len", "quality", "lang_guess", "fingerprint",
+    ]
+    clash = [c for c in profile_cols if c in df.columns]
+    if clash:
+        raise ValueError(f"input columns collide with profile columns: {clash}")
     base = df.select("*", tokens(text_col).alias("__toks__"))
     t = F.col("__toks__")
     return base.select(
         *df.columns,
         token_count_t(t).alias("n_tokens"),
-        char_count(text_col).alias("n_chars_m"),
+        char_count(text_col).alias("n_chars_text"),
         punct_ratio(text_col, ndigits).alias("punct_ratio"),
         stopword_ratio_t(t, None, ndigits).alias("stopword_ratio"),
         mean_token_len_t(t, ndigits).alias("mean_token_len"),

@@ -169,8 +169,12 @@ class PartitionedOffsetSource:
         try:
             with open(self._hwm_path()) as f:
                 return json.load(f)
-        except (FileNotFoundError, ValueError):
+        except FileNotFoundError:
+            # first run: no marks yet
             return {str(p): 0 for p in range(self.n_partitions)}
+        # a CORRUPT existing file must raise, not silently reset every
+        # partition to offset 0 (the next produce() would then persist the
+        # zeroed marks, permanently discarding the real offsets)
 
     def produce(self, partition: int, n: int) -> None:
         """Advance a partition's high-water mark by ``n`` records."""

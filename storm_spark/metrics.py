@@ -29,7 +29,13 @@ class CountMetric:
 
 class MultiCountMetric:
     """Parity: ``MultiCountMetric.java`` — per-key counters (one counter per
-    distinct value of ``key_col``, reported as a map)."""
+    distinct value of ``key_col``, reported as a map).
+
+    Cost bound: the observe buffer gathers every key occurrence and the map
+    build scans it once per DISTINCT key — O(n × distinct) inside one
+    expression. That matches the reference's usage (keys are stream/
+    component names: dozens of distinct values); for high-cardinality keys
+    use a real ``groupBy(key).count()`` aggregation instead of a metric."""
 
     def __init__(self, key_col: str, name: str = "counts"):
         self.key_col = key_col

@@ -18,9 +18,10 @@ tables.
 
 Scale: per epoch the work is (epoch rows -> fine merge on touched fine
 buckets) + (touched coarse buckets × their fine children -> coarse replace).
-Both are key-partitioned shuffles over touched data only; nothing reads the
-full table. 100 TB of history costs nothing per epoch — only the touched
-slices move.
+Both are key-partitioned shuffles over touched data only; with
+``fine_range_of_coarse`` set, the coarse recompute's fine-state scan prunes
+to the touched buckets' range as well — 100 TB of history costs nothing per
+epoch, only the touched slices move.
 """
 
 from __future__ import annotations
@@ -59,7 +60,18 @@ class ContinuousRollup:
     ids (e.g. ``date_trunc('hour', ts)`` epoch / ``date_trunc('day', ts)``
     epoch). ``agg_expr`` aggregates the value column within a bucket
     (decomposable: sum/count/min/max); ``coarse_from_fine`` re-aggregates
-    fine values into a coarse bucket (sum for sum/count, min for min, ...).
+    FINE VALUES into a coarse bucket — it differs from ``agg`` whenever the
+    aggregator is not self-decomposable: counts roll up by SUMMING the fine
+    counts (``Count`` defaults to this automatically); composite aggregators
+    (``Avg``) must pass it explicitly or construction fails fast.
+
+    ``fine_range_of_coarse`` (optional) maps a coarse bucket id to the
+    inclusive (lo, hi) fine-bucket range it covers (e.g. day ``d`` →
+    ``(d*24, d*24+23)`` for hourly-under-daily). When provided, the coarse
+    recompute filters the fine scan by a PUSHABLE range predicate on the
+    stored ``fine_bucket`` column instead of reading the whole fine table —
+    the lever that keeps per-epoch cost proportional to touched data as
+    history grows.
     """
 
     def __init__(
@@ -73,6 +85,8 @@ class ContinuousRollup:
         coarse_bucket_of_fine: Callable[[Column], Column],
         value_type: str = "bigint",
         agg=None,
+        coarse_from_fine: Callable[[Column], Column] | None = None,
+        fine_range_of_coarse: Callable[[int], tuple[int, int]] | None = None,
     ):
         from pyspark.sql.types import LongType, StructType
 
@@ -84,8 +98,23 @@ class ContinuousRollup:
         self.value_expr = value_expr
         self.fine_bucket = fine_bucket
         self.coarse_bucket_of_fine = coarse_bucket_of_fine
+        from storm_spark.operations import Count
+
         self.agg = agg or Sum(value_type)
         self.value_type = value_type
+        if coarse_from_fine is not None:
+            self.coarse_from_fine = coarse_from_fine
+        elif isinstance(self.agg, Count):
+            # a count of counts is wrong — fine COUNT values SUM upward
+            self.coarse_from_fine = F.sum
+        elif hasattr(self.agg, "state_value_type"):
+            raise ValueError(
+                "composite aggregators (Avg) need an explicit coarse_from_fine "
+                "to re-aggregate fine values into coarse buckets"
+            )
+        else:
+            self.coarse_from_fine = lambda c: self.agg.agg_expr([c])
+        self.fine_range_of_coarse = fine_range_of_coarse
 
         fine_schema = StructType().add("fine_bucket", LongType())
         coarse_schema = StructType().add("coarse_bucket", LongType())
@@ -119,15 +148,24 @@ class ContinuousRollup:
                 *self.keys,
             ).distinct()
         )
-        fine_now = self.fine_state.dataframe(self.spark).withColumn(
+        fine_now = self.fine_state.dataframe(self.spark)
+        if self.fine_range_of_coarse is not None:
+            # pushable prune: restrict the fine scan to the touched coarse
+            # buckets' fine ranges BEFORE deriving the (unpushable) coarse id
+            bounds = touched_coarse.agg(
+                F.min("coarse_bucket").alias("lo"), F.max("coarse_bucket").alias("hi")
+            ).first()
+            if bounds["lo"] is not None:
+                lo, _ = self.fine_range_of_coarse(bounds["lo"])
+                _, hi = self.fine_range_of_coarse(bounds["hi"])
+                fine_now = fine_now.filter(F.col("fine_bucket").between(lo, hi))
+        fine_now = fine_now.withColumn(
             "coarse_bucket", self.coarse_bucket_of_fine(F.col("fine_bucket"))
         )
-        # the aggregator must be self-decomposable (agg of partials == total:
-        # sum/min/max; counts roll up via Sum over the fine counts)
         recomputed = (
             fine_now.join(F.broadcast(touched_coarse), on=coarse_keys, how="left_semi")
             .groupBy(*coarse_keys)
-            .agg(self.agg.agg_expr([F.col("value")]).alias("__delta__"))
+            .agg(self.coarse_from_fine(F.col("value")).alias("__delta__"))
         )
         self.coarse_state.begin_commit(txid)
         self.coarse_state.update_from_agg(recomputed, self._replace, txid)

@@ -131,3 +131,123 @@ def test_multi_reduce_grouped_reordered_keys(spark):
     )
     got = sorted(map(tuple, out.df.collect()))
     assert got == [(10, "x", 6), (20, "y", 2)]
+
+
+def test_rollup_count_rolls_up_by_summing(spark, tmp_path):
+    """Coarse recompute of a Count rollup must SUM the fine counts, not
+    count the fine rows (count-of-counts was silently wrong)."""
+    from storm_spark.operations import Count
+    from storm_spark.plans.rollup import ContinuousRollup
+    from storm_spark.state import ParquetMapState
+
+    def factory(name, key_schema, value_field, value_type):
+        return ParquetMapState(
+            spark, str(tmp_path / name), key_schema, value_field, value_type
+        )
+
+    r = ContinuousRollup(
+        spark,
+        factory,
+        keys=["k"],
+        ts_col="ts",
+        value_expr=F.lit(1),
+        fine_bucket=lambda ts: (ts / 3600).cast("long"),
+        coarse_bucket_of_fine=lambda fb: (fb / 24).cast("long"),
+        agg=Count(),
+        fine_range_of_coarse=lambda cb: (cb * 24, cb * 24 + 23),
+    )
+    # 3 events in hour 0, 2 in hour 1 — same day
+    df = spark.createDataFrame(
+        [("a", 100), ("a", 200), ("a", 300), ("a", 3700), ("a", 3800)],
+        "k string, ts bigint",
+    )
+    r.process_epoch(df, txid=1)
+    coarse = {(x["coarse_bucket"], x["k"]): x["value"] for x in r.coarse().collect()}
+    assert coarse == {(0, "a"): 5}  # count-of-counts would report 2
+
+
+def test_rollup_composite_agg_requires_coarse_from_fine(spark, tmp_path):
+    from storm_spark.operations import Avg
+    from storm_spark.plans.rollup import ContinuousRollup
+    from storm_spark.state import ParquetMapState
+    import pytest as _pytest
+
+    def factory(name, key_schema, value_field, value_type):
+        return ParquetMapState(
+            spark, str(tmp_path / name), key_schema, value_field, value_type
+        )
+
+    with _pytest.raises(ValueError, match="coarse_from_fine"):
+        ContinuousRollup(
+            spark, factory, keys=["k"], ts_col="ts", value_expr=F.col("v"),
+            fine_bucket=lambda ts: (ts / 3600).cast("long"),
+            coarse_bucket_of_fine=lambda fb: (fb / 24).cast("long"),
+            agg=Avg(),
+        )
+
+
+def test_asof_join_null_timestamps_pad_not_crash(spark):
+    """Null-ts left rows pad null right columns (matching asof_join_ranked);
+    null-ts right rows are unmatchable. Previously: merge_asof ValueError."""
+    from storm_spark.functions.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10, 1), ("a", None, 2)], "k string, ts bigint, lv int"
+    )
+    right = spark.createDataFrame(
+        [("a", 5, 100), ("a", None, 999)], "k string, rts bigint, rv int"
+    )
+    got = {r.lv: (r.rts, r.rv) for r in asof_join(left, right, "k", "ts", "rts").collect()}
+    assert got == {1: (5, 100), 2: (None, None)}
+
+
+def test_asof_join_rejects_colliding_columns(spark):
+    """A shared non-key column would silently carry LEFT values under the
+    right column's name; refuse instead."""
+    import pytest as _pytest
+
+    from storm_spark.functions.temporal import asof_join
+
+    left = spark.createDataFrame([("a", 10, 1)], "k string, ts bigint, price int")
+    right = spark.createDataFrame([("a", 5, 2)], "k string, rts bigint, price int")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, "k", "ts", "rts")
+
+
+def test_range_join_inverted_interval_emits_nothing(spark):
+    """end <= start (bad data) must yield zero buckets, not a descending
+    sequence exploding thousands of rows."""
+    from storm_spark.functions.temporal import range_join
+
+    pts = spark.createDataFrame([(50,)], "ts bigint")
+    iv = spark.createDataFrame(
+        [(1700000000, 0), (40, 60)], "s bigint, e bigint"
+    )
+    out = range_join(pts, iv, "ts", "s", "e", bucket_seconds=86400).collect()
+    assert [(r.s, r.e) for r in out] == [(40, 60)]
+
+
+def test_cms_estimate_reads_stamped_params(spark):
+    """cms_estimate must probe with the BUILD's depth/width (stamped on the
+    sketch); defaults that disagree silently break the >=-true guarantee."""
+    from storm_spark.functions.sketch import cms_build, cms_estimate
+
+    df = spark.createDataFrame([("a",)] * 7 + [("b",)] * 3, "k string")
+    sk = cms_build(df, "k", depth=3, width=1024)
+    est = {r.k: r.est for r in cms_estimate(sk, df.distinct(), "k").collect()}
+    assert est["a"] >= 7 and est["b"] >= 3
+
+
+def test_partitioned_source_corrupt_hwm_raises(spark, tmp_path):
+    """A corrupt high-water-mark file must raise, not silently reset every
+    partition's offsets to zero."""
+    import pytest as _pytest
+
+    from storm_spark.io.sources import PartitionedOffsetSource
+
+    src = PartitionedOffsetSource(spark, str(tmp_path), n_partitions=2)
+    src.produce(0, 5)
+    with open(src._hwm_path(), "w") as f:
+        f.write("{not json")
+    with _pytest.raises(ValueError):
+        src._hwm()
