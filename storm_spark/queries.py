@@ -1181,6 +1181,9 @@ def q_rollup_continuous(spark, sf_dir):
         fine_bucket=lambda ts: (ts / HOUR).cast("long") * HOUR,
         coarse_bucket_of_fine=lambda fb: (fb / DAY).cast("long") * DAY,
         value_type="bigint",
+        # pushable prune of the coarse recompute's fine scan: day d covers
+        # hour-truncated fine buckets [d, d + 23h]
+        fine_range_of_coarse=lambda cb: (cb, cb + DAY - HOUR),
     )
     r.process_epoch(e.filter(F.col("event_id") % 2 == 0), txid=1)
     r.process_epoch(e.filter(F.col("event_id") % 2 == 1), txid=2)
