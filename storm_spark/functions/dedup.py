@@ -115,7 +115,9 @@ def ngram_jaccard_pairs(
     ``None`` only when exact uncapped Jaccard semantics are required.
 
     The index feeds three plan branches (both join sides + sizes); it is
-    persisted so tokenization/hashing runs once, not three times.
+    persisted so tokenization/hashing runs once, not three times. The cache
+    lives until the session drops it (LRU) — long-lived sessions running
+    many corpora should ``spark.catalog.clearCache()`` between runs.
     """
     idx = _shingle_index(df, id_col, text_col, n, max_shingle_df, toks_col).persist()
     sizes = idx.groupBy("__id__").agg(F.count(F.lit(1)).alias("__n__"))
@@ -324,6 +326,13 @@ def simhash_near_pairs(
     within distance d must agree on at least one of d+1 blocks — the
     pigeonhole trick), then exact popcount filters. Avoids all-pairs.
     """
+    if bits // (max_hamming + 1) < 1:
+        # zero-width blocks would make every block value 0 → the candidate
+        # join silently degenerates to an all-pairs cross join
+        raise ValueError(
+            f"bits={bits} cannot form {max_hamming + 1} non-empty blocks; "
+            "raise bits or lower max_hamming"
+        )
     sh = simhash64(df, id_col, text_col, bits)
     n_blocks = max_hamming + 1
     block_bits = bits // n_blocks

@@ -32,6 +32,7 @@ def _decode_image_stub(content: bytes) -> np.ndarray:
     AND the bytes are a decodable image; otherwise a deterministic fake
     (pseudo-pixel array derived from the bytes) so the pipeline plumbing
     stays testable in codec-less images."""
+    content = content or b""  # NULL content cells decode as empty, not crash
     try:
         import io
 
@@ -83,23 +84,26 @@ def image_features(
 AUDIO_FEATURE_DIM = 8
 
 
-def _decode_audio_stub(content: bytes, sample_rate: int = 16000) -> np.ndarray:
-    """Audio decode: real ``soundfile.read`` when the codec is importable
-    AND the bytes are a decodable container; otherwise a deterministic
-    pseudo-PCM fake (same contract as the image stub)."""
+def _decode_audio_stub(content: bytes, sample_rate: int = 16000) -> tuple:
+    """Audio decode → (pcm, actual_rate): real ``soundfile.read`` when the
+    codec is importable AND the bytes are a decodable container — the file's
+    OWN sample rate is returned (durations computed from a caller-assumed
+    rate were wrong for any non-16 kHz file); otherwise a deterministic
+    pseudo-PCM fake at the caller's rate (same contract as the image stub)."""
+    content = content or b""  # NULL content cells decode as empty, not crash
     try:
         import io
 
         import soundfile
 
-        data, _ = soundfile.read(io.BytesIO(content), dtype="float32")
-        return data if data.ndim == 1 else data.mean(axis=1)
+        data, sr = soundfile.read(io.BytesIO(content), dtype="float32")
+        return (data if data.ndim == 1 else data.mean(axis=1)), sr
     except Exception:
         pass
     arr = np.frombuffer(content[:8192], dtype=np.uint8).astype(np.float32)
     if arr.size == 0:
         arr = np.zeros(1, dtype=np.float32)
-    return (arr - 127.5) / 127.5  # pseudo-PCM in [-1, 1]
+    return (arr - 127.5) / 127.5, sample_rate  # pseudo-PCM in [-1, 1]
 
 
 def audio_features(
@@ -115,13 +119,13 @@ def audio_features(
         for pdf in batches:
             energies, n_samples, durations = [], [], []
             for content in pdf[content_col]:
-                pcm = _decode_audio_stub(content, sample_rate)
+                pcm, sr = _decode_audio_stub(content, sample_rate)
                 bands = np.array_split(pcm, AUDIO_FEATURE_DIM)
                 energies.append(
                     [float(np.sqrt(np.mean(b * b))) if b.size else 0.0 for b in bands]
                 )
                 n_samples.append(pcm.size)
-                durations.append(pcm.size / sample_rate)
+                durations.append(pcm.size / sr)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,

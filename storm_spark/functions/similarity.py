@@ -29,9 +29,17 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _denom(a: Column, b: Column) -> Column:
+    """Cosine denominator with a zero-norm floor: an all-zeros embedding
+    (padding/failed-embed rows) must score ~0 against everything, not throw
+    DIVIDE_BY_ZERO under ANSI mode (the default here) or surface as a NaN
+    rank-1 neighbor with ANSI off."""
+    return F.greatest(_norm(a) * _norm(b), F.lit(1e-12))
+
+
 def _cos(a: Column, b: Column) -> Column:
     """Cosine of two already-double array columns (internal fast form)."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    return _dot(a, b) / _denom(a, b)
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
@@ -64,9 +72,7 @@ def cosine_topk(
     sim = pairs.select(
         "query_id",
         "neighbor_id",
-        (_dot(F.col("__qv__"), F.col("__cv__")) / (_norm(F.col("__qv__")) * _norm(F.col("__cv__")))).alias(
-            "cos_sim"
-        ),
+        _cos(F.col("__qv__"), F.col("__cv__")).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -354,12 +360,11 @@ def quantize_embeddings(
     ).withColumnRenamed("__scale__", f"{out_col}_scale")
 
 
-def dequantized_cosine(qa: Column, sa: Column, qb: Column, sb: Column) -> Column:
-    """Cosine over two quantized vectors — scales cancel in the cosine, so
-    this is just the int dot product normalized (cheap: int8 multiply-adds)."""
-    a = qa.cast("array<double>")
-    b = qb.cast("array<double>")
-    return _dot(a, b) / (_norm(a) * _norm(b))
+def dequantized_cosine(qa: Column, qb: Column) -> Column:
+    """Cosine over two quantized vectors — the per-vector scales cancel in
+    the cosine, so this is just the int dot product normalized (cheap int8
+    multiply-adds; no scale columns needed)."""
+    return _cos(qa.cast("array<double>"), qb.cast("array<double>"))
 
 
 def embedding_near_dup_pairs(

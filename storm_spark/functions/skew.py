@@ -138,9 +138,13 @@ def bloom_pruned_join(
 
     def positions(col):
         # double hashing: pos_i = (h1 + i*h2) mod m; reduce each hash mod m
-        # FIRST so the combination never overflows long under ANSI mode
-        h1 = F.pmod(F.xxhash64(col, F.lit(1)), F.lit(m))
-        h2 = F.pmod(F.xxhash64(col, F.lit(2)), F.lit(m))
+        # FIRST so the combination never overflows long under ANSI mode.
+        # Keys hash AS STRINGS: xxhash64 is type-sensitive (int 5 and bigint
+        # 5 hash differently), so mixed-width key columns that the exact
+        # join would coerce and match must hash identically here too.
+        c = col.cast("string")
+        h1 = F.pmod(F.xxhash64(c, F.lit(1)), F.lit(m))
+        h2 = F.pmod(F.xxhash64(c, F.lit(2)), F.lit(m))
         return [F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(n_hashes)]
 
     pos_rows = (

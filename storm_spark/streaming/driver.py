@@ -112,7 +112,15 @@ def windowed_stream_aggregate(
 ) -> DataFrame:
     """Event-time tumbling-window aggregation as a streaming query into an
     in-memory sink; returns the completed result (beyond-reference surface:
-    SURVEY §2.8 — the reference has no windows at all)."""
+    SURVEY §2.8 — the reference has no windows at all).
+
+    Run-to-completion over a BOUNDED input directory: ``complete`` output
+    mode is deliberate — append would hold back every window not yet past
+    the watermark, losing the tail of a bounded run. In complete mode Spark
+    retains all window state (the watermark does not evict), so state is
+    bounded by the input processed; for an UNBOUNDED production stream use
+    ``update``/``append`` mode with a sink that tolerates emission lag, or
+    the bounded-state operators in ``streaming/stateful.py``."""
     import uuid
 
     from pyspark.sql import functions as F
@@ -134,6 +142,11 @@ def windowed_stream_aggregate(
     )
     try:
         q.processAllAvailable()
+        # materialize and drop the sink view — the memory table would
+        # otherwise leak one registration per call
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+        schema_out = spark.table(name).schema
     finally:
         q.stop()
-    return spark.sql(f"SELECT * FROM {name}")
+        spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema_out)

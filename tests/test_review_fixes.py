@@ -251,3 +251,49 @@ def test_partitioned_source_corrupt_hwm_raises(spark, tmp_path):
         f.write("{not json")
     with _pytest.raises(ValueError):
         src._hwm()
+
+
+def test_cosine_paths_survive_zero_vectors(spark):
+    """An all-zeros embedding (padding/failed-embed row) must score ~0, not
+    throw DIVIDE_BY_ZERO under ANSI or surface as a NaN rank-1 neighbor."""
+    from storm_spark.functions import similarity
+
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = similarity.cosine_topk(df, df.filter("vec_id = 1"), k=2).collect()
+    ranked = [(r.rank, r.neighbor_id) for r in sorted(got, key=lambda r: r.rank)]
+    # the zero vector ranks LAST (cos 0), never first
+    assert ranked == [(1, 2), (2, 3)]
+
+
+def test_bloom_join_mixed_key_widths(spark):
+    """int vs bigint key columns: the exact join coerces and matches, so the
+    bloom must too (xxhash64 is type-sensitive — keys hash as strings)."""
+    from storm_spark.functions.skew import bloom_pruned_join
+
+    big = spark.createDataFrame([(5, "x"), (6, "y")], "k bigint, v string")
+    small = spark.createDataFrame([(5,)], "sk int")
+    got = bloom_pruned_join(big, small, "k", "sk").collect()
+    assert [(r.k, r.v) for r in got] == [(5, "x")]
+
+
+def test_simhash_rejects_zero_width_blocks(spark):
+    from storm_spark.functions import dedup
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError, match="blocks"):
+        dedup.simhash_near_pairs(df, "doc_id", "text", bits=4, max_hamming=5)
+
+
+def test_multimodal_null_content_rows(spark):
+    """NULL binary cells decode as empty assets, not task-killing TypeErrors."""
+    from storm_spark.functions import multimodal
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(64))), (2, None)], "doc_id bigint, content binary"
+    )
+    imgs = multimodal.image_features(df, "content", "doc_id").collect()
+    assert {r.doc_id for r in imgs} == {1, 2}
+    auds = multimodal.audio_features(df, "content", "doc_id").collect()
+    assert {r.doc_id for r in auds} == {1, 2}

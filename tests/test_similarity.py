@@ -133,8 +133,7 @@ def test_quantized_cosine_close_to_exact(vectors):
     out = a.select(
         similarity.cosine_similarity(F.col("a.embedding"), F.col("b.embedding")).alias("exact"),
         similarity.dequantized_cosine(
-            F.col("a.q_embedding"), F.col("a.q_embedding_scale"),
-            F.col("b.q_embedding"), F.col("b.q_embedding_scale"),
+            F.col("a.q_embedding"), F.col("b.q_embedding")
         ).alias("approx"),
     ).collect()
     assert out
