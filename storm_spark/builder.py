@@ -198,16 +198,32 @@ def complete_topology(
             spark = builder._topology.spark
             df = spark.createDataFrame([tuple(r) for r in rows], orig.build().schema)
             builder._spouts[sid] = builder._topology.new_stream(sid, df)
-    out: dict[str, list[tuple]] = {}
-    for sid in builder._spouts:
-        out[sid] = sorted(map(tuple, builder.stream(sid).df.collect()), key=_none_safe)
-    for bid in builder._order:
-        # read-tuples parity: the default stream under the component id,
-        # named streams under "component:stream"
-        for sid in builder._bolts[bid].declare_streams():
-            key = bid if sid == "default" else f"{bid}:{sid}"
-            out[key] = sorted(map(tuple, builder.stream(bid, sid).df.collect()), key=_none_safe)
-    return out
+    # ONE shared Context for every stream read: multi-stream bolts memoize
+    # their tagged subtree per Context, so sharing it (plus the persist in
+    # _run_bolt) means each bolt kernel executes once no matter how many of
+    # its output streams are captured — reference parity (`complete-topology`
+    # runs the topology once and reads all streams from that run).
+    from storm_spark.stream import Context
+
+    ctx = Context(builder._topology.spark)
+    try:
+        out: dict[str, list[tuple]] = {}
+        for sid in builder._spouts:
+            out[sid] = sorted(
+                map(tuple, builder.stream(sid).build(ctx).collect()), key=_none_safe
+            )
+        for bid in builder._order:
+            # read-tuples parity: the default stream under the component id,
+            # named streams under "component:stream"
+            for sid in builder._bolts[bid].declare_streams():
+                key = bid if sid == "default" else f"{bid}:{sid}"
+                out[key] = sorted(
+                    map(tuple, builder.stream(bid, sid).build(ctx).collect()),
+                    key=_none_safe,
+                )
+        return out
+    finally:
+        ctx.release()
 
 
 def _run_bolt(stream: Stream, bolt: BasicBolt) -> dict[str, Stream]:
@@ -301,7 +317,12 @@ def _run_bolt(stream: Stream, bolt: BasicBolt) -> dict[str, Stream]:
                     out_rows, columns=["__sid__"] + [f"__p_{s}__" for s in sids]
                 )
 
-        tagged = df.mapInPandas(run, tagged_schema)
+        # persist: every consumed output stream runs its own action over
+        # this subtree — without a cache each action would re-execute the
+        # Python bolt, and a stateful/nondeterministic bolt could emit
+        # mutually inconsistent named streams (the reference executes the
+        # bolt once). Released on ctx.release().
+        tagged = ctx.register_persist(df.mapInPandas(run, tagged_schema))
         cache[ctx] = tagged
         return tagged
 

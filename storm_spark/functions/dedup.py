@@ -19,10 +19,17 @@ every operator has an exact SQL oracle.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from storm_spark.functions.text import fingerprint, ngrams_from_tokens, tokens, word_ngrams
+
+#: sentinel distinguishing "caller left the cap at its default" from an
+#: explicit ``max_shingle_df=1000`` — only the former warns.
+_DEFAULT_SHINGLE_CAP = object()
+_warned_default_cap = False
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -94,7 +101,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: int | None = 1000,
+    max_shingle_df: int | None = _DEFAULT_SHINGLE_CAP,  # type: ignore[assignment]
     ndigits: int = 6,
     toks_col: str | None = None,
 ) -> DataFrame:
@@ -111,14 +118,32 @@ def ngram_jaccard_pairs(
     of documents; each contributes O(df²) candidate pairs, turning the
     inverted-index join superlinear — the cap bounds any shingle's
     contribution at O(cap²) while barely moving Jaccard for genuinely
-    similar pairs (hot shingles carry no discriminative signal). Pass
-    ``None`` only when exact uncapped Jaccard semantics are required.
+    similar pairs (hot shingles carry no discriminative signal). Because
+    set sizes (hence Jaccard values and the pair set) are computed on the
+    capped shingle sets, capped results are APPROXIMATE: the first call
+    that relies on the default emits a ``UserWarning`` saying so. Pass
+    ``max_shingle_df=1000`` explicitly to opt in silently, or ``None``
+    when exact uncapped Jaccard semantics are required.
 
     The index feeds three plan branches (both join sides + sizes); it is
     persisted so tokenization/hashing runs once, not three times. The cache
     lives until the session drops it (LRU) — long-lived sessions running
     many corpora should ``spark.catalog.clearCache()`` between runs.
     """
+    if max_shingle_df is _DEFAULT_SHINGLE_CAP:
+        max_shingle_df = 1000
+        global _warned_default_cap
+        if not _warned_default_cap:
+            _warned_default_cap = True
+            warnings.warn(
+                "ngram_jaccard_pairs is using the production default "
+                "max_shingle_df=1000: Jaccard values are computed on capped "
+                "shingle sets and are approximate for documents touching "
+                "ultra-frequent shingles. Pass max_shingle_df explicitly "
+                "(an int to cap, None for exact) to silence this.",
+                UserWarning,
+                stacklevel=2,
+            )
     idx = _shingle_index(df, id_col, text_col, n, max_shingle_df, toks_col).persist()
     sizes = idx.groupBy("__id__").agg(F.count(F.lit(1)).alias("__n__"))
     a, b = idx.alias("a"), idx.alias("b")

@@ -176,9 +176,7 @@ def lsh_bucket_topk(
         pairs.select(
             "query_id",
             "neighbor_id",
-            (_dot(F.col("__qv__"), F.col("__cv__")) / (_norm(F.col("__qv__")) * _norm(F.col("__cv__")))).alias(
-                "cos_sim"
-            ),
+            _cos(F.col("__qv__"), F.col("__cv__")).alias("cos_sim"),
         )
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("cos_sim").alias("cos_sim"))
@@ -406,10 +404,7 @@ def embedding_near_dup_pairs(
         pairs.select(
             F.col("a.__id__").alias("id_a"),
             F.col("b.__id__").alias("id_b"),
-            (
-                _dot(F.col("a.__v__"), F.col("b.__v__"))
-                / (_norm(F.col("a.__v__")) * _norm(F.col("b.__v__")))
-            ).alias("cos_sim"),
+            _cos(F.col("a.__v__"), F.col("b.__v__")).alias("cos_sim"),
         )
         .groupBy("id_a", "id_b")
         .agg(F.round(F.max("cos_sim"), 6).alias("cos_sim"))

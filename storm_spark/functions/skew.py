@@ -147,11 +147,16 @@ def bloom_pruned_join(
         h2 = F.pmod(F.xxhash64(c, F.lit(2)), F.lit(m))
         return [F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(n_hashes)]
 
-    pos_rows = (
-        small.select(F.explode(F.array(*positions(F.col(small_key)))).alias("p"))
-        .distinct()
-        .collect()
-    )
+    try:
+        pos_rows = (
+            small.select(F.explode(F.array(*positions(F.col(small_key)))).alias("p"))
+            .distinct()
+            .collect()
+        )
+    finally:
+        # the bitmap is now a literal; the returned join can recompute the
+        # small side, so don't leak cache in long-lived sessions
+        small.unpersist()
     words = [0] * (m // 64)
     for r in pos_rows:
         p = r["p"]

@@ -49,6 +49,30 @@ class TridentTuple:
         i = self._index.get(name)
         return default if i is None else self._values[i]
 
+    # typed getters — parity: ``Tuple.java:54-134`` (positional) and the
+    # ``…ByField`` overloads (``Tuple.java:111-134``). Python is dynamically
+    # typed like the reference's tuples, so these are accessors, not casts.
+    def get_value(self, i: int) -> Any:
+        return self._values[i]
+
+    def get_value_by_field(self, name: str) -> Any:
+        return self._values[self._index[name]]
+
+    get_string = get_integer = get_long = get_boolean = get_value
+    get_short = get_byte = get_double = get_float = get_binary = get_value
+    get_string_by_field = get_integer_by_field = get_long_by_field = get_value_by_field
+    get_boolean_by_field = get_double_by_field = get_float_by_field = get_value_by_field
+    get_binary_by_field = get_value_by_field
+
+    def contains(self, name: str) -> bool:
+        return name in self._index
+
+    def field_index(self, name: str) -> int:
+        return self._index[name]
+
+    def get_fields(self) -> list[str]:
+        return sorted(self._index, key=self._index.__getitem__)
+
     def values(self) -> list[Any]:
         return list(self._values)
 

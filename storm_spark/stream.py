@@ -61,6 +61,24 @@ class Context:
         self.spark = spark
         self.bindings = bindings or {}
         self.txid = txid
+        #: DataFrames persisted for the lifetime of this context (shared
+        #: subtrees that must execute once, e.g. a multi-stream bolt's
+        #: tagged output). Released by :meth:`release`.
+        self._persisted: list[DataFrame] = []
+
+    def register_persist(self, df: DataFrame) -> DataFrame:
+        """Persist ``df`` until :meth:`release` — for subtrees consumed by
+        several downstream actions that must observe ONE execution (a
+        stateful/nondeterministic kernel run once, reference parity)."""
+        df.persist()
+        self._persisted.append(df)
+        return df
+
+    def release(self) -> None:
+        """Unpersist everything registered via :meth:`register_persist`."""
+        for df in self._persisted:
+            df.unpersist()
+        self._persisted.clear()
 
 
 def _parse_ddl(spark_type: str) -> Any:
