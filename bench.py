@@ -69,33 +69,40 @@ def main() -> None:
     # and stage warmup, the second is the steady-state plan cost — the number
     # that scales to repeated production runs. Report steady-state per query;
     # keep the cold total as a side channel for honesty.
+    # Per-query fault isolation: one broken query must never erase the whole
+    # round's perf evidence — record its error and keep measuring the rest.
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         per_run = []
-        for _ in range(2):
-            t0 = time.time()
-            df = QUERIES[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            per_run.append(time.time() - t0)
-            spark.catalog.clearCache()  # drop per-query persisted indexes
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                df = QUERIES[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                per_run.append(time.time() - t0)
+                spark.catalog.clearCache()  # drop per-query persisted indexes
+        except Exception as exc:  # noqa: BLE001 — isolate, report, continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         cold[name] = round(per_run[0], 3)
         times[name] = round(min(per_run), 3)
         print(f"# {name}: cold {cold[name]}s warm {times[name]}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf),
-                "cold_total_sec": round(sum(cold.values()), 3),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+        "cold_total_sec": round(sum(cold.values()), 3),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

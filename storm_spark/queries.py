@@ -64,13 +64,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects — read it as long (legacy conf) and convert to a µs
-    timestamp (values carry µs precision, so the floor-division is exact)."""
+    """events.parquet's ``ts`` physical type has varied across testdata
+    generations: TIMESTAMP(NANOS) (read as bigint under the legacy conf),
+    timestamp[us] (read as TIMESTAMP_NTZ), or plain TIMESTAMP. Normalize to
+    session-TZ TIMESTAMP — the session TZ is pinned UTC here and in ``_t``,
+    so the NTZ→TIMESTAMP cast is deterministic and matches the oracles'
+    ``CAST(ts AS TIMESTAMP)`` — so TZ-strict expressions (``unix_micros``,
+    ``window``) work uniformly downstream."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    else:
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return rebalance_scan(df)
 
 
@@ -1631,7 +1638,7 @@ def q_bloom_join(spark, sf_dir):
 ORACLE_BLOOM_JOIN = f"""
 SELECT o_orderpriority,
        COUNT(*) AS n_items,
-       SUM({SQL_CENTS.format(x='l_quantity')}) AS sum_qty_c
+       CAST(SUM({SQL_CENTS.format(x='l_quantity')}) AS BIGINT) AS sum_qty_c
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderpriority = '1-URGENT'
 GROUP BY o_orderpriority
@@ -1664,7 +1671,7 @@ def q_partition_pruned(spark, sf_dir):
 ORACLE_PARTITION_PRUNED = f"""
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM({SQL_CENTS.format(x='value')}) AS sum_value_c
+       CAST(SUM({SQL_CENTS.format(x='value')}) AS BIGINT) AS sum_value_c
 FROM events
 WHERE CAST(ts AS DATE) = DATE '2024-01-02'
 GROUP BY event_type
@@ -1699,7 +1706,7 @@ def q_bucketed_join(spark, sf_dir):
 ORACLE_BUCKETED_JOIN = f"""
 SELECT o_orderpriority,
        COUNT(*) AS n_items,
-       SUM({SQL_CENTS.format(x='l_quantity')}) AS sum_qty_c
+       CAST(SUM({SQL_CENTS.format(x='l_quantity')}) AS BIGINT) AS sum_qty_c
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
