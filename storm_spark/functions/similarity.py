@@ -391,23 +391,44 @@ def embedding_near_dup_pairs(
             "dim is required (pass your embedding dimension explicitly — "
             "inferring it would scan the corpus at plan-build time)"
         )
-    v = df.select(
+    # Slim candidate generation: the bucket self-join carries ONLY
+    # (id, table, signature) — 3 ints per row — never the vectors. At 100 TB
+    # the alternative (vectors through the join) either broadcasts the whole
+    # exploded corpus (impossible) or shuffles ~vector_bytes × n_tables ×
+    # collision-rate; here the wide column moves only for verified candidate
+    # pairs, via two hash joins against the slim base table. Deduping
+    # candidates BEFORE the cosine also evaluates it once per unique pair
+    # instead of once per table it collides in (up to n_tables×).
+    # Equal at sf0.1 (~3.4 s both, sig computation dominates); wins on
+    # shuffle bytes at scale.
+    sig = df.select(
         F.col(id_col).alias("__id__"),
-        F.col(vec_col).cast("array<double>").alias("__v__"),
         F.posexplode(_multi_table_sigs(F.col(vec_col), dim, n_planes, n_tables)).alias(
             "__t__", "__sig__"
         ),
     )
-    a, b = v.alias("a"), v.alias("b")
-    pairs = a.join(b, on=["__t__", "__sig__"]).filter(F.col("a.__id__") < F.col("b.__id__"))
-    sim = (
-        pairs.select(
-            F.col("a.__id__").alias("id_a"),
-            F.col("b.__id__").alias("id_b"),
-            _cos(F.col("a.__v__"), F.col("b.__v__")).alias("cos_sim"),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.round(F.max("cos_sim"), 6).alias("cos_sim"))
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(b, on=["__t__", "__sig__"])
+        .filter(F.col("a.__id__") < F.col("b.__id__"))
+        .select(F.col("a.__id__").alias("id_a"), F.col("b.__id__").alias("id_b"))
+        .distinct()
+    )
+    vecs = df.select(
+        F.col(id_col).alias("__vid__"), F.col(vec_col).cast("array<double>").alias("__v__")
+    )
+    pairs = (
+        cand.join(vecs, cand.id_a == vecs.__vid__)
+        .withColumnRenamed("__v__", "__va__")
+        .drop("__vid__")
+        .join(vecs, cand.id_b == vecs.__vid__)
+        .withColumnRenamed("__v__", "__vb__")
+        .drop("__vid__")
+    )
+    sim = pairs.select(
+        "id_a",
+        "id_b",
+        F.round(_cos(F.col("__va__"), F.col("__vb__")), 6).alias("cos_sim"),
     )
     # threshold on the ROUNDED value (matches the SQL twin's WHERE)
     return sim.filter(F.col("cos_sim") >= threshold).select("id_a", "id_b", "cos_sim")
