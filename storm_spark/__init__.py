@@ -14,6 +14,7 @@ Public surface::
 """
 
 from storm_spark.fields import Fields
+from storm_spark.serialization import decode_object, encode_object, register_encoder
 from storm_spark.session import get_spark
 from storm_spark.stream import Stream, GroupedStream
 from storm_spark.topology import Topology, LocalCluster, FeederSource, TridentState
@@ -30,6 +31,9 @@ __all__ = [
     "TridentState",
     "TopologyBuilder",
     "BasicBolt",
+    "register_encoder",
+    "encode_object",
+    "decode_object",
 ]
 
 __version__ = "0.1.0"

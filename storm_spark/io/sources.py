@@ -65,6 +65,22 @@ class FixedBatchSource:
             self._pos = 0
         out = self._rows[self._pos : self._pos + self.max_batch_size]
         self._pos += len(out)
+        return self.encode_rows(out)
+
+    def encode_rows(self, rows: Sequence[Sequence[Any]]) -> list[list[Any]]:
+        """Encode ``object``-typed columns via the global encoder registry
+        (Kryo analogue — serialization.py)."""
+        obj_idx = [i for i, t in enumerate(self.types) if t == "object"]
+        if not obj_idx:
+            return [list(r) for r in rows]
+        from storm_spark.serialization import encode_object
+
+        out = []
+        for r in rows:
+            r = list(r)
+            for i in obj_idx:
+                r[i] = encode_object(r[i])
+            out.append(r)
         return out
 
 

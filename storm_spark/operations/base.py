@@ -64,6 +64,16 @@ class TridentTuple:
     get_boolean_by_field = get_double_by_field = get_float_by_field = get_value_by_field
     get_binary_by_field = get_value_by_field
 
+    def get_object(self, key: int | str) -> Any:
+        """Decode an ``object``-typed (registered-encoder) payload — the
+        Kryo-analogue read side (see storm_spark/serialization.py). Plain
+        binary values pass through unchanged."""
+        from storm_spark.serialization import decode_object
+
+        return decode_object(self[key])
+
+    get_object_by_field = get_object
+
     def contains(self, name: str) -> bool:
         return name in self._index
 

@@ -82,8 +82,12 @@ class Context:
 
 
 def _parse_ddl(spark_type: str) -> Any:
-    from pyspark.sql.types import _parse_datatype_string
+    from pyspark.sql.types import BinaryType, _parse_datatype_string
 
+    # "object" = arbitrary registered-encoder payload (Kryo analogue) — lands
+    # as BinaryType on the wire; see storm_spark/serialization.py
+    if spark_type == "object":
+        return BinaryType()
     return _parse_datatype_string(spark_type)
 
 
@@ -261,15 +265,24 @@ class Stream:
             pos = [names.index(f) for f in in_l]
             idx = {f: i for i, f in enumerate(in_l)}
 
+            # "object"-typed outputs: emitted python objects encode to tagged
+            # bytes via the registry before entering the Arrow batch
+            obj_out = [j for j, t in enumerate(fn.out_types) if t == "object"]
+
             def run(batches):
                 fn.prepare()
+                if obj_out:
+                    from storm_spark.serialization import encode_object
                 for pdf in batches:
                     out_rows: list[list[Any]] = []
                     for row in pdf.itertuples(index=False, name=None):
                         coll = TridentCollector()
                         fn.execute(TridentTuple([row[p] for p in pos], idx), coll)
                         for emitted in coll.rows:
-                            out_rows.append(list(row) + list(emitted))
+                            emitted = list(emitted)
+                            for j in obj_out:
+                                emitted[j] = encode_object(emitted[j])
+                            out_rows.append(list(row) + emitted)
                     yield pd.DataFrame(out_rows, columns=names + out_l)
 
             return df.mapInPandas(run, out_schema)

@@ -66,6 +66,23 @@ class FeederSource:
             raise RuntimeError("attach the topology to a LocalCluster before feeding")
         self._cluster.feed(self, rows)
 
+    def encode_rows(self, rows: Sequence[Sequence[Any]]) -> list[list[Any]]:
+        """Encode ``object``-typed columns via the global encoder registry
+        (Kryo analogue — serialization.py). No-op when no field is typed
+        ``object``."""
+        obj_idx = [i for i, t in enumerate(self.types) if t == "object"]
+        if not obj_idx:
+            return [list(r) for r in rows]
+        from storm_spark.serialization import encode_object
+
+        out = []
+        for r in rows:
+            r = list(r)
+            for i in obj_idx:
+                r[i] = encode_object(r[i])
+            out.append(r)
+        return out
+
 
 class _StateSpec:
     def __init__(self, stream, keys, in_fields, agg, state, value_field, updater=None):
@@ -589,6 +606,8 @@ class LocalCluster:
         """Process one micro-batch of literal rows. Returns the txid used.
         Passing an explicit ``txid`` replays that transaction (for
         exactly-once semantics tests)."""
+        if hasattr(source, "encode_rows"):
+            rows = source.encode_rows(rows)
         df = self.topology.spark.createDataFrame([tuple(r) for r in rows], source.schema())
         return self.feed_dataframe(source, df, txid)
 
