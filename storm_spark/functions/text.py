@@ -16,7 +16,7 @@ single-expression uses.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: tokens = maximal runs of word characters, lowercased (BPE-ish pre-split)
@@ -236,6 +236,113 @@ def repetition_ratio_t(toks: Column, n: int = 3, ndigits: int = 6) -> Column:
     n_grams = F.size(grams)
     return F.when(n_grams <= 0, F.lit(0.0)).otherwise(
         F.round(1.0 - F.size(F.array_distinct(grams)) / n_grams, ndigits)
+    )
+
+
+# --- PII redaction -----------------------------------------------------------
+# Patterns chosen to behave identically under Java regex (Spark) and RE2
+# (DuckDB oracle): character classes, bounded repeats, \b word boundaries.
+
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_redact(col: Column | str, patterns: dict[str, str] | None = None) -> Column:
+    """Replace every PII match with ``[<KIND>]`` — the standard pre-training
+    scrub pass. Pure ``regexp_replace`` expressions: map-side only, codegen'd,
+    zero shuffle at any scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind, pat in (patterns or PII_PATTERNS).items():
+        c = F.regexp_replace(c, pat, f"[{kind.upper()}]")
+    return c
+
+
+def pii_count(col: Column | str, patterns: dict[str, str] | None = None) -> Column:
+    """Number of PII matches in the text (all kinds summed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = None
+    for pat in (patterns or PII_PATTERNS).values():
+        n = F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+        out = n if out is None else out + n
+    return out.cast("bigint")
+
+
+# --- URL / domain extraction -------------------------------------------------
+
+URL_RE = r"https?://[A-Za-z0-9.-]+(/[^\s]*)?"
+DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def extract_urls(col: Column | str) -> Column:
+    """All URLs in the text as ``array<string>`` (match group 0)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(URL_RE), 0)
+
+
+def url_domain(col: Column | str) -> Column:
+    """Domain (host) part of a URL string ('' when not a URL)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(c, DOMAIN_RE, 1)
+
+
+def domain_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-domain link counts over a corpus — the crawl-frontier /
+    source-mix report. Extraction is map-side expressions; the only shuffle
+    is the final domain groupBy (map-side combined, low cardinality)."""
+    urls = df.select(F.explode(extract_urls(text_col)).alias("url"))
+    return (
+        urls.select(url_domain("url").alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+# --- TF-IDF ------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3, ndigits: int = 6
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF
+    (``tf · ln(n_docs / df)``) — the classic corpus-summary / keyword
+    operator.
+
+    Scale shape: explode → ``groupBy(doc, term)`` (map-side combinable, ONE
+    shuffle of (doc, term, partial-count)); document frequency is a groupBy
+    of the already-aggregated tf table (vocabulary-sized); the tf⋈df join is
+    key-partitioned on term; n_docs rides in as a broadcast 1-row aggregate
+    (stays lazy — no driver action at plan-build). Ranking is rounded-value
+    ordered with a term tie-break, so the top-k cut is deterministic and
+    engine-portable (raw double ordering could differ by ulps across
+    engines)."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    # tf feeds two branches (the join side and document frequency) — persist
+    # so the corpus is tokenized ONCE, not re-scanned per branch (at scale
+    # the second full text pass dwarfs the (doc, term, count) cache;
+    # MEMORY_AND_DISK spills rather than recomputes)
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), ndigits
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "tfidf")
     )
 
 

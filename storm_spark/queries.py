@@ -1289,6 +1289,116 @@ FROM events GROUP BY event_type
 """
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII redaction scrub pass. The synthetic corpus carries no natural
+    PII, so the query deterministically decorates each doc with a synthetic
+    email (even ids) and phone (ids % 3 == 0) — the SAME expression in the
+    oracle — then counts and redacts. Map-side regexp expressions only; zero
+    shuffle at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    email = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@mail.example.com")
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit(" call 415-555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+        ),
+    ).otherwise(F.lit(""))
+    dec = docs.select("doc_id", F.concat(F.col("text"), email, phone).alias("t"))
+    return dec.select(
+        "doc_id",
+        text.pii_count("t").alias("n_pii"),
+        F.md5(text.pii_redact("t")).alias("redacted_md5"),
+    )
+
+
+_EMAIL_RE = text.PII_PATTERNS["email"]
+_PHONE_RE = text.PII_PATTERNS["phone"]
+_IPV4_RE = text.PII_PATTERNS["ipv4"]
+
+ORACLE_REDACT_PII = f"""
+WITH dec AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}'))
+            + len(regexp_extract_all(t, '{_PHONE_RE}'))
+            + len(regexp_extract_all(t, '{_IPV4_RE}')) AS BIGINT) AS n_pii,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+             t, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                '{_PHONE_RE}', '[PHONE]', 'g'),
+                '{_IPV4_RE}', '[IPV4]', 'g')) AS redacted_md5
+FROM dec
+"""
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-domain link counts (crawl source-mix report). URLs are injected
+    deterministically (same expression in the oracle) since the synthetic
+    corpus has none; extraction is map-side, the only shuffle is the final
+    low-cardinality domain groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    decorated = docs.select(
+        F.concat(
+            F.col("text"),
+            F.lit(" see http://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" https://cdn.example.net/assets")).otherwise(
+                F.lit("")
+            ),
+        ).alias("t")
+    )
+    return text.domain_counts(decorated, "t").orderBy("domain")
+
+
+ORACLE_DOMAIN_STATS = f"""
+WITH dec AS (
+  SELECT text || ' see http://site' || CAST(doc_id % 7 AS VARCHAR)
+              || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+              || CASE WHEN doc_id % 3 = 0 THEN ' https://cdn.example.net/assets' ELSE '' END AS t
+  FROM documents),
+urls AS (SELECT unnest(regexp_extract_all(t, '{text.URL_RE}')) AS url FROM dec)
+SELECT regexp_extract(url, '{text.DOMAIN_RE}', 1) AS domain, COUNT(*) AS n_links
+FROM urls GROUP BY domain ORDER BY domain
+"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 characteristic terms per document by TF-IDF (see
+    functions/text.py tfidf_top_terms for the scale shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+ORACLE_TFIDF_TOP_TERMS = f"""
+WITH toks AS (SELECT doc_id, unnest({SQL_TOKS.format(x='text')}) AS term FROM documents),
+tft AS (SELECT doc_id, term, COUNT(*) AS cnt FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tft GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tft.doc_id, tft.term, tft.cnt,
+         round(tft.cnt * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tft JOIN dfreq ON tft.term = dfreq.term CROSS JOIN n),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+  FROM scored)
+SELECT doc_id, term, cnt AS tf, tfidf FROM ranked WHERE rk <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # 8. deduplication (training-data ops)
 # ---------------------------------------------------------------------------
@@ -2189,9 +2299,6 @@ QUERIES = {
     "q1": q1,
     "wordcount": q_wordcount,
     "groupby_sum": q_groupby_sum,
-    "join_inner": q_join_inner,
-    "join_nway": q_join_nway,
-    "first_n": q_first_n,
     "topk_per_group": q_topk_per_group,
     "state_wordcount": q_state_wordcount,
     "partition_persist": q_partition_persist,
@@ -2221,6 +2328,9 @@ QUERIES = {
     "partition_pruned": q_partition_pruned,
     "bloom_join": q_bloom_join,
     "decontaminate": q_decontaminate,
+    "redact_pii": q_redact_pii,
+    "domain_stats": q_domain_stats,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "quality_repetition": q_quality_repetition,
     "winnow_fingerprint": q_winnow_fingerprint,
     "asof_join": q_asof_join,
@@ -2237,6 +2347,9 @@ QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "salted_groupby": q_salted_groupby,
     # --- past the driver's 50-row sample window (long-green r1-r3 basics) ---
+    "join_inner": q_join_inner,
+    "join_nway": q_join_nway,
+    "first_n": q_first_n,
     "project_filter": q_project_filter,
     "builtin_filters": q_builtin_filters,
     "each_compute": q_each_compute,
@@ -2305,6 +2418,9 @@ ORACLES = {
     "partition_pruned": ORACLE_PARTITION_PRUNED,
     "bloom_join": ORACLE_BLOOM_JOIN,
     "decontaminate": ORACLE_DECONTAMINATE,
+    "redact_pii": ORACLE_REDACT_PII,
+    "domain_stats": ORACLE_DOMAIN_STATS,
+    "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "quality_repetition": ORACLE_QUALITY_REPETITION,
     "winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,
     "asof_join": ORACLE_ASOF_JOIN,

@@ -134,3 +134,67 @@ def test_repetition_signals(spark):
     assert out[1] == (round(1 - 2 / 6, 6), 0.5)
     assert out[2] == (0.0, round(1 / 7, 6))
     assert out[3] == (0.0, 1.0)  # shorter than n: no grams, single token
+
+
+def test_pii_redact_and_count(spark):
+    from storm_spark.functions import text
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.com or call 415-555-0123 now"),
+            (2, "server at 10.0.42.7 rebooted"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: (r.n, r.red)
+        for r in df.select(
+            "doc_id",
+            text.pii_count("text").alias("n"),
+            text.pii_redact("text").alias("red"),
+        ).collect()
+    }
+    assert out[1] == (2, "mail [EMAIL] or call [PHONE] now")
+    assert out[2] == (1, "server at [IPV4] rebooted")
+    assert out[3] == (0, "nothing sensitive here")
+
+
+def test_url_extraction_and_domain_counts(spark):
+    from storm_spark.functions import text
+
+    df = spark.createDataFrame(
+        [
+            (1, "see http://a.example.org/x and https://b.example.net"),
+            (2, "again http://a.example.org/other/page?q=1"),
+            (3, "no links"),
+        ],
+        "doc_id bigint, text string",
+    )
+    urls = {r.doc_id: r.urls for r in df.select("doc_id", text.extract_urls("text").alias("urls")).collect()}
+    assert urls[1] == ["http://a.example.org/x", "https://b.example.net"]
+    assert urls[2] == ["http://a.example.org/other/page?q=1"]
+    assert urls[3] == []
+    counts = {r.domain: r.n_links for r in text.domain_counts(df, "text").collect()}
+    assert counts == {"a.example.org": 2, "b.example.net": 1}
+
+
+def test_tfidf_top_terms(spark):
+    from storm_spark.functions import text
+
+    # 'cat' only in doc 1, 'dog' only in doc 2, 'the' everywhere (idf=0)
+    df = spark.createDataFrame(
+        [
+            (1, "the cat cat cat sat"),
+            (2, "the dog sat sat"),
+            (3, "the the the bird"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = text.tfidf_top_terms(df, "doc_id", "text", k=1).collect()
+    top = {r.doc_id: (r.term, r.tf) for r in out}
+    assert top[1] == ("cat", 3)
+    assert top[2] == ("dog", 1)
+    assert top[3] == ("bird", 1)
+    # 'the' appears in every doc -> ln(3/3)=0 tfidf, never the top term
+    assert all(r.term != "the" for r in out)
