@@ -51,6 +51,9 @@ HEADLINE = [
     "chunk_tokens",
     "multimodal_frames",
     "corpus_clean",
+    "redact_pii",
+    "domain_stats",
+    "tfidf_top_terms",
 ]
 
 
