@@ -54,6 +54,8 @@ HEADLINE = [
     "redact_pii",
     "domain_stats",
     "tfidf_top_terms",
+    "rolling_active",
+    "unigram_surprisal",
 ]
 
 

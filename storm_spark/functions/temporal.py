@@ -178,3 +178,38 @@ def asof_join_ranked(
     return ranked.select(
         *left.columns, *[F.col(f"__r_{c}__").alias(c) for c in right_cols]
     )
+
+
+def rolling_distinct_count(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window_days: int = 7,
+    out_day: str = "window_day",
+    out_count: str = "active",
+) -> DataFrame:
+    """Trailing-``window_days`` distinct-key count per calendar day (the
+    retention / rolling-active-users report): for each day ``d``, the number
+    of distinct keys seen in days ``(d - window_days, d]``.
+
+    Scale shape: (day, key) pairs are DEDUPED FIRST (one shuffle — collapses
+    raw event volume to daily-active pairs), each pair then fans out
+    map-side to the ``window_days`` windows it contributes to (a bounded
+    explode of the already-deduped set, not of raw events), and the final
+    ``groupBy(day).countDistinct(key)`` is the second and last shuffle. A
+    naive window-function formulation would need a per-day full-history
+    sort; this is two bounded shuffles at any corpus size.
+    """
+    day = F.to_date(F.col(ts_col))
+    daily = df.select(day.alias("__d__"), F.col(key_col).alias("__k__")).distinct()
+    fanned = daily.select(
+        F.explode(F.sequence(F.col("__d__"), F.date_add(F.col("__d__"), window_days - 1))).alias(
+            out_day
+        ),
+        "__k__",
+    )
+    return (
+        fanned.groupBy(out_day)
+        .agg(F.count_distinct(F.col("__k__")).alias(out_count))
+        .orderBy(out_day)
+    )

@@ -346,6 +346,39 @@ def tfidf_top_terms(
     )
 
 
+def unigram_surprisal(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", ndigits: int = 6
+) -> DataFrame:
+    """Mean per-token unigram surprisal ``-ln(corpus_freq(tok))`` per
+    document — the cheap LM-quality proxy (high = rare-token-dense or noisy
+    text, low = common-word boilerplate). Deterministic and SQL-twinnable,
+    unlike a real LM score.
+
+    Scale shape: explode → term-count groupBy (map-side combined, persisted
+    so the corpus tokenizes once); total-token count joins as a broadcast
+    1-row aggregate; the per-doc mean is one doc-keyed shuffle. The term
+    frequency table is vocabulary-sized and shuffle-joined, never collected.
+    """
+    # toks feeds the frequency agg AND the per-token join — persist so the
+    # regex tokenization (the expensive step) runs once; freq is
+    # vocabulary-sized and also double-consumed (total + join), so it
+    # persists too (trivial footprint)
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term")).persist()
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    total = freq.select(F.sum("cnt").alias("total"))
+    return (
+        toks.join(freq, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("cnt").cast("double") / F.col("total"))), ndigits
+            ).alias("surprisal"),
+        )
+    )
+
+
 def top_token_ratio_t(toks: Column, ndigits: int = 6) -> Column:
     """Fraction of the document occupied by its single most frequent token —
     high values flag keyword-stuffed or looping text. Expression-only:

@@ -1399,6 +1399,48 @@ SELECT doc_id, term, cnt AS tf, tfidf FROM ranked WHERE rk <= 3
 """
 
 
+def q_rolling_active(spark, sf_dir):
+    """7-day rolling distinct active users per calendar day (retention
+    report). Dedup-first + bounded fan-out: see
+    functions/temporal.py rolling_distinct_count for the scale shape."""
+    from storm_spark.functions.temporal import rolling_distinct_count
+
+    e = _events(spark, sf_dir)
+    return rolling_distinct_count(e, "ts", "user_id", window_days=7,
+                                  out_day="window_day", out_count="active_7d")
+
+
+ORACLE_ROLLING_ACTIVE = """
+WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+fanned AS (
+  SELECT CAST(unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE)
+           AS window_day,
+         user_id
+  FROM daily)
+SELECT window_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_7d
+FROM fanned GROUP BY window_day ORDER BY window_day
+"""
+
+
+def q_unigram_surprisal(spark, sf_dir):
+    """Mean unigram surprisal per document (cheap LM-quality proxy); see
+    functions/text.py unigram_surprisal for the scale shape."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.unigram_surprisal(docs, "doc_id", "text")
+
+
+ORACLE_UNIGRAM_SURPRISAL = f"""
+WITH toks AS (SELECT doc_id, unnest({SQL_TOKS.format(x='text')}) AS term FROM documents),
+freq AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+tot AS (SELECT SUM(cnt) AS total FROM freq)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       round(AVG(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS surprisal
+FROM toks JOIN freq USING (term) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # 8. deduplication (training-data ops)
 # ---------------------------------------------------------------------------
@@ -2298,8 +2340,6 @@ def q_multimodal_features(spark, sf_dir):
 QUERIES = {
     "q1": q1,
     "wordcount": q_wordcount,
-    "groupby_sum": q_groupby_sum,
-    "topk_per_group": q_topk_per_group,
     "state_wordcount": q_state_wordcount,
     "partition_persist": q_partition_persist,
     "state_avg": q_state_avg,
@@ -2331,6 +2371,8 @@ QUERIES = {
     "redact_pii": q_redact_pii,
     "domain_stats": q_domain_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "rolling_active": q_rolling_active,
+    "unigram_surprisal": q_unigram_surprisal,
     "quality_repetition": q_quality_repetition,
     "winnow_fingerprint": q_winnow_fingerprint,
     "asof_join": q_asof_join,
@@ -2347,6 +2389,8 @@ QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "salted_groupby": q_salted_groupby,
     # --- past the driver's 50-row sample window (long-green r1-r3 basics) ---
+    "groupby_sum": q_groupby_sum,
+    "topk_per_group": q_topk_per_group,
     "join_inner": q_join_inner,
     "join_nway": q_join_nway,
     "first_n": q_first_n,
@@ -2421,6 +2465,8 @@ ORACLES = {
     "redact_pii": ORACLE_REDACT_PII,
     "domain_stats": ORACLE_DOMAIN_STATS,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
+    "rolling_active": ORACLE_ROLLING_ACTIVE,
+    "unigram_surprisal": ORACLE_UNIGRAM_SURPRISAL,
     "quality_repetition": ORACLE_QUALITY_REPETITION,
     "winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,
     "asof_join": ORACLE_ASOF_JOIN,

@@ -150,3 +150,49 @@ def test_range_join_bucketed_matches_naive(spark):
 
     with _pytest.raises(ValueError):
         range_join(pts, iv, "ts", "s", "e", how="left")
+
+
+def test_rolling_distinct_count(spark):
+    import datetime as dt
+
+    from storm_spark.functions.temporal import rolling_distinct_count
+
+    rows = [
+        # u1 active day 1; u2 active days 1 and 3; u3 active day 10
+        (dt.datetime(2024, 1, 1, 8), 1),
+        (dt.datetime(2024, 1, 1, 9), 1),   # same user+day: dedups
+        (dt.datetime(2024, 1, 1, 10), 2),
+        (dt.datetime(2024, 1, 3, 12), 2),
+        (dt.datetime(2024, 1, 10, 1), 3),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id bigint")
+    out = {
+        r.window_day.isoformat(): r.active
+        for r in rolling_distinct_count(df, "ts", "user_id", window_days=7,
+                                        out_count="active").collect()
+    }
+    assert out["2024-01-01"] == 2          # u1, u2
+    assert out["2024-01-03"] == 2          # u1, u2 still in trailing 7d
+    assert out["2024-01-07"] == 2          # day-1 activity still visible
+    assert out["2024-01-08"] == 1          # day 1 aged out; day-3 u2 remains
+    assert out["2024-01-09"] == 1
+    assert out["2024-01-10"] == 1          # only u3
+    assert "2024-01-17" not in out         # windows end 6 days after last event
+    assert out["2024-01-16"] == 1
+
+
+def test_unigram_surprisal(spark):
+    import math
+
+    from storm_spark.functions.text import unigram_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "the the the"), (2, "the rare")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: (r.n_tokens, r.surprisal) for r in unigram_surprisal(df).collect()}
+    # corpus: the×4, rare×1, total 5
+    s_the = -math.log(4 / 5)
+    s_rare = -math.log(1 / 5)
+    assert out[1] == (3, round(s_the, 6))
+    assert out[2] == (2, round((s_the + s_rare) / 2, 6))
