@@ -244,3 +244,55 @@ def test_partitioned_write_prunes_at_planning_time(spark, tmp_path):
     # filter evaluated per row group
     part_section = plan.split("PartitionFilters")[1].split("]")[0]
     assert "2024-01-02" in part_section
+
+
+def test_tfidf_plan_shape(spark):
+    """n_docs broadcasts (1-row aggregate), tf/df aggs have partials, and the
+    top-k cut compiles to WindowGroupLimit (partial per-partition limit
+    before the doc-keyed exchange) — not a full sort of every (doc, term)."""
+    from storm_spark.queries import q_tfidf_top_terms
+
+    plan = _plan(q_tfidf_top_terms(spark, SF))
+    assert "WindowGroupLimit" in plan, plan
+    assert "partial_count" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rolling_active_dedup_before_fanout(spark):
+    """(day, key) dedup aggregates BEFORE the window fan-out Generate — the
+    7x explode multiplies daily-active pairs, never raw events."""
+    from storm_spark.queries import q_rolling_active
+
+    plan = _plan(q_rolling_active(spark, SF))
+    gen = plan.index("Generate")
+    # the dedup HashAggregate pair sits below (later in formatted text than)
+    # the Generate node it feeds
+    assert "HashAggregate" in plan[gen:], plan
+    assert "count(distinct" in plan.lower() or "distinct" in plan.lower()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_redact_pii_is_pure_projection(spark):
+    """Redaction is map-side only: no exchange anywhere in the plan."""
+    from storm_spark.queries import q_redact_pii
+
+    plan = _plan(q_redact_pii(spark, SF))
+    # the only allowed exchange is the scan-rebalance repartition
+    # (formatted output lists each node twice: tree + detail section)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_near_dup_pairs_join_carries_no_vectors(spark):
+    """The LSH bucket self-join's immediate inputs are slim (id, table, sig)
+    — the embedding array attaches only after candidate dedup."""
+    from storm_spark.functions.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.9, 8, 2, dim=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the distinct on (id_a, id_b) must appear — candidates dedup before
+    # the vector joins
+    assert re.search(r"HashAggregate\(keys=\[id_a#\d+L, id_b#\d+L\], functions=\[\]", plan), plan
