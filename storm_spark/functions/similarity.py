@@ -171,7 +171,15 @@ def lsh_bucket_topk(
     )
     # cosine computed map-side after the bucket join; a pair surfacing in
     # several tables dedups in the same shuffle as the top-k (max = identical
-    # values) — cheaper than shuffling vectors to dedup first
+    # values) — cheaper than shuffling vectors to dedup first.
+    # MEASURED rejection (r4): the near-dup-style slim variant (ids-only
+    # bucket join → distinct → vector-fetch joins) timed within noise at
+    # sf0.1 (4.5 vs 4.8 s warm, order-biased by shared codegen cache) and is
+    # strictly WORSE at scale here: this shape broadcasts the tiny query side
+    # and streams corpus vectors map-side — zero corpus shuffle, only
+    # (query, neighbor, cos) scalars move — while the slim variant adds a
+    # full corpus-wide vector shuffle for the fetch join. Slim wins only for
+    # corpus×corpus self-joins (see embedding_near_dup_pairs).
     sim = (
         pairs.select(
             "query_id",
@@ -401,12 +409,16 @@ def embedding_near_dup_pairs(
     # instead of once per table it collides in (up to n_tables×).
     # Equal at sf0.1 (~3.4 s both, sig computation dominates); wins on
     # shuffle bytes at scale.
+    # persist: the self-join consumes sig twice, and signature computation
+    # (n_tables × n_planes dot products per row) dominates — caching the
+    # (id, table, sig) table (3 ints/row, far smaller than the vectors)
+    # halves it. Measured at sf0.1: warm 3.6→3.0 s, cold 8.4→3.9 s.
     sig = df.select(
         F.col(id_col).alias("__id__"),
         F.posexplode(_multi_table_sigs(F.col(vec_col), dim, n_planes, n_tables)).alias(
             "__t__", "__sig__"
         ),
-    )
+    ).persist()
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(b, on=["__t__", "__sig__"])
