@@ -93,6 +93,8 @@ def main() -> int:
             print(f"FAIL  {name:20s} spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            spark.catalog.clearCache()  # drop per-query persisted indexes
         t_spark = time.time() - t0
         sql = ORACLES.get(name)
         if sql is None:
