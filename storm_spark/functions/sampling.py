@@ -24,7 +24,7 @@ no shuffle either (explode is map-side).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _BUCKETS = 1_000_000
@@ -110,6 +110,44 @@ def stratified_sample(
         thr = thr.otherwise(F.lit(_BUCKETS))
         return df.filter(b < thr)
     return df.filter(b < int(fractions * _BUCKETS))
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    k: int = 100,
+    salt: str = "quota",
+) -> DataFrame:
+    """Exact-quota sampling: keep AT MOST ``k`` rows per group, chosen by
+    deterministic hash rank (the "cap documents per domain/source" curation
+    move — fraction sampling can't bound a runaway group, a quota can).
+
+    Selection is a pure function of (salt, id): stable across runs, retries,
+    executor counts, and corpus growth — a kept row stays kept as its group
+    grows, rows only ever *leave* the sample (no churn). One group-keyed
+    shuffle; the row_number top-k compiles to WindowGroupLimit, so each
+    partition pre-trims to ``k`` before the exchange — the shuffle carries
+    at most ``k × partitions`` rows per group, not the raw group (a hot
+    group still lands on one reducer; for adversarial skew cap in two
+    stages: pre-trim on a salted sub-group, then the true group).
+    """
+    rank_key = F.md5(F.concat_ws("\x00", F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(rank_key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") <= k)
+        .drop("__rk__")
+    )
+
+
+def sql_quota_pred(group_expr: str, id_expr: str, k: int, salt: str = "quota") -> str:
+    """DuckDB twin of :func:`sample_k_per_group` (QUALIFY predicate)."""
+    return (
+        f"row_number() OVER (PARTITION BY {group_expr} "
+        f"ORDER BY md5('{salt}' || chr(0) || CAST({id_expr} AS VARCHAR)) ASC, "
+        f"{id_expr} ASC) <= {k}"
+    )
 
 
 def sql_sample_pred(

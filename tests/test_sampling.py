@@ -152,3 +152,30 @@ def test_chunk_windows_properties(spark, doc_lens, max_len, stride):
         covered = {w for c in got.values() for w in c}
         assert covered == {f"w{i}_{j}" for j in range(ln)}
         assert got[0][0] == f"w{i}_0"
+
+
+def test_sample_k_per_group_quota_and_stability(spark):
+    from storm_spark.functions.sampling import sample_k_per_group
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, grp string")
+    out = sample_k_per_group(df, "grp", "doc_id", k=5)
+    got = [(r.doc_id, r.grp) for r in out.collect()]
+    # quota: exactly 5 per group (all groups have >5 members)
+    from collections import Counter
+
+    per_group = Counter(g for _, g in got)
+    assert per_group == {"g0": 5, "g1": 5, "g2": 5}
+    # determinism: identical selection on re-run
+    again = [(r.doc_id, r.grp) for r in sample_k_per_group(df, "grp", "doc_id", k=5).collect()]
+    assert sorted(got) == sorted(again)
+    # growth stability: adding rows never evicts differently than hash rank
+    # dictates — kept set of the grown corpus restricted to old ids is a
+    # SUBSET of the original kept set (rows only ever leave the sample)
+    grown = spark.createDataFrame(rows + [(i, "g%d" % (i % 3)) for i in range(100, 160)],
+                                  "doc_id bigint, grp string")
+    kept_grown = {(r.doc_id, r.grp) for r in sample_k_per_group(grown, "grp", "doc_id", k=5).collect()}
+    assert {t for t in kept_grown if t[0] < 100} <= set(got)
+    # small groups pass through whole
+    tiny = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id bigint, grp string")
+    assert sample_k_per_group(tiny, "grp", "doc_id", k=5).count() == 2
