@@ -56,6 +56,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "rolling_active",
     "unigram_surprisal",
+    "quota_sample",
 ]
 
 

@@ -296,3 +296,14 @@ def test_near_dup_pairs_join_carries_no_vectors(spark):
     # the distinct on (id_a, id_b) must appear — candidates dedup before
     # the vector joins
     assert re.search(r"HashAggregate\(keys=\[id_a#\d+L, id_b#\d+L\], functions=\[\]", plan), plan
+
+
+def test_quota_sample_uses_window_group_limit(spark):
+    """The per-group top-k cut pre-trims per partition (WindowGroupLimit)
+    before the group-keyed exchange — the shuffle carries at most
+    k x partitions rows per group, never the raw group."""
+    from storm_spark.queries import q_quota_sample
+
+    plan = _plan(q_quota_sample(spark, SF))
+    assert "WindowGroupLimit" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
