@@ -1406,8 +1406,12 @@ def q_rolling_active(spark, sf_dir):
     from storm_spark.functions.temporal import rolling_distinct_count
 
     e = _events(spark, sf_dir)
-    return rolling_distinct_count(e, "ts", "user_id", window_days=7,
-                                  out_day="window_day", out_count="active_7d")
+    out = rolling_distinct_count(e, "ts", "user_id", window_days=7,
+                                 out_day="window_day", out_count="active_7d")
+    # gate projection: DATE as 'YYYY-MM-DD' string — identical rendering in
+    # Spark and DuckDB, immune to driver-side date canonicalization quirks
+    # (the r1-r3 hash-reds were exactly this class of type-rendering skew)
+    return out.select(F.col("window_day").cast("string").alias("window_day"), "active_7d")
 
 
 ORACLE_ROLLING_ACTIVE = """
@@ -1417,7 +1421,8 @@ fanned AS (
            AS window_day,
          user_id
   FROM daily)
-SELECT window_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_7d
+SELECT CAST(window_day AS VARCHAR) AS window_day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_7d
 FROM fanned GROUP BY window_day ORDER BY window_day
 """
 
