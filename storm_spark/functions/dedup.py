@@ -307,8 +307,11 @@ def simhash64(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> Data
     summed over the doc; the sign vector is packed into a bigint.
 
     ``bits`` <= 60 to stay in signed-64 range. SHUFFLE-FREE: the token hash
-    array materializes once per row (multi-use alias — CollapseProject keeps
-    it), then ``bits`` map-side array folds tally the votes. No explode, no
+    array materializes once per row, then a SINGLE map-side fold carries an
+    array of ``bits`` vote counters (``zip_with`` against a bit-index
+    sequence) — one traversal of the token array instead of ``bits``
+    separate folds, and an expression tree ~``bits``× smaller (HOF lambdas
+    are interpreted, so tree size is per-task setup cost). No explode, no
     groupBy — at scale this is a pure scan+projection, vs the naive
     explode-and-aggregate's shuffle of one row per token.
     """
@@ -329,16 +332,25 @@ def simhash64(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> Data
             lambda t: F.conv(F.substring(F.md5(t), 1, hex_chars), 16, 10).cast("bigint"),
         ).alias("__hs__"),
     )
-    packed = None
-    for i in range(bits):
-        vote = F.aggregate(
-            F.col("__hs__"),
-            F.lit(0),
-            lambda acc, x: acc
-            + F.when(F.shiftright(x, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        bit = F.when(vote > 0, F.lit(2 ** i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        packed = bit if packed is None else packed + bit
+    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    votes = F.aggregate(
+        F.col("__hs__"),
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, x: F.zip_with(
+            acc, bit_idx, lambda a, i: a + F.when(F.getbit(x, i) == 1, 1).otherwise(-1)
+        ),
+    )
+    packed = F.aggregate(
+        F.zip_with(
+            votes,
+            bit_idx,
+            lambda v, i: F.when(v > 0, F.pow(F.lit(2.0), i).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
     return hashed.select(F.col(id_col), packed.alias("simhash"))
 
 
