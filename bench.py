@@ -57,6 +57,8 @@ HEADLINE = [
     "rolling_active",
     "unigram_surprisal",
     "quota_sample",
+    "semantic_dedup",
+    "substring_dedup",
 ]
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import warnings
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from storm_spark.functions.text import fingerprint, ngrams_from_tokens, tokens, word_ngrams
@@ -459,4 +459,74 @@ def ngram_containment(
             ).alias("containment"),
         )
         .filter(F.col("containment") >= threshold)
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication inventory at span granularity — the
+    n-gram approximation of suffix-array substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): a token
+    position is duplicated when its n-gram occurs ``min_count``+ times
+    anywhere in the corpus (other docs or elsewhere in the same doc);
+    per doc, overlapping/adjacent duplicated windows merge into maximal
+    spans (the classic gaps-and-islands fold).
+
+    Returns ``(id_col, span_start, span_end, n_dup_grams)`` — token-index
+    spans, end inclusive: the removable repeated regions.
+
+    Scale shape: positional shingle index (ONE explode → ~n_tokens rows of
+    (60-bit gram hash, id, pos) — the gram string reduces to an 8-byte hash
+    before any exchange) → partial-agg'd groupBy count on the hash (the
+    wordcount shuffle class) → semi-join positions against the dup-gram set
+    → per-doc window island-merge (one shuffle on id). Never pairwise; cost
+    tracks corpus token count, not doc pairs.
+    """
+    sh_hash = F.conv(F.substring(F.md5(F.col("__s__")), 1, 15), 16, 10).cast("bigint")
+    base = df.select(F.col(id_col).alias("__id__"), tokens(text_col).alias("__toks__"))
+    pos_idx = base.select(
+        "__id__",
+        F.posexplode(ngrams_from_tokens(F.col("__toks__"), n)).alias("__p__", "__s__"),
+    ).select("__id__", "__p__", sh_hash.alias("__sh__"))
+    dup_grams = (
+        pos_idx.groupBy("__sh__")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+        .filter(F.col("__c__") >= min_count)
+        .select("__sh__")
+    )
+    hits = pos_idx.join(dup_grams, on="__sh__", how="left_semi")
+    # island detection: a window starting at p covers [p, p+n-1]; it extends
+    # the current span when it overlaps or touches the furthest end seen so
+    # far (running MAX, not lag — an earlier long window can outreach the
+    # previous row's). First row per doc: MAX over the empty frame is NULL,
+    # the comparison is NULL, and the WHEN falls through to 1 — a new span.
+    w_prev = Window.partitionBy("__id__").orderBy("__p__").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    marked = hits.select(
+        "__id__",
+        "__p__",
+        F.when(
+            F.col("__p__") <= F.max(F.col("__p__") + (n - 1)).over(w_prev) + 1, 0
+        ).otherwise(1).alias("__brk__"),
+    )
+    w_run = Window.partitionBy("__id__").orderBy("__p__").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    islands = marked.select(
+        "__id__", "__p__", F.sum("__brk__").over(w_run).alias("__isl__")
+    )
+    return (
+        islands.groupBy("__id__", "__isl__")
+        .agg(
+            F.min("__p__").cast("bigint").alias("span_start"),
+            (F.max("__p__") + (n - 1)).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .select(F.col("__id__").alias(id_col), "span_start", "span_end", "n_dup_grams")
     )

@@ -453,3 +453,81 @@ def embedding_near_dup_pairs(
     )
     # threshold on the ROUNDED value (matches the SQL twin's WHERE)
     return sim.filter(F.col("cos_sim") >= threshold).select("id_a", "id_b", "cos_sim")
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space, then inside each cluster keep ONE representative of
+    every near-duplicate group. A row is dropped iff a lower-id row in the
+    SAME cell has cosine >= ``threshold`` (keep-first — deterministic and
+    order-free). Returns the survivors as ``(id_col, cell)``.
+
+    Default centroids are the ``n_clusters`` smallest-id corpus vectors
+    (deterministic and SQL-twinnable — the exact-oracle gate needs that);
+    pass ``centroids=kmeans_centroids(corpus, k=n_clusters)`` for trained
+    cells: better grouping, identical plan shape.
+
+    Scale shape: centroid set is tiny and broadcast; the corpus shuffles
+    ONCE on cell id. Pair generation inside a cell is slim — only
+    (id, cell) rows enter the self-join; vectors are fetched by hash join
+    for candidate pairs only, so the O(c^2) term costs 2 ints per candidate,
+    not 2 vectors. The within-cell quadratic is the SemDeDup contract:
+    ``n_clusters`` must grow with the corpus (the paper uses ~sqrt(n)) to
+    hold cell occupancy flat; trained centroids keep cells balanced.
+    """
+    cents = (
+        centroids
+        if centroids is not None
+        else corpus.orderBy(F.col(id_col).asc())
+        .limit(n_clusters)
+        .select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).cast("array<double>").alias("__cent__"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("__id__"), F.col(vec_col).cast("array<double>").alias("__cv__")
+    )
+    # nearest centroid by cosine, centroid-id tie-break (the measured
+    # broadcast-crossJoin + window argmax shape — see ivf_topk's note)
+    w_assign = Window.partitionBy("__id__").orderBy(F.col("__cc__").desc(), F.col("cent_id").asc())
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("__cc__", _cos(F.col("__cv__"), F.col("__cent__")))
+        .withColumn("__r__", F.row_number().over(w_assign))
+        .filter(F.col("__r__") == 1)
+        .select("__id__", "__cv__", F.col("cent_id").alias("__cell__"))
+    )
+    assigned = assigned.persist()
+    slim = assigned.select("__id__", "__cell__")
+    cand = (
+        slim.alias("a")
+        .join(slim.alias("b"), on="__cell__")
+        .filter(F.col("a.__id__") < F.col("b.__id__"))
+        .select(F.col("a.__id__").alias("__ida__"), F.col("b.__id__").alias("__idb__"))
+    )
+    vecs = assigned.select(F.col("__id__").alias("__vid__"), F.col("__cv__").alias("__v__"))
+    losers = (
+        cand.join(vecs, cand.__ida__ == vecs.__vid__)
+        .withColumnRenamed("__v__", "__va__")
+        .drop("__vid__")
+        .join(vecs, cand.__idb__ == vecs.__vid__)
+        .withColumnRenamed("__v__", "__vb__")
+        .drop("__vid__")
+        # threshold on the value ROUNDED to 6 places (matches the SQL twin
+        # and keeps the boundary decision engine-portable)
+        .filter(F.round(_cos(F.col("__va__"), F.col("__vb__")), 6) >= threshold)
+        .select(F.col("__idb__").alias("__id__"))
+        .distinct()
+    )
+    return (
+        assigned.join(losers, on="__id__", how="left_anti")
+        .select(F.col("__id__").alias(id_col), F.col("__cell__").cast("bigint").alias("cell"))
+    )

@@ -2171,6 +2171,83 @@ SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
 ORACLE_EMBEDDING_NEAR_DUP = _oracle_embedding_near_dup()
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: cluster the embedding space (16
+    deterministic smallest-id centroids — the ivf_topk default, so the SQL
+    twin is exact), keep ONE representative of every within-cluster
+    near-dup group (drop a row iff a lower-id same-cell row has rounded
+    cosine >= 0.45). Output: the surviving corpus (vec_id, cell)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        emb, "vec_id", "embedding", n_clusters=16, threshold=0.45
+    )
+
+
+def _oracle_semantic_dedup(n_clusters=16, threshold=0.45):
+    cos_cc = SQL_COS.format(a="c.vv", b="t.vv")
+    cos_ab = SQL_COS.format(a="a.vv", b="b.vv")
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, vv FROM v ORDER BY vec_id ASC LIMIT {n_clusters}),
+assigned AS (
+  SELECT vec_id, vv, cent_id AS cell FROM (
+    SELECT c.vec_id, c.vv, t.cent_id,
+           row_number() OVER (PARTITION BY c.vec_id ORDER BY {cos_cc} DESC, t.cent_id ASC) AS r
+    FROM v c CROSS JOIN cents t) WHERE r = 1),
+losers AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b USING (cell)
+  WHERE a.vec_id < b.vec_id AND round({cos_ab}, 6) >= {threshold})
+SELECT vec_id, CAST(cell AS BIGINT) AS cell
+FROM assigned WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+"""
+
+
+ORACLE_SEMANTIC_DEDUP = _oracle_semantic_dedup()
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Span-level exact-substring duplication inventory (the n-gram
+    approximation of Lee et al. 2021 suffix-array dedup): positions whose
+    token 5-gram repeats anywhere in the corpus, merged per doc into
+    maximal spans."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicated_spans(docs, "doc_id", "text", n=5)
+
+
+def _oracle_substring_dedup(n=5, min_count=2):
+    toks = SQL_TOKS.format(x="text")
+    nm1 = n - 1
+    return f"""
+WITH base AS (SELECT doc_id, {toks} AS toks FROM documents),
+grams AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+         ('0x' || substr(md5(array_to_string(toks[i:i+{nm1}], ' ')), 1, 15))::BIGINT AS sh
+  FROM base, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - {nm1}, 0))) AS i)),
+dup AS (SELECT sh FROM grams GROUP BY sh HAVING COUNT(*) >= {min_count}),
+hits AS (SELECT doc_id, p FROM grams WHERE sh IN (SELECT sh FROM dup)),
+marked AS (
+  SELECT doc_id, p,
+         CASE WHEN p <= MAX(p + {nm1}) OVER (
+                PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+              THEN 0 ELSE 1 END AS brk
+  FROM hits),
+isl AS (
+  SELECT doc_id, p, SUM(brk) OVER (
+           PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked)
+SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+       CAST(MAX(p) + {nm1} AS BIGINT) AS span_end,
+       COUNT(*) AS n_dup_grams
+FROM isl GROUP BY doc_id, island
+"""
+
+
+ORACLE_SUBSTRING_DEDUP = _oracle_substring_dedup()
+
+
 def _oracle_ann_lsh(k=5, n_planes=8, n_tables=4, dim=64):
     sigs = ", ".join(
         f"{_sql_lsh_sig('embedding::DOUBLE[]', n_planes, dim, t)} AS sig{t}"
@@ -2433,6 +2510,10 @@ QUERIES = {
     "anti_join": q_anti_join,
     "state_snapshot_total": q_state_snapshot_total,
     "json_extract": q_json_extract,
+    # --- new in r4 (appended past the sample window so the rotated-in r3
+    # set keeps its first-ever driver rows; judge-verified locally) ---
+    "semantic_dedup": q_semantic_dedup,
+    "substring_dedup": q_substring_dedup,
 }
 
 ORACLES = {
@@ -2504,6 +2585,8 @@ ORACLES = {
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
     "salted_groupby": ORACLE_SALTED_GROUPBY,
+    "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+    "substring_dedup": ORACLE_SUBSTRING_DEDUP,
     # approx_distinct / percentile (approx sketch) / multimodal_features:
     # estimator-specific or non-SQL kernels — rows-only checks; exact twins
     # (count_distinct / percentile_exact) are hash-gated

@@ -114,6 +114,8 @@ _EXPRESSION_ONLY = [
     "percentile",
     "percentile_exact",
     "embedding_near_dup",
+    "semantic_dedup",
+    "substring_dedup",
 ]
 
 

@@ -211,3 +211,46 @@ def test_ivf_with_trained_centroids_recall(clustered_vectors):
         ).collect()
     }
     assert exact == got
+
+
+def test_semantic_dedup_keeps_one_per_group(spark):
+    from storm_spark.functions import similarity
+
+    # vectors 10 and 11 are identical (cosine 1.0) and land in the same
+    # cell; 12 is orthogonal. Centroids default to the 2 smallest-id rows.
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (10, [0.9, 0.1, 0.0, 0.0]),
+            (11, [0.9, 0.1, 0.0, 0.0]),
+            (12, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    # threshold above cos(10, centroid-row 1) ~= 0.9939 — centroid rows are
+    # corpus rows too, so a looser threshold would also prune 10 against 1
+    out = similarity.semantic_dedup(
+        df, "vec_id", "embedding", n_clusters=2, threshold=0.999
+    )
+    survivors = {r.vec_id for r in out.collect()}
+    # 11 is the only drop: identical (cos 1.0) to lower-id 10 in the same cell
+    assert survivors == {1, 2, 10, 12}
+
+
+def test_semantic_dedup_cross_cell_dups_survive(spark):
+    from storm_spark.functions import similarity
+
+    # identical vectors in DIFFERENT cells both survive (the SemDeDup
+    # contract: pruning is within-cluster only)
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [1.0, 0.3]),   # cell of 1 (cos to its centroid ~0.958 < 0.99)
+            (4, [0.3, 1.0]),   # cell of 2 — never compared against 3
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = similarity.semantic_dedup(df, "vec_id", "embedding", n_clusters=2, threshold=0.99)
+    assert {r.vec_id for r in out.collect()} == {1, 2, 3, 4}

@@ -198,3 +198,59 @@ def test_tfidf_top_terms(spark):
     assert top[3] == ("bird", 1)
     # 'the' appears in every doc -> ln(3/3)=0 tfidf, never the top term
     assert all(r.term != "the" for r in out)
+
+
+def test_duplicated_spans_merges_islands(spark):
+    from storm_spark.functions import dedup
+
+    # docs 1 and 2 share the run "a b c d e f" (token positions 1..6 in doc 1,
+    # 0..5 in doc 2); with n=3 the four shared windows overlap into ONE span.
+    # doc 3 has no repeated 3-gram anywhere -> absent from the output.
+    df = spark.createDataFrame(
+        [
+            (1, "x a b c d e f y"),
+            (2, "a b c d e f z w"),
+            (3, "totally unrelated words here only once"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = dedup.duplicated_spans(df, "doc_id", "text", n=3)
+    rows = {(r.doc_id): (r.span_start, r.span_end, r.n_dup_grams) for r in out.collect()}
+    assert rows[1] == (1, 6, 4)
+    assert rows[2] == (0, 5, 4)
+    assert 3 not in rows
+
+
+def test_duplicated_spans_within_doc_and_gaps(spark):
+    from storm_spark.functions import dedup
+
+    # the SAME doc repeats "p q r" at positions 0 and 6 with a unique middle:
+    # two disjoint spans (gap > adjacency), both from within-doc repetition.
+    df = spark.createDataFrame(
+        [(7, "p q r unique middle tokens p q r")],
+        "doc_id bigint, text string",
+    )
+    out = dedup.duplicated_spans(df, "doc_id", "text", n=3).collect()
+    spans = sorted((r.span_start, r.span_end, r.n_dup_grams) for r in out)
+    assert spans == [(0, 2, 1), (6, 8, 1)]
+
+
+def test_duplicated_spans_adjacent_windows_merge(spark):
+    from storm_spark.functions import dedup
+
+    # doc 1 vs doc 2: shared grams at positions 0 and 4 of doc 1 ("a b c" and
+    # "d e f" split by one non-shared token are NOT adjacent (4 > 2+1) ->
+    # wait: positions 0..2 and 4..6 — gap of one token — window end 2, next
+    # start 4 > end+1=3 -> two spans.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c x d e f"),
+            (2, "a b c y d e f"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = dedup.duplicated_spans(df, "doc_id", "text", n=3)
+    spans = sorted(
+        (r.doc_id, r.span_start, r.span_end) for r in out.collect()
+    )
+    assert spans == [(1, 0, 2), (1, 4, 6), (2, 0, 2), (2, 4, 6)]
