@@ -309,3 +309,30 @@ def test_quota_sample_uses_window_group_limit(spark):
     plan = _plan(q_quota_sample(spark, SF))
     assert "WindowGroupLimit" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_substring_dedup_plan_shape(spark):
+    """Gram-count aggregation must pre-combine map-side (partial+final), the
+    dup-gram probe must be a semi join keyed on the 8-byte hash, and the
+    gram STRING must never survive past the hash projection into an
+    exchange."""
+    from storm_spark.queries import q_substring_dedup
+
+    plan = _plan(q_substring_dedup(spark, SF))
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final on __sh__
+    assert "LeftSemi" in plan, plan
+    # the only exploded payload reaching an exchange is the hashed gram
+    exchanges = [seg for seg in plan.split("Exchange") if "__s__" in seg.split("\n")[0]]
+    assert not exchanges, "raw gram string rode a shuffle"
+
+
+def test_semantic_dedup_broadcasts_centroids(spark):
+    """Centroid assignment must be a broadcast nested loop over the tiny
+    centroid set (never a shuffled cartesian), and the within-cell candidate
+    join must carry only slim (id, cell) rows — the embedding column
+    attaches afterwards by hash join."""
+    from storm_spark.queries import q_semantic_dedup
+
+    plan = _plan(q_semantic_dedup(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
