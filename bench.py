@@ -59,6 +59,8 @@ HEADLINE = [
     "quota_sample",
     "semantic_dedup",
     "substring_dedup",
+    "pmi_collocations",
+    "training_order",
 ]
 
 

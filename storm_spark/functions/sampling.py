@@ -273,3 +273,33 @@ def chunk_token_windows(
             F.size(chunk).alias("n_tokens"),
         )
     )
+
+
+def training_order(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    epoch: int = 0,
+) -> DataFrame:
+    """Deterministic global shuffle for training-data delivery: every row
+    gets a shard and a position within it, pseudo-randomized by md5 over
+    (epoch, id) — a different but reproducible permutation per epoch, no
+    RNG state, stable under re-runs and retries (the property samplers here
+    share; see :func:`deterministic_split`).
+
+    Returns (id_col, shard, position) — position is 1-based within shard.
+
+    Scale shape: shard assignment is a map-side hash; the position
+    row_number shuffles once on the shard key. md5 is uniform, so shards
+    balance to |corpus| / n_shards regardless of id distribution — the
+    window sort is the per-shard cost, which is exactly the work a
+    global orderBy would do, sliced n_shards ways. A data loader reads one
+    shard partition, ordered, per worker.
+    """
+    key = F.md5(F.concat_ws(":", F.lit(epoch).cast("string"), F.col(id_col).cast("string")))
+    shard = F.pmod(F.conv(F.substring(key, 1, 15), 16, 10).cast("bigint"), F.lit(n_shards))
+    w = Window.partitionBy("shard").orderBy(F.col("__key__").asc(), F.col(id_col).asc())
+    return (
+        df.select(F.col(id_col), key.alias("__key__"), shard.cast("bigint").alias("shard"))
+        .select(F.col(id_col), "shard", F.row_number().over(w).cast("bigint").alias("position"))
+    )

@@ -396,3 +396,70 @@ def top_token_ratio_t(toks: Column, ndigits: int = 6) -> Column:
     return F.when(F.size(toks) <= 0, F.lit(0.0)).otherwise(
         F.round(mx / F.size(toks), ndigits)
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    min_count: int = 5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Top-``k`` bigram collocations by pointwise mutual information —
+    ``ln( (c_ab / n_bigrams) / ((c_a / n_tokens) · (c_b / n_tokens)) )`` —
+    the classic corpus-association miner (phrase detection, tokenizer-merge
+    candidates). ``min_count`` filters the unstable low-frequency tail
+    (PMI's textbook failure mode: hapax pairs score highest).
+
+    Returns (w1, w2, pair_count, pmi), PMI-descending, bigram tie-break.
+
+    Scale shape: two explode→groupBy counts (map-side combinable — bigram
+    and unigram tables are vocabulary-sized after partial agg), two
+    vocabulary-keyed joins to attach unigram counts, totals ride in as
+    broadcast 1-row aggregates (lazy, no driver action), final top-k is
+    TakeOrdered (k·partitions rows to one merge). Ranking uses the ROUNDED
+    value + lexicographic tie-break — deterministic and engine-portable.
+    """
+    base = df.select(tokens(text_col).alias("__toks__"))
+    base = base.persist()  # tokenize once; feeds the bigram and unigram branches
+    uni = (
+        base.select(F.explode("__toks__").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        base.select(F.explode(ngrams_from_tokens(F.col("__toks__"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+        .select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+            "pair_count",
+        )
+    )
+    n_tokens = base.select(F.sum(F.size("__toks__")).cast("double").alias("n_tok"))
+    n_bigrams = base.select(
+        F.sum(F.greatest(F.size("__toks__") - 1, F.lit(0))).cast("double").alias("n_big")
+    )
+    scored = (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_tokens))
+        .crossJoin(F.broadcast(n_bigrams))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.round(
+                F.log(
+                    (F.col("pair_count") / F.col("n_big"))
+                    / ((F.col("c1") / F.col("n_tok")) * (F.col("c2") / F.col("n_tok")))
+                ),
+                ndigits,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)

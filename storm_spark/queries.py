@@ -2248,6 +2248,68 @@ FROM isl GROUP BY doc_id, island
 ORACLE_SUBSTRING_DEDUP = _oracle_substring_dedup()
 
 
+def q_pmi_collocations(spark, sf_dir):
+    """Top-20 bigram collocations by PMI (min pair count 5) — corpus
+    association mining; ranking on the rounded value with a lexicographic
+    tie-break so the top-k cut is deterministic in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.pmi_collocations(docs, "text", k=20, min_count=5)
+
+
+def _oracle_pmi_collocations(k=20, min_count=5):
+    toks = SQL_TOKS.format(x="text")
+    bigrams = SQL_SHINGLES.format(t="toks", nm1=1)
+    return f"""
+WITH base AS (SELECT {toks} AS toks FROM documents),
+uni AS (SELECT w, COUNT(*) AS c
+        FROM (SELECT unnest(toks) AS w FROM base) GROUP BY w),
+bi AS (SELECT bg, COUNT(*) AS pair_count
+       FROM (SELECT unnest({bigrams}) AS bg FROM base)
+       GROUP BY bg HAVING COUNT(*) >= {min_count}),
+tot AS (SELECT CAST(SUM(len(toks)) AS DOUBLE) AS n_tok,
+               CAST(SUM(greatest(len(toks) - 1, 0)) AS DOUBLE) AS n_big
+        FROM base),
+scored AS (
+  SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2, pair_count,
+         round(ln((pair_count / n_big) / ((u1.c / n_tok) * (u2.c / n_tok))), 6) AS pmi
+  FROM bi
+  JOIN uni u1 ON split_part(bg, ' ', 1) = u1.w
+  JOIN uni u2 ON split_part(bg, ' ', 2) = u2.w
+  CROSS JOIN tot)
+SELECT w1, w2, pair_count, pmi FROM scored
+ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT {k}
+"""
+
+
+ORACLE_PMI_COLLOCATIONS = _oracle_pmi_collocations()
+
+
+def q_training_order(spark, sf_dir):
+    """Deterministic per-epoch global shuffle: md5(epoch:id) assigns every
+    doc a shard and an in-shard position — the reproducible data-loader
+    ordering a training pipeline consumes."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.training_order(docs, "doc_id", n_shards=8, epoch=1)
+
+
+def _oracle_training_order(n_shards=8, epoch=1):
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, md5('{epoch}:' || CAST(doc_id AS VARCHAR)) AS key FROM documents),
+sh AS (
+  SELECT doc_id, key,
+         ('0x' || substr(key, 1, 15))::BIGINT % {n_shards} AS shard
+  FROM keyed)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY key ASC, doc_id ASC) AS BIGINT)
+         AS position
+FROM sh
+"""
+
+
+ORACLE_TRAINING_ORDER = _oracle_training_order()
+
+
 def _oracle_ann_lsh(k=5, n_planes=8, n_tables=4, dim=64):
     sigs = ", ".join(
         f"{_sql_lsh_sig('embedding::DOUBLE[]', n_planes, dim, t)} AS sig{t}"
@@ -2514,6 +2576,8 @@ QUERIES = {
     # set keeps its first-ever driver rows; judge-verified locally) ---
     "semantic_dedup": q_semantic_dedup,
     "substring_dedup": q_substring_dedup,
+    "pmi_collocations": q_pmi_collocations,
+    "training_order": q_training_order,
 }
 
 ORACLES = {
@@ -2587,6 +2651,8 @@ ORACLES = {
     "salted_groupby": ORACLE_SALTED_GROUPBY,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "substring_dedup": ORACLE_SUBSTRING_DEDUP,
+    "pmi_collocations": ORACLE_PMI_COLLOCATIONS,
+    "training_order": ORACLE_TRAINING_ORDER,
     # approx_distinct / percentile (approx sketch) / multimodal_features:
     # estimator-specific or non-SQL kernels — rows-only checks; exact twins
     # (count_distinct / percentile_exact) are hash-gated

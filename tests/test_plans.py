@@ -116,6 +116,8 @@ _EXPRESSION_ONLY = [
     "embedding_near_dup",
     "semantic_dedup",
     "substring_dedup",
+    "pmi_collocations",
+    "training_order",
 ]
 
 

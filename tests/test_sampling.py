@@ -179,3 +179,37 @@ def test_sample_k_per_group_quota_and_stability(spark):
     # small groups pass through whole
     tiny = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id bigint, grp string")
     assert sample_k_per_group(tiny, "grp", "doc_id", k=5).count() == 2
+
+
+def test_training_order_partition_and_determinism(spark):
+    from storm_spark.functions import sampling
+
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    out = sampling.training_order(df, "doc_id", n_shards=4, epoch=0)
+    rows = out.collect()
+    # exactly once, every row
+    assert sorted(r.doc_id for r in rows) == list(range(200))
+    # positions are contiguous 1..n within each shard
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.position)
+    assert set(by_shard) <= {0, 1, 2, 3}
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # deterministic: same epoch -> identical assignment
+    again = sampling.training_order(df, "doc_id", n_shards=4, epoch=0).collect()
+    assert {(r.doc_id, r.shard, r.position) for r in again} == {
+        (r.doc_id, r.shard, r.position) for r in rows
+    }
+
+
+def test_training_order_epoch_changes_permutation(spark):
+    from storm_spark.functions import sampling
+
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    e0 = sampling.training_order(df, "doc_id", n_shards=4, epoch=0).collect()
+    e1 = sampling.training_order(df, "doc_id", n_shards=4, epoch=1).collect()
+    m0 = {r.doc_id: (r.shard, r.position) for r in e0}
+    m1 = {r.doc_id: (r.shard, r.position) for r in e1}
+    # a different epoch reshuffles (some assignment must change)
+    assert m0 != m1

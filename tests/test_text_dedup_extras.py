@@ -254,3 +254,40 @@ def test_duplicated_spans_adjacent_windows_merge(spark):
         (r.doc_id, r.span_start, r.span_end) for r in out.collect()
     )
     assert spans == [(1, 0, 2), (1, 4, 6), (2, 0, 2), (2, 4, 6)]
+
+
+def test_pmi_collocations_ranks_true_pair(spark):
+    from storm_spark.functions import text
+
+    # "san francisco" always co-occurs (perfect association); "the" pairs
+    # with everything (association ~ chance). min_count=2, k=2.
+    df = spark.createDataFrame(
+        [
+            (1, "san francisco is the city"),
+            (2, "san francisco has the bay"),
+            (3, "the city has the bay"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = text.pmi_collocations(df, "text", k=2, min_count=2).collect()
+    assert (out[0].w1, out[0].w2) == ("san", "francisco")
+    assert out[0].pair_count == 2
+    # every 'san' and every 'francisco' occurrence is inside the pair —
+    # PMI = ln(n_tok^2 / (n_big * c_san * c_fran)) with c=2 each
+    import math
+
+    n_tok, n_big = 15.0, 12.0
+    expected = round(math.log((2 / n_big) / ((2 / n_tok) * (2 / n_tok))), 6)
+    assert abs(out[0].pmi - expected) < 1e-9
+
+
+def test_pmi_min_count_drops_hapax(spark):
+    from storm_spark.functions import text
+
+    # hapax bigrams (count 1) would dominate PMI; min_count=2 removes them
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta epsilon zeta")],
+        "doc_id bigint, text string",
+    )
+    out = text.pmi_collocations(df, "text", k=10, min_count=2).collect()
+    assert [(r.w1, r.w2) for r in out] == [("alpha", "beta")]
