@@ -291,3 +291,57 @@ def test_pmi_min_count_drops_hapax(spark):
     )
     out = text.pmi_collocations(df, "text", k=10, min_count=2).collect()
     assert [(r.w1, r.w2) for r in out] == [("alpha", "beta")]
+
+
+def test_duplicated_spans_matches_naive_model(spark):
+    """Property-style sweep: random small corpora vs a naive in-Python span
+    model (mark every position whose n-gram occurs >= 2 times corpus-wide,
+    merge overlapping/adjacent windows). One Spark job over the union of
+    cases keeps the runtime test-suite-friendly."""
+    import random
+
+    from storm_spark.functions import dedup
+
+    rng = random.Random(42)
+    vocab = ["a", "b", "c", "d"]
+    n = 3
+    corpora = []
+    for case in range(12):
+        docs = [
+            (case * 100 + i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 14))))
+            for i in range(rng.randint(1, 5))
+        ]
+        corpora.append(docs)
+
+    def naive(docs):
+        grams = {}
+        for did, txt in docs:
+            toks = txt.split()
+            for p in range(len(toks) - n + 1):
+                grams.setdefault(tuple(toks[p : p + n]), []).append((did, p))
+        dup_pos = {}
+        for g, occ in grams.items():
+            if len(occ) >= 2:
+                for did, p in occ:
+                    dup_pos.setdefault(did, set()).add(p)
+        out = set()
+        for did, ps in dup_pos.items():
+            spans = []
+            for p in sorted(ps):
+                if spans and p <= spans[-1][1] + 1:
+                    spans[-1] = (spans[-1][0], max(spans[-1][1], p + n - 1), spans[-1][2] + 1)
+                else:
+                    spans.append((p, p + n - 1, 1))
+            for s, e, c in spans:
+                out.add((did, s, e, c))
+        return out
+
+    # run each corpus separately through the operator (corpus-wide frequency
+    # is per-corpus), but collect expected/actual per case
+    for docs in corpora:
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.n_dup_grams)
+            for r in dedup.duplicated_spans(df, "doc_id", "text", n=n).collect()
+        }
+        assert got == naive(docs), f"mismatch for corpus {docs}"
