@@ -101,18 +101,24 @@ def _hyperplanes(dim: int, n_planes: int, table: int = 0) -> list[list[float]]:
 def _sig_expr(v: Column, planes: list[list[float]]) -> Column:
     """Pack the sign bit of v·plane for each plane into one int signature.
 
-    The HOF ``aggregate(zip_with(...))`` dot product is the MEASURED fast
-    path here: unrolling to ``element_at(v,i)*c_i`` sums (32 planes × 64
-    dims = 2048-term tree) runs ~12× slower at sf0.1 — the giant expression
-    tree defeats whole-stage codegen, while the lambda evaluates as a tight
-    loop. (Opposite verdict from minhash's md5-in-HOF case, where the
-    per-element work is a hash, not a multiply — measure, don't pattern-match.)"""
-    out = None
-    for p, comps in enumerate(planes):
-        plane = F.array(*[F.lit(x) for x in comps])
-        bit = F.when(_dot(v, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        out = bit if out is None else out + bit
-    return out
+    The whole plane matrix rides in ONE nested-array ``Literal`` and the
+    per-plane loop is a ``transform`` with index — measured r4: fresh
+    build+run of the 4×8-plane signature at sf0.1 dropped 2.2→1.5 s vs the
+    previous per-plane ``F.array(*[F.lit(x) …])`` unroll (32×64 = 2048
+    Literal leaves made the analyzer/optimizer pass itself the bottleneck;
+    driver plan time, not executor time), with identical execution cost at
+    100× rows (~2.6 s both). The HOF ``aggregate(zip_with(...))`` dot
+    product stays: fully unrolling to ``element_at(v,i)*c_i`` sums runs
+    ~12× slower — the giant tree defeats whole-stage codegen, while the
+    lambda evaluates as a tight loop. (Opposite verdict from minhash's
+    md5-in-HOF case, where the per-element work is a hash, not a multiply —
+    measure, don't pattern-match.) Bit weights are exact powers of two via
+    ``pow(2.0, i)`` (double-exact far beyond any sane plane count)."""
+    bits = F.transform(
+        F.lit(planes),
+        lambda p, i: F.when(_dot(v, p) >= 0, F.pow(F.lit(2.0), i)).otherwise(F.lit(0.0)),
+    )
+    return F.aggregate(bits, F.lit(0.0), lambda acc, x: acc + x).cast("long")
 
 
 def _multi_table_sigs(vc: Column, dim: int, n_planes: int, n_tables: int) -> Column:
@@ -399,8 +405,13 @@ def embedding_near_dup_pairs(
     implementation was SINGLE-table LSH (~1.8 s at sf0.1) with
     correspondingly low recall; round 2 moved to the 4-table
     OR-construction (~4× signature work and candidates, recall 1.0 on the
-    planted near-dups in tests), which is the dominant share of today's
-    ~3 s. The wall-time delta bought recall — it is not plan overhead
+    planted near-dups in tests). Round 4 found the residual gap was DRIVER
+    plan time, not execution: the per-plane literal unroll put 2048
+    ``Literal`` leaves in the tree and a fresh build+run cost ~5 s at
+    sf0.1 while pure execution was ~1.4 s; collapsing the plane matrix to
+    one nested-array Literal (see ``_sig_expr``) brought fresh build+run
+    to ~3.0 s with identical results and identical per-row cost at 100×
+    rows. The remaining delta vs r1 bought recall — not plan overhead
     (partial aggs, slim candidate join, and the persisted sig table are
     all plan-asserted)."""
     if dim is None:
