@@ -61,6 +61,8 @@ HEADLINE = [
     "substring_dedup",
     "pmi_collocations",
     "training_order",
+    "quality_gate",
+    "mixture_weights",
 ]
 
 

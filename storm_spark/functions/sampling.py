@@ -275,6 +275,64 @@ def chunk_token_windows(
     )
 
 
+def mixture_weights(
+    df: DataFrame,
+    group_col: str,
+    mass_col: Column | str,
+    targets: dict[str, float],
+    ndigits: int = 6,
+) -> DataFrame:
+    """Static domain-mixture reweighting: per-group sampling weights that
+    reshape a corpus to a target mixture (the dataset-mixing step before
+    training — "web 60%, wikipedia 30%, code 10%" — applied downstream as a
+    per-document sample probability or repetition factor; cf. DoReMi's
+    static reference weights, arXiv:2305.10429).
+
+    ``targets`` maps group value → target share (sum ≤ 1). Groups present in
+    the corpus but not listed split the remaining target mass in proportion
+    to their actual size (so an unlisted long tail keeps its internal
+    balance). Listed groups absent from the corpus contribute nothing — the
+    shares observed renormalize over what exists.
+
+    Returns one row per group:
+    ``(group_col, mass, actual_share, target_share, weight)`` with
+    ``weight = target_share / actual_share``.
+
+    Scale shape: ONE partial-agg shuffle of (group, partial mass) — group
+    cardinality is domain/language-sized, never corpus-sized; the corpus
+    total attaches as a broadcast single-row aggregate, so nothing collects
+    to the driver. Pure expressions end-to-end (exact DuckDB twin).
+    """
+    m = F.col(mass_col) if isinstance(mass_col, str) else mass_col
+    per = df.groupBy(F.col(group_col).alias("__grp__")).agg(F.sum(m).alias("mass"))
+    tmap = F.create_map(
+        *[x for kv in targets.items() for x in (F.lit(kv[0]), F.lit(float(kv[1])))]
+    )
+    per = per.withColumn("__tgt__", tmap[F.col("__grp__")])
+    tot = per.agg(
+        F.sum("mass").alias("__tot__"),
+        F.coalesce(
+            F.sum(F.when(F.col("__tgt__").isNotNull(), F.col("mass"))), F.lit(0)
+        ).alias("__cov__"),
+        F.coalesce(F.sum("__tgt__"), F.lit(0.0)).alias("__tsum__"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    actual = F.col("mass") / F.col("__tot__")
+    target = F.coalesce(
+        F.col("__tgt__"),
+        (F.lit(1.0) - F.col("__tsum__"))
+        * F.col("mass")
+        / F.nullif(F.col("__tot__") - F.col("__cov__"), F.lit(0)),
+    )
+    return j.select(
+        F.col("__grp__").alias(group_col),
+        F.col("mass"),
+        F.round(actual, ndigits).alias("actual_share"),
+        F.round(target, ndigits).alias("target_share"),
+        F.round(target / actual, ndigits).alias("weight"),
+    )
+
+
 def training_order(
     df: DataFrame,
     id_col: str,

@@ -127,6 +127,53 @@ def quality_score(col: Column | str, ndigits: int = 6) -> Column:
     return quality_score_t(col, tokens(col), ndigits)
 
 
+def quality_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    q: float = 0.25,
+    id_col: str = "doc_id",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group relative quality gate: keep documents scoring at or above
+    their group's q-th quantile of :func:`quality_score`.
+
+    Absolute thresholds (the ``corpus_clean`` style) misfire across
+    languages — tokenizer and stopword behavior shift the score distribution
+    per language — so production curation cuts RELATIVE to each group. The
+    quantile is nearest-rank (type 1: the value at ``row_number ==
+    ceil(q*n)`` under (score, id) order), so the threshold IS one of the
+    observed rounded scores and the keep/drop boundary is integer-exact and
+    engine-portable; interpolated quantiles put the cut between ulps.
+
+    Returns ``(id_col, group_col, quality)`` for kept rows.
+
+    Scale shape: one shuffle on the group key; the rank, the group count,
+    and the threshold broadcast are three window passes over that SAME
+    exchange (no join back). Exact order statistics cost a per-group sort —
+    at 100 TB swap the threshold for ``approx_percentile`` (sketch, no
+    sort) when auditable exactness isn't required; gate semantics are
+    unchanged.
+    """
+    scored = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        quality_score(text_col, ndigits).alias("quality"),
+    )
+    wo = Window.partitionBy(group_col).orderBy(F.col("quality").asc(), F.col(id_col).asc())
+    wg = Window.partitionBy(group_col)
+    ranked = scored.withColumn("__rn__", F.row_number().over(wo)).withColumn(
+        "__n__", F.count(F.lit(1)).over(wg)
+    )
+    cut = F.ceil(F.lit(float(q)) * F.col("__n__")).cast("bigint")
+    thr = F.max(F.when(F.col("__rn__") == cut, F.col("quality"))).over(wg)
+    return (
+        ranked.withColumn("__thr__", thr)
+        .filter(F.col("quality") >= F.col("__thr__"))
+        .select(id_col, group_col, "quality")
+    )
+
+
 def lang_id(col: Column | str) -> Column:
     return lang_id_t(tokens(col))
 

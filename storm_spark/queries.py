@@ -2495,6 +2495,86 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_quality_gate(spark, sf_dir):
+    """Per-language relative quality gate (text.quality_gate): keep docs at
+    or above their language's 25th-percentile quality score. Absolute
+    thresholds misfire across languages; the cut is nearest-rank (type-1),
+    so the threshold is an observed rounded score and the keep/drop
+    boundary is integer-exact in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.quality_gate(docs, "text", "lang", q=0.25)
+
+
+def _oracle_quality_gate(q=0.25):
+    toks = SQL_TOKS.format(x="text")
+    sw = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+    return f"""
+WITH base AS (SELECT doc_id, lang, text, {toks} AS toks FROM documents),
+scored AS (SELECT doc_id, lang,
+  round((least(length(text) / 500.0, 1.0)
+       + (1.0 - least(round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                            / greatest(length(text), 1), 10) * 5, 1.0))
+       + (1.0 - least(abs(round(len(list_filter(toks, x -> list_contains([{sw}], x)))
+                                / greatest(len(toks), 1), 10) - 0.4), 1.0))) / 3.0, 6) AS quality
+  FROM base),
+ranked AS (SELECT doc_id, lang, quality,
+                  row_number() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY lang) AS n
+           FROM scored),
+thr AS (SELECT doc_id, lang, quality,
+               max(CASE WHEN rn = CAST(ceil({q} * n) AS BIGINT) THEN quality END)
+                 OVER (PARTITION BY lang) AS t
+        FROM ranked)
+SELECT doc_id, lang, quality FROM thr WHERE quality >= t
+"""
+
+
+ORACLE_QUALITY_GATE = _oracle_quality_gate()
+
+
+def q_mixture_weights(spark, sf_dir):
+    """Domain-mixture reweighting (sampling.mixture_weights): per-language
+    token mass → the sampling weight that reshapes the corpus to a target
+    mixture. en is pinned to 40% and zh to 25%; the unlisted languages
+    split the remaining 35% pro-rata."""
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select("lang", text.tokens("text").alias("__toks__"))
+    w = sampling.mixture_weights(
+        toked, "lang", text.token_count_t(F.col("__toks__")), {"en": 0.4, "zh": 0.25}
+    )
+    return w.select(
+        "lang",
+        F.col("mass").cast("bigint").alias("mass"),
+        "actual_share",
+        "target_share",
+        "weight",
+    )
+
+
+def _oracle_mixture_weights():
+    toks = SQL_TOKS.format(x="text")
+    return f"""
+WITH base AS (SELECT lang, {toks} AS toks FROM documents),
+per AS (SELECT lang, SUM(len(toks)) AS mass FROM base GROUP BY lang),
+tgt AS (SELECT lang, mass,
+               CASE lang WHEN 'en' THEN CAST(0.4 AS DOUBLE)
+                         WHEN 'zh' THEN CAST(0.25 AS DOUBLE) END AS tgt
+        FROM per),
+tot AS (SELECT SUM(mass) AS tot,
+               COALESCE(SUM(CASE WHEN tgt IS NOT NULL THEN mass END), 0) AS cov,
+               COALESCE(SUM(tgt), 0.0) AS tsum
+        FROM tgt)
+SELECT lang, CAST(mass AS BIGINT) AS mass,
+       round(mass / tot, 6) AS actual_share,
+       round(COALESCE(tgt, (1.0 - tsum) * mass / NULLIF(tot - cov, 0)), 6) AS target_share,
+       round(COALESCE(tgt, (1.0 - tsum) * mass / NULLIF(tot - cov, 0)) / (mass / tot), 6) AS weight
+FROM tgt, tot
+"""
+
+
+ORACLE_MIXTURE_WEIGHTS = _oracle_mixture_weights()
+
+
 # Insertion order matters: the driver's correctness gate samples the FIRST 50
 # entries. Rotated in round 4 so the 15 queries that fell out of the r2/r3
 # sample window (catalog growth pushed them past position 50) get driver-green
@@ -2582,6 +2662,9 @@ QUERIES = {
     "anti_join": q_anti_join,
     "state_snapshot_total": q_state_snapshot_total,
     "json_extract": q_json_extract,
+    # --- new in r4 second half (rotate into the sample window next round) ---
+    "quality_gate": q_quality_gate,
+    "mixture_weights": q_mixture_weights,
 }
 
 ORACLES = {
@@ -2657,6 +2740,8 @@ ORACLES = {
     "substring_dedup": ORACLE_SUBSTRING_DEDUP,
     "pmi_collocations": ORACLE_PMI_COLLOCATIONS,
     "training_order": ORACLE_TRAINING_ORDER,
+    "quality_gate": ORACLE_QUALITY_GATE,
+    "mixture_weights": ORACLE_MIXTURE_WEIGHTS,
     # approx_distinct / percentile (approx sketch) / multimodal_features:
     # estimator-specific or non-SQL kernels — rows-only checks; exact twins
     # (count_distinct / percentile_exact) are hash-gated

@@ -213,3 +213,42 @@ def test_training_order_epoch_changes_permutation(spark):
     m1 = {r.doc_id: (r.shard, r.position) for r in e1}
     # a different epoch reshuffles (some assignment must change)
     assert m0 != m1
+
+
+def test_mixture_weights_reshapes_to_target(spark):
+    """Listed groups get weight = target/actual; unlisted groups split the
+    remaining target mass pro-rata (so relative sizes inside the tail are
+    preserved); shares renormalize over groups actually present."""
+    rows = [("web", 60), ("wiki", 20), ("code", 10), ("forums", 10)]
+    df = spark.createDataFrame(
+        [(g, i, n) for g, n in rows for i in range(1)], "src string, i int, mass int"
+    )
+    out = {
+        r.src: r
+        for r in sampling.mixture_weights(df, "src", "mass", {"web": 0.5, "wiki": 0.3}).collect()
+    }
+    assert out["web"].actual_share == 0.6 and out["web"].target_share == 0.5
+    assert round(out["web"].weight, 6) == round(0.5 / 0.6, 6)
+    assert out["wiki"].weight == round(0.3 / 0.2, 6)
+    # code and forums are equal-sized -> each gets half of the remaining 0.2
+    assert out["code"].target_share == out["forums"].target_share == 0.1
+    assert out["code"].weight == 1.0
+    # shares renormalize over present groups: targeted-but-absent group is a no-op
+    out2 = {
+        r.src: r
+        for r in sampling.mixture_weights(
+            df, "src", "mass", {"web": 0.5, "wiki": 0.3, "absent": 0.1}
+        ).collect()
+    }
+    assert out2["web"].target_share == 0.5
+    # the absent group claims nothing: the tail still splits 1 - 0.8
+    assert out2["code"].target_share == 0.1
+
+
+def test_mixture_weights_all_groups_targeted(spark):
+    df = spark.createDataFrame([("a", 3), ("b", 1)], "src string, mass int")
+    out = {
+        r.src: r for r in sampling.mixture_weights(df, "src", "mass", {"a": 0.5, "b": 0.5}).collect()
+    }
+    assert out["a"].weight == round(0.5 / 0.75, 6)
+    assert out["b"].weight == 2.0

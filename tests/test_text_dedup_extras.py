@@ -345,3 +345,37 @@ def test_duplicated_spans_matches_naive_model(spark):
             for r in dedup.duplicated_spans(df, "doc_id", "text", n=n).collect()
         }
         assert got == naive(docs), f"mismatch for corpus {docs}"
+
+
+def test_quality_gate_per_group_quantile(spark):
+    """The gate keeps exactly the docs at or above the group's nearest-rank
+    q-quantile score, independently per group."""
+    from storm_spark.functions import text
+
+    rows = []
+    # lang A: 8 docs with strictly increasing quality (longer = higher score)
+    for i in range(8):
+        rows.append((i, "A", "the and of to is " * (2 + 4 * i)))
+    # lang B: 4 identical docs (all tie -> everything kept at any q)
+    for i in range(8, 12):
+        rows.append((i, "B", "the and of to is word"))
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    kept = text.quality_gate(df, "text", "lang", q=0.25, id_col="doc_id").collect()
+    kept_a = sorted(r.doc_id for r in kept if r.lang == "A")
+    kept_b = sorted(r.doc_id for r in kept if r.lang == "B")
+    # A: threshold = 2nd-lowest score (ceil(.25*8)=2) -> doc 0 dropped
+    assert kept_a == [1, 2, 3, 4, 5, 6, 7]
+    # B: all tie at the threshold -> all kept
+    assert kept_b == [8, 9, 10, 11]
+
+
+def test_quality_gate_single_exchange(spark):
+    """Rank, count, and threshold all ride one group-key exchange."""
+    from storm_spark.functions import text
+
+    df = spark.createDataFrame(
+        [(i, "x", "some text here") for i in range(10)],
+        "doc_id bigint, lang string, text string",
+    )
+    plan = text.quality_gate(df, "text", "lang")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
