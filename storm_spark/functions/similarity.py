@@ -113,9 +113,19 @@ def _sig_expr(v: Column, planes: list[list[float]]) -> Column:
     lambda evaluates as a tight loop. (Opposite verdict from minhash's
     md5-in-HOF case, where the per-element work is a hash, not a multiply —
     measure, don't pattern-match.) Bit weights are exact powers of two via
-    ``pow(2.0, i)`` (double-exact far beyond any sane plane count)."""
+    ``pow(2.0, i)`` (double-exact far beyond any sane plane count).
+
+    The literal is built as ONE ``F.expr`` string, not ``F.lit(nested_list)``:
+    PySpark-classic ``lit`` walks the nested list element-by-element over
+    py4j (~0.4 s per 8×64 matrix — ~3 s per query for 4 tables × 2 sides),
+    while a single SQL array literal parses JVM-side in ~3 ms with
+    bit-identical values (``repr`` round-trips doubles exactly; ``D`` marks
+    SQL double literals)."""
+    matrix = "array(" + ",".join(
+        "array(" + ",".join(f"{c!r}D" for c in row) + ")" for row in planes
+    ) + ")"
     bits = F.transform(
-        F.lit(planes),
+        F.expr(matrix),
         lambda p, i: F.when(_dot(v, p) >= 0, F.pow(F.lit(2.0), i)).otherwise(F.lit(0.0)),
     )
     return F.aggregate(bits, F.lit(0.0), lambda acc, x: acc + x).cast("long")
