@@ -119,8 +119,8 @@ def bloom_pruned_join(
     Implementation is expression-only on the probe side: k = ``n_hashes``
     bit positions per key via seeded ``xxhash64`` double-hashing; the build
     side's DISTINCT positions collect once to the driver (bounded by the
-    bitmap size, not the key count) into a long[] bitmap embedded as a plan
-    literal, and membership tests are ``element_at`` + shift — no Python,
+    bitmap size, not the key count) into a BINARY bitmap embedded as a plan
+    literal, and membership tests are byte-slice + ``getbit`` — no Python,
     no extra shuffle, fully codegen'd. Driver memory bounds this at ~1M-key
     filters (~2 MB literal); past that, rely on the native injection rule.
 
@@ -157,18 +157,25 @@ def bloom_pruned_join(
         # the bitmap is now a literal; the returned join can recompute the
         # small side, so don't leak cache in long-lived sessions
         small.unpersist()
-    words = [0] * (m // 64)
+    # Pack the bitmap into a BINARY literal: ONE py4j call regardless of
+    # size. (The previous long[]-array F.lit walked py4j per element —
+    # ~0.8 ms each, so the documented ~1M-key bound would have spent ~1 min
+    # just SHIPPING the literal; bytes cross in a single call.) Bit p lives
+    # at byte p//8, LSB-first.
+    buf = bytearray(m // 8)
     for r in pos_rows:
         p = r["p"]
-        words[p // 64] |= 1 << (p % 64)
-    # two's-complement fold to signed 64-bit for the BIGINT literal array
-    arr = F.lit([w - (1 << 64) if w >= (1 << 63) else w for w in words])
+        buf[p // 8] |= 1 << (p % 8)
+    bitmap = F.lit(bytes(buf))
 
     def might_contain(col):
         cond = None
         for p in positions(col):
-            word = F.element_at(arr, (p / 64).cast("int") + 1)
-            bit = F.call_function("getbit", word, (p % 64).cast("int")) == 1
+            # 1-byte binary slice -> hex pair -> int; all codegen'd
+            byte = F.conv(
+                F.hex(bitmap.substr((p / 8).cast("int") + 1, F.lit(1))), 16, 10
+            ).cast("int")
+            bit = F.call_function("getbit", byte, (p % 8).cast("int")) == 1
             cond = bit if cond is None else cond & bit
         return cond
 
