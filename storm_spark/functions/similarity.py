@@ -321,12 +321,14 @@ def ivf_topk(
 
     # corpus → nearest centroid (rank 1 by cosine, centroid id tie-break).
     # MEASURED tradeoff: a map-side argmax over centroid literals (no
-    # crossJoin, no window exchange) was tried and ran 3-4× SLOWER at sf0.1
-    # — per-centroid cosines against literal arrays don't constant-fold and
-    # re-evaluate per row, while the broadcast crossJoin materializes the
-    # centroid column once per pair and keeps the cosine in the fast
-    # single-level HOF path. The exchange here carries one row per
-    # (vector, centroid) pre-AQE-coalesce; revisit only with a benchmark.
+    # crossJoin, no window exchange) was tried and ran 3-4× SLOWER at sf0.1;
+    # RE-MEASURED r4 at 200k×64 rows with the single-nested-literal matrix +
+    # transform shape (the fast construction from _sig_expr): still ~2×
+    # slower (best 10.0 s vs 4.8 s, identical assignments) — a nested
+    # transform(aggregate(zip_with)) per centroid evaluates slower per row
+    # than the broadcast crossJoin's single-level HOF cosine. The exchange
+    # here carries one row per (vector, centroid) pre-AQE-coalesce; the
+    # documented rejection stands at 100× data.
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("__cv__")
     )
