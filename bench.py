@@ -77,10 +77,13 @@ def main() -> None:
     # JVM/codegen warmup on a trivial action
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    # Two timed passes per query: the first pays one-off codegen compilation
-    # and stage warmup, the second is the steady-state plan cost — the number
-    # that scales to repeated production runs. Report steady-state per query;
-    # keep the cold total as a side channel for honesty.
+    # Three timed passes per query: the first pays one-off codegen
+    # compilation and stage warmup, and some plans need a second pass before
+    # the JIT reaches steady state (measured: percentile_exact runs
+    # 3.6 → 1.1 → 0.7 s in a fresh session) — min-of-three is the
+    # steady-state plan cost, the number that scales to repeated production
+    # runs. Report steady-state per query; keep the cold total as a side
+    # channel for honesty.
     # Per-query fault isolation: one broken query must never erase the whole
     # round's perf evidence — record its error and keep measuring the rest.
     times: dict[str, float] = {}
@@ -89,7 +92,7 @@ def main() -> None:
     for name in HEADLINE:
         per_run = []
         try:
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.time()
                 df = QUERIES[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
