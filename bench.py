@@ -63,6 +63,7 @@ HEADLINE = [
     "training_order",
     "quality_gate",
     "mixture_weights",
+    "bm25_topk",
 ]
 
 

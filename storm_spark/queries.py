@@ -2575,6 +2575,45 @@ FROM tgt, tot
 ORACLE_MIXTURE_WEIGHTS = _oracle_mixture_weights()
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 keyword retrieval (functions/search.py): top-20 docs for a
+    4-term query over the documents corpus. Per-term contributions are
+    exact integer nano-units before the per-doc sum, so ranking is
+    order-free and engine-portable (the repo's integer-cents convention
+    applied to relevance scores)."""
+    from storm_spark.functions.search import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["join", "spark", "table", "window"], k=20)
+
+
+def _oracle_bm25(k=20, k1=1.2, b=0.75):
+    toks = SQL_TOKS.format(x="text")
+    terms = ", ".join(f"'{t}'" for t in sorted({"join", "spark", "table", "window"}))
+    return f"""
+WITH base AS (SELECT doc_id, {toks} AS toks FROM documents),
+lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+corpus AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM lens),
+tf AS (SELECT doc_id, unnest(list_filter(toks, t -> list_contains([{terms}], t))) AS term
+       FROM base),
+tfc AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM tf GROUP BY 1, 2),
+dfc AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tfc GROUP BY 1),
+scored AS (
+  SELECT t.doc_id,
+         CAST(round(ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))
+              * (t.tf * ({k1} + 1)) / (t.tf + {k1} * (1 - {b} + {b} * l.dl / c.avgdl))
+              * 1e9) AS BIGINT) AS c_e9
+  FROM tfc t JOIN dfc d USING (term) JOIN lens l USING (doc_id), corpus c),
+agg AS (SELECT doc_id, CAST(SUM(c_e9) AS BIGINT) AS score_e9 FROM scored GROUP BY doc_id)
+SELECT doc_id, score_e9,
+       row_number() OVER (ORDER BY score_e9 DESC, doc_id) AS rank
+FROM agg ORDER BY score_e9 DESC, doc_id LIMIT {k}
+"""
+
+
+ORACLE_BM25_TOPK = _oracle_bm25()
+
+
 # Insertion order matters: the driver's correctness gate samples the FIRST 50
 # entries. Rotated in round 4 so the 15 queries that fell out of the r2/r3
 # sample window (catalog growth pushed them past position 50) get driver-green
@@ -2665,6 +2704,7 @@ QUERIES = {
     # --- new in r4 second half (rotate into the sample window next round) ---
     "quality_gate": q_quality_gate,
     "mixture_weights": q_mixture_weights,
+    "bm25_topk": q_bm25_topk,
 }
 
 ORACLES = {
@@ -2742,6 +2782,7 @@ ORACLES = {
     "training_order": ORACLE_TRAINING_ORDER,
     "quality_gate": ORACLE_QUALITY_GATE,
     "mixture_weights": ORACLE_MIXTURE_WEIGHTS,
+    "bm25_topk": ORACLE_BM25_TOPK,
     # approx_distinct / percentile (approx sketch) / multimodal_features:
     # estimator-specific or non-SQL kernels — rows-only checks; exact twins
     # (count_distinct / percentile_exact) are hash-gated
