@@ -7,6 +7,26 @@ deduplication, similarity search, multimodal column plumbing — all
 expression-first (JVM/codegen), Pandas-UDF only where unavoidable.
 """
 
-from storm_spark.functions import dedup, multimodal, similarity, temporal, text
+from storm_spark.functions import (
+    dedup,
+    multimodal,
+    sampling,
+    search,
+    similarity,
+    sketch,
+    skew,
+    temporal,
+    text,
+)
 
-__all__ = ["text", "dedup", "similarity", "multimodal", "temporal"]
+__all__ = [
+    "text",
+    "dedup",
+    "similarity",
+    "search",
+    "sampling",
+    "sketch",
+    "skew",
+    "multimodal",
+    "temporal",
+]
