@@ -252,3 +252,19 @@ def test_mixture_weights_all_groups_targeted(spark):
     }
     assert out["a"].weight == round(0.5 / 0.75, 6)
     assert out["b"].weight == 2.0
+
+
+def test_mixture_weights_plan_shape(spark):
+    """The corpus total attaches as a broadcast single-row aggregate (no
+    driver collect), and the group agg keeps its map-side partial."""
+    df = spark.createDataFrame(
+        [("a", 3), ("b", 1), ("c", 2)], "src string, mass int"
+    )
+    plan = (
+        sampling.mixture_weights(df, "src", "mass", {"a": 0.5})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "partial_sum" in plan or "partial" in plan.lower(), plan
