@@ -213,6 +213,46 @@ def lsh_bucket_topk(
     )
 
 
+def lsh_recall(cos_sim: float, n_planes: int, n_tables: int) -> float:
+    """Expected recall of multi-table random-hyperplane LSH for a pair with
+    the given cosine similarity: per-plane agreement ``p = 1 - θ/π``
+    (Goemans–Williamson), per-table hit ``p^n_planes``, OR-construction
+    across tables → ``1 - (1 - p^n_planes)^n_tables``. The analytic twin of
+    the measured recall table in SCALE.md — use it to size the knobs before
+    paying for a corpus-scale run."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, cos_sim))) / math.pi
+    return 1.0 - (1.0 - p**n_planes) ** n_tables
+
+
+def choose_lsh_params(
+    target_recall: float,
+    at_cos: float,
+    max_candidate_frac: float = 0.01,
+    max_tables: int = 64,
+) -> tuple[int, int]:
+    """Smallest (n_planes, n_tables) meeting ``target_recall`` for pairs at
+    ``at_cos`` while keeping expected per-table bucket collisions under
+    ``max_candidate_frac`` of all pairs (uniform-bucket estimate
+    ``1/2^n_planes``). Raising planes shrinks buckets (cost); raising tables
+    buys recall back — the two knobs decouple, so the search is a simple
+    sweep: deepest signature that still reaches the target within
+    ``max_tables``."""
+    import math
+
+    min_planes = max(1, math.ceil(math.log2(1.0 / max_candidate_frac)))
+    for n_planes in range(min_planes + 8, min_planes - 1, -1):
+        for n_tables in range(1, max_tables + 1):
+            if lsh_recall(at_cos, n_planes, n_tables) >= target_recall:
+                return n_planes, n_tables
+    raise ValueError(
+        f"no (planes, tables) within max_tables={max_tables} reaches "
+        f"recall {target_recall} at cos {at_cos}; lower the target or raise "
+        "max_tables / max_candidate_frac"
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",

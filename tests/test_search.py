@@ -56,3 +56,7 @@ def test_bm25_topk_is_take_ordered(corpus):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bm25_no_matches_is_empty(corpus):
+    assert bm25_topk(corpus, ["zzzmissing"], k=5).count() == 0

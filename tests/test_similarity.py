@@ -254,3 +254,26 @@ def test_semantic_dedup_cross_cell_dups_survive(spark):
     )
     out = similarity.semantic_dedup(df, "vec_id", "embedding", n_clusters=2, threshold=0.99)
     assert {r.vec_id for r in out.collect()} == {1, 2, 3, 4}
+
+
+def test_lsh_recall_formula():
+    from storm_spark.functions.similarity import lsh_recall
+
+    # identical vectors always collide
+    assert lsh_recall(1.0, 8, 1) == 1.0
+    # more tables -> more recall; more planes -> less (per table)
+    assert lsh_recall(0.8, 6, 4) > lsh_recall(0.8, 6, 1)
+    assert lsh_recall(0.8, 10, 1) < lsh_recall(0.8, 6, 1)
+    # tracks the measured table in SCALE.md (6-plane, random near-orthogonal
+    # corpus whose best pairs sit near cos 0.5): L=1 measured 0.07
+    assert 0.05 < lsh_recall(0.5, 6, 1) < 0.12
+
+
+def test_choose_lsh_params_meets_target():
+    from storm_spark.functions.similarity import choose_lsh_params, lsh_recall
+
+    planes, tables = choose_lsh_params(0.9, at_cos=0.9, max_candidate_frac=0.01)
+    assert lsh_recall(0.9, planes, tables) >= 0.9
+    assert 2.0 ** -planes <= 0.01
+    with pytest.raises(ValueError):
+        choose_lsh_params(0.999, at_cos=0.2, max_candidate_frac=0.0001, max_tables=2)
