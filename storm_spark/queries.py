@@ -2614,6 +2614,47 @@ FROM agg ORDER BY score_e9 DESC, doc_id LIMIT {k}
 ORACLE_BM25_TOPK = _oracle_bm25()
 
 
+class _CountPerStream:
+    """GroupedMultiReducer for the multi_reduce gate: per-key tuple count of
+    each input stream — the counting skeleton of the reference's
+    ``JoinerMultiReducer`` (``trident/operation/impl/JoinerMultiReducer.java``)
+    without the cross-product emit."""
+
+    out_types = ["bigint", "bigint"]
+
+    def init(self, collector):
+        return [0, 0]
+
+    def execute(self, state, stream_index, tup, collector):
+        state[stream_index] += 1
+
+    def complete(self, state, collector):
+        collector.emit([state[0], state[1]])
+
+
+def q_multi_reduce(spark, sf_dir):
+    """Grouped multiReduce (SURVEY §2.6): cogroup orders and customer on
+    custkey, a python MultiReducer counts each side per key — the outer-join
+    semantics of the reference's grouped multiReduce, oracle-twinned by a
+    FULL JOIN of two grouped counts."""
+    topo = Topology(spark)
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    s1 = topo.new_stream("mr_o", orders).group_by(["k"])
+    s2 = topo.new_stream("mr_c", cust).group_by(["k"])
+    return topo.multi_reduce([s1, s2], _CountPerStream(), ["k", "n_orders", "n_cust"]).df
+
+
+ORACLE_MULTI_REDUCE = """
+WITH o AS (SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY 1),
+c AS (SELECT c_custkey AS k, COUNT(*) AS n FROM customer GROUP BY 1)
+SELECT COALESCE(o.k, c.k) AS k,
+       COALESCE(o.n, 0) AS n_orders,
+       COALESCE(c.n, 0) AS n_cust
+FROM o FULL JOIN c ON o.k = c.k
+"""
+
+
 # Insertion order matters: the driver's correctness gate samples the FIRST 50
 # entries. Rotated in round 4 so the 15 queries that fell out of the r2/r3
 # sample window (catalog growth pushed them past position 50) get driver-green
@@ -2705,6 +2746,7 @@ QUERIES = {
     "quality_gate": q_quality_gate,
     "mixture_weights": q_mixture_weights,
     "bm25_topk": q_bm25_topk,
+    "multi_reduce": q_multi_reduce,
 }
 
 ORACLES = {
@@ -2783,6 +2825,7 @@ ORACLES = {
     "quality_gate": ORACLE_QUALITY_GATE,
     "mixture_weights": ORACLE_MIXTURE_WEIGHTS,
     "bm25_topk": ORACLE_BM25_TOPK,
+    "multi_reduce": ORACLE_MULTI_REDUCE,
     # approx_distinct / percentile (approx sketch) / multimodal_features:
     # estimator-specific or non-SQL kernels — rows-only checks; exact twins
     # (count_distinct / percentile_exact) are hash-gated
