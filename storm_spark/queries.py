@@ -2655,6 +2655,32 @@ FROM o FULL JOIN c ON o.k = c.k
 """
 
 
+def q_repartition_verbs(spark, sf_dir):
+    """Partitioning verbs are result-invariant (SURVEY §2.4): the same
+    count-per-key flows through shuffle() → identityPartition →
+    partitionBy(key) → batchGlobal placements, and the oracle is the
+    partitioning-free SQL — the verbs reshape EXECUTION (which Exchange
+    runs where), never data. The reference's repartitioning contract
+    (``TridentTopology.java`` shuffle/partitionBy/global/batchGlobal) makes
+    exactly this promise."""
+    topo = Topology(spark)
+    return (
+        topo.new_stream("rp", _t(spark, sf_dir, "orders"))
+        .shuffle()
+        .identity_partition()
+        .partition_by(["o_custkey"])
+        .batch_global()
+        .group_by(["o_custkey"])
+        .aggregate([], Count(), ["n"])
+        .df
+    )
+
+
+ORACLE_REPARTITION_VERBS = """
+SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+"""
+
+
 # Insertion order matters: the driver's correctness gate samples the FIRST 50
 # entries. Rotated in round 4 so the 15 queries that fell out of the r2/r3
 # sample window (catalog growth pushed them past position 50) get driver-green
@@ -2747,6 +2773,7 @@ QUERIES = {
     "mixture_weights": q_mixture_weights,
     "bm25_topk": q_bm25_topk,
     "multi_reduce": q_multi_reduce,
+    "repartition_verbs": q_repartition_verbs,
 }
 
 ORACLES = {
@@ -2826,6 +2853,7 @@ ORACLES = {
     "mixture_weights": ORACLE_MIXTURE_WEIGHTS,
     "bm25_topk": ORACLE_BM25_TOPK,
     "multi_reduce": ORACLE_MULTI_REDUCE,
+    "repartition_verbs": ORACLE_REPARTITION_VERBS,
     # approx_distinct / percentile (approx sketch) / multimodal_features:
     # estimator-specific or non-SQL kernels — rows-only checks; exact twins
     # (count_distinct / percentile_exact) are hash-gated
