@@ -2681,6 +2681,36 @@ SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
 """
 
 
+def q_metrics_observe(spark, sf_dir):
+    """Metrics API on the data path (SURVEY §2.11): a CountMetric +
+    MeanMetric observation rides the aggregation job — computed in-flight by
+    ``df.observe`` with zero extra passes — and the ROWS are untouched: the
+    oracle is the metric-free SQL. (Metric VALUES are asserted in
+    `tests/test_metrics.py`; the driver gate proves the observation never
+    perturbs results.)"""
+    from pyspark.sql import Observation
+
+    from storm_spark.metrics import CountMetric, MeanMetric, observe
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", cents("o_totalprice").alias("price_c")
+    )
+    obs = Observation("q_metrics")
+    watched = observe(orders, obs, CountMetric("rows"), MeanMetric("price_c"))
+    return (
+        watched.groupBy("o_custkey")
+        .agg(F.sum("price_c").alias("sum_price_c"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_METRICS_OBSERVE = f"""
+SELECT o_custkey,
+       CAST(SUM({SQL_CENTS.format(x='o_totalprice')}) AS BIGINT) AS sum_price_c,
+       COUNT(*) AS n
+FROM orders GROUP BY o_custkey
+"""
+
+
 # Insertion order matters: the driver's correctness gate samples the FIRST 50
 # entries. Rotated in round 4 so the 15 queries that fell out of the r2/r3
 # sample window (catalog growth pushed them past position 50) get driver-green
@@ -2774,6 +2804,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "multi_reduce": q_multi_reduce,
     "repartition_verbs": q_repartition_verbs,
+    "metrics_observe": q_metrics_observe,
 }
 
 ORACLES = {
@@ -2854,6 +2885,7 @@ ORACLES = {
     "bm25_topk": ORACLE_BM25_TOPK,
     "multi_reduce": ORACLE_MULTI_REDUCE,
     "repartition_verbs": ORACLE_REPARTITION_VERBS,
+    "metrics_observe": ORACLE_METRICS_OBSERVE,
     # approx_distinct / percentile (approx sketch) / multimodal_features:
     # estimator-specific or non-SQL kernels — rows-only checks; exact twins
     # (count_distinct / percentile_exact) are hash-gated
