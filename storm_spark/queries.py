@@ -2681,6 +2681,47 @@ SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
 """
 
 
+def q_state_scan(spark, sf_dir):
+    """DRPC full-state scan via TupleCollectionGet (SURVEY §2.6,
+    ``integration_test.clj:28-53``): build word-count state, then a DRPC
+    stream emits the ENTIRE state contents — the reference's state-scan
+    query function — filtered to words longer than 6 chars and re-counted.
+    Oracle: the same aggregate straight off the corpus."""
+    from storm_spark.operations import TupleCollectionGet
+
+    docs = _t(spark, sf_dir, "documents")
+    topo = Topology(spark)
+    feeder = FeederSource(["text"])
+    tok_fn = LambdaFunction(lambda cols: [F.explode(text.tokens(cols[0]))])
+    tmp = tempfile.mkdtemp(prefix="storm_spark_scan_")
+    wc = (
+        topo.new_stream("docs", feeder)
+        .each(["text"], tok_fn, ["word"])
+        .group_by(["word"])
+        .persistent_aggregate(ParquetMapState.factory(tmp), ["word"], Count(), ["count"])
+    )
+    (
+        topo.new_drpc_stream("scan")
+        .state_query(wc, None, TupleCollectionGet(), ["word", "count"])
+        .each(["word"], LambdaFunction(lambda c: [F.length(c[0]) > 6]), ["keep"])
+    )
+    cluster = LocalCluster(topo)
+    cluster.feed_dataframe(feeder, docs.select("text"))
+    out = cluster.drpc_dataframe("scan", "")
+    return (
+        out.filter(F.col("keep"))
+        .select("word", F.col("count").cast("bigint").alias("count"))
+    )
+
+
+ORACLE_STATE_SCAN = f"""
+SELECT word, COUNT(*) AS count
+FROM (SELECT unnest({{toks}}) AS word FROM documents)
+WHERE length(word) > 6
+GROUP BY word
+""".format(toks=SQL_TOKS.format(x="text"))
+
+
 def q_metrics_observe(spark, sf_dir):
     """Metrics API on the data path (SURVEY §2.11): a CountMetric +
     MeanMetric observation rides the aggregation job — computed in-flight by
@@ -2805,6 +2846,7 @@ QUERIES = {
     "multi_reduce": q_multi_reduce,
     "repartition_verbs": q_repartition_verbs,
     "metrics_observe": q_metrics_observe,
+    "state_scan": q_state_scan,
 }
 
 ORACLES = {
@@ -2886,6 +2928,7 @@ ORACLES = {
     "multi_reduce": ORACLE_MULTI_REDUCE,
     "repartition_verbs": ORACLE_REPARTITION_VERBS,
     "metrics_observe": ORACLE_METRICS_OBSERVE,
+    "state_scan": ORACLE_STATE_SCAN,
     # approx_distinct / percentile (approx sketch) / multimodal_features:
     # estimator-specific or non-SQL kernels — rows-only checks; exact twins
     # (count_distinct / percentile_exact) are hash-gated
