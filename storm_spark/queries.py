@@ -2658,16 +2658,18 @@ FROM o FULL JOIN c ON o.k = c.k
 def q_repartition_verbs(spark, sf_dir):
     """Partitioning verbs are result-invariant (SURVEY §2.4): the same
     count-per-key flows through shuffle() → identityPartition →
-    partitionBy(key) → batchGlobal placements, and the oracle is the
-    partitioning-free SQL — the verbs reshape EXECUTION (which Exchange
-    runs where), never data. The reference's repartitioning contract
-    (``TridentTopology.java`` shuffle/partitionBy/global/batchGlobal) makes
-    exactly this promise."""
+    partition(custom expr) → partitionBy(key) → batchGlobal placements, and
+    the oracle is the partitioning-free SQL — the verbs reshape EXECUTION
+    (which Exchange runs where), never data. The reference's repartitioning
+    contract (``TridentTopology.java`` shuffle/partitionBy/global/
+    batchGlobal, ``Stream.java:96-98`` CustomStreamGrouping) makes exactly
+    this promise."""
     topo = Topology(spark)
     return (
         topo.new_stream("rp", _t(spark, sf_dir, "orders"))
         .shuffle()
         .identity_partition()
+        .partition("pmod(o_custkey, 7)")
         .partition_by(["o_custkey"])
         .batch_global()
         .group_by(["o_custkey"])
