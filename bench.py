@@ -64,6 +64,8 @@ HEADLINE = [
     "quality_gate",
     "mixture_weights",
     "bm25_topk",
+    "funnel",
+    "retention",
 ]
 
 

@@ -213,3 +213,88 @@ def rolling_distinct_count(
         .agg(F.count_distinct(F.col("__k__")).alias(out_count))
         .orderBy(out_day)
     )
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered-funnel conversion counts: for each prefix of ``steps``, how
+    many users completed the steps IN ORDER — each step strictly after the
+    user's earliest qualifying time for the previous step (the standard
+    first-touch funnel; re-orderings and pre-funnel events don't count).
+
+    Returns ``(step, event_type, n_users)`` with ``step`` 1-based.
+
+    Scale shape: raw events collapse to per-user time frontiers immediately
+    — step k is a user-keyed join of step-k events against the step-k-1
+    frontier, then ``min``. That is ``len(steps)`` small user-keyed
+    shuffles on the SAME hash key (exchange reuse), no window over raw
+    events, no cross-step fan-out; each frontier is ≤ |users| rows no
+    matter the event volume.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    frontier = None
+    per_step = []
+    for i, sname in enumerate(steps):
+        ev = df.filter(F.col(type_col) == sname).select(
+            F.col(user_col).alias("__u__"), F.col(ts_col).alias("__t__")
+        )
+        if frontier is None:
+            frontier = ev.groupBy("__u__").agg(F.min("__t__").alias("__ft__"))
+        else:
+            frontier = (
+                ev.join(frontier, on="__u__")
+                .filter(F.col("__t__") > F.col("__ft__"))
+                .groupBy("__u__")
+                .agg(F.min("__t__").alias("__ft__"))
+            )
+        per_step.append(
+            frontier.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+                F.lit(i + 1).cast("bigint").alias("step"),
+                F.lit(sname).alias("event_type"),
+                "n_users",
+            )
+        )
+    out = per_step[0]
+    for r in per_step[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    max_weeks: int = 12,
+) -> DataFrame:
+    """Weekly retention triangle: a user's cohort is the ISO week of their
+    FIRST event; cell ``(cohort_week, week_offset)`` counts distinct cohort
+    members active in that later week — the standard cohort-retention
+    report.
+
+    Returns ``(cohort_week date, week_offset, n_active)``.
+
+    Scale shape: activity collapses to distinct (user, week) pairs first
+    (one shuffle — bounded by users × weeks, not events); first-seen is a
+    user-keyed ``min`` over those SAME pairs; the cohort join is user-keyed
+    and the final aggregate is cohort×offset-sized. Offsets are exact
+    multiples of 7 days divided down, so the arithmetic is
+    integer-deterministic in any engine.
+    """
+    wk = F.date_trunc("week", F.col(ts_col)).cast("date")
+    active = df.select(F.col(user_col).alias("__u__"), wk.alias("__w__")).distinct()
+    first = active.groupBy("__u__").agg(F.min("__w__").alias("__cw__"))
+    j = (
+        active.join(first, on="__u__")
+        .withColumn("__off__", (F.datediff("__w__", "__cw__") / 7).cast("bigint"))
+        .filter(F.col("__off__") <= max_weeks)
+    )
+    return (
+        j.groupBy(F.col("__cw__").alias("cohort_week"), F.col("__off__").alias("week_offset"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )

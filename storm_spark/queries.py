@@ -2754,6 +2754,48 @@ FROM orders GROUP BY o_custkey
 """
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered-funnel conversion (temporal.funnel_counts): users completing
+    view → click → purchase in order, first-touch semantics."""
+    from storm_spark.functions import temporal
+
+    e = _events(spark, sf_dir)
+    return temporal.funnel_counts(e, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
+ORACLE_FUNNEL = """
+WITH s1 AS (SELECT user_id AS u, MIN(ts) AS ft FROM events WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id AS u, MIN(e.ts) AS ft FROM events e JOIN s1 ON e.user_id = s1.u
+       WHERE e.event_type = 'click' AND e.ts > s1.ft GROUP BY 1),
+s3 AS (SELECT e.user_id AS u, MIN(e.ts) AS ft FROM events e JOIN s2 ON e.user_id = s2.u
+       WHERE e.event_type = 'purchase' AND e.ts > s2.ft GROUP BY 1)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, (SELECT COUNT(*) FROM s1) AS n_users
+UNION ALL
+SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+UNION ALL
+SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+"""
+
+
+def q_retention(spark, sf_dir):
+    """Weekly retention triangle (temporal.retention_cohorts): cohort = ISO
+    week of first event; distinct cohort members active per later week."""
+    from storm_spark.functions import temporal
+
+    e = _events(spark, sf_dir)
+    return temporal.retention_cohorts(e, "user_id", "ts", max_weeks=12)
+
+
+ORACLE_RETENTION = """
+WITH wkev AS (SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS w FROM events),
+first AS (SELECT u, MIN(w) AS cw FROM wkev GROUP BY 1),
+j AS (SELECT a.u, f.cw, CAST(date_diff('day', f.cw, a.w) / 7 AS BIGINT) AS off
+      FROM wkev a JOIN first f ON a.u = f.u)
+SELECT cw AS cohort_week, off AS week_offset, COUNT(*) AS n_active
+FROM j WHERE off <= 12 GROUP BY 1, 2
+"""
+
+
 # Insertion order matters: the driver's correctness gate samples the FIRST 50
 # entries. Rotated in round 4 so the 15 queries that fell out of the r2/r3
 # sample window (catalog growth pushed them past position 50) get driver-green
@@ -2849,6 +2891,8 @@ QUERIES = {
     "repartition_verbs": q_repartition_verbs,
     "metrics_observe": q_metrics_observe,
     "state_scan": q_state_scan,
+    "funnel": q_funnel,
+    "retention": q_retention,
 }
 
 ORACLES = {
@@ -2931,6 +2975,8 @@ ORACLES = {
     "repartition_verbs": ORACLE_REPARTITION_VERBS,
     "metrics_observe": ORACLE_METRICS_OBSERVE,
     "state_scan": ORACLE_STATE_SCAN,
+    "funnel": ORACLE_FUNNEL,
+    "retention": ORACLE_RETENTION,
     # approx_distinct / percentile (approx sketch) / multimodal_features:
     # estimator-specific or non-SQL kernels — rows-only checks; exact twins
     # (count_distinct / percentile_exact) are hash-gated

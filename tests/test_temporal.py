@@ -196,3 +196,51 @@ def test_unigram_surprisal(spark):
     s_rare = -math.log(1 / 5)
     assert out[1] == (3, round(s_the, 6))
     assert out[2] == (2, round((s_the + s_rare) / 2, 6))
+
+
+def test_funnel_order_matters(spark):
+    """A user who clicks BEFORE their first view hasn't converted: funnel
+    steps must happen strictly after the previous step's first touch."""
+    from datetime import datetime
+
+    from storm_spark.functions.temporal import funnel_counts
+
+    T = datetime
+    rows = [
+        # u1: view -> click -> purchase (full conversion)
+        (1, T(2024, 1, 1, 10), "view"), (1, T(2024, 1, 1, 11), "click"),
+        (1, T(2024, 1, 1, 12), "purchase"),
+        # u2: click before first view -> stops at step 1
+        (2, T(2024, 1, 1, 9), "click"), (2, T(2024, 1, 1, 10), "view"),
+        # u3: view then click, no purchase -> step 2
+        (3, T(2024, 1, 2, 8), "view"), (3, T(2024, 1, 2, 9), "click"),
+        # u4: never views -> not in funnel at all
+        (4, T(2024, 1, 3, 8), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_type string")
+    out = {r.step: r.n_users for r in
+           funnel_counts(df, "user_id", "ts", "event_type", ["view", "click", "purchase"]).collect()}
+    assert out == {1: 3, 2: 2, 3: 1}
+
+
+def test_retention_triangle(spark):
+    from datetime import datetime
+
+    from storm_spark.functions.temporal import retention_cohorts
+
+    T = datetime
+    rows = [
+        # u1 joins week of Jan 1 (Mon), active weeks 0, 1, 3
+        (1, T(2024, 1, 2)), (1, T(2024, 1, 10)), (1, T(2024, 1, 24)),
+        # u2 joins same week, active week 0 only
+        (2, T(2024, 1, 5)),
+        # u3 joins week of Jan 8, active weeks 0 and 1
+        (3, T(2024, 1, 9)), (3, T(2024, 1, 16)),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    out = {(str(r.cohort_week), r.week_offset): r.n_active
+           for r in retention_cohorts(df, "user_id", "ts").collect()}
+    assert out == {
+        ("2024-01-01", 0): 2, ("2024-01-01", 1): 1, ("2024-01-01", 3): 1,
+        ("2024-01-08", 0): 1, ("2024-01-08", 1): 1,
+    }
