@@ -244,3 +244,90 @@ def test_retention_triangle(spark):
         ("2024-01-01", 0): 2, ("2024-01-01", 1): 1, ("2024-01-01", 3): 1,
         ("2024-01-08", 0): 1, ("2024-01-08", 1): 1,
     }
+
+
+def test_funnel_matches_naive_model(spark):
+    """Seeded-random sweep vs an in-Python first-touch funnel model."""
+    import random
+    from datetime import datetime, timedelta
+
+    from storm_spark.functions.temporal import funnel_counts
+
+    rng = random.Random(7)
+    steps = ["A", "B", "C"]
+    for case in range(6):
+        rows = []
+        for u in range(rng.randint(1, 8)):
+            for _ in range(rng.randint(0, 12)):
+                rows.append(
+                    (
+                        u,
+                        datetime(2024, 1, 1) + timedelta(minutes=rng.randint(0, 500)),
+                        rng.choice(steps + ["X"]),
+                    )
+                )
+        if not rows:
+            continue
+        df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_type string")
+
+        def model():
+            by_user = {}
+            for u, t, e in rows:
+                by_user.setdefault(u, []).append((t, e))
+            counts = [0] * len(steps)
+            for evs in by_user.values():
+                frontier = None
+                for i, s in enumerate(steps):
+                    cand = [t for t, e in evs if e == s and (frontier is None or t > frontier)]
+                    if not cand:
+                        break
+                    frontier = min(cand)
+                    counts[i] += 1
+            return {i + 1: c for i, c in enumerate(counts) if c > 0}
+
+        got = {
+            r.step: r.n_users
+            for r in funnel_counts(df, "user_id", "ts", "event_type", steps).collect()
+            if r.n_users > 0
+        }
+        assert got == model(), (case, rows)
+
+
+def test_retention_matches_naive_model(spark):
+    """Seeded-random sweep vs an in-Python cohort model."""
+    import random
+    from datetime import date, datetime, timedelta
+
+    from storm_spark.functions.temporal import retention_cohorts
+
+    rng = random.Random(11)
+    for case in range(6):
+        rows = [
+            (u, datetime(2024, 1, 1) + timedelta(days=rng.randint(0, 60)))
+            for u in range(rng.randint(1, 6))
+            for _ in range(rng.randint(1, 5))
+        ]
+        df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+
+        def wk(d: datetime) -> date:
+            dd = d.date()
+            return dd - timedelta(days=dd.weekday())
+
+        def model():
+            weeks = {}
+            for u, t in rows:
+                weeks.setdefault(u, set()).add(wk(t))
+            out = {}
+            for u, ws in weeks.items():
+                cw = min(ws)
+                for w in ws:
+                    off = (w - cw).days // 7
+                    if off <= 12:
+                        out[(cw, off)] = out.get((cw, off), 0) + 1
+            return out
+
+        got = {
+            (r.cohort_week, r.week_offset): r.n_active
+            for r in retention_cohorts(df, "user_id", "ts").collect()
+        }
+        assert got == model(), (case, rows)
