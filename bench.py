@@ -101,6 +101,13 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 per_run.append(time.time() - t0)
                 spark.catalog.clearCache()  # drop per-query persisted indexes
+            # NO System.gc() between queries: tried in r4 to stop one
+            # query's garbage billing the next as a GC pause — it fixed that
+            # (multimodal_frames 2.2→0.7 s) but forced class-unload/code-
+            # cache sweeps that DEOPTIMIZED the shared HOF/md5 interpreter
+            # paths: dedup_jaccard_capped ran a consistent 2.5× slower
+            # (5.99 s, all three passes) in the gc() run. Occasional GC
+            # noise is the lesser evil; min-of-three absorbs most of it.
         except Exception as exc:  # noqa: BLE001 — isolate, report, continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
