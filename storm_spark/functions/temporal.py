@@ -229,41 +229,51 @@ def funnel_counts(
 
     Returns ``(step, event_type, n_users)`` with ``step`` 1-based.
 
-    Scale shape: raw events collapse to per-user time frontiers immediately
-    — step k is a user-keyed join of step-k events against the step-k-1
-    frontier, then ``min``. That is ``len(steps)`` small user-keyed
-    shuffles on the SAME hash key (exchange reuse), no window over raw
-    events, no cross-step fan-out; each frontier is ≤ |users| rows no
-    matter the event volume.
+    Scale shape: ONE scan, ONE user-keyed shuffle. Step events collapse to
+    a per-user time-sorted list, and a greedy fold advances a (stage,
+    frontier) state machine through it — the greedy scan provably computes
+    the same frontiers as the step-by-step ``min(t > prev_frontier)``
+    definition (each step advances at its earliest qualifying event). The
+    first cut of this operator chained k user-keyed join+min rounds
+    instead: semantically identical but it re-scanned the events table
+    O(k²/2) times across the union's branches (17 Exchanges for k=3,
+    plan-measured) — the fold shape replaces that with one scan and a
+    k-row final aggregate. Per-user state is the user's STEP-TYPE events
+    only; bound it further by pre-filtering the time window upstream.
     """
     if not steps:
         raise ValueError("steps must be non-empty")
-    frontier = None
-    per_step = []
-    for i, sname in enumerate(steps):
-        ev = df.filter(F.col(type_col) == sname).select(
-            F.col(user_col).alias("__u__"), F.col(ts_col).alias("__t__")
-        )
-        if frontier is None:
-            frontier = ev.groupBy("__u__").agg(F.min("__t__").alias("__ft__"))
-        else:
-            frontier = (
-                ev.join(frontier, on="__u__")
-                .filter(F.col("__t__") > F.col("__ft__"))
-                .groupBy("__u__")
-                .agg(F.min("__t__").alias("__ft__"))
-            )
-        per_step.append(
-            frontier.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
-                F.lit(i + 1).cast("bigint").alias("step"),
-                F.lit(sname).alias("event_type"),
-                "n_users",
-            )
-        )
-    out = per_step[0]
-    for r in per_step[1:]:
-        out = out.unionByName(r)
-    return out
+    k = len(steps)
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    ev = df.filter(F.col(type_col).isin(steps)).select(
+        F.col(user_col).alias("__u__"),
+        F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("e")).alias("__ev__"),
+    )
+    per_user = ev.groupBy("__u__").agg(F.sort_array(F.collect_list("__ev__")).alias("__evs__"))
+    init = F.struct(
+        F.lit(0).cast("int").alias("stage"), F.lit(None).cast("timestamp").alias("ft")
+    )
+    advance = lambda acc, e: F.when(  # noqa: E731
+        (acc["stage"] < k)
+        & (e["e"] == F.element_at(steps_arr, acc["stage"] + 1))
+        & (acc["ft"].isNull() | (e["t"] > acc["ft"])),
+        F.struct((acc["stage"] + 1).alias("stage"), e["t"].alias("ft")),
+    ).otherwise(acc)
+    staged = per_user.select(
+        F.aggregate("__evs__", init, advance)["stage"].alias("__stage__")
+    )
+    reached = staged.groupBy("__stage__").agg(F.count(F.lit(1)).alias("__n__"))
+    # n_users(step i) = users whose final stage >= i; emit every step, 0s kept
+    spark = df.sparkSession
+    step_rows = spark.range(1, k + 1).select(
+        F.col("id").alias("step"),
+        F.element_at(steps_arr, F.col("id").cast("int")).alias("event_type"),
+    )
+    return (
+        step_rows.join(reached, F.col("__stage__") >= F.col("step"), "left")
+        .groupBy("step", "event_type")
+        .agg(F.coalesce(F.sum("__n__"), F.lit(0)).cast("bigint").alias("n_users"))
+    )
 
 
 def retention_cohorts(
