@@ -60,3 +60,44 @@ def test_bm25_topk_is_take_ordered(corpus):
 
 def test_bm25_no_matches_is_empty(corpus):
     assert bm25_topk(corpus, ["zzzmissing"], k=5).count() == 0
+
+
+def test_bm25_matches_naive_model(spark):
+    """Seeded-random sweep vs an in-Python BM25 model (third engine after
+    Spark and the DuckDB oracle; half-up rounding mirrors Spark's round)."""
+    import math
+    import random
+
+    rng = random.Random(3)
+    vocab = ["join", "spark", "table", "filter", "scan", "merge"]
+    terms = ["join", "spark"]
+    for case in range(5):
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 20))))
+            for i in range(rng.randint(2, 10))
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+        def model(k1=1.2, b=0.75):
+            toks = {i: t.split() for i, t in rows}
+            n = len(rows)
+            avgdl = sum(len(v) for v in toks.values()) / n
+            dfreq = {
+                t: sum(1 for v in toks.values() if t in v) for t in terms
+            }
+            out = {}
+            for i, v in toks.items():
+                s = 0
+                for t in terms:
+                    tf = v.count(t)
+                    if tf == 0 or dfreq[t] == 0:
+                        continue
+                    idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+                    contrib = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+                    s += math.floor(contrib * 1e9 + 0.5)  # half-up, positive
+                if s > 0:
+                    out[i] = s
+            return out
+
+        got = {r.doc_id: r.score_e9 for r in bm25_topk(df, terms, k=100).collect()}
+        assert got == model(), (case, rows)

@@ -379,3 +379,42 @@ def test_quality_gate_single_exchange(spark):
     )
     plan = text.quality_gate(df, "text", "lang")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_quality_gate_invariants_random(spark):
+    """Random corpora: the gate's cut is a clean order statistic — every
+    dropped score is strictly below every kept score, and at most
+    ceil(q*n)-1 rows drop per group."""
+    import math
+    import random
+
+    from storm_spark.functions import text
+
+    rng = random.Random(5)
+    words = ["the", "and", "zz!!", "word", "of", "##", "to", "is"]
+    rows = []
+    for i in range(60):
+        rows.append(
+            (i, rng.choice(["a", "b", "c"]),
+             " ".join(rng.choice(words) for _ in range(rng.randint(1, 30))))
+        )
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    q = 0.25
+    kept = text.quality_gate(df, "text", "lang", q=q).collect()
+    scored = {
+        (r.doc_id): (r.lang, r.quality)
+        for r in df.select(
+            "doc_id", "lang", text.quality_score("text").alias("quality")
+        ).collect()
+    }
+    by_group_all = {}
+    for did, (g, s) in scored.items():
+        by_group_all.setdefault(g, []).append((did, s))
+    kept_ids = {r.doc_id for r in kept}
+    for g, members in by_group_all.items():
+        k_scores = [s for did, s in members if did in kept_ids]
+        d_scores = [s for did, s in members if did not in kept_ids]
+        assert k_scores, g
+        if d_scores:
+            assert max(d_scores) < min(k_scores), g
+        assert len(d_scores) <= math.ceil(q * len(members)) - 1, g
