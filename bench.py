@@ -111,6 +111,10 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — isolate, report, continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            # a query can fail AFTER materializing its internal persist()
+            # (e.g. pass 1 ok, pass 2 throws) — drop the leaked cache so it
+            # can't occupy executor memory for the remaining queries
+            spark.catalog.clearCache()
             continue
         cold[name] = round(per_run[0], 3)
         times[name] = round(min(per_run), 3)

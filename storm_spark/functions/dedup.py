@@ -486,6 +486,14 @@ def duplicated_spans(
     wordcount shuffle class) → semi-join positions against the dup-gram set
     → per-doc window island-merge (one shuffle on id). Never pairwise; cost
     tracks corpus token count, not doc pairs.
+
+    Precision: counting on the TRUNCATED 60-bit hash trades exactness for
+    shuffle width — two distinct grams colliding both look duplicated
+    (false-positive spans only; never false negatives). Expected colliding
+    pairs ≈ G²/2^61 for G distinct grams: negligible below ~10^8 grams, but
+    at trillion-gram corpora verify flagged spans against the actual text
+    before deleting (or widen to the full md5); the n-gram approximation of
+    Lee et al.'s suffix array already errs in the same direction.
     """
     sh_hash = F.conv(F.substring(F.md5(F.col("__s__")), 1, 15), 16, 10).cast("bigint")
     base = df.select(F.col(id_col).alias("__id__"), tokens(text_col).alias("__toks__"))

@@ -303,6 +303,13 @@ def mixture_weights(
     total attaches as a broadcast single-row aggregate, so nothing collects
     to the driver. Pure expressions end-to-end (exact DuckDB twin).
     """
+    tsum = sum(targets.values())
+    if tsum > 1.0 + 1e-9:
+        # over-subscribed targets would give every UNLISTED group a silently
+        # NEGATIVE target share/weight — refuse at the API boundary
+        raise ValueError(f"targets sum to {tsum}, must be <= 1")
+    if any(v < 0 for v in targets.values()):
+        raise ValueError("target shares must be non-negative")
     m = F.col(mass_col) if isinstance(mass_col, str) else mass_col
     per = df.groupBy(F.col(group_col).alias("__grp__")).agg(F.sum(m).alias("mass"))
     tmap = F.create_map(

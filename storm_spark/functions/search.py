@@ -50,26 +50,29 @@ def bm25_topk(
         raise ValueError("query_terms must be non-empty")
     terms_lit = F.array(*[F.lit(t) for t in sorted(set(query_terms))])
     base = docs.select(F.col(id_col).alias("__id__"), tokens(text_col).alias("__toks__"))
-    # doc length BEFORE the query filter (BM25 normalizes by full length)
-    lens = base.select("__id__", F.size("__toks__").cast("bigint").alias("__dl__"))
-    corpus = lens.agg(
+    # ONE tokenization pass: doc length (BM25 normalizes by FULL length) and
+    # the query-term matches project together, and the slim result — two
+    # ints + matched terms per doc, no full token array — persists so the
+    # three consumers (corpus constants, postings, length join) don't each
+    # rescan and retokenize the corpus (the repo's tokenize-once rule;
+    # plan-measured 3 scans without it)
+    slim = base.select(
+        "__id__",
+        F.size("__toks__").cast("bigint").alias("__dl__"),
+        F.filter(F.col("__toks__"), lambda t: F.array_contains(terms_lit, t)).alias("__m__"),
+    ).persist()
+    corpus = slim.agg(
         F.count(F.lit(1)).alias("__n__"), F.avg("__dl__").alias("__avgdl__")
     )
-    # postings: filter to query terms map-side, THEN explode
     tf = (
-        base.select(
-            "__id__",
-            F.explode(
-                F.filter(F.col("__toks__"), lambda t: F.array_contains(terms_lit, t))
-            ).alias("__term__"),
-        )
+        slim.select("__id__", F.explode("__m__").alias("__term__"))
         .groupBy("__id__", "__term__")
         .agg(F.count(F.lit(1)).cast("double").alias("__tf__"))
     )
     df_ = tf.groupBy("__term__").agg(F.count(F.lit(1)).cast("double").alias("__df__"))
     scored = (
         tf.join(df_, on="__term__")
-        .join(lens, on="__id__")
+        .join(slim.select("__id__", "__dl__"), on="__id__")
         .crossJoin(F.broadcast(corpus))
     )
     idf = F.log(

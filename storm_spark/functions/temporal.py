@@ -253,8 +253,14 @@ def funnel_counts(
     init = F.struct(
         F.lit(0).cast("int").alias("stage"), F.lit(None).cast("timestamp").alias("ft")
     )
+    # NULL-timestamp events never qualify (matching the SQL twin, where
+    # `ts > frontier` is never true for NULL and MIN ignores NULLs); without
+    # the isNotNull guard a NULL-ts first event would set ft=NULL and the
+    # isNull branch would then let every later matching event advance
+    # regardless of time order
     advance = lambda acc, e: F.when(  # noqa: E731
         (acc["stage"] < k)
+        & e["t"].isNotNull()
         & (e["e"] == F.element_at(steps_arr, acc["stage"] + 1))
         & (acc["ft"].isNull() | (e["t"] > acc["ft"])),
         F.struct((acc["stage"] + 1).alias("stage"), e["t"].alias("ft")),

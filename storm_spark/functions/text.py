@@ -155,6 +155,8 @@ def quality_gate(
     sort) when auditable exactness isn't required; gate semantics are
     unchanged.
     """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
     scored = df.select(
         F.col(id_col),
         F.col(group_col),
@@ -165,7 +167,10 @@ def quality_gate(
     ranked = scored.withColumn("__rn__", F.row_number().over(wo)).withColumn(
         "__n__", F.count(F.lit(1)).over(wg)
     )
-    cut = F.ceil(F.lit(float(q)) * F.col("__n__")).cast("bigint")
+    # q=0 would make cut=0 (no rank matches -> NULL threshold -> EVERYTHING
+    # silently dropped); clamp to rank 1, which keeps the whole group — the
+    # only sane reading of "the 0th percentile and above"
+    cut = F.greatest(F.ceil(F.lit(float(q)) * F.col("__n__")).cast("bigint"), F.lit(1))
     thr = F.max(F.when(F.col("__rn__") == cut, F.col("quality"))).over(wg)
     return (
         ranked.withColumn("__thr__", thr)

@@ -70,18 +70,9 @@ class FixedBatchSource:
     def encode_rows(self, rows: Sequence[Sequence[Any]]) -> list[list[Any]]:
         """Encode ``object``-typed columns via the global encoder registry
         (Kryo analogue — serialization.py)."""
-        obj_idx = [i for i, t in enumerate(self.types) if t == "object"]
-        if not obj_idx:
-            return [list(r) for r in rows]
-        from storm_spark.serialization import encode_object
+        from storm_spark.serialization import encode_rows
 
-        out = []
-        for r in rows:
-            r = list(r)
-            for i in obj_idx:
-                r[i] = encode_object(r[i])
-            out.append(r)
-        return out
+        return encode_rows(rows, self.types)
 
 
 def parquet_source(spark: SparkSession, path: str, columns: Sequence[str] | None = None) -> DataFrame:

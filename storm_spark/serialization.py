@@ -26,6 +26,7 @@ from typing import Any, Callable
 #: wire prefix marking a registry-encoded payload (vs plain user bytes)
 _MAGIC = b"\xabSOBJ\x01"
 _PICKLE_TAG = "!pickle"
+_BYTES_TAG = "!bytes"
 
 
 class EncoderRegistry:
@@ -51,8 +52,8 @@ class EncoderRegistry:
         name: str | None = None,
     ) -> None:
         tag = name or f"{cls.__module__}.{cls.__qualname__}"
-        if tag == _PICKLE_TAG:
-            raise ValueError(f"{_PICKLE_TAG!r} is reserved")
+        if tag in (_PICKLE_TAG, _BYTES_TAG):
+            raise ValueError(f"{tag!r} is reserved")
         self._by_cls[cls] = (tag, ser)
         self._by_tag[tag] = de
 
@@ -67,7 +68,13 @@ class EncoderRegistry:
 
     def encode(self, obj: Any) -> bytes | None:
         if obj is None or isinstance(obj, (bytes, bytearray)):
-            return None if obj is None else bytes(obj)
+            if obj is None:
+                return None
+            b = bytes(obj)
+            # plain bytes that HAPPEN to start with the magic prefix would
+            # be mis-parsed as a frame on decode — escape them through the
+            # reserved raw-bytes tag so the round-trip stays lossless
+            return self._frame(_BYTES_TAG, b) if b.startswith(_MAGIC) else b
         reg = self._by_cls.get(type(obj))
         if reg is not None:
             tag, ser = reg
@@ -91,7 +98,17 @@ class EncoderRegistry:
         off += 2
         tag = b[off : off + tlen].decode("utf-8")
         payload = b[off + tlen :]
+        if tag == _BYTES_TAG:
+            return payload
         if tag == _PICKLE_TAG:
+            # the strict flag must gate BOTH directions: a registry built
+            # with allow_pickle_fallback=False would otherwise still run
+            # pickle.loads (arbitrary code execution) on hostile payloads
+            if not self.allow_pickle_fallback:
+                raise KeyError(
+                    "pickle-tagged payload refused: this registry was built "
+                    "with allow_pickle_fallback=False"
+                )
             return pickle.loads(payload)
         de = self._by_tag.get(tag)
         if de is None:
@@ -126,3 +143,20 @@ def encode_object(obj: Any) -> bytes | None:
 
 def decode_object(data: bytes | bytearray | None) -> Any:
     return registry.decode(data)
+
+
+def encode_rows(rows, types):
+    """Encode ``object``-typed columns of literal rows via the global
+    registry — the one shared implementation behind every feeder/fixture
+    source (``FeederSource``, ``FixedBatchSource``). No-op when no column
+    is typed ``object``."""
+    obj_idx = [i for i, t in enumerate(types) if t == "object"]
+    if not obj_idx:
+        return [list(r) for r in rows]
+    out = []
+    for r in rows:
+        r = list(r)
+        for i in obj_idx:
+            r[i] = encode_object(r[i])
+        out.append(r)
+    return out

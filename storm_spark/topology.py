@@ -70,18 +70,9 @@ class FeederSource:
         """Encode ``object``-typed columns via the global encoder registry
         (Kryo analogue — serialization.py). No-op when no field is typed
         ``object``."""
-        obj_idx = [i for i, t in enumerate(self.types) if t == "object"]
-        if not obj_idx:
-            return [list(r) for r in rows]
-        from storm_spark.serialization import encode_object
+        from storm_spark.serialization import encode_rows
 
-        out = []
-        for r in rows:
-            r = list(r)
-            for i in obj_idx:
-                r[i] = encode_object(r[i])
-            out.append(r)
-        return out
+        return encode_rows(rows, self.types)
 
 
 class _StateSpec:

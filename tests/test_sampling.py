@@ -268,3 +268,11 @@ def test_mixture_weights_plan_shape(spark):
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert "partial_sum" in plan or "partial" in plan.lower(), plan
+
+
+def test_mixture_weights_rejects_oversubscribed_targets(spark):
+    df = spark.createDataFrame([("a", 1), ("b", 1)], "src string, mass int")
+    with pytest.raises(ValueError, match="sum"):
+        sampling.mixture_weights(df, "src", "mass", {"a": 0.8, "b": 0.4})
+    with pytest.raises(ValueError, match="non-negative"):
+        sampling.mixture_weights(df, "src", "mass", {"a": -0.1})

@@ -185,3 +185,29 @@ def test_object_through_state_and_drpc(spark):
     # second batch accumulates (state, not per-batch)
     feeder.feed([["b", Point(9.0, 12.0)]])
     assert cluster.execute_drpc("total_mag", "b") == [["b", 28.0]]
+
+
+def test_strict_registry_refuses_pickle_payloads():
+    """allow_pickle_fallback=False must gate DECODE too — a pickle-tagged
+    frame from a hostile producer is refused, not executed."""
+    import pickle
+
+    import pytest
+
+    from storm_spark.serialization import EncoderRegistry, _MAGIC
+
+    loose, strict = EncoderRegistry(), EncoderRegistry(allow_pickle_fallback=False)
+    frame = loose.encode({"any": "object"})
+    assert loose.decode(frame) == {"any": "object"}
+    with pytest.raises(KeyError, match="refused"):
+        strict.decode(frame)
+
+
+def test_magic_prefixed_plain_bytes_round_trip():
+    """Plain user bytes that happen to start with the magic prefix must
+    survive encode->decode unchanged (escaped through the raw-bytes tag)."""
+    from storm_spark.serialization import _MAGIC, registry
+
+    evil = _MAGIC + b"\x00\x07!pickleGARBAGE"
+    assert registry.decode(registry.encode(evil)) == evil
+    assert registry.decode(registry.encode(b"normal")) == b"normal"

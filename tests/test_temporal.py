@@ -331,3 +331,27 @@ def test_retention_matches_naive_model(spark):
             for r in retention_cohorts(df, "user_id", "ts").collect()
         }
         assert got == model(), (case, rows)
+
+
+def test_funnel_null_timestamps_never_qualify(spark):
+    """A NULL-ts event must not advance a stage (nor poison the frontier so
+    later events advance unconditionally) — matches the SQL twin where
+    `ts > frontier` is never true for NULL."""
+    from datetime import datetime
+
+    from storm_spark.functions.temporal import funnel_counts
+
+    T = datetime
+    rows = [
+        # u1: NULL-ts view, then click/purchase BEFORE any real view
+        (1, None, "view"), (1, T(2024, 1, 1, 9), "click"), (1, T(2024, 1, 1, 10), "purchase"),
+        (1, T(2024, 1, 1, 11), "view"),
+        # u2: clean full conversion for contrast
+        (2, T(2024, 1, 2, 1), "view"), (2, T(2024, 1, 2, 2), "click"),
+        (2, T(2024, 1, 2, 3), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_type string")
+    out = {r.step: r.n_users for r in
+           funnel_counts(df, "user_id", "ts", "event_type", ["view", "click", "purchase"]).collect()}
+    # u1 reaches only step 1 (the 11:00 view); u2 completes all three
+    assert out == {1: 2, 2: 1, 3: 1}

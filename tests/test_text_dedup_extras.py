@@ -418,3 +418,17 @@ def test_quality_gate_invariants_random(spark):
         if d_scores:
             assert max(d_scores) < min(k_scores), g
         assert len(d_scores) <= math.ceil(q * len(members)) - 1, g
+
+
+def test_quality_gate_q_zero_keeps_all_and_validates(spark):
+    import pytest
+
+    from storm_spark.functions import text
+
+    df = spark.createDataFrame(
+        [(i, "x", "some words here") for i in range(5)],
+        "doc_id bigint, lang string, text string",
+    )
+    assert text.quality_gate(df, "text", "lang", q=0.0).count() == 5
+    with pytest.raises(ValueError, match="q must be"):
+        text.quality_gate(df, "text", "lang", q=1.5)
