@@ -310,7 +310,12 @@ def kmeans_centroids(
         means = (
             assigned.select("cent_id", F.posexplode("__cv__").alias("pos", "x"))
             .groupBy("cent_id", "pos")
-            .agg(F.avg("x").alias("m"))
+            # round the mean to 9 digits: partial-sum ORDER across
+            # partitions/engines wiggles the last ulp of a double average,
+            # and an unrounded centroid would propagate that into the next
+            # assignment — rounding pins the trainer to one engine-portable
+            # trajectory (clustering quality is unaffected at 1e-9)
+            .agg(F.round(F.avg("x"), 9).alias("m"))
             .groupBy("cent_id")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cent_id", F.col("pm.m").alias("__cent__"))

@@ -2796,6 +2796,83 @@ FROM j WHERE off <= 12 GROUP BY 1, 2
 """
 
 
+def q_ann_ivf_trained(spark, sf_dir):
+    """IVF ANN probing TRAINED centroids (similarity.kmeans_centroids →
+    ivf_topk): the iterative spherical-k-means trainer is deterministic
+    end-to-end (md5 init, cent-id tie-breaks, 9-digit-rounded means), so
+    even the training loop has an exact SQL twin — the oracle unrolls both
+    Lloyd iterations as CTE layers."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, "vec_id", "embedding", k=4, n_iters=2)
+    q = emb.filter(F.col("vec_id") < 20)
+    return similarity.ivf_topk(
+        emb, q, "vec_id", "embedding", k=5, n_lists=4, n_probe=2, centroids=cents
+    )
+
+
+def _oracle_ann_ivf_trained(k=5, n_lists=4, n_iters=2, n_probe=2):
+    guard_cos = (
+        "(list_inner_product({a}, {b}) / "
+        "greatest(sqrt(list_inner_product({a}, {a})) * "
+        "sqrt(list_inner_product({b}, {b})), 1e-12))"
+    )
+    # init: the n_lists corpus vectors with smallest md5(id), cent_id in
+    # that md5 order (mirrors kmeans_centroids' enumerate over the init)
+    parts = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings)",
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cent_id, vv AS cv
+  FROM (SELECT vec_id, vv FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_lists}))""",
+    ]
+    cos_vc = guard_cos.format(a="e.vv", b="t.cv")
+    for i in range(n_iters):
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, vv, cent_id FROM (
+    SELECT e.vec_id, e.vv, t.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_vc} DESC, t.cent_id ASC) AS r
+    FROM v e CROSS JOIN c{i} t) WHERE r = 1)""")
+        parts.append(f"""m{i} AS (
+  SELECT cent_id, list(m ORDER BY pos) AS cv FROM (
+    SELECT cent_id, pos, round(AVG(x), 9) AS m FROM (
+      SELECT cent_id, unnest(generate_series(1, len(vv))) AS pos, unnest(vv) AS x
+      FROM a{i})
+    GROUP BY cent_id, pos)
+  GROUP BY cent_id)""")
+        parts.append(f"""c{i + 1} AS (
+  SELECT p.cent_id, COALESCE(n.cv, p.cv) AS cv
+  FROM c{i} p LEFT JOIN m{i} n ON p.cent_id = n.cent_id)""")
+    final = f"c{n_iters}"
+    cos_cc = guard_cos.format(a="c.vv", b="t.cv")
+    cos_qc = guard_cos.format(a="q.vv", b="t.cv")
+    cos_qn = guard_cos.format(a="q.vv", b="c.vv")
+    parts.append(f"""assigned AS (
+  SELECT vec_id AS neighbor_id, vv, cent_id AS cell FROM (
+    SELECT c.vec_id, c.vv, t.cent_id,
+           row_number() OVER (PARTITION BY c.vec_id ORDER BY {cos_cc} DESC, t.cent_id ASC) AS r
+    FROM v c CROSS JOIN {final} t) WHERE r = 1)""")
+    parts.append(f"""probed AS (
+  SELECT vec_id AS query_id, vv, cent_id AS cell FROM (
+    SELECT q.vec_id, q.vv, t.cent_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos_qc} DESC, t.cent_id ASC) AS r
+    FROM v q CROSS JOIN {final} t WHERE q.vec_id < 20) WHERE r <= {n_probe})""")
+    parts.append(f"""sim AS (
+  SELECT q.query_id, c.neighbor_id, {cos_qn} AS cs
+  FROM probed q JOIN assigned c USING (cell)
+  WHERE q.query_id <> c.neighbor_id)""")
+    parts.append("""ranked AS (
+  SELECT query_id, neighbor_id, cs,
+         row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS rank
+  FROM sim)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT query_id, neighbor_id, round(cs, 6) AS cos_sim, CAST(rank AS INT) AS rank"
+        f"\nFROM ranked WHERE rank <= {k}"
+    )
+
+
+ORACLE_ANN_IVF_TRAINED = _oracle_ann_ivf_trained()
+
+
 # Insertion order matters: the driver's correctness gate samples the FIRST 50
 # entries. Rotated three times in round 4 so every operator with zero driver
 # rows sits inside the window: (1) the 15 queries catalog growth pushed past
@@ -2886,6 +2963,7 @@ QUERIES = {
     "anti_join": q_anti_join,
     "state_snapshot_total": q_state_snapshot_total,
     "json_extract": q_json_extract,
+    "ann_ivf_trained": q_ann_ivf_trained,
     # --- evicted to make room for the nine r4-new gates (driver-green
     # r1+r2+r3; judge-verified locally at sf0.01 AND sf0.001 this round) ---
     "dedup_exact": q_dedup_exact,
@@ -2981,6 +3059,7 @@ ORACLES = {
     "state_scan": ORACLE_STATE_SCAN,
     "funnel": ORACLE_FUNNEL,
     "retention": ORACLE_RETENTION,
+    "ann_ivf_trained": ORACLE_ANN_IVF_TRAINED,
     # approx_distinct / percentile (approx sketch) / multimodal_features:
     # estimator-specific or non-SQL kernels — rows-only checks; exact twins
     # (count_distinct / percentile_exact) are hash-gated
