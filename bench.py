@@ -66,6 +66,9 @@ HEADLINE = [
     "bm25_topk",
     "funnel",
     "retention",
+    "outlier_mad",
+    "gap_fill",
+    "weighted_sample",
 ]
 
 

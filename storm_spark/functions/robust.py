@@ -1,0 +1,74 @@
+"""Robust statistics — median/MAD outlier detection per group.
+
+The data-quality screen a metrics or training pipeline runs before trusting
+a value column: flag rows whose absolute deviation from their group's
+MEDIAN exceeds ``k ×`` the group's MAD (median absolute deviation). Median
+and MAD are 50%-breakdown-point estimators — unlike mean/stddev z-scores,
+the contaminating outliers themselves can't drag the threshold (Hampel's
+rule; Leys et al. 2013, J. Exp. Soc. Psych.).
+
+Determinism: with the value pre-scaled to integer units (``cents``), every
+intermediate is an exact binary fraction — the interpolated median of
+integers is a multiple of 0.5, deviations are multiples of 0.5, the MAD is
+a multiple of 0.25, and ``k × MAD`` (k a small integer or exact binary
+float) is exact — so the flag is bit-identical across engines and the
+operator carries an exact DuckDB oracle (``percentile`` == ``quantile_cont``,
+pos = p·(n−1) linear interpolation).
+
+Scale shape: ONE group-keyed exchange. Both medians are whole-partition
+window aggregates over the SAME partitioning (no ORDER BY → no sort), so
+Catalyst plans Exchange(group) → Window(median) → Window(MAD) with zero
+additional shuffles; the per-row flag is a map-side expression after that.
+A group still lands on one reducer — group cardinality here is
+domain/event-type-sized. For a single monster group, pre-aggregate to a
+(value, count) histogram first and run the weighted median on that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column | str,
+    k: float = 3.0,
+    out_prefix: str = "",
+) -> DataFrame:
+    """Append ``median``, ``mad``, and boolean ``is_outlier`` columns
+    (optionally prefixed) computed per ``group_col``.
+
+    ``is_outlier`` is strict: ``|v − median| > k × MAD``. A group whose MAD
+    is 0 (over half its values identical) flags every value not equal to the
+    median — the standard Hampel degenerate case, kept deliberately: those
+    groups are exactly the ones where any deviation is suspicious.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    w = Window.partitionBy(group_col)
+    med_c, mad_c, flag_c = (
+        out_prefix + "median",
+        out_prefix + "mad",
+        out_prefix + "is_outlier",
+    )
+    with_med = df.withColumn(med_c, F.percentile(v, 0.5).over(w))
+    dev = F.abs(v - F.col(med_c))
+    with_mad = with_med.withColumn(mad_c, F.percentile(dev, 0.5).over(w))
+    return with_mad.withColumn(flag_c, dev > F.lit(float(k)) * F.col(mad_c))
+
+
+def sql_mad_ctes(
+    table: str, group_expr: str, value_expr: str, k: float = 3.0
+) -> str:
+    """DuckDB twin of :func:`mad_outliers` as a CTE chain ending in a
+    relation ``__mad__(grp, val, median, mad, is_outlier)``."""
+    return f"""
+__vals__ AS (SELECT {group_expr} AS grp, {value_expr} AS val FROM {table}),
+__med__ AS (SELECT grp, quantile_cont(val, 0.5) AS median FROM __vals__ GROUP BY grp),
+__dev__ AS (SELECT v.grp, val, median, abs(val - median) AS dev
+            FROM __vals__ v JOIN __med__ USING (grp)),
+__madv__ AS (SELECT grp, quantile_cont(dev, 0.5) AS mad FROM __dev__ GROUP BY grp),
+__mad__ AS (SELECT d.grp, val, median, mad, dev > {float(k)} * mad AS is_outlier
+            FROM __dev__ d JOIN __madv__ USING (grp))
+"""

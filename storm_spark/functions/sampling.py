@@ -150,6 +150,66 @@ def sql_quota_pred(group_expr: str, id_expr: str, k: int, salt: str = "quota") -
     )
 
 
+def weighted_sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: Column | str,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weight-biased exact-quota sampling: keep the ``k`` rows per group with
+    the smallest priority ``u / w``, where ``u`` is a deterministic 60-bit
+    uniform from ``md5(salt, id)`` and ``w`` the row's (positive) weight —
+    the curation move "cap documents per source, but PREFER the long/high-
+    quality ones" that unweighted :func:`sample_k_per_group` can't express.
+
+    Semantics note (documented deviation): the exact Efraimidis–Spirakis
+    PPS key is ``-ln(u01)/w``, but ``ln``'s last ulp differs between the
+    JVM's ``Math.log`` and libm — cross-engine ranking would diverge on the
+    oracle. The rational key ``u/w`` is ONE correctly-rounded IEEE-754
+    division in both engines (bit-identical), stays strictly monotone in the
+    weight (pairwise win probability ``1 − w_j/(2·w_i)`` for ``w_i ≥ w_j``),
+    and keeps every determinism property of the quota sampler: stable under
+    re-runs, retries, executor counts, and corpus growth (rows only ever
+    leave the sample as heavier competitors arrive).
+
+    Scale shape: identical to :func:`sample_k_per_group` — one group-keyed
+    shuffle; the row_number top-k compiles to WindowGroupLimit, so each map
+    partition pre-trims to ``k`` rows before the exchange.
+    """
+    w_col = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("\x00", F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    priority = u.cast("double") / w_col.cast("double")
+    w = Window.partitionBy(group_col).orderBy(priority.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__wrk__", F.row_number().over(w))
+        .filter(F.col("__wrk__") <= k)
+        .drop("__wrk__")
+    )
+
+
+def sql_weighted_quota_pred(
+    group_expr: str, id_expr: str, weight_expr: str, k: int, salt: str = "wsample"
+) -> str:
+    """DuckDB twin of :func:`weighted_sample_k_per_group` (QUALIFY pred)."""
+    u = (
+        f"('0x' || substr(md5('{salt}' || chr(0) || CAST({id_expr} AS VARCHAR)), 1, 15))"
+        f"::BIGINT"
+    )
+    return (
+        f"row_number() OVER (PARTITION BY {group_expr} "
+        f"ORDER BY CAST({u} AS DOUBLE) / CAST({weight_expr} AS DOUBLE) ASC, "
+        f"{id_expr} ASC) <= {k}"
+    )
+
+
 def sql_sample_pred(
     id_expr: str, fractions: float | dict = 0.1, stratum_expr: str | None = None,
     salt: str = "sample",

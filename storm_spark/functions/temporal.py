@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import Iterable
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -213,6 +213,93 @@ def rolling_distinct_count(
         .agg(F.count_distinct(F.col("__k__")).alias(out_count))
         .orderBy(out_day)
     )
+
+
+def gap_fill(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: Column | str,
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Resample an event stream onto a regular per-group time grid and
+    forward-fill the holes — the time-series regularization step a metrics /
+    feature pipeline runs before windowed models (every group gets one row
+    per ``step_seconds`` bucket from its first to its last event; buckets
+    with no events carry the last observed value and ``is_gap = true``).
+
+    Returns ``(group_col, bucket, value_c, is_gap)`` — ``bucket`` is the
+    bucket's epoch-seconds start (integer: engine-portable, no timestamp
+    representation skew), ``value_c`` the per-bucket SUM of ``value_col``
+    forward-filled across empty buckets.
+
+    Exactness: bucketing is pure integer arithmetic (``unix_micros div 1e6
+    div step × step`` — no double division anywhere), so grid membership and
+    fill values are bit-identical to the SQL twin.
+
+    Scale shape: one (group, bucket) partial-agg shuffle collapses raw
+    events to bucket rows; the grid explodes map-side from a per-group
+    (min, max) aggregate — output is |groups| × |buckets|, dense by design
+    (that's the contract); the fill is one window over the SAME group key
+    (sorted within group by bucket). The left join grid←buckets is
+    group+bucket keyed and AQE-planned. A group's whole grid lands on one
+    reducer for the fill — at 100 TB with multi-year spans, split the fill
+    window by (group, year) and stitch the year boundaries with a second
+    pass over the |groups| × |years| boundary rows.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    secs = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div 1000000")
+    bucket = (secs - F.pmod(secs, F.lit(step_seconds))).alias("bucket")
+    per_bucket = (
+        df.select(F.col(group_col), bucket, v.alias("__v__"))
+        .groupBy(group_col, "bucket")
+        .agg(F.sum("__v__").alias("__v__"))
+    )
+    grid = (
+        per_bucket.groupBy(group_col)
+        .agg(F.min("bucket").alias("__lo__"), F.max("bucket").alias("__hi__"))
+        .select(
+            group_col,
+            F.explode(
+                F.sequence(F.col("__lo__"), F.col("__hi__"), F.lit(step_seconds))
+            ).alias("bucket"),
+        )
+    )
+    joined = grid.join(per_bucket, [group_col, "bucket"], "left")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        group_col,
+        "bucket",
+        F.last("__v__", ignorenulls=True).over(w).alias("value_c"),
+        F.col("__v__").isNull().alias("is_gap"),
+    )
+
+
+def sql_gap_fill(
+    table: str, group_expr: str, ts_expr: str, value_expr: str, step_seconds: int = 3600
+) -> str:
+    """DuckDB twin of :func:`gap_fill` (full SELECT)."""
+    b = f"((epoch_us(CAST({ts_expr} AS TIMESTAMP)) // 1000000) // {step_seconds}) * {step_seconds}"
+    return f"""
+WITH __pb__ AS (
+  SELECT {group_expr} AS grp, {b} AS bucket, SUM({value_expr}) AS v
+  FROM {table} GROUP BY 1, 2),
+__grid__ AS (
+  SELECT grp, unnest(generate_series(lo, hi, {step_seconds})) AS bucket
+  FROM (SELECT grp, MIN(bucket) AS lo, MAX(bucket) AS hi FROM __pb__ GROUP BY grp)),
+__j__ AS (
+  SELECT g.grp, g.bucket, p.v FROM __grid__ g LEFT JOIN __pb__ p USING (grp, bucket))
+SELECT grp, bucket,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY grp ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_c,
+       v IS NULL AS is_gap
+FROM __j__
+"""
 
 
 def funnel_counts(

@@ -36,7 +36,7 @@ from storm_spark.state import MemoryMapState, ParquetMapState
 from storm_spark.topology import FeederSource, LocalCluster, Topology
 from storm_spark.builder import BasicBolt
 from storm_spark.drpc import BatchBolt
-from storm_spark.functions import dedup, sampling, similarity, text
+from storm_spark.functions import dedup, robust, sampling, similarity, text
 from storm_spark.functions.text import LANG_MARKERS, STOPWORDS_EN, TOKEN_SPLIT_RE
 
 # ---------------------------------------------------------------------------
@@ -1445,6 +1445,29 @@ ORDER BY doc_id
 """
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Weight-biased quota sampling: at most 5 docs per source, preferring
+    long documents (weight = n_chars) via the deterministic rational-key
+    sampler — see functions/sampling.py weighted_sample_k_per_group for the
+    semantics note (u/w key, not ln-based PPS) and the scale shape."""
+    docs = _t(spark, sf_dir, "documents")
+    weighted = docs.withColumn("w", F.greatest("n_chars", F.lit(1)))
+    out = sampling.weighted_sample_k_per_group(
+        weighted, "source", "doc_id", "w", k=5
+    )
+    return out.select("doc_id", "source", F.col("w").cast("bigint").alias("w")).orderBy(
+        "doc_id"
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, source, w FROM (
+  SELECT doc_id, source, CAST(greatest(n_chars, 1) AS BIGINT) AS w FROM documents)
+QUALIFY {sampling.sql_weighted_quota_pred('source', 'doc_id', 'w', 5)}
+ORDER BY doc_id
+"""
+
+
 def q_unigram_surprisal(spark, sf_dir):
     """Mean unigram surprisal per document (cheap LM-quality proxy); see
     functions/text.py unigram_surprisal for the scale shape."""
@@ -2412,6 +2435,38 @@ GROUP BY o_orderpriority
 """
 
 
+def q_outlier_mad(spark, sf_dir):
+    """Robust (median/MAD, Hampel k=3) outlier screen on the events value
+    column, summarized per event_type — see functions/robust.py for the
+    exactness argument (integer cents → every intermediate is an exact
+    binary fraction) and the one-exchange scale shape."""
+    e = _events(spark, sf_dir).withColumn("v_c", cents("value"))
+    flagged = robust.mad_outliers(e, "event_type", "v_c", k=3.0)
+    out_v = F.when(F.col("is_outlier"), F.col("v_c"))
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_outlier").cast("bigint")).cast("bigint").alias("n_outliers"),
+        F.round(F.min("median"), 2).alias("median_c"),
+        F.round(F.min("mad"), 2).alias("mad_c"),
+        F.min(out_v).cast("bigint").alias("min_outlier_c"),
+        F.max(out_v).cast("bigint").alias("max_outlier_c"),
+    )
+
+
+ORACLE_OUTLIER_MAD = f"""
+WITH {robust.sql_mad_ctes('events', 'event_type', SQL_CENTS.format(x='value'), k=3.0)}
+SELECT grp AS event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(MIN(median), 2) AS median_c,
+       round(MIN(mad), 2) AS mad_c,
+       CAST(MIN(CASE WHEN is_outlier THEN val END) AS BIGINT) AS min_outlier_c,
+       CAST(MAX(CASE WHEN is_outlier THEN val END) AS BIGINT) AS max_outlier_c
+FROM __mad__
+GROUP BY grp
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2796,6 +2851,35 @@ FROM j WHERE off <= 12 GROUP BY 1, 2
 """
 
 
+def q_gap_fill(spark, sf_dir):
+    """Regular-grid resample + forward fill (temporal.gap_fill): hourly
+    value totals per event_type, empty hours carrying the last observed
+    total with is_gap=true — integer-only bucketing, see temporal.py for
+    the exactness argument and scale shape."""
+    from storm_spark.functions import temporal
+
+    e = _events(spark, sf_dir).withColumn("v_c", cents("value"))
+    out = temporal.gap_fill(e, "event_type", "ts", "v_c", step_seconds=3600)
+    return out.select(
+        "event_type", "bucket", F.col("value_c").cast("bigint").alias("value_c"), "is_gap"
+    )
+
+
+def _oracle_gap_fill():
+    from storm_spark.functions.temporal import sql_gap_fill
+
+    inner = sql_gap_fill(
+        "events", "event_type", "ts", SQL_CENTS.format(x="value"), step_seconds=3600
+    )
+    return (
+        f"SELECT grp AS event_type, bucket, CAST(value_c AS BIGINT) AS value_c, is_gap "
+        f"FROM ({inner})"
+    )
+
+
+ORACLE_GAP_FILL = _oracle_gap_fill()
+
+
 def q_ann_ivf_trained(spark, sf_dir):
     """IVF ANN probing TRAINED centroids (similarity.kmeans_centroids →
     ivf_topk): the iterative spherical-k-means trainer is deterministic
@@ -2896,9 +2980,9 @@ QUERIES = {
     "linear_drpc": q_linear_drpc,
     "sessionize": q_sessionize,
     "dedup_jaccard_capped": q_dedup_jaccard_capped,
-    "corpus_clean": q_corpus_clean,
-    "dedup_cluster": q_dedup_cluster,
-    "ann_lsh": q_ann_lsh,
+    "outlier_mad": q_outlier_mad,
+    "gap_fill": q_gap_fill,
+    "weighted_sample": q_weighted_sample,
     "ann_ivf": q_ann_ivf,
     "bucketed_join": q_bucketed_join,
     "partition_pruned": q_partition_pruned,
@@ -2969,6 +3053,11 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "minhash_lsh": q_minhash_lsh,
+    # --- rotated out for the r4 robust-stats/resample/weighted-sample gates
+    # (driver-green r1+r2+r3; re-verified locally at sf0.01 this round) ---
+    "corpus_clean": q_corpus_clean,
+    "dedup_cluster": q_dedup_cluster,
+    "ann_lsh": q_ann_lsh,
     "simhash": q_simhash,
     "cosine_topk": q_cosine_topk,
     "text_profile": q_text_profile,
@@ -3060,6 +3149,9 @@ ORACLES = {
     "funnel": ORACLE_FUNNEL,
     "retention": ORACLE_RETENTION,
     "ann_ivf_trained": ORACLE_ANN_IVF_TRAINED,
+    "outlier_mad": ORACLE_OUTLIER_MAD,
+    "gap_fill": ORACLE_GAP_FILL,
+    "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     # approx_distinct / percentile (approx sketch) / multimodal_features:
     # estimator-specific or non-SQL kernels — rows-only checks; exact twins
     # (count_distinct / percentile_exact) are hash-gated

@@ -1,0 +1,61 @@
+"""Robust statistics (functions/robust.py) — median/MAD outlier flagging."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from storm_spark.functions import robust
+
+
+def test_mad_outliers_known_values(spark):
+    # group a: values 1..9 plus a gross outlier 1000
+    #   median(1..9,1000) = 9.5? -> sorted [1..9,1000], n=10, pos=4.5 -> 5.5
+    #   deviations |v-5.5|: [4.5,3.5,2.5,1.5,.5,.5,1.5,2.5,3.5,994.5]
+    #   MAD = median(sorted devs)[.5,.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,994.5]
+    #       -> pos 4.5 between 2.5 and 2.5 = 2.5 ; 3*MAD = 7.5
+    #   outlier: only 1000 (dev 994.5)
+    rows = [("a", float(v)) for v in range(1, 10)] + [("a", 1000.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = robust.mad_outliers(df, "grp", "v", k=3.0).collect()
+    by_v = {r.v: r for r in out}
+    assert by_v[1000.0].median == 5.5
+    assert by_v[1000.0].mad == 2.5
+    assert by_v[1000.0].is_outlier
+    assert sum(r.is_outlier for r in out) == 1
+
+
+def test_mad_outliers_degenerate_zero_mad(spark):
+    # over half the group identical -> MAD = 0 -> any deviation flags
+    rows = [("c", 5.0)] * 6 + [("c", 5.1), ("c", 4.9)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = robust.mad_outliers(df, "grp", "v", k=3.0).collect()
+    assert sum(r.is_outlier for r in out) == 2
+    assert all(r.is_outlier == (r.v != 5.0) for r in out)
+
+
+def test_mad_outliers_naive_model_sweep(spark):
+    # cross-check against a numpy reference on a deterministic long-tail mix
+    import numpy as np
+
+    vals = []
+    for i in range(200):
+        base = (i * 37) % 100
+        spike = 10_000 + i if i % 23 == 0 else 0
+        vals.append(float(base + spike))
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, v double")
+    out = robust.mad_outliers(df, "grp", "v", k=3.0).collect()
+
+    a = np.array(vals)
+    med = np.percentile(a, 50)  # linear interpolation == Spark percentile
+    mad = np.percentile(np.abs(a - med), 50)
+    expect = {v: abs(v - med) > 3.0 * mad for v in vals}
+    for r in out:
+        assert r.is_outlier == expect[r.v], (r.v, med, mad)
+    assert out[0].median == pytest.approx(med)
+    assert out[0].mad == pytest.approx(mad)
+
+
+def test_mad_outliers_single_exchange_plan(spark):
+    # both window medians share one partitioning: exactly ONE exchange
+    df = spark.createDataFrame([("g", 1.0), ("g", 2.0)], "grp string, v double")
+    plan = robust.mad_outliers(df, "grp", "v")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan

@@ -276,3 +276,53 @@ def test_mixture_weights_rejects_oversubscribed_targets(spark):
         sampling.mixture_weights(df, "src", "mass", {"a": 0.8, "b": 0.4})
     with pytest.raises(ValueError, match="non-negative"):
         sampling.mixture_weights(df, "src", "mass", {"a": -0.1})
+
+
+def test_weighted_sample_quota_weights_and_stability(spark):
+    from collections import Counter
+
+    from storm_spark.functions.sampling import weighted_sample_k_per_group
+
+    # weight 1 for most rows, huge weight for ids with i%20 in {0,1} — ten
+    # heavy ids in each parity group; their priority u/w shrinks ~1e6x, so
+    # they must fill every kept slot
+    rows = [(i, "g%d" % (i % 2), 1_000_000 if i % 20 in (0, 1) else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, grp string, w bigint")
+    out = weighted_sample_k_per_group(df, "grp", "doc_id", "w", k=5)
+    got = [(r.doc_id, r.grp) for r in out.collect()]
+    per_group = Counter(g for _, g in got)
+    assert per_group == {"g0": 5, "g1": 5}
+    heavy = sum(1 for i, _ in got if i % 20 in (0, 1))
+    assert heavy == 10  # 10 heavy ids per group >= k -> all kept slots heavy
+    # determinism
+    again = [(r.doc_id, r.grp) for r in weighted_sample_k_per_group(
+        df, "grp", "doc_id", "w", k=5).collect()]
+    assert sorted(got) == sorted(again)
+    # growth stability: new heavier competitors only ever EVICT rows — the
+    # grown corpus' kept set restricted to old ids is a subset of the old set
+    grown = spark.createDataFrame(
+        rows + [(i, "g%d" % (i % 2), 1_000_000) for i in range(200, 240)],
+        "doc_id bigint, grp string, w bigint",
+    )
+    kept_grown = {(r.doc_id, r.grp) for r in weighted_sample_k_per_group(
+        grown, "grp", "doc_id", "w", k=5).collect()}
+    assert {t for t in kept_grown if t[0] < 200} <= set(got)
+
+
+def test_weighted_sample_equal_weights_is_biased_uniform(spark):
+    """With all weights equal the rational key reduces to u/const — the kept
+    set must be EXACTLY the unweighted hash-uniform choice on u."""
+    from storm_spark.functions.sampling import weighted_sample_k_per_group
+
+    rows = [(i, "g", 7) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id bigint, grp string, w bigint")
+    kept = sorted(r.doc_id for r in weighted_sample_k_per_group(
+        df, "grp", "doc_id", "w", k=8).collect())
+    # reference: smallest-u ids under the same salt/hash construction
+    import hashlib
+
+    def u(i):
+        return int(hashlib.md5(f"wsample\x00{i}".encode()).hexdigest()[:15], 16)
+
+    expect = sorted(sorted(range(50), key=lambda i: (u(i), i))[:8])
+    assert kept == expect

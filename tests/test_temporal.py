@@ -355,3 +355,57 @@ def test_funnel_null_timestamps_never_qualify(spark):
            funnel_counts(df, "user_id", "ts", "event_type", ["view", "click", "purchase"]).collect()}
     # u1 reaches only step 1 (the 11:00 view); u2 completes all three
     assert out == {1: 2, 2: 1, 3: 1}
+
+
+def test_gap_fill_grid_and_forward_fill(spark):
+    """Dense grid from first to last bucket per group; holes carry the last
+    observed value with is_gap=true; bucket sums aggregate within-bucket."""
+    from datetime import datetime
+
+    from storm_spark.functions.temporal import gap_fill
+
+    T = datetime
+    rows = [
+        # group g: events in hours 0, 0 (same bucket), 3 — holes at 1, 2
+        ("g", T(2024, 1, 1, 0, 10), 5.0),
+        ("g", T(2024, 1, 1, 0, 50), 7.0),
+        ("g", T(2024, 1, 1, 3, 0), 11.0),
+        # group h: single bucket -> single-row grid, no gaps
+        ("h", T(2024, 1, 2, 6, 30), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, ts timestamp, v double")
+    out = {
+        (r.grp, r.bucket): (r.value_c, r.is_gap)
+        for r in gap_fill(df, "grp", "ts", "v", step_seconds=3600).collect()
+    }
+    h0 = int(T(2024, 1, 1, 0, 0).timestamp())  # conftest pins session TZ UTC
+    assert out[("g", h0)] == (12.0, False)
+    assert out[("g", h0 + 3600)] == (12.0, True)
+    assert out[("g", h0 + 7200)] == (12.0, True)
+    assert out[("g", h0 + 10800)] == (11.0, False)
+    hh = int(T(2024, 1, 2, 6, 0).timestamp())
+    assert out[("h", hh)] == (2.0, False)
+    assert len(out) == 5
+
+
+def test_gap_fill_never_leaks_across_groups(spark):
+    """Forward fill is per-group: a hole in one group must not read another
+    group's value even when buckets interleave."""
+    from datetime import datetime
+
+    from storm_spark.functions.temporal import gap_fill
+
+    T = datetime
+    rows = [
+        ("a", T(2024, 1, 1, 0), 1.0),
+        ("b", T(2024, 1, 1, 1), 100.0),
+        ("a", T(2024, 1, 1, 2), 3.0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, ts timestamp, v double")
+    out = {
+        (r.grp, r.bucket): (r.value_c, r.is_gap)
+        for r in gap_fill(df, "grp", "ts", "v", step_seconds=3600).collect()
+    }
+    h0 = int(T(2024, 1, 1, 0).timestamp())
+    assert out[("a", h0 + 3600)] == (1.0, True)  # filled from a's hour 0, not b's 100
+    assert len([k for k in out if k[0] == "b"]) == 1
