@@ -69,6 +69,7 @@ HEADLINE = [
     "outlier_mad",
     "gap_fill",
     "weighted_sample",
+    "prototype_prune",
 ]
 
 

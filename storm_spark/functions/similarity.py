@@ -523,6 +523,91 @@ def embedding_near_dup_pairs(
     return sim.filter(F.col("cos_sim") >= threshold).select("id_a", "id_b", "cos_sim")
 
 
+def _assign_cells(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int,
+    centroids: DataFrame | None,
+) -> DataFrame:
+    """Nearest-centroid cell assignment shared by :func:`semantic_dedup`
+    and :func:`prototype_prune` — cosine argmax with centroid-id tie-break
+    (the measured broadcast-crossJoin + window argmax shape; see
+    ivf_topk's in-code note). Default centroids are the ``n_clusters``
+    smallest-id corpus vectors (deterministic and SQL-twinnable).
+
+    Returns ``(__id__, __cv__, __cc__, __cell__)`` — ``__cc__`` is the
+    cosine to the WINNING centroid (the prototypicality score).
+    """
+    cents = (
+        centroids
+        if centroids is not None
+        else corpus.orderBy(F.col(id_col).asc())
+        .limit(n_clusters)
+        .select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).cast("array<double>").alias("__cent__"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("__id__"), F.col(vec_col).cast("array<double>").alias("__cv__")
+    )
+    w_assign = Window.partitionBy("__id__").orderBy(F.col("__cc__").desc(), F.col("cent_id").asc())
+    return (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("__cc__", _cos(F.col("__cv__"), F.col("__cent__")))
+        .withColumn("__r__", F.row_number().over(w_assign))
+        .filter(F.col("__r__") == 1)
+        .select("__id__", "__cv__", "__cc__", F.col("cent_id").alias("__cell__"))
+    )
+
+
+def prototype_prune(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    drop_frac: float = 0.25,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Prototype-based data pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws"): score each example by its cosine to its cluster
+    centroid — its PROTOTYPICALITY — and drop the most prototypical
+    ``drop_frac`` of every cluster. In the abundant-data regime the easy,
+    redundant examples near a cluster core teach the least; keeping the
+    hard tail prunes the corpus with the least information loss.
+
+    Returns the survivors as ``(id_col, cell, proto, rank, n_cell)`` —
+    ``proto`` is the 6-rounded cosine to the centroid, ``rank`` the 1-based
+    prototypicality rank within the cell (1 = most prototypical, dropped
+    first), ``n_cell`` the pre-prune cell size. The cut is
+    ``rank > floor(drop_frac × n_cell)`` — exact integer arithmetic, and
+    ranking orders by the ROUNDED score with an id tie-break, so the kept
+    set is engine-portable (raw double ordering can differ by ulps).
+
+    Scale shape: centroids broadcast; ONE corpus shuffle on cell id for the
+    rank window (compare semantic_dedup's within-cell self-join — pruning
+    is rank-based, so there is NO quadratic term at any cell occupancy).
+    Pass ``centroids=kmeans_centroids(...)`` for trained cells: better
+    cores, identical plan shape.
+    """
+    if not 0.0 <= drop_frac < 1.0:
+        raise ValueError(f"drop_frac must be in [0, 1), got {drop_frac}")
+    assigned = _assign_cells(corpus, id_col, vec_col, n_clusters, centroids)
+    proto = F.round(F.col("__cc__"), 6)
+    w_rank = Window.partitionBy("__cell__").orderBy(proto.desc(), F.col("__id__").asc())
+    w_cell = Window.partitionBy("__cell__")
+    ranked = assigned.select(
+        F.col("__id__").alias(id_col),
+        F.col("__cell__").cast("bigint").alias("cell"),
+        proto.alias("proto"),
+        F.row_number().over(w_rank).cast("bigint").alias("rank"),
+        F.count(F.lit(1)).over(w_cell).alias("n_cell"),
+    )
+    cut = F.floor(F.lit(drop_frac) * F.col("n_cell"))
+    return ranked.filter(F.col("rank") > cut)
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -550,29 +635,7 @@ def semantic_dedup(
     ``n_clusters`` must grow with the corpus (the paper uses ~sqrt(n)) to
     hold cell occupancy flat; trained centroids keep cells balanced.
     """
-    cents = (
-        centroids
-        if centroids is not None
-        else corpus.orderBy(F.col(id_col).asc())
-        .limit(n_clusters)
-        .select(
-            F.col(id_col).alias("cent_id"),
-            F.col(vec_col).cast("array<double>").alias("__cent__"),
-        )
-    )
-    c = corpus.select(
-        F.col(id_col).alias("__id__"), F.col(vec_col).cast("array<double>").alias("__cv__")
-    )
-    # nearest centroid by cosine, centroid-id tie-break (the measured
-    # broadcast-crossJoin + window argmax shape — see ivf_topk's note)
-    w_assign = Window.partitionBy("__id__").orderBy(F.col("__cc__").desc(), F.col("cent_id").asc())
-    assigned = (
-        c.crossJoin(F.broadcast(cents))
-        .withColumn("__cc__", _cos(F.col("__cv__"), F.col("__cent__")))
-        .withColumn("__r__", F.row_number().over(w_assign))
-        .filter(F.col("__r__") == 1)
-        .select("__id__", "__cv__", F.col("cent_id").alias("__cell__"))
-    )
+    assigned = _assign_cells(corpus, id_col, vec_col, n_clusters, centroids).drop("__cc__")
     assigned = assigned.persist()
     slim = assigned.select("__id__", "__cell__")
     cand = (

@@ -2229,6 +2229,41 @@ FROM assigned WHERE vec_id NOT IN (SELECT vec_id FROM losers)
 ORACLE_SEMANTIC_DEDUP = _oracle_semantic_dedup()
 
 
+def q_prototype_prune(spark, sf_dir):
+    """Prototype-based pruning (Sorscher et al. 2022): drop the 25% most
+    prototypical (closest-to-centroid) vectors of every cluster, keeping
+    the hard tail — see functions/similarity.py prototype_prune for the
+    rank-based (no quadratic term) scale shape."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.prototype_prune(
+        emb, "vec_id", "embedding", n_clusters=16, drop_frac=0.25
+    )
+
+
+def _oracle_prototype_prune(n_clusters=16, drop_frac=0.25):
+    cos_cc = SQL_COS.format(a="c.vv", b="t.vv")
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, vv FROM v ORDER BY vec_id ASC LIMIT {n_clusters}),
+assigned AS (
+  SELECT vec_id, cc, cell FROM (
+    SELECT c.vec_id, {cos_cc} AS cc, t.cent_id AS cell,
+           row_number() OVER (PARTITION BY c.vec_id ORDER BY {cos_cc} DESC, t.cent_id ASC) AS r
+    FROM v c CROSS JOIN cents t) WHERE r = 1),
+ranked AS (
+  SELECT vec_id, CAST(cell AS BIGINT) AS cell, round(cc, 6) AS proto,
+         CAST(row_number() OVER (
+           PARTITION BY cell ORDER BY round(cc, 6) DESC, vec_id ASC) AS BIGINT) AS rank,
+         COUNT(*) OVER (PARTITION BY cell) AS n_cell
+  FROM assigned)
+SELECT vec_id, cell, proto, rank, n_cell
+FROM ranked WHERE rank > floor({drop_frac} * n_cell)
+"""
+
+
+ORACLE_PROTOTYPE_PRUNE = _oracle_prototype_prune()
+
+
 def q_substring_dedup(spark, sf_dir):
     """Span-level exact-substring duplication inventory (the n-gram
     approximation of Lee et al. 2021 suffix-array dedup): positions whose
@@ -2983,7 +3018,6 @@ QUERIES = {
     "outlier_mad": q_outlier_mad,
     "gap_fill": q_gap_fill,
     "weighted_sample": q_weighted_sample,
-    "ann_ivf": q_ann_ivf,
     "bucketed_join": q_bucketed_join,
     "partition_pruned": q_partition_pruned,
     "bloom_join": q_bloom_join,
@@ -3007,6 +3041,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "salted_groupby": q_salted_groupby,
+    "prototype_prune": q_prototype_prune,
     "semantic_dedup": q_semantic_dedup,
     "substring_dedup": q_substring_dedup,
     "pmi_collocations": q_pmi_collocations,
@@ -3058,6 +3093,7 @@ QUERIES = {
     "corpus_clean": q_corpus_clean,
     "dedup_cluster": q_dedup_cluster,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "simhash": q_simhash,
     "cosine_topk": q_cosine_topk,
     "text_profile": q_text_profile,
@@ -3152,6 +3188,7 @@ ORACLES = {
     "outlier_mad": ORACLE_OUTLIER_MAD,
     "gap_fill": ORACLE_GAP_FILL,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
+    "prototype_prune": ORACLE_PROTOTYPE_PRUNE,
     # approx_distinct / percentile (approx sketch) / multimodal_features:
     # estimator-specific or non-SQL kernels — rows-only checks; exact twins
     # (count_distinct / percentile_exact) are hash-gated

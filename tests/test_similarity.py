@@ -277,3 +277,50 @@ def test_choose_lsh_params_meets_target():
     assert 2.0 ** -planes <= 0.01
     with pytest.raises(ValueError):
         choose_lsh_params(0.999, at_cos=0.2, max_candidate_frac=0.0001, max_tables=2)
+
+
+def test_prototype_prune_keeps_hard_tail(spark):
+    """Per-cluster drop of the most prototypical fraction: with one tight
+    core + one off-axis straggler per cluster, the straggler must survive
+    and the dropped rows must be core members (highest cosine to the
+    centroid = lowest information)."""
+    from storm_spark.functions.similarity import prototype_prune
+
+    # two orthogonal clusters; centroids default to smallest-id vectors so
+    # id 0 anchors cluster A (x-axis) and id 1 anchors cluster B (y-axis)
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    for i in range(2, 10):  # core of A: tiny wiggles around x-axis
+        rows.append((i, [1.0, 0.001 * i, 0.0]))
+    rows.append((20, [0.6, 0.0, 0.8]))  # A's hard straggler
+    for i in range(21, 29):  # core of B
+        rows.append((i, [0.001 * i, 1.0, 0.0]))
+    rows.append((40, [0.0, 0.6, 0.8]))  # B's hard straggler
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = prototype_prune(df, "vec_id", "embedding", n_clusters=2, drop_frac=0.3)
+    kept = {r.vec_id: r for r in out.collect()}
+    # stragglers always survive (their cosine to the centroid is lowest)
+    assert 20 in kept and 40 in kept
+    # drop count per cell = floor(0.3 * 10) = 3 -> 7 survivors per cell
+    from collections import Counter
+
+    per_cell = Counter(r.cell for r in kept.values())
+    assert sorted(per_cell.values()) == [7, 7]
+    # ranks of survivors are the tail ranks 4..10, and n_cell is pre-prune
+    for r in kept.values():
+        assert 3 < r.rank <= 10 and r.n_cell == 10
+    # the stragglers rank dead last in their cells
+    assert kept[20].rank == 10 and kept[40].rank == 10
+
+
+def test_prototype_prune_zero_frac_and_validation(spark):
+    from storm_spark.functions.similarity import prototype_prune
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.9, 0.1])],
+        "vec_id bigint, embedding array<double>",
+    )
+    assert prototype_prune(df, n_clusters=2, drop_frac=0.0).count() == 3
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        prototype_prune(df, n_clusters=2, drop_frac=1.0)
