@@ -1037,7 +1037,13 @@ def q_corpus_clean(spark, sf_dir):
         text.token_count_t(t).alias("n_tokens"),
         text.punct_ratio("text").alias("punct_ratio"),
     )
-    quality = profiled.filter((F.col("n_tokens") >= 20) & (F.col("punct_ratio") <= 0.2))
+    # project text/punct_ratio away once the filter has consumed them: both
+    # downstream stages (fingerprint, shingles) read only the token array,
+    # so the persisted subtree and every exchange carry 3 columns, not 5 —
+    # the raw text column is the widest in the table
+    quality = profiled.filter(
+        (F.col("n_tokens") >= 20) & (F.col("punct_ratio") <= 0.2)
+    ).select("doc_id", "__toks__", "n_tokens")
     # exact feeds both the near-dup index and the final anti-join — persist
     # so the filter+fingerprint subtree runs once
     exact = dedup.dedup_exact(quality, "doc_id", "text", toks_col="__toks__").persist()
