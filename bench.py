@@ -75,6 +75,7 @@ HEADLINE = [
     "gap_fill",
     "weighted_sample",
     "prototype_prune",
+    "multimodal_resize",
 ]
 
 

@@ -165,6 +165,64 @@ def frame_sample(
     return df.mapInPandas(kernel, out_schema)
 
 
+def image_resize(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    out_h: int = 16,
+    out_w: int = 16,
+) -> DataFrame:
+    """Decode + nearest-neighbor resize to ``out_h × out_w`` — the
+    normalize-before-embedding step of an image training pipeline. The
+    decode goes through :func:`_decode_image_stub` (real PIL when
+    importable); the resize itself is REAL integer-index numpy
+    (``src = (dst * src_dim) // dst_dim`` per axis, the classic
+    nearest-neighbor map), so only the codec is stubbed.
+
+    Emits ``(id, src_h, src_w, out_h, out_w, checksum, resized)`` —
+    ``resized`` is the row-major uint8 pixel buffer, ``checksum`` the exact
+    integer sum of resized pixels (with the deterministic fake decode the
+    whole pipeline is pure integer arithmetic on the input bytes, so the
+    checksum has an exact SQL twin — the correctness gate for the
+    plumbing).
+
+    Arrow-batched ``mapInPandas``; size input partitions by payload bytes
+    (:func:`with_byte_budget_partitions`), not row count.
+    """
+    out_schema = (
+        f"{id_col} bigint, src_h int, src_w int, out_h int, out_w int, "
+        "checksum bigint, resized binary"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, shs, sws, csums, bufs = [], [], [], [], []
+            for doc_id, content in zip(pdf[id_col], pdf[content_col]):
+                px = _decode_image_stub(content)
+                sh, sw = px.shape[0], px.shape[1]
+                rows = (np.arange(out_h) * sh) // out_h
+                cols = (np.arange(out_w) * sw) // out_w
+                resized = px[np.ix_(rows, cols)].astype(np.int64)
+                ids.append(doc_id)
+                shs.append(sh)
+                sws.append(sw)
+                csums.append(int(resized.sum()))
+                bufs.append(np.clip(resized, 0, 255).astype(np.uint8).tobytes())
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "src_h": shs,
+                    "src_w": sws,
+                    "out_h": [out_h] * len(ids),
+                    "out_w": [out_w] * len(ids),
+                    "checksum": csums,
+                    "resized": bufs,
+                }
+            )
+
+    return df.mapInPandas(kernel, out_schema)
+
+
 def with_byte_budget_partitions(df: DataFrame, size_col_bytes: str, target_mb: int = 128) -> DataFrame:
     """Repartition a binary-asset table so each partition carries roughly
     ``target_mb`` of payload (sum of ``size_col_bytes``). Uses a running

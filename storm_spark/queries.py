@@ -2563,6 +2563,43 @@ FROM f
 """
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Multimodal decode + nearest-neighbor resize (multimodal.image_resize
+    over document bytes). The deterministic fake decode makes the whole
+    kernel pure integer arithmetic on the input bytes (ASCII text: byte ==
+    char code), so the resize checksum has an exact SQL twin — the gate
+    proves the Arrow plumbing AND the index math, not just row counts."""
+    from storm_spark.functions import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = docs.select("doc_id", F.encode("text", "utf-8").alias("content"))
+    out = multimodal.image_resize(assets, "content", "doc_id", out_h=16, out_w=16)
+    return out.select("doc_id", "src_h", "src_w", "checksum")
+
+
+# the fake decode truncates to 4096 bytes, side = floor(sqrt(n)) (>=1), and
+# nearest-neighbor maps dst (r,c) -> src ((r*side)//16, (c*side)//16); the
+# pixel at (r,c) is byte r*side+c of the truncated buffer (side^2 <= n so
+# np.resize never cycles). Empty docs decode as one zero pixel.
+ORACLE_MULTIMODAL_RESIZE = """
+WITH d AS (SELECT doc_id, text, least(length(text), 4096) AS n FROM documents),
+dims AS (SELECT doc_id, text, n,
+                greatest(CAST(floor(sqrt(n)) AS BIGINT), 1) AS side FROM d),
+px AS (SELECT doc_id, text, n, side, unnest(generate_series(0, 255)) AS i FROM dims),
+val AS (
+  SELECT doc_id, side,
+         CASE WHEN n = 0 THEN 0
+              ELSE ascii(substring(text,
+                     CAST((((i // 16) * side) // 16) * side
+                          + (((i % 16) * side) // 16) AS BIGINT) + 1, 1))
+         END AS v
+  FROM px)
+SELECT doc_id, CAST(MIN(side) AS INT) AS src_h, CAST(MIN(side) AS INT) AS src_w,
+       CAST(SUM(v) AS BIGINT) AS checksum
+FROM val GROUP BY doc_id
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal binary-column pipeline (north star): treat each document's
     bytes as an opaque encoded asset, decode + feature-extract via the
@@ -3012,7 +3049,6 @@ ORACLE_ANN_IVF_TRAINED = _oracle_ann_ivf_trained()
 # this round at sf0.01 AND sf0.001; now at the tail).
 QUERIES = {
     "q1": q1,
-    "state_wordcount": q_state_wordcount,
     "partition_persist": q_partition_persist,
     "state_avg": q_state_avg,
     "streaming_wordcount": q_streaming_wordcount,
@@ -3046,6 +3082,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_resize": q_multimodal_resize,
     "salted_groupby": q_salted_groupby,
     "prototype_prune": q_prototype_prune,
     "semantic_dedup": q_semantic_dedup,
@@ -3064,6 +3101,7 @@ QUERIES = {
     # --- past the driver's 50-row sample window (long-green r1-r3 basics,
     # plus rows-only sketch queries whose driver check is weak anyway) ---
     "wordcount": q_wordcount,
+    "state_wordcount": q_state_wordcount,
     "window_hourly": q_window_hourly,
     "approx_distinct": q_approx_distinct,
     "percentile": q_percentile,
@@ -3195,6 +3233,7 @@ ORACLES = {
     "gap_fill": ORACLE_GAP_FILL,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "prototype_prune": ORACLE_PROTOTYPE_PRUNE,
+    "multimodal_resize": ORACLE_MULTIMODAL_RESIZE,
     # approx_distinct / percentile (approx sketch) / multimodal_features:
     # estimator-specific or non-SQL kernels — rows-only checks; exact twins
     # (count_distinct / percentile_exact) are hash-gated

@@ -70,3 +70,39 @@ def test_audio_features_schema_and_bands(assets):
     # deterministic
     again = {r.doc_id: r for r in multimodal.audio_features(assets).collect()}
     assert got == again
+
+
+def test_image_resize_nearest_neighbor_exact(assets):
+    """The resize is real integer-index math over the stub-decoded pixels —
+    recompute it in numpy per asset and compare buffers byte-for-byte."""
+    import numpy as np
+
+    from storm_spark.functions.multimodal import _decode_image_stub
+
+    out = {r.doc_id: r for r in multimodal.image_resize(
+        assets, "content", "doc_id", out_h=8, out_w=8).collect()}
+    raw = {1: b"\x89PNG" + bytes(range(256)) * 8,
+           2: b"RIFF" + bytes([7] * 5000),
+           3: b"\x00\x00\x01\xba" + bytes([3, 1, 4] * 4000),
+           4: b""}
+    for doc_id, content in raw.items():
+        px = _decode_image_stub(content)
+        sh, sw = px.shape
+        rows = (np.arange(8) * sh) // 8
+        cols = (np.arange(8) * sw) // 8
+        expect = px[np.ix_(rows, cols)].astype(np.int64)
+        r = out[doc_id]
+        assert (r.src_h, r.src_w, r.out_h, r.out_w) == (sh, sw, 8, 8)
+        assert r.checksum == int(expect.sum())
+        assert bytes(r.resized) == np.clip(expect, 0, 255).astype(np.uint8).tobytes()
+    # empty content decodes to a single zero pixel -> all-zero 8x8
+    assert out[4].checksum == 0 and bytes(out[4].resized) == bytes(64)
+
+
+def test_image_resize_upsamples_small_sources(spark):
+    """side < out: nearest-neighbor must repeat source pixels, not crash."""
+    df = spark.createDataFrame([(1, b"abcd")], "doc_id bigint, content binary")
+    r = multimodal.image_resize(df, "content", "doc_id", out_h=4, out_w=4).first()
+    # 4 bytes -> side 2: 2x2 source [[97,98],[99,100]] upsampled 2x each way
+    assert (r.src_h, r.src_w) == (2, 2)
+    assert r.checksum == (97 + 98 + 99 + 100) * 4
