@@ -76,6 +76,8 @@ HEADLINE = [
     "weighted_sample",
     "prototype_prune",
     "multimodal_resize",
+    "winsorize",
+    "profile_table",
 ]
 
 

@@ -10,6 +10,8 @@ expression-first (JVM/codegen), Pandas-UDF only where unavoidable.
 from storm_spark.functions import (
     dedup,
     multimodal,
+    profile,
+    robust,
     sampling,
     search,
     similarity,
@@ -29,4 +31,6 @@ __all__ = [
     "skew",
     "multimodal",
     "temporal",
+    "robust",
+    "profile",
 ]

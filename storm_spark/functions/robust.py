@@ -58,6 +58,52 @@ def mad_outliers(
     return with_mad.withColumn(flag_c, dev > F.lit(float(k)) * F.col(mad_c))
 
 
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column | str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    out_col: str = "winsorized",
+) -> DataFrame:
+    """Append ``out_col`` = the value clipped to its group's
+    ``[lower, upper]`` interpolated percentiles — the transform counterpart
+    of :func:`mad_outliers` (flagging): tail values are pulled to the
+    boundary instead of dropped, preserving row count for downstream
+    aggregates that can't tolerate deletion (the classic pre-aggregation
+    treatment for long-tailed metrics).
+
+    Same single-exchange shape as :func:`mad_outliers`: both percentile
+    bounds are whole-partition window aggregates over one group
+    partitioning; the clip is a map-side ``least/greatest``. With integer-
+    unit inputs the bounds are exact binary fractions (interpolation of
+    integers), so results are engine-portable.
+    """
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(f"need 0 <= lower < upper <= 1, got ({lower}, {upper})")
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    w = Window.partitionBy(group_col)
+    lo = F.percentile(v, float(lower)).over(w)
+    hi = F.percentile(v, float(upper)).over(w)
+    return df.withColumn(out_col, F.least(F.greatest(v.cast("double"), lo), hi))
+
+
+def sql_winsorize_ctes(
+    table: str, group_expr: str, value_expr: str, lower: float = 0.01, upper: float = 0.99
+) -> str:
+    """DuckDB twin of :func:`winsorize` — CTE chain ending in
+    ``__wins__(grp, val, winsorized)``."""
+    return f"""
+__wvals__ AS (SELECT {group_expr} AS grp, {value_expr} AS val FROM {table}),
+__wbnd__ AS (SELECT grp, quantile_cont(val, {float(lower)}) AS lo,
+                    quantile_cont(val, {float(upper)}) AS hi
+             FROM __wvals__ GROUP BY grp),
+__wins__ AS (SELECT v.grp, val,
+                    least(greatest(CAST(val AS DOUBLE), lo), hi) AS winsorized
+             FROM __wvals__ v JOIN __wbnd__ USING (grp))
+"""
+
+
 def sql_mad_ctes(
     table: str, group_expr: str, value_expr: str, k: float = 3.0
 ) -> str:

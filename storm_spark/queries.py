@@ -2494,6 +2494,55 @@ def q_outlier_mad(spark, sf_dir):
     )
 
 
+def q_profile_table(spark, sf_dir):
+    """ANALYZE-style column profile of the events table (profile.
+    profile_columns): per column null count, exact distinct count, typed
+    min/max rendered as strings — one Expand-planned scan; see
+    functions/profile.py for the 100-TB approx_count_distinct note. Float
+    columns are excluded per the module's determinism contract."""
+    from storm_spark.functions import profile
+
+    e = _events(spark, sf_dir)
+    return profile.profile_columns(e, ["event_id", "user_id", "event_type", "props"])
+
+
+def _oracle_profile_table():
+    from storm_spark.functions.profile import sql_profile
+
+    return sql_profile("events", ["event_id", "user_id", "event_type", "props"])
+
+
+ORACLE_PROFILE_TABLE = _oracle_profile_table()
+
+
+def q_winsorize(spark, sf_dir):
+    """Per-group percentile clipping (robust.winsorize, [p5, p95]) on the
+    events value column, summarized per event_type. The summary sums the
+    ROUNDED clipped values as bigint — winsorized doubles carry the
+    interpolated bound's fraction, and a raw double SUM would be partition-
+    order dependent (the integer-cents rule applied post-clip)."""
+    e = _events(spark, sf_dir).withColumn("v_c", cents("value"))
+    wz = robust.winsorize(e, "event_type", "v_c", lower=0.05, upper=0.95)
+    return wz.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round("winsorized").cast("bigint")).cast("bigint").alias("sum_wins_c"),
+        F.sum((F.col("winsorized") != F.col("v_c")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_clipped"),
+    )
+
+
+ORACLE_WINSORIZE = f"""
+WITH {robust.sql_winsorize_ctes('events', 'event_type', SQL_CENTS.format(x='value'), 0.05, 0.95)}
+SELECT grp AS event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(winsorized) AS BIGINT)) AS BIGINT) AS sum_wins_c,
+       CAST(SUM(CASE WHEN winsorized != val THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+FROM __wins__
+GROUP BY grp
+"""
+
+
 ORACLE_OUTLIER_MAD = f"""
 WITH {robust.sql_mad_ctes('events', 'event_type', SQL_CENTS.format(x='value'), k=3.0)}
 SELECT grp AS event_type,
@@ -3051,10 +3100,10 @@ QUERIES = {
     "q1": q1,
     "partition_persist": q_partition_persist,
     "state_avg": q_state_avg,
-    "streaming_wordcount": q_streaming_wordcount,
     "rollup_continuous": q_rollup_continuous,
-    "drpc_state_lookup": q_drpc_state_lookup,
     "linear_drpc": q_linear_drpc,
+    "winsorize": q_winsorize,
+    "profile_table": q_profile_table,
     "sessionize": q_sessionize,
     "dedup_jaccard_capped": q_dedup_jaccard_capped,
     "outlier_mad": q_outlier_mad,
@@ -3102,6 +3151,8 @@ QUERIES = {
     # plus rows-only sketch queries whose driver check is weak anyway) ---
     "wordcount": q_wordcount,
     "state_wordcount": q_state_wordcount,
+    "streaming_wordcount": q_streaming_wordcount,
+    "drpc_state_lookup": q_drpc_state_lookup,
     "window_hourly": q_window_hourly,
     "approx_distinct": q_approx_distinct,
     "percentile": q_percentile,
@@ -3234,6 +3285,8 @@ ORACLES = {
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "prototype_prune": ORACLE_PROTOTYPE_PRUNE,
     "multimodal_resize": ORACLE_MULTIMODAL_RESIZE,
+    "winsorize": ORACLE_WINSORIZE,
+    "profile_table": ORACLE_PROFILE_TABLE,
     # approx_distinct / percentile (approx sketch) / multimodal_features:
     # estimator-specific or non-SQL kernels — rows-only checks; exact twins
     # (count_distinct / percentile_exact) are hash-gated

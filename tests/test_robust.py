@@ -59,3 +59,27 @@ def test_mad_outliers_single_exchange_plan(spark):
     df = spark.createDataFrame([("g", 1.0), ("g", 2.0)], "grp string, v double")
     plan = robust.mad_outliers(df, "grp", "v")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_winsorize_known_bounds(spark):
+    # values 0..10: p10 = 1.0, p90 = 9.0 (pos = p*(n-1) interpolation)
+    rows = [("g", float(v)) for v in range(11)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = {r.v: r.winsorized for r in
+           robust.winsorize(df, "grp", "v", lower=0.1, upper=0.9).collect()}
+    assert out[0.0] == 1.0 and out[10.0] == 9.0  # tails clipped to bounds
+    for v in range(1, 10):
+        assert out[float(v)] == float(v)  # interior untouched
+    # row count preserved (the transform-not-delete contract)
+    assert robust.winsorize(df, "grp", "v").count() == 11
+
+
+def test_winsorize_validation_and_plan(spark):
+    import pytest as _pt
+
+    df = spark.createDataFrame([("g", 1.0)], "grp string, v double")
+    with _pt.raises(ValueError):
+        robust.winsorize(df, "grp", "v", lower=0.5, upper=0.5)
+    # both bounds share one partitioning: exactly ONE exchange
+    plan = robust.winsorize(df, "grp", "v")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
