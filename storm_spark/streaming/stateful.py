@@ -140,6 +140,63 @@ def stateful_sessionize(
     )
 
 
+def stateful_gap_fill(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """In-stream twin of ``functions.temporal.gap_fill``: per key, emit one
+    row per ``step_seconds`` bucket from the bucket after the last emitted
+    one through the batch's max bucket, forward-filling the last observed
+    per-bucket SUM across empty buckets — a time-series regularizer that
+    never re-emits history (each bucket exactly once, state is just
+    ``(last_bucket, last_value)`` per key).
+
+    Contract: per-key buckets must be non-decreasing ACROSS batches (pair
+    with a watermark and an event-time-ordered source, as the batch twin's
+    grid is ordered by construction); a late row landing in an
+    already-emitted bucket is dropped — the bucket's row is immutable once
+    emitted. Within a batch, rows may arrive in any order.
+
+    Scale: state is two scalars per key in the state store; emissions per
+    batch are bounded by the key's bucket span, not its row count.
+    """
+    import pickle
+
+    def fn(key, pdfs, state: GroupState):
+        sums: dict = {}
+        for pdf in pdfs:
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                b = (int(ts.timestamp()) // step_seconds) * step_seconds
+                sums[b] = sums.get(b, 0.0) + float(v)
+        last_b, last_v = pickle.loads(state.get[0]) if state.exists else (None, None)
+        live = {b: v for b, v in sums.items() if last_b is None or b > last_b}
+        if not live:
+            yield pd.DataFrame([], columns=[key_col, "bucket", "value", "is_gap"])
+            return
+        start = min(live) if last_b is None else last_b + step_seconds
+        maxb = max(live)
+        cur, rows = last_v, []
+        for b in range(start, maxb + step_seconds, step_seconds):
+            if b in live:
+                cur, gap = live[b], False
+            else:
+                gap = True
+            rows.append({key_col: key[0], "bucket": b, "value": cur, "is_gap": gap})
+        state.update((pickle.dumps((maxb, cur)),))
+        yield pd.DataFrame(rows)
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=f"{key_col} string, bucket long, value double, is_gap boolean",
+        stateStructType="state binary",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_word_counts(stream_df: DataFrame, word_col: str = "word") -> DataFrame:
     """The reference's canonical streaming word count as an in-stream
     stateful op: emits (word, count) with the cumulative count every time a

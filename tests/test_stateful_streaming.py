@@ -97,3 +97,65 @@ def test_stateful_sessionize_closes_on_watermark(spark, tmp_path):
 
     closed = [(r.user, r.n_events) for r in rows]
     assert ("u1", 2) in closed
+
+
+def test_stateful_gap_fill_across_batches(spark, tmp_path):
+    """Streaming forward-fill: batch 2's emissions must bridge the gap from
+    batch 1's last bucket, carrying batch 1's value — and already-emitted
+    buckets never re-emit."""
+    from datetime import datetime
+
+    from storm_spark.streaming.stateful import stateful_gap_fill
+
+    indir = tmp_path / "in"
+    ckpt = tmp_path / "ckpt"
+    os.makedirs(indir)
+    T = datetime
+    schema = "key string, ts timestamp, v double"
+    b1 = spark.createDataFrame(
+        [("g", T(2024, 1, 1, 0, 15), 5.0), ("g", T(2024, 1, 1, 2, 0), 7.0)], schema
+    )
+    b2 = spark.createDataFrame([("g", T(2024, 1, 1, 5, 30), 11.0)], schema)
+    b1.coalesce(1).write.mode("overwrite").parquet(str(indir / "b1"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{indir}/*")
+    )
+    out = stateful_gap_fill(stream, "key", "ts", "v", step_seconds=3600)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("gapfill_stream")
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        h0 = int(T(2024, 1, 1, 0).timestamp())
+        got1 = {
+            r.bucket: (r.value, r.is_gap)
+            for r in spark.sql("select * from gapfill_stream").collect()
+        }
+        # batch 1: hours 0 (5.0), 1 (gap -> 5.0), 2 (7.0)
+        assert got1 == {
+            h0: (5.0, False),
+            h0 + 3600: (5.0, True),
+            h0 + 7200: (7.0, False),
+        }
+        b2.coalesce(1).write.mode("overwrite").parquet(str(indir / "b2"))
+        q.processAllAvailable()
+        rows = spark.sql("select * from gapfill_stream").collect()
+    finally:
+        q.stop()
+    got = {}
+    for r in rows:
+        got.setdefault(r.bucket, []).append((r.value, r.is_gap))
+    # every bucket emitted exactly once across both epochs
+    assert all(len(v) == 1 for v in got.values()), got
+    # batch 2 bridged hours 3, 4 with batch 1's last value, then hour 5
+    assert got[h0 + 10800] == [(7.0, True)]
+    assert got[h0 + 14400] == [(7.0, True)]
+    assert got[h0 + 18000] == [(11.0, False)]
+    assert len(got) == 6
