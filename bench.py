@@ -16,7 +16,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-# 80g (measured vs 48g over the full 51-query suite): text-heavy queries
+# 80g (measured vs 48g over full-suite runs — 50 queries at 48g, 51 at
+# 80g, the catalog grew between runs): text-heavy queries
 # stop billing each other's old-gen garbage — corpus_clean 6.2→4.9 s,
 # pmi_collocations 0.67×, ann_lsh 0.76×, suite total −3 s; sub-second
 # queries wiggle both ways within run noise. Headroom still leaves ~45 GiB

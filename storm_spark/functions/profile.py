@@ -29,10 +29,9 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     max_val)`` — ``n_distinct`` excludes NULLs; min/max are cast to string
     after the typed aggregate (so numeric ordering, not lexicographic)."""
     cols = cols or df.columns
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("__n__")]  # total rows: ONE shared measure
     for c in cols:
         aggs += [
-            F.count(F.lit(1)).alias(f"__n_{c}"),
             F.count(F.col(c)).alias(f"__nn_{c}"),
             F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
             F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
@@ -40,7 +39,7 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         ]
     wide = df.agg(*aggs)
     stack = ", ".join(
-        f"'{c}', __n_{c} - __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+        f"'{c}', __n__ - __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
     )
     return wide.selectExpr(
         f"stack({len(cols)}, {stack}) AS "

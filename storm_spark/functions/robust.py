@@ -85,7 +85,11 @@ def winsorize(
     w = Window.partitionBy(group_col)
     lo = F.percentile(v, float(lower)).over(w)
     hi = F.percentile(v, float(upper)).over(w)
-    return df.withColumn(out_col, F.least(F.greatest(v.cast("double"), lo), hi))
+    # least/greatest SKIP nulls in both engines, which would silently
+    # rewrite a missing measurement as the group's lower bound — a NULL
+    # value must stay NULL through the transform
+    clipped = F.least(F.greatest(v.cast("double"), lo), hi)
+    return df.withColumn(out_col, F.when(v.isNotNull(), clipped))
 
 
 def sql_winsorize_ctes(
@@ -99,7 +103,9 @@ __wbnd__ AS (SELECT grp, quantile_cont(val, {float(lower)}) AS lo,
                     quantile_cont(val, {float(upper)}) AS hi
              FROM __wvals__ GROUP BY grp),
 __wins__ AS (SELECT v.grp, val,
-                    least(greatest(CAST(val AS DOUBLE), lo), hi) AS winsorized
+                    CASE WHEN val IS NULL THEN NULL
+                         ELSE least(greatest(CAST(val AS DOUBLE), lo), hi)
+                    END AS winsorized
              FROM __wvals__ v JOIN __wbnd__ USING (grp))
 """
 

@@ -179,6 +179,13 @@ def weighted_sample_k_per_group(
     partition pre-trims to ``k`` rows before the exchange.
     """
     w_col = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    # rows with NULL or non-positive weight are EXCLUDED, not ranked: u/w
+    # would be NULL (div-by-zero) or negative, and NULL ordering differs
+    # between engines (Spark windows sort NULLS FIRST asc, DuckDB NULLS
+    # LAST) — and a zero-weight row has zero selection mass in any
+    # weight-proportional scheme anyway. The SQL twin must pre-filter the
+    # same way (the gate query guards with greatest(w, 1)).
+    eligible = df.filter(w_col.isNotNull() & (w_col > 0))
     u = F.conv(
         F.substring(
             F.md5(F.concat_ws("\x00", F.lit(salt), F.col(id_col).cast("string"))), 1, 15
@@ -189,7 +196,7 @@ def weighted_sample_k_per_group(
     priority = u.cast("double") / w_col.cast("double")
     w = Window.partitionBy(group_col).orderBy(priority.asc(), F.col(id_col).asc())
     return (
-        df.withColumn("__wrk__", F.row_number().over(w))
+        eligible.withColumn("__wrk__", F.row_number().over(w))
         .filter(F.col("__wrk__") <= k)
         .drop("__wrk__")
     )
@@ -198,7 +205,9 @@ def weighted_sample_k_per_group(
 def sql_weighted_quota_pred(
     group_expr: str, id_expr: str, weight_expr: str, k: int, salt: str = "wsample"
 ) -> str:
-    """DuckDB twin of :func:`weighted_sample_k_per_group` (QUALIFY pred)."""
+    """DuckDB twin of :func:`weighted_sample_k_per_group` (QUALIFY pred).
+    Callers must pre-filter ``weight_expr`` to positive non-NULL values —
+    the Spark side excludes those rows before ranking."""
     u = (
         f"('0x' || substr(md5('{salt}' || chr(0) || CAST({id_expr} AS VARCHAR)), 1, 15))"
         f"::BIGINT"

@@ -282,8 +282,18 @@ def gap_fill(
 def sql_gap_fill(
     table: str, group_expr: str, ts_expr: str, value_expr: str, step_seconds: int = 3600
 ) -> str:
-    """DuckDB twin of :func:`gap_fill` (full SELECT)."""
-    b = f"((epoch_us(CAST({ts_expr} AS TIMESTAMP)) // 1000000) // {step_seconds}) * {step_seconds}"
+    """DuckDB twin of :func:`gap_fill` (full SELECT).
+
+    Bucketing FLOORS like the Spark side (``secs - pmod(secs, step)``) —
+    DuckDB's integer ``//`` truncates toward zero, which would diverge for
+    pre-1970 (negative-epoch) timestamps, so the twin floors via double
+    division (exact here: |secs| < 2^53 and any non-multiple's fractional
+    part ≥ 1/step, far above the quotient's ulp)."""
+    secs = f"(epoch_us(CAST({ts_expr} AS TIMESTAMP)) // 1000000)"
+    b = (
+        f"CAST(floor(CAST({secs} AS DOUBLE) / {step_seconds}) AS BIGINT)"
+        f" * {step_seconds}"
+    )
     return f"""
 WITH __pb__ AS (
   SELECT {group_expr} AS grp, {b} AS bucket, SUM({value_expr}) AS v

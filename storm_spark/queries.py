@@ -2263,7 +2263,7 @@ ranked AS (
          COUNT(*) OVER (PARTITION BY cell) AS n_cell
   FROM assigned)
 SELECT vec_id, cell, proto, rank, n_cell
-FROM ranked WHERE rank > floor({drop_frac} * n_cell)
+FROM ranked WHERE rank > floor(CAST({drop_frac} AS DOUBLE) * n_cell)
 """
 
 

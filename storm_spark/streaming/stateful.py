@@ -169,6 +169,10 @@ def stateful_gap_fill(
         sums: dict = {}
         for pdf in pdfs:
             for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                if pd.isna(ts):
+                    # match the batch twin: a NULL-ts row contributes to no
+                    # bucket (NaT.timestamp() would kill the query)
+                    continue
                 b = (int(ts.timestamp()) // step_seconds) * step_seconds
                 sums[b] = sums.get(b, 0.0) + float(v)
         last_b, last_v = pickle.loads(state.get[0]) if state.exists else (None, None)
@@ -188,9 +192,12 @@ def stateful_gap_fill(
         state.update((pickle.dumps((maxb, cur)),))
         yield pd.DataFrame(rows)
 
+    # preserve the key column's real type (a bigint user id must not be
+    # declared string — Arrow would reject the kernel's output)
+    ktype = stream_df.schema[key_col].dataType.simpleString()
     return stream_df.groupBy(key_col).applyInPandasWithState(
         fn,
-        outputStructType=f"{key_col} string, bucket long, value double, is_gap boolean",
+        outputStructType=f"{key_col} {ktype}, bucket long, value double, is_gap boolean",
         stateStructType="state binary",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -83,3 +83,16 @@ def test_winsorize_validation_and_plan(spark):
     # both bounds share one partitioning: exactly ONE exchange
     plan = robust.winsorize(df, "grp", "v")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_winsorize_preserves_nulls(spark):
+    """A NULL value must stay NULL — least/greatest skip nulls in both
+    engines, which would silently rewrite missing data as the lower bound."""
+    rows = [("g", float(v)) for v in range(11)] + [("g", None)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = robust.winsorize(df, "grp", "v", lower=0.1, upper=0.9).collect()
+    nulls = [r for r in out if r.v is None]
+    assert len(nulls) == 1 and nulls[0].winsorized is None
+    # bounds unaffected by the NULL row (percentile ignores nulls)
+    by_v = {r.v: r.winsorized for r in out if r.v is not None}
+    assert by_v[0.0] == 1.0 and by_v[10.0] == 9.0

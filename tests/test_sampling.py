@@ -326,3 +326,16 @@ def test_weighted_sample_equal_weights_is_biased_uniform(spark):
 
     expect = sorted(sorted(range(50), key=lambda i: (u(i), i))[:8])
     assert kept == expect
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    """Zero/NULL/negative weights must be EXCLUDED, not ranked — u/w would
+    be NULL or negative, NULL ordering differs between engines, and a
+    zero-weight row has no selection mass in any weight-biased scheme."""
+    from storm_spark.functions.sampling import weighted_sample_k_per_group
+
+    rows = [(1, "g", 5), (2, "g", 0), (3, "g", None), (4, "g", -2), (5, "g", 1)]
+    df = spark.createDataFrame(rows, "doc_id bigint, grp string, w bigint")
+    kept = sorted(r.doc_id for r in weighted_sample_k_per_group(
+        df, "grp", "doc_id", "w", k=4).collect())
+    assert kept == [1, 5]  # only the positive-weight rows are eligible
