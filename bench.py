@@ -79,6 +79,8 @@ HEADLINE = [
     "multimodal_resize",
     "winsorize",
     "profile_table",
+    "corpus_diff",
+    "event_transitions",
 ]
 
 

@@ -32,6 +32,41 @@ _DEFAULT_SHINGLE_CAP = object()
 _warned_default_cap = False
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — the dataset-versioning
+    report a training pipeline runs before re-training: which documents
+    were ``added``, ``removed``, or ``changed`` (same id, different
+    normalized-text fingerprint). Unchanged documents are EXCLUDED — at
+    corpus scale they are the overwhelming majority and emitting them would
+    make the diff as big as the corpus.
+
+    Returns ``(id_col, status)`` with status ∈ {added, removed, changed}.
+
+    Scale shape: each side collapses to (id, md5 fingerprint) before the
+    join — 2 thin columns per row, never the text; one full-outer
+    hash join on the id. Output size tracks the CHANGE volume, not the
+    corpus.
+    """
+    o = old.select(F.col(id_col), fingerprint(text_col).alias("__ofp__"))
+    n = new.select(F.col(id_col), fingerprint(text_col).alias("__nfp__"))
+    j = o.join(n, on=id_col, how="full_outer")
+    status = (
+        F.when(F.col("__ofp__").isNull(), "added")
+        .when(F.col("__nfp__").isNull(), "removed")
+        .when(F.col("__ofp__") != F.col("__nfp__"), "changed")
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(id_col, "status")
+    )
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of byte-identical (normalized) docs: one row per duplicate
     group → (keep_id, n_dups). Groups of size 1 are *not* returned."""

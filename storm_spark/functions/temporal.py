@@ -312,6 +312,37 @@ FROM __j__
 """
 
 
+def event_transitions(
+    df: DataFrame,
+    key_col: str,
+    type_col: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """First-order Markov transition counts: ``(from_type, to_type, n)``
+    over each key's ordered event sequence — the behavioral-model /
+    next-event-prediction input. A key's first event has no predecessor and
+    contributes nothing.
+
+    ``order_cols`` must make the per-key order total (e.g. ``[ts,
+    event_id]``) — ties would make lag() nondeterministic across engines.
+
+    Scale shape: one key-keyed exchange for the lag window (each key's
+    sequence sorts within its partition), then a partial-agg shuffle of
+    (from, to) pairs whose cardinality is |types|² — the classic
+    window-then-tiny-agg plan; no self-join (a ts-based self-join would be
+    O(events × avg-run-length)).
+    """
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    prev = F.lag(F.col(type_col)).over(w)
+    return (
+        df.select(F.col(key_col), F.col(type_col), *[F.col(c) for c in order_cols])
+        .withColumn("from_type", prev)
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col(type_col).alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def funnel_counts(
     df: DataFrame,
     user_col: str,

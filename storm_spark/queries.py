@@ -3007,6 +3007,67 @@ def _oracle_gap_fill():
 ORACLE_GAP_FILL = _oracle_gap_fill()
 
 
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot diff between two corpus versions (dedup.corpus_diff):
+    added/removed/changed by normalized-text fingerprint; unchanged docs
+    excluded (output tracks change volume, not corpus size). Old/new are
+    deterministic slices of the documents table: ids ≡3 (mod 10) exist only
+    in new (added), ≡7 only in old (removed), ids ≡0 (mod 5) present in
+    both get a text mutation in new (changed)."""
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 3)
+    new = docs.filter(F.col("doc_id") % 10 != 7).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" changedmark"))
+        ).otherwise(F.col("text")),
+    )
+    return dedup.corpus_diff(old, new, "doc_id", "text").orderBy("doc_id")
+
+
+ORACLE_CORPUS_DIFF = f"""
+WITH o AS (
+  SELECT doc_id, md5(array_to_string({SQL_TOKS.format(x='text')}, ' ')) AS fp
+  FROM documents WHERE doc_id % 10 != 3),
+n AS (
+  SELECT doc_id,
+         md5(array_to_string({SQL_TOKS.format(x="text || CASE WHEN doc_id % 5 = 0 THEN ' changedmark' ELSE '' END")}, ' ')) AS fp
+  FROM documents WHERE doc_id % 10 != 7),
+j AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.fp AS ofp, n.fp AS nfp
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+SELECT doc_id,
+       CASE WHEN ofp IS NULL THEN 'added'
+            WHEN nfp IS NULL THEN 'removed'
+            WHEN ofp != nfp THEN 'changed' END AS status
+FROM j
+WHERE ofp IS NULL OR nfp IS NULL OR ofp != nfp
+ORDER BY doc_id
+"""
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition counts over each user's time-ordered
+    event sequence (temporal.event_transitions) — lag window + tiny agg,
+    no self-join; (ts, event_id) makes the per-user order total."""
+    from storm_spark.functions import temporal
+
+    e = _events(spark, sf_dir)
+    return temporal.event_transitions(e, "user_id", "event_type", ["ts", "event_id"])
+
+
+ORACLE_EVENT_TRANSITIONS = """
+SELECT from_type, to_type, COUNT(*) AS n
+FROM (
+  SELECT lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events)
+WHERE from_type IS NOT NULL
+GROUP BY from_type, to_type
+"""
+
+
 def q_ann_ivf_trained(spark, sf_dir):
     """IVF ANN probing TRAINED centroids (similarity.kmeans_centroids →
     ivf_topk): the iterative spherical-k-means trainer is deterministic
@@ -3100,8 +3161,9 @@ QUERIES = {
     "q1": q1,
     "partition_persist": q_partition_persist,
     "state_avg": q_state_avg,
-    "rollup_continuous": q_rollup_continuous,
     "linear_drpc": q_linear_drpc,
+    "corpus_diff": q_corpus_diff,
+    "event_transitions": q_event_transitions,
     "winsorize": q_winsorize,
     "profile_table": q_profile_table,
     "sessionize": q_sessionize,
@@ -3112,7 +3174,6 @@ QUERIES = {
     "bucketed_join": q_bucketed_join,
     "partition_pruned": q_partition_pruned,
     "bloom_join": q_bloom_join,
-    "decontaminate": q_decontaminate,
     "redact_pii": q_redact_pii,
     "domain_stats": q_domain_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -3150,6 +3211,8 @@ QUERIES = {
     # --- past the driver's 50-row sample window (long-green r1-r3 basics,
     # plus rows-only sketch queries whose driver check is weak anyway) ---
     "wordcount": q_wordcount,
+    "rollup_continuous": q_rollup_continuous,
+    "decontaminate": q_decontaminate,
     "state_wordcount": q_state_wordcount,
     "streaming_wordcount": q_streaming_wordcount,
     "drpc_state_lookup": q_drpc_state_lookup,
@@ -3287,6 +3350,8 @@ ORACLES = {
     "multimodal_resize": ORACLE_MULTIMODAL_RESIZE,
     "winsorize": ORACLE_WINSORIZE,
     "profile_table": ORACLE_PROFILE_TABLE,
+    "corpus_diff": ORACLE_CORPUS_DIFF,
+    "event_transitions": ORACLE_EVENT_TRANSITIONS,
     # approx_distinct / percentile (approx sketch) / multimodal_features:
     # estimator-specific or non-SQL kernels — rows-only checks; exact twins
     # (count_distinct / percentile_exact) are hash-gated

@@ -409,3 +409,30 @@ def test_gap_fill_never_leaks_across_groups(spark):
     h0 = int(T(2024, 1, 1, 0).timestamp())
     assert out[("a", h0 + 3600)] == (1.0, True)  # filled from a's hour 0, not b's 100
     assert len([k for k in out if k[0] == "b"]) == 1
+
+
+def test_event_transitions_counts_and_order(spark):
+    from datetime import datetime
+
+    from storm_spark.functions.temporal import event_transitions
+
+    T = datetime
+    rows = [
+        # u1: a -> b -> a ; u2: b -> b ; u3 single event (no transition)
+        (1, T(2024, 1, 1, 0), 1, "a"), (1, T(2024, 1, 1, 1), 2, "b"),
+        (1, T(2024, 1, 1, 2), 3, "a"),
+        (2, T(2024, 1, 2, 0), 4, "b"), (2, T(2024, 1, 2, 1), 5, "b"),
+        (3, T(2024, 1, 3, 0), 6, "a"),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_id bigint, event_type string")
+    got = {(r.from_type, r.to_type): r.n for r in
+           event_transitions(df, "user_id", "event_type", ["ts", "event_id"]).collect()}
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1}
+    # ties on ts break by event_id: same-ts pair still one deterministic order
+    tied = spark.createDataFrame(
+        [(9, T(2024, 1, 1), 1, "x"), (9, T(2024, 1, 1), 2, "y")],
+        "user_id bigint, ts timestamp, event_id bigint, event_type string",
+    )
+    got2 = {(r.from_type, r.to_type): r.n for r in
+            event_transitions(tied, "user_id", "event_type", ["ts", "event_id"]).collect()}
+    assert got2 == {("x", "y"): 1}

@@ -432,3 +432,29 @@ def test_quality_gate_q_zero_keeps_all_and_validates(spark):
     assert text.quality_gate(df, "text", "lang", q=0.0).count() == 5
     with pytest.raises(ValueError, match="q must be"):
         text.quality_gate(df, "text", "lang", q=1.5)
+
+
+def test_corpus_diff_statuses(spark):
+    from storm_spark.functions.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "epsilon zeta")],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, "gamma delta"), (3, "epsilon zeta CHANGED"), (4, "eta theta")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new, "doc_id", "text").collect()}
+    # 1 removed, 3 changed, 4 added; 2 unchanged -> excluded
+    assert got == {1: "removed", 3: "changed", 4: "added"}
+
+
+def test_corpus_diff_normalization_insensitive(spark):
+    """The fingerprint normalizes (tokens joined) — case/whitespace-only
+    edits are NOT 'changed'."""
+    from storm_spark.functions.dedup import corpus_diff
+
+    old = spark.createDataFrame([(1, "Alpha   Beta")], "doc_id bigint, text string")
+    new = spark.createDataFrame([(1, "alpha beta")], "doc_id bigint, text string")
+    assert corpus_diff(old, new, "doc_id", "text").count() == 0
