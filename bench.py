@@ -81,6 +81,7 @@ HEADLINE = [
     "profile_table",
     "corpus_diff",
     "event_transitions",
+    "ann_rescore",
 ]
 
 

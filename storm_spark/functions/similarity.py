@@ -443,6 +443,75 @@ def dequantized_cosine(qa: Column, qb: Column) -> Column:
     return _cos(qa.cast("array<double>"), qb.cast("array<double>"))
 
 
+def quantized_rescore_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    coarse_m: int = 50,
+    include_self: bool = False,
+) -> DataFrame:
+    """Two-stage ANN with exact re-ranking — the production rescoring
+    pattern: an int8-quantized COARSE scan picks ``coarse_m`` candidates
+    per query, then the exact cosine re-ranks only those to the final
+    ``k``. Returns ``(query_id, neighbor_id, cos_sim, rank)`` like
+    :func:`cosine_topk`, with ``cos_sim`` the EXACT full-precision value.
+
+    Why at scale: the coarse stage streams the 4×-smaller int8 corpus
+    (see :func:`quantize_embeddings`) — at 100 TB of vectors that is the
+    difference between a scan that fits the network budget and one that
+    doesn't — while the exact stage touches only ``|queries| × coarse_m``
+    full-precision rows, fetched by an id hash join. Quantized cosine is
+    within ~1e-2 of exact, so ``coarse_m`` a few multiples of ``k`` buys
+    back effectively all recall (measured in tests/test_similarity.py).
+
+    Fully deterministic (md5-free but float-exact): quantization is one
+    divide + round per component — identical IEEE ops in any engine —
+    and both stages tie-break on neighbor id.
+    """
+    qc = quantize_embeddings(corpus, vec_col, "__q8__")
+    qq = quantize_embeddings(queries, vec_col, "__q8__")
+    q = qq.select(F.col(id_col).alias("query_id"), F.col("__q8__").alias("__qq8__"))
+    c = qc.select(F.col(id_col).alias("neighbor_id"), F.col("__q8__").alias("__cq8__"))
+    pairs = F.broadcast(q).crossJoin(c)
+    if not include_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    coarse_sim = pairs.select(
+        "query_id",
+        "neighbor_id",
+        dequantized_cosine(F.col("__qq8__"), F.col("__cq8__")).alias("__coarse__"),
+    )
+    w_c = Window.partitionBy("query_id").orderBy(
+        F.col("__coarse__").desc(), F.col("neighbor_id").asc()
+    )
+    survivors = (
+        coarse_sim.withColumn("__cr__", F.row_number().over(w_c))
+        .filter(F.col("__cr__") <= coarse_m)
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("__qv__")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv__"),
+    )
+    exact = (
+        survivors.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", _cos(F.col("__qv__"), F.col("__cv__")).alias("cos_sim"))
+    )
+    w_e = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w_e))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -1674,6 +1674,44 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_ann_rescore(spark, sf_dir):
+    """Two-stage ANN (similarity.quantized_rescore_topk): int8-quantized
+    coarse scan → exact re-rank of the coarse_m survivors. Quantization is
+    one divide + round per component (identical IEEE ops in both engines),
+    so even the coarse ranking has an exact SQL twin."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return similarity.quantized_rescore_topk(
+        emb, queries_df, "vec_id", "embedding", k=5, coarse_m=25
+    )
+
+
+def _oracle_ann_rescore(k=5, coarse_m=25):
+    scale = "greatest(list_max(list_transform(vv, y -> abs(y))) / 127.0, 1e-12)"
+    cos_q8 = SQL_COS.format(a="q.q8", b="c.q8")
+    cos_x = SQL_COS.format(a="a.vv", b="b.vv")
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+qz AS (SELECT vec_id, vv, list_transform(vv, x -> round(x / {scale})) AS q8 FROM v),
+q AS (SELECT * FROM qz WHERE vec_id < 20),
+coarse AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos_q8} DESC, c.vec_id ASC) AS cr
+  FROM q CROSS JOIN qz c WHERE q.vec_id <> c.vec_id),
+surv AS (SELECT query_id, neighbor_id FROM coarse WHERE cr <= {coarse_m}),
+exact AS (
+  SELECT sv.query_id, sv.neighbor_id, {cos_x} AS s
+  FROM surv sv JOIN v a ON a.vec_id = sv.query_id JOIN v b ON b.vec_id = sv.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, round(s, 6) AS cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rank
+  FROM exact)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+# NOTE: ORACLE_ANN_RESCORE is materialized after SQL_COS's definition below
+
+
 def q_ann_lsh(spark, sf_dir):
     """Approximate NN via multi-table hyperplane LSH (4 independent 8-plane
     tables, union candidates, exact re-rank; 8 planes quarter the per-table
@@ -2172,6 +2210,8 @@ SQL_COS = (
     "list_inner_product({a}, {b}) / "
     "(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))"
 )
+
+ORACLE_ANN_RESCORE = _oracle_ann_rescore()
 
 
 def _oracle_embedding_near_dup(threshold=0.45, n_planes=8, n_tables=4, dim=64):
@@ -3159,8 +3199,8 @@ ORACLE_ANN_IVF_TRAINED = _oracle_ann_ivf_trained()
 # this round at sf0.01 AND sf0.001; now at the tail).
 QUERIES = {
     "q1": q1,
-    "partition_persist": q_partition_persist,
     "state_avg": q_state_avg,
+    "ann_rescore": q_ann_rescore,
     "linear_drpc": q_linear_drpc,
     "corpus_diff": q_corpus_diff,
     "event_transitions": q_event_transitions,
@@ -3213,6 +3253,7 @@ QUERIES = {
     "wordcount": q_wordcount,
     "rollup_continuous": q_rollup_continuous,
     "decontaminate": q_decontaminate,
+    "partition_persist": q_partition_persist,
     "state_wordcount": q_state_wordcount,
     "streaming_wordcount": q_streaming_wordcount,
     "drpc_state_lookup": q_drpc_state_lookup,
@@ -3352,6 +3393,7 @@ ORACLES = {
     "profile_table": ORACLE_PROFILE_TABLE,
     "corpus_diff": ORACLE_CORPUS_DIFF,
     "event_transitions": ORACLE_EVENT_TRANSITIONS,
+    "ann_rescore": ORACLE_ANN_RESCORE,
     # approx_distinct / percentile (approx sketch) / multimodal_features:
     # estimator-specific or non-SQL kernels — rows-only checks; exact twins
     # (count_distinct / percentile_exact) are hash-gated

@@ -324,3 +324,40 @@ def test_prototype_prune_zero_frac_and_validation(spark):
 
     with _pt.raises(ValueError):
         prototype_prune(df, n_clusters=2, drop_frac=1.0)
+
+
+def test_quantized_rescore_recall_and_exactness(vectors):
+    """Two-stage rescore: (a) returned cos_sim values are the EXACT
+    full-precision cosines (re-rank reads the float column), (b) recall@k
+    vs brute-force is effectively total at coarse_m a few multiples of k —
+    int8 cosine sits within ~1e-2 of exact."""
+    from storm_spark.functions.similarity import cosine_topk, quantized_rescore_topk
+
+    emb = vectors
+    q = emb.filter("vec_id < 10")
+    exact = cosine_topk(emb, q, "vec_id", "embedding", k=5)
+    resc = quantized_rescore_topk(emb, q, "vec_id", "embedding", k=5, coarse_m=25)
+    ex = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact.collect()}
+    rs = {(r.query_id, r.neighbor_id): r.cos_sim for r in resc.collect()}
+    hits = set(ex) & set(rs)
+    recall = len(hits) / len(ex)
+    assert recall >= 0.9, recall
+    # where both agree on the neighbor, the similarity is identical (not
+    # the quantized approximation)
+    for key in hits:
+        assert ex[key] == rs[key]
+
+
+def test_quantized_rescore_coarse_bound(spark):
+    """coarse_m bounds the exact-stage work: with coarse_m < k the final
+    output can never exceed coarse_m rows per query."""
+    from storm_spark.functions.similarity import quantized_rescore_topk
+
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = df.filter("vec_id < 3")
+    out = quantized_rescore_topk(df, q, "vec_id", "embedding", k=10, coarse_m=4)
+    from collections import Counter
+
+    per_q = Counter(r.query_id for r in out.collect())
+    assert all(v == 4 for v in per_q.values()), per_q
