@@ -82,6 +82,7 @@ HEADLINE = [
     "corpus_diff",
     "event_transitions",
     "ann_rescore",
+    "outlier_mad_hist",
 ]
 
 

@@ -58,6 +58,101 @@ def mad_outliers(
     return with_mad.withColumn(flag_c, dev > F.lit(float(k)) * F.col(mad_c))
 
 
+def mad_outliers_histogram(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column | str,
+    k: float = 3.0,
+) -> DataFrame:
+    """The monster-group remedy promised in :func:`mad_outliers`'s
+    docstring, implemented: collapse each group to a ``(value, count)``
+    histogram FIRST (one map-side-combined shuffle — the only pass over
+    raw rows), then read both interpolated medians off cumulative counts.
+    Per-group cost is bounded by DISTINCT values, not rows — a
+    billion-row group with 50k distinct cents costs 50k histogram rows
+    where the window formulation sorts a billion on one reducer.
+
+    Exactness: identical results to :func:`mad_outliers` on integer-unit
+    inputs (same ``pos = 0.5·(n−1)`` interpolation; with integer values
+    the midpoint math is exact binary fractions, so the interpolation
+    grouping can't introduce ulp skew) — the gate query runs against the
+    SAME oracle as the window path.
+
+    Returns one row per group: ``(group_col, n, n_outliers, median, mad,
+    min_outlier, max_outlier)`` — aggregate-level (the histogram can't
+    hand back per-row flags without a re-join; join the output back on
+    ``group_col`` and compare when row flags are needed).
+    """
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).alias("__v__")
+    hist = df.groupBy(F.col(group_col), v).agg(F.count(F.lit(1)).alias("__cnt__"))
+
+    def _median_from(hist_df, grp, val, cnt):
+        w_cum = (
+            Window.partitionBy(grp)
+            .orderBy(val)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        w_all = Window.partitionBy(grp)
+        cum = F.sum(cnt).over(w_cum)
+        n = F.sum(cnt).over(w_all)
+        pos = F.lit(0.5) * (n - F.lit(1)).cast("double")
+        i0 = F.floor(pos)
+        frac = pos - i0
+        h = hist_df.select(
+            F.col(grp),
+            F.col(val),
+            cum.alias("__cum__"),
+            n.alias("__n__"),
+            i0.alias("__i0__"),
+            frac.alias("__frac__"),
+        )
+        v0 = F.min(F.when(F.col("__cum__") >= F.col("__i0__") + 1, F.col(val)))
+        v1 = F.min(F.when(F.col("__cum__") >= F.col("__i0__") + 2, F.col(val)))
+        return h.groupBy(grp).agg(
+            F.max("__n__").alias("__n__"),
+            (
+                F.max(F.col("__frac__"))  # constant per group (function of n)
+                * (F.coalesce(v1, v0) - v0)  # n odd or i0+1 in same bucket
+                + v0
+            ).alias("__med__"),
+        )
+
+    med = _median_from(hist, group_col, "__v__", "__cnt__")
+    dev_hist = (
+        hist.join(med.select(group_col, "__med__"), group_col)
+        .select(
+            F.col(group_col),
+            F.abs(F.col("__v__") - F.col("__med__")).alias("__dev__"),
+            "__cnt__",
+            "__v__",
+        )
+    )
+    dev_agg = dev_hist.groupBy(group_col, "__dev__").agg(F.sum("__cnt__").alias("__cnt__"))
+    mad = _median_from(dev_agg, group_col, "__dev__", "__cnt__").select(
+        F.col(group_col), F.col("__med__").alias("__mad__")
+    )
+    flagged = dev_hist.join(mad, group_col).withColumn(
+        "__out__", F.col("__dev__") > F.lit(float(k)) * F.col("__mad__")
+    )
+    out_v = F.when(F.col("__out__"), F.col("__v__"))
+    return (
+        flagged.groupBy(group_col)
+        .agg(
+            F.sum("__cnt__").cast("bigint").alias("n"),
+            F.sum(F.when(F.col("__out__"), F.col("__cnt__")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.min(out_v).alias("min_outlier"),
+            F.max(out_v).alias("max_outlier"),
+            F.min("__mad__").alias("mad"),
+        )
+        .join(med.select(group_col, F.col("__med__").alias("median")), group_col)
+        .select(
+            group_col, "n", "n_outliers", "median", "mad", "min_outlier", "max_outlier"
+        )
+    )
+
+
 def winsorize(
     df: DataFrame,
     group_col: str,

@@ -2583,6 +2583,25 @@ GROUP BY grp
 """
 
 
+def q_outlier_mad_hist(spark, sf_dir):
+    """The histogram-path twin of q_outlier_mad (robust.
+    mad_outliers_histogram): per-group cost bounded by DISTINCT values,
+    not rows — the monster-group remedy measured against the 64× sweep's
+    window-sort hotspot. Gated against the SAME oracle as the window
+    path, proving the two formulations value-identical."""
+    e = _events(spark, sf_dir).withColumn("v_c", cents("value"))
+    out = robust.mad_outliers_histogram(e, "event_type", "v_c", k=3.0)
+    return out.select(
+        "event_type",
+        "n",
+        "n_outliers",
+        F.round("median", 2).alias("median_c"),
+        F.round("mad", 2).alias("mad_c"),
+        F.col("min_outlier").cast("bigint").alias("min_outlier_c"),
+        F.col("max_outlier").cast("bigint").alias("max_outlier_c"),
+    )
+
+
 ORACLE_OUTLIER_MAD = f"""
 WITH {robust.sql_mad_ctes('events', 'event_type', SQL_CENTS.format(x='value'), k=3.0)}
 SELECT grp AS event_type,
@@ -3207,8 +3226,8 @@ QUERIES = {
     "winsorize": q_winsorize,
     "profile_table": q_profile_table,
     "sessionize": q_sessionize,
-    "dedup_jaccard_capped": q_dedup_jaccard_capped,
     "outlier_mad": q_outlier_mad,
+    "outlier_mad_hist": q_outlier_mad_hist,
     "gap_fill": q_gap_fill,
     "weighted_sample": q_weighted_sample,
     "bucketed_join": q_bucketed_join,
@@ -3254,6 +3273,7 @@ QUERIES = {
     "rollup_continuous": q_rollup_continuous,
     "decontaminate": q_decontaminate,
     "partition_persist": q_partition_persist,
+    "dedup_jaccard_capped": q_dedup_jaccard_capped,
     "state_wordcount": q_state_wordcount,
     "streaming_wordcount": q_streaming_wordcount,
     "drpc_state_lookup": q_drpc_state_lookup,
@@ -3394,6 +3414,9 @@ ORACLES = {
     "corpus_diff": ORACLE_CORPUS_DIFF,
     "event_transitions": ORACLE_EVENT_TRANSITIONS,
     "ann_rescore": ORACLE_ANN_RESCORE,
+    # deliberately the SAME oracle as outlier_mad: the histogram path must
+    # be value-identical to the window path
+    "outlier_mad_hist": ORACLE_OUTLIER_MAD,
     # approx_distinct / percentile (approx sketch) / multimodal_features:
     # estimator-specific or non-SQL kernels — rows-only checks; exact twins
     # (count_distinct / percentile_exact) are hash-gated

@@ -96,3 +96,48 @@ def test_winsorize_preserves_nulls(spark):
     # bounds unaffected by the NULL row (percentile ignores nulls)
     by_v = {r.v: r.winsorized for r in out if r.v is not None}
     assert by_v[0.0] == 1.0 and by_v[10.0] == 9.0
+
+
+def test_mad_histogram_matches_window_path(spark):
+    """The histogram formulation must agree with the window formulation on
+    integer inputs — including even/odd group sizes (interpolated medians)
+    and the degenerate MAD=0 group."""
+    cases = [
+        [1, 2, 3, 4, 100],                     # odd n
+        [1, 2, 3, 4, 5, 1000],                 # even n, gross outlier
+        [5, 5, 5, 5, 5, 5, 4, 6],              # MAD = 0 degenerate
+        [7],                                   # singleton
+        list(range(50)) + [10_000, -10_000],   # symmetric tails
+    ]
+    rows = [(f"g{i}", float(v)) for i, vs in enumerate(cases) for v in vs]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    win = robust.mad_outliers(df, "grp", "v", k=3.0)
+    from pyspark.sql import functions as F
+
+    win_agg = {
+        r.grp: (r.n, r.n_outliers, r.median, r.mad, r.min_o, r.max_o)
+        for r in win.groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("is_outlier").cast("bigint")).alias("n_outliers"),
+            F.min("median").alias("median"),
+            F.min("mad").alias("mad"),
+            F.min(F.when(F.col("is_outlier"), F.col("v"))).alias("min_o"),
+            F.max(F.when(F.col("is_outlier"), F.col("v"))).alias("max_o"),
+        )
+        .collect()
+    }
+    hist_agg = {
+        r.grp: (r.n, r.n_outliers, r.median, r.mad, r.min_outlier, r.max_outlier)
+        for r in robust.mad_outliers_histogram(df, "grp", "v", k=3.0).collect()
+    }
+    assert win_agg == hist_agg
+
+
+def test_mad_histogram_cost_tracks_distinct_values(spark):
+    """A fat group with few distinct values collapses to a tiny histogram
+    before any window — the raw rows never reach a per-group sort."""
+    rows = [("g", float(v % 10)) for v in range(20_000)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = robust.mad_outliers_histogram(df, "grp", "v", k=3.0).collect()
+    assert out[0].n == 20_000 and out[0].median == 4.5
