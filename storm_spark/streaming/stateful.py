@@ -204,6 +204,56 @@ def stateful_gap_fill(
     )
 
 
+def stateful_transitions(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+) -> DataFrame:
+    """In-stream twin of ``functions.temporal.event_transitions``: emit
+    per-batch first-order transition counts, carrying each key's LAST event
+    across micro-batches so the boundary transition (batch N's last event →
+    batch N+1's first) is never lost — the thing a naive per-batch lag()
+    can't see. State is one ``(ts, type)`` pair per key.
+
+    Within a batch, rows fold in event-time order (ties keep arrival
+    order); emitted rows are per-batch DELTAS — sum downstream (or feed
+    ``persistent_aggregate``) for running totals.
+    """
+    import pickle
+
+    def fn(key, pdfs, state: GroupState):
+        events = []
+        for pdf in pdfs:
+            for ts, t in zip(pdf[ts_col], pdf[type_col]):
+                if pd.isna(ts):
+                    continue
+                events.append((ts.timestamp(), t))
+        if not events:
+            yield pd.DataFrame([], columns=["from_type", "to_type", "n"])
+            return
+        events.sort(key=lambda e: e[0])
+        prev = pickle.loads(state.get[0]) if state.exists else None
+        counts: dict = {}
+        for _, t in events:
+            if prev is not None:
+                pair = (prev, t)
+                counts[pair] = counts.get(pair, 0) + 1
+            prev = t
+        state.update((pickle.dumps(prev),))
+        yield pd.DataFrame(
+            [{"from_type": a, "to_type": b, "n": n} for (a, b), n in counts.items()]
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType="from_type string, to_type string, n long",
+        stateStructType="state binary",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_word_counts(stream_df: DataFrame, word_col: str = "word") -> DataFrame:
     """The reference's canonical streaming word count as an in-stream
     stateful op: emits (word, count) with the cumulative count every time a

@@ -159,3 +159,56 @@ def test_stateful_gap_fill_across_batches(spark, tmp_path):
     assert got[h0 + 14400] == [(7.0, True)]
     assert got[h0 + 18000] == [(11.0, False)]
     assert len(got) == 6
+
+
+def test_stateful_transitions_bridges_batch_boundary(spark, tmp_path):
+    """The transition from batch N's last event to batch N+1's first event
+    must be counted — the one a per-batch lag() loses."""
+    from datetime import datetime
+
+    from storm_spark.streaming.stateful import stateful_transitions
+
+    indir = tmp_path / "in"
+    ckpt = tmp_path / "ckpt"
+    os.makedirs(indir)
+    T = datetime
+    schema = "key string, ts timestamp, t string"
+    b1 = spark.createDataFrame(
+        [("u1", T(2024, 1, 1, 0), "a"), ("u1", T(2024, 1, 1, 1), "b"),
+         ("u2", T(2024, 1, 1, 0), "x")], schema
+    )
+    b2 = spark.createDataFrame(
+        [("u1", T(2024, 1, 1, 2), "c"), ("u2", T(2024, 1, 1, 3), "x")], schema
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(str(indir / "b1"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{indir}/*")
+    )
+    out = stateful_transitions(stream, "key", "ts", "t")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("trans_stream")
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = [(r.from_type, r.to_type, r.n) for r in
+                spark.sql("select * from trans_stream").collect()]
+        assert sorted(got1) == [("a", "b", 1)]  # u2 has no transition yet
+        b2.coalesce(1).write.mode("overwrite").parquet(str(indir / "b2"))
+        q.processAllAvailable()
+        rows = [(r.from_type, r.to_type, r.n) for r in
+                spark.sql("select * from trans_stream").collect()]
+    finally:
+        q.stop()
+    # epoch 2 deltas: u1's boundary b->c and u2's boundary x->x
+    from collections import Counter
+
+    total = Counter()
+    for a, b, n in rows:
+        total[(a, b)] += n
+    assert total == {("a", "b"): 1, ("b", "c"): 1, ("x", "x"): 1}
