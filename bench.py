@@ -83,6 +83,7 @@ HEADLINE = [
     "event_transitions",
     "ann_rescore",
     "outlier_mad_hist",
+    "series_similarity",
 ]
 
 

@@ -312,6 +312,122 @@ FROM __j__
 """
 
 
+def series_vectors(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: Column | str,
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Per-key dense, CENTERED time series on the corpus-wide bucket grid —
+    the feature-building step for time-series similarity search (cf. EDBT
+    2019 "Time Series Similarity Search for Streaming Data in Distributed
+    Systems"): every key becomes one fixed-length vector (span/step
+    entries; buckets with no events are 0), centered by the key's mean so
+    a downstream cosine is Pearson-style shape correlation rather than
+    magnitude match.
+
+    Returns ``(key_col, series)`` with ``series: array<double>``.
+
+    Exactness: with integer-unit values the per-bucket sums are BIGINT, so
+    the centering mean is one exact integer sum divided once in double —
+    order-independent, bit-identical across engines; the centered entries
+    are single-subtraction doubles.
+
+    Scale shape: one (key, bucket) partial-agg shuffle collapses raw
+    events; the global (min, max) bucket bounds attach as a broadcast
+    1-row aggregate; the dense vector assembles per key from a
+    map_from_entries + sequence transform (map-side after one key
+    shuffle). Output is |keys| rows of span/step doubles — size the step
+    so vectors stay task-sized (a year of hours is 8.8k entries).
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    secs = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div 1000000")
+    bucket = (secs - F.pmod(secs, F.lit(step_seconds))).alias("__b__")
+    per = (
+        df.select(F.col(key_col), bucket, v.alias("__v__"))
+        .groupBy(key_col, "__b__")
+        .agg(F.sum("__v__").cast("bigint").alias("__v__"))
+    )
+    bounds = per.agg(
+        F.min("__b__").alias("__lo__"),
+        ((F.max("__b__") - F.min("__b__")) / step_seconds + 1)
+        .cast("bigint")
+        .alias("__n__"),
+    )
+    entries = (
+        per.crossJoin(F.broadcast(bounds))
+        .select(
+            F.col(key_col),
+            F.col("__n__"),
+            F.struct(
+                ((F.col("__b__") - F.col("__lo__")) / step_seconds)
+                .cast("bigint")
+                .alias("key"),
+                F.col("__v__").alias("value"),
+            ).alias("__e__"),
+        )
+        .groupBy(key_col)
+        .agg(
+            F.map_from_entries(F.collect_list("__e__")).alias("__m__"),
+            F.max("__n__").alias("__n__"),
+        )
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), F.col("__n__") - 1),
+        # __m__ is a MAP keyed by grid position — element_at looks up the
+        # key itself (array-style 1-based indexing does not apply)
+        lambda i: F.coalesce(F.element_at(F.col("__m__"), i), F.lit(0)).cast("double"),
+    )
+    with_dense = entries.withColumn("__dense__", dense)
+    mean = F.aggregate(
+        F.col("__dense__"), F.lit(0.0), lambda acc, x: acc + x
+    ) / F.size("__dense__")
+    return with_dense.withColumn("__mu__", mean).select(
+        F.col(key_col),
+        F.transform(F.col("__dense__"), lambda x: x - F.col("__mu__")).alias("series"),
+    )
+
+
+def series_similarity_topk(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: Column | str,
+    query_keys: list,
+    step_seconds: int = 3600,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k most similar activity series to each query key's series —
+    centered cosine (≡ Pearson shape correlation) over the common dense
+    grid from :func:`series_vectors`. Returns ``(query_key, neighbor_key,
+    sim, rank)``; self-matches excluded; tie-break smaller neighbor key.
+
+    Scale shape: the |query_keys| vectors broadcast against the corpus
+    vectors (one map-side pass — same shape as cosine_topk); rank is a
+    per-query window with WindowGroupLimit pre-trim.
+    """
+    from storm_spark.functions.similarity import _cos
+
+    # both branches (broadcast query side + corpus side) read the vectors —
+    # persist so the grid/center pipeline runs once, not twice
+    vecs = series_vectors(df, key_col, ts_col, value_col, step_seconds).persist()
+    q = vecs.filter(F.col(key_col).isin(query_keys)).select(
+        F.col(key_col).alias("query_key"), F.col("series").alias("__qs__")
+    )
+    c = vecs.select(F.col(key_col).alias("neighbor_key"), F.col("series").alias("__cs__"))
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_key") != F.col("neighbor_key"))
+    sim = pairs.select(
+        "query_key", "neighbor_key", _cos(F.col("__qs__"), F.col("__cs__")).alias("sim")
+    )
+    w = Window.partitionBy("query_key").orderBy(F.col("sim").desc(), F.col("neighbor_key").asc())
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_key", "neighbor_key", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
 def event_transitions(
     df: DataFrame,
     key_col: str,

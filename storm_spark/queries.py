@@ -3066,6 +3066,56 @@ def _oracle_gap_fill():
 ORACLE_GAP_FILL = _oracle_gap_fill()
 
 
+def q_series_similarity(spark, sf_dir):
+    """Time-series similarity search (temporal.series_similarity_topk):
+    which users' activity curves best match users 0-4? Six-hour buckets,
+    centered cosine (Pearson shape correlation) over the corpus-wide dense
+    grid. Integer cents make the centering mean exact — see temporal.py."""
+    from storm_spark.functions import temporal
+
+    e = _events(spark, sf_dir).withColumn("v_c", cents("value"))
+    return temporal.series_similarity_topk(
+        e, "user_id", "ts", "v_c", query_keys=[0, 1, 2, 3, 4],
+        step_seconds=21600, k=5,
+    )
+
+
+def _oracle_series_similarity(step=21600, k=5):
+    b = f"((epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // {step}) * {step}"
+    cos = SQL_COS.format(a="q.series", b="c.series")
+    return f"""
+WITH pb AS (
+  SELECT user_id AS key, {b} AS bkt, CAST(SUM({SQL_CENTS.format(x='value')}) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT MIN(bkt) AS lo, MAX(bkt) AS hi FROM pb),
+grid AS (
+  SELECT k.key, lo + g.i * {step} AS bkt
+  FROM (SELECT DISTINCT key FROM pb) k
+  CROSS JOIN bounds
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST((hi - lo) / {step} AS BIGINT))) AS i) g),
+dense AS (
+  SELECT g.key, list(COALESCE(p.v, 0) ORDER BY g.bkt) AS l
+  FROM grid g LEFT JOIN pb p ON p.key = g.key AND p.bkt = g.bkt
+  GROUP BY g.key),
+vec AS (
+  SELECT key, list_transform(l, x -> CAST(x AS DOUBLE) - m) AS series
+  FROM (SELECT key, l, CAST(list_sum(l) AS DOUBLE) / len(l) AS m FROM dense)),
+sims AS (
+  SELECT q.key AS query_key, c.key AS neighbor_key, {cos} AS s
+  FROM vec q CROSS JOIN vec c
+  WHERE q.key IN (0, 1, 2, 3, 4) AND q.key <> c.key),
+ranked AS (
+  SELECT query_key, neighbor_key, round(s, 6) AS sim,
+         row_number() OVER (PARTITION BY query_key ORDER BY s DESC, neighbor_key ASC) AS rank
+  FROM sims)
+SELECT query_key, neighbor_key, sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+ORACLE_SERIES_SIMILARITY = _oracle_series_similarity()
+
+
 def q_corpus_diff(spark, sf_dir):
     """Snapshot diff between two corpus versions (dedup.corpus_diff):
     added/removed/changed by normalized-text fingerprint; unchanged docs
@@ -3220,7 +3270,7 @@ QUERIES = {
     "q1": q1,
     "state_avg": q_state_avg,
     "ann_rescore": q_ann_rescore,
-    "linear_drpc": q_linear_drpc,
+    "series_similarity": q_series_similarity,
     "corpus_diff": q_corpus_diff,
     "event_transitions": q_event_transitions,
     "winsorize": q_winsorize,
@@ -3273,6 +3323,7 @@ QUERIES = {
     "rollup_continuous": q_rollup_continuous,
     "decontaminate": q_decontaminate,
     "partition_persist": q_partition_persist,
+    "linear_drpc": q_linear_drpc,
     "dedup_jaccard_capped": q_dedup_jaccard_capped,
     "state_wordcount": q_state_wordcount,
     "streaming_wordcount": q_streaming_wordcount,
@@ -3417,6 +3468,7 @@ ORACLES = {
     # deliberately the SAME oracle as outlier_mad: the histogram path must
     # be value-identical to the window path
     "outlier_mad_hist": ORACLE_OUTLIER_MAD,
+    "series_similarity": ORACLE_SERIES_SIMILARITY,
     # approx_distinct / percentile (approx sketch) / multimodal_features:
     # estimator-specific or non-SQL kernels — rows-only checks; exact twins
     # (count_distinct / percentile_exact) are hash-gated

@@ -436,3 +436,45 @@ def test_event_transitions_counts_and_order(spark):
     got2 = {(r.from_type, r.to_type): r.n for r in
             event_transitions(tied, "user_id", "event_type", ["ts", "event_id"]).collect()}
     assert got2 == {("x", "y"): 1}
+
+
+def test_series_vectors_grid_and_centering(spark):
+    from datetime import datetime
+
+    from storm_spark.functions.temporal import series_vectors
+
+    T = datetime
+    rows = [
+        ("a", T(2024, 1, 1, 0, 30), 6), ("a", T(2024, 1, 1, 0, 40), 6),
+        ("a", T(2024, 1, 1, 2, 0), 3),
+        ("b", T(2024, 1, 1, 1, 0), 9),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v bigint")
+    got = {r.k: r.series for r in series_vectors(df, "k", "ts", "v", 3600).collect()}
+    # global grid spans hours 0..2 for BOTH keys; a: [12,0,3] centered by 5;
+    # b: [0,9,0] centered by 3
+    assert got["a"] == [7.0, -5.0, -2.0]
+    assert got["b"] == [-3.0, 6.0, -3.0]
+
+
+def test_series_similarity_finds_shape_match(spark):
+    """Centered cosine matches SHAPE, not magnitude: a 10x-scaled copy of
+    the query's curve must outrank an equal-magnitude but differently-shaped
+    series."""
+    from datetime import datetime
+
+    from storm_spark.functions.temporal import series_similarity_topk
+
+    T = datetime
+    base = [5, 1, 8, 2, 9, 3]
+    rows = []
+    for h, v in enumerate(base):
+        rows.append((0, T(2024, 1, 1, h), v))          # query
+        rows.append((1, T(2024, 1, 1, h), v * 10))     # scaled copy (same shape)
+    for h, v in enumerate(reversed(base)):
+        rows.append((2, T(2024, 1, 1, h), v))          # reversed shape
+    df = spark.createDataFrame(rows, "k bigint, ts timestamp, v bigint")
+    out = series_similarity_topk(df, "k", "ts", "v", query_keys=[0], step_seconds=3600, k=2)
+    ranked = sorted([(r.rank, r.neighbor_key, r.sim) for r in out.collect()])
+    assert ranked[0][1] == 1 and ranked[0][2] == 1.0  # scaled copy: perfect correlation
+    assert ranked[1][1] == 2 and ranked[1][2] < 0.5   # reversed shape ranks below
