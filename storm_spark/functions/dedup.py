@@ -51,9 +51,23 @@ def corpus_diff(
     join — 2 thin columns per row, never the text; one full-outer
     hash join on the id. Output size tracks the CHANGE volume, not the
     corpus.
+
+    Duplicate ids (a realistic ingestion artifact) are collapsed to ONE
+    fingerprint per id — the MIN — before the join; without this guard the
+    full-outer join fans out and the same id can be reported both changed
+    and unchanged. A dup whose copies differ compares by its min
+    fingerprint (deterministic, engine-portable).
     """
-    o = old.select(F.col(id_col), fingerprint(text_col).alias("__ofp__"))
-    n = new.select(F.col(id_col), fingerprint(text_col).alias("__nfp__"))
+    o = (
+        old.select(F.col(id_col), fingerprint(text_col).alias("__ofp__"))
+        .groupBy(id_col)
+        .agg(F.min("__ofp__").alias("__ofp__"))
+    )
+    n = (
+        new.select(F.col(id_col), fingerprint(text_col).alias("__nfp__"))
+        .groupBy(id_col)
+        .agg(F.min("__nfp__").alias("__nfp__"))
+    )
     j = o.join(n, on=id_col, how="full_outer")
     status = (
         F.when(F.col("__ofp__").isNull(), "added")

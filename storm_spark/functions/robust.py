@@ -83,8 +83,16 @@ def mad_outliers_histogram(
     hand back per-row flags without a re-join; join the output back on
     ``group_col`` and compare when row flags are needed).
     """
-    v = (F.col(value_col) if isinstance(value_col, str) else value_col).alias("__v__")
-    hist = df.groupBy(F.col(group_col), v).agg(F.count(F.lit(1)).alias("__cnt__"))
+    v_raw = F.col(value_col) if isinstance(value_col, str) else value_col
+    # F.percentile (the window path) SKIPS nulls; drop them here too or the
+    # (group, NULL) bucket inflates n and, sorting first, shifts every
+    # cumulative position — medians/MADs would silently diverge on any
+    # dataset with missing values. `n` below is therefore the NON-NULL count.
+    hist = (
+        df.where(v_raw.isNotNull())
+        .groupBy(F.col(group_col), v_raw.alias("__v__"))
+        .agg(F.count(F.lit(1)).alias("__cnt__"))
+    )
 
     def _median_from(hist_df, grp, val, cnt):
         w_cum = (

@@ -3081,7 +3081,13 @@ def q_series_similarity(spark, sf_dir):
 
 
 def _oracle_series_similarity(step=21600, k=5):
-    b = f"((epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // {step}) * {step}"
+    # µs→s: DuckDB integer `//` truncates toward zero exactly like Spark's
+    # `div` (verified: -500000 // 1000000 == 0), so the two engines agree.
+    # s→bucket: Spark floors via `secs - pmod(secs, step)`, so the twin must
+    # FLOOR too (plain `// step * step` truncates and would put a pre-1970
+    # second in the wrong bucket) — same double-floor trick as sql_gap_fill.
+    secs = "(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000)"
+    b = f"CAST(floor(CAST({secs} AS DOUBLE) / {step}) AS BIGINT) * {step}"
     cos = SQL_COS.format(a="q.series", b="c.series")
     return f"""
 WITH pb AS (
@@ -3136,12 +3142,12 @@ def q_corpus_diff(spark, sf_dir):
 
 ORACLE_CORPUS_DIFF = f"""
 WITH o AS (
-  SELECT doc_id, md5(array_to_string({SQL_TOKS.format(x='text')}, ' ')) AS fp
-  FROM documents WHERE doc_id % 10 != 3),
+  SELECT doc_id, MIN(md5(array_to_string({SQL_TOKS.format(x='text')}, ' '))) AS fp
+  FROM documents WHERE doc_id % 10 != 3 GROUP BY doc_id),
 n AS (
   SELECT doc_id,
-         md5(array_to_string({SQL_TOKS.format(x="text || CASE WHEN doc_id % 5 = 0 THEN ' changedmark' ELSE '' END")}, ' ')) AS fp
-  FROM documents WHERE doc_id % 10 != 7),
+         MIN(md5(array_to_string({SQL_TOKS.format(x="text || CASE WHEN doc_id % 5 = 0 THEN ' changedmark' ELSE '' END")}, ' '))) AS fp
+  FROM documents WHERE doc_id % 10 != 7 GROUP BY doc_id),
 j AS (
   SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.fp AS ofp, n.fp AS nfp
   FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
@@ -3266,6 +3272,13 @@ ORACLE_ANN_IVF_TRAINED = _oracle_ann_ivf_trained()
 # minhash_lsh, simhash, cosine_topk, text_profile, dataset_split,
 # chunk_tokens, pack_chunks — driver-green r1+r2+r3, re-verified locally
 # this round at sf0.01 AND sf0.001; now at the tail).
+#
+# COVERAGE INVARIANT for anything outside the first-50 window (including
+# rollup_continuous / decontaminate / partition_persist / linear_drpc /
+# dedup_jaccard_capped, demoted by rotation 3): the driver gate no longer
+# sees them, so `python tools/check_correctness.py` (full catalog, every
+# oracle) MUST run green locally before each round's snapshot — that run,
+# not the driver sample, is the correctness record for the tail.
 QUERIES = {
     "q1": q1,
     "state_avg": q_state_avg,

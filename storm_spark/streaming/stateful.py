@@ -217,30 +217,44 @@ def stateful_transitions(
     can't see. State is one ``(ts, type)`` pair per key.
 
     Within a batch, rows fold in event-time order (ties keep arrival
-    order); emitted rows are per-batch DELTAS — sum downstream (or feed
-    ``persistent_aggregate``) for running totals.
+    order; NULL timestamps sort first, matching the batch twin's
+    ``asc_nulls_first`` lag ordering); emitted rows are per-batch DELTAS —
+    sum downstream (or feed ``persistent_aggregate``) for running totals.
+
+    Late data: an event whose ts is older than the key's stored last event
+    time is DROPPED (counting it would require retracting an
+    already-emitted transition — the same reason watermarked aggs drop
+    late rows). Streaming totals therefore equal the batch twin's exactly
+    when each key's events arrive in non-decreasing event-time order
+    across batches; out-of-order arrivals are skipped, never miscounted.
     """
+    import math
     import pickle
 
     def fn(key, pdfs, state: GroupState):
+        last_ts, prev = (
+            pickle.loads(state.get[0]) if state.exists else (None, None)
+        )
         events = []
         for pdf in pdfs:
             for ts, t in zip(pdf[ts_col], pdf[type_col]):
-                if pd.isna(ts):
-                    continue
-                events.append((ts.timestamp(), t))
+                # NULL ts == "earliest" (batch twin's nulls-first lag); once
+                # any event is in state it is late and drops like any other
+                tsec = -math.inf if pd.isna(ts) else ts.timestamp()
+                if last_ts is not None and tsec < last_ts:
+                    continue  # late arrival — see docstring
+                events.append((tsec, t))
         if not events:
             yield pd.DataFrame([], columns=["from_type", "to_type", "n"])
             return
         events.sort(key=lambda e: e[0])
-        prev = pickle.loads(state.get[0]) if state.exists else None
         counts: dict = {}
-        for _, t in events:
+        for tsec, t in events:
             if prev is not None:
                 pair = (prev, t)
                 counts[pair] = counts.get(pair, 0) + 1
-            prev = t
-        state.update((pickle.dumps(prev),))
+            prev, last_ts = t, tsec
+        state.update((pickle.dumps((last_ts, prev)),))
         yield pd.DataFrame(
             [{"from_type": a, "to_type": b, "n": n} for (a, b), n in counts.items()]
         )

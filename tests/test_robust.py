@@ -141,3 +141,32 @@ def test_mad_histogram_cost_tracks_distinct_values(spark):
     df = spark.createDataFrame(rows, "grp string, v double")
     out = robust.mad_outliers_histogram(df, "grp", "v", k=3.0).collect()
     assert out[0].n == 20_000 and out[0].median == 4.5
+
+
+def test_mad_histogram_matches_window_with_nulls(spark):
+    """F.percentile skips NULLs in the window path; the histogram path must
+    drop them too or the (group, NULL) bucket inflates n and shifts every
+    cumulative position (review-confirmed divergence: [1,2,3,NULL] gave
+    window median 2.0 / hist median 1.5 before the guard)."""
+    from pyspark.sql import functions as F
+
+    rows = [("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", None),
+            ("h", None), ("h", 5.0), ("h", None), ("h", 7.0), ("h", 100.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    win = robust.mad_outliers(df, "grp", "v", k=3.0)
+    win_agg = {
+        r.grp: (r.n, r.median, r.mad)
+        for r in win.groupBy("grp")
+        .agg(
+            F.sum(F.col("v").isNotNull().cast("bigint")).alias("n"),
+            F.min("median").alias("median"),
+            F.min("mad").alias("mad"),
+        )
+        .collect()
+    }
+    hist_agg = {
+        r.grp: (r.n, r.median, r.mad)
+        for r in robust.mad_outliers_histogram(df, "grp", "v", k=3.0).collect()
+    }
+    assert win_agg == hist_agg
+    assert win_agg["g"] == (3, 2.0, 1.0)

@@ -212,3 +212,52 @@ def test_stateful_transitions_bridges_batch_boundary(spark, tmp_path):
     for a, b, n in rows:
         total[(a, b)] += n
     assert total == {("a", "b"): 1, ("b", "c"): 1, ("x", "x"): 1}
+
+
+def test_stateful_transitions_drops_late_events(spark, tmp_path):
+    """An event older than the key's stored last event time is late: it is
+    DROPPED, never folded in arrival order (which would emit a transition
+    the batch twin — event-time ordered — does not have)."""
+    from datetime import datetime
+
+    from storm_spark.streaming.stateful import stateful_transitions
+
+    indir = tmp_path / "in"
+    ckpt = tmp_path / "ckpt"
+    os.makedirs(indir)
+    T = datetime
+    schema = "key string, ts timestamp, t string"
+    b1 = spark.createDataFrame([("u1", T(2024, 1, 1, 10), "a")], schema)
+    # 09:00 'b' is LATE (state holds 10:00); 11:00 'c' is on time
+    b2 = spark.createDataFrame(
+        [("u1", T(2024, 1, 1, 9), "b"), ("u1", T(2024, 1, 1, 11), "c")], schema
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(str(indir / "b1"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{indir}/*")
+    )
+    out = stateful_transitions(stream, "key", "ts", "t")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("trans_late")
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b2.coalesce(1).write.mode("overwrite").parquet(str(indir / "b2"))
+        q.processAllAvailable()
+        rows = [(r.from_type, r.to_type, r.n) for r in
+                spark.sql("select * from trans_late").collect()]
+    finally:
+        q.stop()
+    from collections import Counter
+
+    total = Counter()
+    for a, b, n in rows:
+        total[(a, b)] += n
+    # only a->c; the late 'b' contributes nothing (NOT a->b or b->c)
+    assert total == {("a", "c"): 1}

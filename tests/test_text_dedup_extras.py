@@ -458,3 +458,22 @@ def test_corpus_diff_normalization_insensitive(spark):
     old = spark.createDataFrame([(1, "Alpha   Beta")], "doc_id bigint, text string")
     new = spark.createDataFrame([(1, "alpha beta")], "doc_id bigint, text string")
     assert corpus_diff(old, new, "doc_id", "text").count() == 0
+
+
+def test_corpus_diff_duplicate_ids_collapse(spark):
+    """Duplicate ids collapse to one MIN fingerprint per id before the
+    join — no fan-out, no contradictory changed+unchanged rows."""
+    from storm_spark.functions.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(7, "alpha"), (7, "beta"), (8, "keep")], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [(7, "alpha"), (8, "keep"), (8, "keep")], "doc_id bigint, text string"
+    )
+    out = corpus_diff(old, new, "doc_id", "text").collect()
+    # id 8 unchanged (dup in new collapses); id 7: min(md5(alpha),md5(beta))
+    # on the old side vs md5(alpha) on the new — one deterministic row max
+    assert len(out) <= 1
+    ids = [r.doc_id for r in out]
+    assert 8 not in ids
