@@ -84,6 +84,10 @@ HEADLINE = [
     "ann_rescore",
     "outlier_mad_hist",
     "series_similarity",
+    "trailing_zscore",
+    "frequent_pairs",
+    "pagerank",
+    "fuzzy_pairs",
 ]
 
 

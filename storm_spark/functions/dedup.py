@@ -587,3 +587,72 @@ def duplicated_spans(
         )
         .select(F.col("__id__").alias(id_col), "span_start", "span_end", "n_dup_grams")
     )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 3,
+    snippet_len: int = 40,
+    prefix_len: int = 8,
+    max_block_df: int | None = None,
+) -> DataFrame:
+    """Typo-level near-duplicate pairs by bounded edit distance — the
+    character-granular complement of the token-set detectors
+    (:func:`ngram_jaccard_pairs` / MinHash / SimHash), which are blind to
+    single-character corruptions that don't change the token multiset much
+    (OCR noise, mojibake, truncated words). Reference parity surface:
+    Trident's join verb (storm-core/src/jvm/storm/trident/Stream.java);
+    the fuzzy candidate generation is the beyond-reference layer.
+
+    Each doc collapses to a normalized snippet (lowercase, whitespace
+    collapsed, first ``snippet_len`` chars). Docs pair only within a BLOCK
+    — identical first ``prefix_len`` chars — then
+    ``levenshtein(snippet_a, snippet_b) <= max_dist`` filters, ``id_a <
+    id_b`` dedups. Returns ``(id_a, id_b, dist)``.
+
+    Recall tradeoff (standard blocking): an edit inside the prefix escapes
+    detection — widen recall by lowering ``prefix_len`` (bigger blocks) or
+    running a second pass blocked on a suffix. Cost: one block-keyed
+    shuffle of (prefix, id, snippet); O(k²/2) levenshtein evaluations per
+    k-occupant block, each O(snippet_len²) — both engine-built-in
+    (Catalyst's levenshtein is JVM-side with the max-distance early-exit).
+    ``max_block_df`` drops blocks with more occupants (boilerplate
+    prefixes — the hot-shingle cap convention from
+    :func:`ngram_jaccard_pairs`): deterministic, documented recall cut
+    that bounds any block at O(cap²).
+    """
+    snip = F.substring(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+        1,
+        snippet_len,
+    )
+    s = df.select(
+        F.col(id_col).alias("__id__"),
+        snip.alias("__sn__"),
+        F.substring(snip, 1, prefix_len).alias("__blk__"),
+    )
+    if max_block_df is not None:
+        occ = s.groupBy("__blk__").agg(F.count(F.lit(1)).alias("__occ__"))
+        s = (
+            s.join(F.broadcast(occ.filter(F.col("__occ__") <= max_block_df)), "__blk__")
+            .drop("__occ__")
+        )
+    a = s.select(
+        F.col("__blk__"),
+        F.col("__id__").alias("id_a"),
+        F.col("__sn__").alias("__sa__"),
+    )
+    b = s.select(
+        F.col("__blk__"),
+        F.col("__id__").alias("id_b"),
+        F.col("__sn__").alias("__sb__"),
+    )
+    return (
+        a.join(b, "__blk__")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein(F.col("__sa__"), F.col("__sb__")))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+    )

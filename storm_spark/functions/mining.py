@@ -1,0 +1,166 @@
+"""Pattern mining over event logs — frequent co-occurrence (the Apriori
+level-2 / market-basket primitive) and PageRank over the co-occurrence
+graph it induces.
+
+Both are classic "what goes together" questions a behavioral-analytics or
+feature pipeline asks of an event stream: which event types co-occur in
+the same user-day basket more than chance (support + lift), and which
+types are central to the co-occurrence structure (PageRank). The
+reference's parity surface here is its query DSL (grouped aggregation +
+stream joins — storm/trident/Stream.java groupBy/join); the mining
+composition itself is the beyond-reference training-pipeline layer.
+
+Scale shape (frequent_pairs): baskets collapse to DISTINCT (basket, item)
+rows first — one partial-agg shuffle bounded by |baskets| × |item
+vocabulary|, never raw events. The pair fan-out is a self-equi-join on the
+basket key, producing O(k²/2) rows per basket where k ≤ |vocabulary| (for
+typed event logs k is tens, not thousands — the join is basket-local and
+AQE-sized). Support counting is a tiny (a, b)-keyed partial agg whose
+cardinality is ≤ |vocab|²/2. Item marginals attach by broadcast (|vocab|
+rows). Nothing in the plan scales with raw event count except the first
+distinct.
+
+Scale shape (pagerank): the rank loop is |iters| joins of the edge list
+against the current rank table, each shuffled on the edge source — the
+standard edge-partitioned formulation. The rank table is |nodes| rows and
+broadcasts when small (typed event vocabularies; AQE picks this up);
+edge weights normalize once up front. Iterations are unrolled client-side
+(a driver ``for`` loop building one lazy plan — no action per iteration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from storm_spark.session import bounded_persist
+
+
+def frequent_pairs(
+    df: DataFrame,
+    basket_cols: list[str],
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Co-occurring item pairs across baskets: one row per unordered pair
+    ``(item_a < item_b)`` seen together in at least ``min_support``
+    baskets, with ``support`` (basket count), each item's marginal basket
+    count, and ``lift`` = support·N / (n_a·n_b) — lift > 1 means the pair
+    co-occurs more than independence predicts.
+
+    Returns ``(item_a, item_b, support, n_a, n_b, lift)``; ``lift`` is a
+    double rounded to 6 (exact inputs: all four factors are BIGINT counts,
+    one multiply/divide each side — engine-portable).
+    """
+    b = df.select(*[F.col(c) for c in basket_cols], F.col(item_col).alias("__i__"))
+    # the distinct basket set feeds FIVE plan branches (both pair sides,
+    # both marginals, the total) — cache the distilled rows so the raw
+    # scan+distinct runs once, leak-bounded to one live cache per session
+    baskets = bounded_persist(b.distinct(), "mining.frequent_pairs.baskets")
+    # total basket count rides the plan as a broadcast 1-row aggregate —
+    # no eager driver-side count(), the whole operator stays one lazy plan
+    n_b = (
+        baskets.select(*basket_cols)
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("double").alias("__N__"))
+    )
+    marg = baskets.groupBy("__i__").agg(F.count(F.lit(1)).alias("__n__"))
+    left = baskets.select(*basket_cols, F.col("__i__").alias("item_a"))
+    right = baskets.select(*basket_cols, F.col("__i__").alias("item_b"))
+    pairs = left.join(right, basket_cols).filter(F.col("item_a") < F.col("item_b"))
+    sup = (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    out = (
+        sup.join(
+            F.broadcast(marg.select(F.col("__i__").alias("item_a"), F.col("__n__").alias("n_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("__i__").alias("item_b"), F.col("__n__").alias("n_b"))),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_b))
+    )
+    lift = (
+        F.col("support").cast("double")
+        * F.col("__N__")
+        / (F.col("n_a").cast("double") * F.col("n_b"))
+    )
+    return out.select(
+        "item_a",
+        "item_b",
+        "support",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(lift, 6).alias("lift"),
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    iterations: int = 2,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank over a directed edge list, ``iterations`` rounds
+    from a uniform start: ``r' = (1−d)/N + d·Σ_in r(src)·w_norm`` with
+    per-source weight normalization. Dangling nodes (no out-edges)
+    contribute their mass to the teleport term implicitly (their rank
+    simply doesn't propagate — the small-graph convention that keeps the
+    twin SQL exact; totals then need no dangling redistribution pass).
+
+    Returns ``(node, rank)`` with rank rounded to 8. Determinism: each
+    round is one grouped SUM of products of doubles — the sum order is
+    engine-dependent in general, so exactness holds when per-node in-degree
+    terms are few or inputs are exact binary fractions; gate queries
+    round to 8 and use small typed vocabularies where both engines agree.
+    """
+    # the edge list feeds every iteration plus the node set — cache it so
+    # whatever produced it (often a window over raw events) runs once
+    e = bounded_persist(
+        edges.select(
+            F.col(src_col).alias("__s__"),
+            F.col(dst_col).alias("__d__"),
+            (F.col(weight_col) if weight_col else F.lit(1)).cast("double").alias("__w__"),
+        ),
+        "mining.pagerank.edges",
+    )
+    # per-source normalization: w / Σ_out w
+    out_w = e.groupBy("__s__").agg(F.sum("__w__").alias("__ow__"))
+    e_norm = e.join(F.broadcast(out_w), "__s__").select(
+        "__s__", "__d__", (F.col("__w__") / F.col("__ow__")).alias("__wn__")
+    )
+    bare = (
+        e.select(F.col("__s__").alias("node"))
+        .union(e.select(F.col("__d__")))
+        .distinct()
+    )
+    # node count rides the plan as a broadcast 1-row aggregate (no eager
+    # driver count — one lazy plan end to end); every node row carries __N__
+    nodes = bare.crossJoin(
+        F.broadcast(bare.agg(F.count(F.lit(1)).cast("double").alias("__N__")))
+    )
+    d = float(damping)
+    ranks = nodes.select("node", "__N__", (F.lit(1.0) / F.col("__N__")).alias("rank"))
+    for _ in range(int(iterations)):
+        contrib = (
+            e_norm.join(
+                F.broadcast(ranks.select(F.col("node").alias("__s__"), "rank")), "__s__"
+            )
+            .groupBy(F.col("__d__").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("__wn__")).alias("__in__"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            "__N__",
+            (
+                F.lit(1.0 - d) / F.col("__N__")
+                + F.lit(d) * F.coalesce(F.col("__in__"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select("node", F.round("rank", 8).alias("rank"))

@@ -195,6 +195,89 @@ def winsorize(
     return df.withColumn(out_col, F.when(v.isNotNull(), clipped))
 
 
+def trailing_zscore(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: Column | str,
+    window: int = 24,
+    min_periods: int = 8,
+    out_col: str = "z",
+) -> DataFrame:
+    """Append ``out_col`` = the z-score of each value against its key's
+    TRAILING window of the previous ``window`` values (current row
+    excluded) — the online anomaly screen a metrics pipeline runs where
+    :func:`mad_outliers`'s whole-group median would leak the future into
+    the past. NULL when fewer than ``min_periods`` trailing values exist
+    (warm-up) or the trailing variance is zero.
+
+    Exactness: with integer-unit values the window COUNT/SUM/SUM-of-squares
+    are exact BIGINTs; mean and population variance derive from those three
+    sums in double with the SAME formula on any engine (``s2/n − (s/n)²``)
+    — no Welford-vs-two-pass accumulation skew, so the score is
+    bit-identical to the SQL twin. ``greatest(…, 0)`` absorbs the
+    cancellation ulp when all trailing values are equal.
+
+    Scale shape: one key-keyed exchange; the frame is ROWS-bounded so the
+    window operator streams each key's sorted run with an O(window)
+    buffer — no per-key whole-history sort buffer, no second shuffle. The
+    per-row score is a map-side expression over the three window sums.
+
+    ``order_cols`` must make the per-key order total (ties would make the
+    frame contents engine-dependent).
+    """
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast("bigint")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-window, -1)
+    )
+    n = F.count(v).over(w)
+    s = F.sum(v).over(w)
+    s2 = F.sum(v * v).over(w)
+    mean = s.cast("double") / n
+    var = F.greatest(
+        s2.cast("double") / n - mean * mean, F.lit(0.0)
+    )
+    z = (v.cast("double") - mean) / F.sqrt(var)
+    return df.withColumn(
+        out_col,
+        F.when((n >= F.lit(int(min_periods))) & (var > 0), z),
+    )
+
+
+def sql_trailing_zscore(
+    table: str,
+    key_expr: str,
+    order_by: str,
+    value_expr: str,
+    window: int = 24,
+    min_periods: int = 8,
+) -> str:
+    """DuckDB twin of :func:`trailing_zscore` — CTE ending in
+    ``__tz__(key, val, z)`` with the identical three-sum formula."""
+    frame = f"ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING"
+    over = f"OVER (PARTITION BY {key_expr} ORDER BY {order_by} {frame})"
+    return f"""
+__tzw__ AS (
+  SELECT {key_expr} AS key, {value_expr} AS val,
+         COUNT({value_expr}) {over} AS n,
+         CAST(SUM({value_expr}) {over} AS BIGINT) AS s,
+         CAST(SUM({value_expr} * {value_expr}) {over} AS BIGINT) AS s2,
+         * FROM {table}),
+__tz__ AS (
+  SELECT *,
+         CASE WHEN n >= {int(min_periods)}
+                   AND greatest(CAST(s2 AS DOUBLE)/n
+                                - (CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n), 0) > 0
+              THEN (CAST(val AS DOUBLE) - CAST(s AS DOUBLE)/n)
+                   / sqrt(greatest(CAST(s2 AS DOUBLE)/n
+                                   - (CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n), 0))
+         END AS z
+  FROM __tzw__)
+"""
+
+
 def sql_winsorize_ctes(
     table: str, group_expr: str, value_expr: str, lower: float = 0.01, upper: float = 0.99
 ) -> str:

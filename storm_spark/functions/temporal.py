@@ -389,10 +389,6 @@ def series_vectors(
     )
 
 
-# one live series-vector cache per session (see series_similarity_topk)
-_SERIES_VEC_CACHE: dict = {}
-
-
 def series_similarity_topk(
     df: DataFrame,
     key_col: str,
@@ -413,19 +409,18 @@ def series_similarity_topk(
     """
     from storm_spark.functions.similarity import _cos
 
+    from storm_spark.session import bounded_persist
+
     # Both branches (broadcast query side + corpus side) read the vectors —
     # persist so the grid/center pipeline runs once, not twice. The cache is
-    # the DISTILLED |keys| × (span/step) vectors, not raw events, which is
-    # the right thing to pin at scale; but the returned DF is lazy, so this
-    # function can't unpersist after the caller's action. Bound the leak
-    # instead: each call releases the PREVIOUS call's cache for the same
-    # session, so at most one vector cache is ever live per session.
-    sess_key = id(df.sparkSession)
-    prev = _SERIES_VEC_CACHE.pop(sess_key, None)
-    if prev is not None:
-        prev.unpersist()
-    vecs = series_vectors(df, key_col, ts_col, value_col, step_seconds).persist()
-    _SERIES_VEC_CACHE[sess_key] = vecs
+    # the DISTILLED |keys| × (span/step) vectors, not raw events — the right
+    # thing to pin at scale; bounded_persist caps it at one live cache per
+    # session (the returned DF is lazy, so unpersist-after-action is
+    # impossible from inside the operator).
+    vecs = bounded_persist(
+        series_vectors(df, key_col, ts_col, value_col, step_seconds),
+        "temporal.series_similarity_topk.vecs",
+    )
     q = vecs.filter(F.col(key_col).isin(query_keys)).select(
         F.col(key_col).alias("query_key"), F.col("series").alias("__qs__")
     )

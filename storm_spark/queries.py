@@ -36,7 +36,7 @@ from storm_spark.state import MemoryMapState, ParquetMapState
 from storm_spark.topology import FeederSource, LocalCluster, Topology
 from storm_spark.builder import BasicBolt
 from storm_spark.drpc import BatchBolt
-from storm_spark.functions import dedup, robust, sampling, similarity, text
+from storm_spark.functions import dedup, mining, robust, sampling, similarity, text
 from storm_spark.functions.text import LANG_MARKERS, STOPWORDS_EN, TOKEN_SPLIT_RE
 
 # ---------------------------------------------------------------------------
@@ -3183,6 +3183,138 @@ GROUP BY from_type, to_type
 """
 
 
+def q_trailing_zscore(spark, sf_dir):
+    """Online anomaly screen (robust.trailing_zscore): each event's value
+    z-scored against the user's previous 24 values (current row excluded —
+    no future leakage); anomalies = |z| > 3 past the 8-row warm-up. Exact:
+    integer cents make the three window sums exact BIGINTs, and both
+    engines evaluate the identical s2/n − (s/n)² formula."""
+    e = _events(spark, sf_dir).withColumn("v_c", cents("value"))
+    scored = robust.trailing_zscore(
+        e, "user_id", ["ts", "event_id"], "v_c", window=24, min_periods=8
+    )
+    return scored.filter(F.abs(F.col("z")) > 3).select(
+        "user_id", "event_id", "v_c", F.round("z", 6).alias("z")
+    )
+
+
+def _oracle_trailing_zscore():
+    from storm_spark.functions.robust import sql_trailing_zscore
+
+    ctes = sql_trailing_zscore(
+        "events",
+        "user_id",
+        "ts ASC, event_id ASC",
+        SQL_CENTS.format(x="value"),
+        window=24,
+        min_periods=8,
+    )
+    return (
+        "WITH " + ctes.strip().rstrip() + "\n"
+        "SELECT key AS user_id, event_id, val AS v_c, round(z, 6) AS z\n"
+        "FROM __tz__ WHERE abs(z) > 3"
+    )
+
+
+ORACLE_TRAILING_ZSCORE = _oracle_trailing_zscore()
+
+
+def q_frequent_pairs(spark, sf_dir):
+    """Market-basket mining (mining.frequent_pairs): which event types
+    co-occur in the same user-day basket, with support and lift. Baskets
+    collapse to distinct (user, day, type) first; the pair fan-out is
+    basket-local; support counting is a |types|²-bounded agg."""
+    e = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    return mining.frequent_pairs(
+        e, ["user_id", "day"], "event_type", min_support=5
+    )
+
+
+ORACLE_FREQUENT_PAIRS = """
+WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events),
+nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total
+       FROM (SELECT DISTINCT user_id, day FROM b)),
+m AS (SELECT event_type, COUNT(*) AS n FROM b GROUP BY 1),
+p AS (SELECT a.event_type AS item_a, c.event_type AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM b a JOIN b c ON a.user_id = c.user_id AND a.day = c.day
+                       AND a.event_type < c.event_type
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+SELECT item_a, item_b, support,
+       CAST(ma.n AS BIGINT) AS n_a, CAST(mb.n AS BIGINT) AS n_b,
+       round(CAST(support AS DOUBLE) * n_total / (CAST(ma.n AS DOUBLE) * mb.n), 6) AS lift
+FROM p
+JOIN m ma ON ma.event_type = p.item_a
+JOIN m mb ON mb.event_type = p.item_b
+CROSS JOIN nb
+"""
+
+
+def q_pagerank(spark, sf_dir):
+    """PageRank over the event-type transition graph (mining.pagerank over
+    temporal.event_transitions edges): 2 damped rounds from a uniform
+    start, per-source weight normalization — which event types are central
+    to user flows. The oracle unrolls both rounds as CTE layers (same
+    pattern as the k-means-trained IVF oracle)."""
+    from storm_spark.functions import temporal
+
+    e = _events(spark, sf_dir)
+    edges = temporal.event_transitions(e, "user_id", "event_type", ["ts", "event_id"])
+    return mining.pagerank(
+        edges, "from_type", "to_type", "n", iterations=2, damping=0.85
+    ).orderBy("node")
+
+
+ORACLE_PAGERANK = """
+WITH tr AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM (SELECT user_id, event_type AS to_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+        FROM events)
+  WHERE from_type IS NOT NULL GROUP BY from_type, to_type),
+e AS (SELECT from_type AS s, to_type AS t, CAST(n AS DOUBLE) AS w FROM tr),
+ow AS (SELECT s, SUM(w) AS ow FROM e GROUP BY s),
+en AS (SELECT e.s, e.t, e.w / ow.ow AS wn FROM e JOIN ow USING (s)),
+nodes AS (SELECT s AS node FROM e UNION SELECT t FROM e),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS N FROM nodes),
+r0 AS (SELECT node, 1.0 / N AS rank FROM nodes CROSS JOIN nn),
+c1 AS (SELECT en.t AS node, SUM(r0.rank * en.wn) AS cin
+       FROM en JOIN r0 ON r0.node = en.s GROUP BY 1),
+r1 AS (SELECT n1.node, (1.0 - 0.85) / N + 0.85 * COALESCE(c1.cin, 0.0) AS rank
+       FROM nodes n1 CROSS JOIN nn LEFT JOIN c1 ON c1.node = n1.node),
+c2 AS (SELECT en.t AS node, SUM(r1.rank * en.wn) AS cin
+       FROM en JOIN r1 ON r1.node = en.s GROUP BY 1),
+r2 AS (SELECT n2.node, (1.0 - 0.85) / N + 0.85 * COALESCE(c2.cin, 0.0) AS rank
+       FROM nodes n2 CROSS JOIN nn LEFT JOIN c2 ON c2.node = n2.node)
+SELECT node, round(rank, 8) AS rank FROM r2 ORDER BY node
+"""
+
+
+def q_fuzzy_pairs(spark, sf_dir):
+    """Typo-level near-dup pairs (dedup.fuzzy_pairs): bounded edit
+    distance on normalized 40-char snippets, blocked on the 8-char prefix
+    — the character-granular detector token-set dedup can't see. Built-in
+    levenshtein on both engines (identical classic semantics, verified:
+    kitten→sitting = 3)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.fuzzy_pairs(
+        docs, "doc_id", "text", max_dist=3, snippet_len=40, prefix_len=8
+    )
+
+
+ORACLE_FUZZY_PAIRS = r"""
+WITH s AS (
+  SELECT doc_id,
+         substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 40) AS sn
+  FROM documents),
+b AS (SELECT doc_id, sn, substr(sn, 1, 8) AS blk FROM s)
+SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+       CAST(levenshtein(a.sn, c.sn) AS INT) AS dist
+FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+WHERE levenshtein(a.sn, c.sn) <= 3
+"""
+
+
 def q_ann_ivf_trained(spark, sf_dir):
     """IVF ANN probing TRAINED centroids (similarity.kmeans_centroids →
     ivf_topk): the iterative spherical-k-means trainer is deterministic
@@ -3286,6 +3418,10 @@ QUERIES = {
     "series_similarity": q_series_similarity,
     "corpus_diff": q_corpus_diff,
     "event_transitions": q_event_transitions,
+    "trailing_zscore": q_trailing_zscore,
+    "frequent_pairs": q_frequent_pairs,
+    "pagerank": q_pagerank,
+    "fuzzy_pairs": q_fuzzy_pairs,
     "winsorize": q_winsorize,
     "profile_table": q_profile_table,
     "sessionize": q_sessionize,
@@ -3306,11 +3442,7 @@ QUERIES = {
     "winnow_fingerprint": q_winnow_fingerprint,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
-    "cube": q_cube,
-    "pivot": q_pivot,
-    "count_distinct": q_count_distinct,
     "cms_heavy_hitters": q_cms_heavy_hitters,
-    "percentile_exact": q_percentile_exact,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
@@ -3331,7 +3463,14 @@ QUERIES = {
     "funnel": q_funnel,
     "retention": q_retention,
     # --- past the driver's 50-row sample window (long-green r1-r3 basics,
-    # plus rows-only sketch queries whose driver check is weak anyway) ---
+    # plus rows-only sketch queries whose driver check is weak anyway;
+    # cube/pivot/count_distinct/percentile_exact demoted in rotation 4 —
+    # driver-green in r1, verified locally at 2 scales every round since —
+    # to make room for the four round-4 mining/robustness gates) ---
+    "cube": q_cube,
+    "pivot": q_pivot,
+    "count_distinct": q_count_distinct,
+    "percentile_exact": q_percentile_exact,
     "wordcount": q_wordcount,
     "rollup_continuous": q_rollup_continuous,
     "decontaminate": q_decontaminate,
@@ -3477,6 +3616,10 @@ ORACLES = {
     "profile_table": ORACLE_PROFILE_TABLE,
     "corpus_diff": ORACLE_CORPUS_DIFF,
     "event_transitions": ORACLE_EVENT_TRANSITIONS,
+    "trailing_zscore": ORACLE_TRAILING_ZSCORE,
+    "frequent_pairs": ORACLE_FREQUENT_PAIRS,
+    "pagerank": ORACLE_PAGERANK,
+    "fuzzy_pairs": ORACLE_FUZZY_PAIRS,
     "ann_rescore": ORACLE_ANN_RESCORE,
     # deliberately the SAME oracle as outlier_mad: the histogram path must
     # be value-identical to the window path

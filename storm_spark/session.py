@@ -76,3 +76,24 @@ def rebalance_scan(df, min_partitions: int | None = None):
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+# one live cache per (session, tag) — see bounded_persist
+_BOUNDED_CACHES: dict = {}
+
+
+def bounded_persist(df, tag: str):
+    """Persist ``df``, releasing the PREVIOUS DataFrame registered under the
+    same (session, tag) first — so an operator that caches a distilled
+    intermediate (a shingle index, a basket set, a normalized edge list)
+    holds at most ONE live cache per session no matter how many times it is
+    called. The leak-safe alternative to a bare ``.persist()`` inside an
+    operator that returns a lazy DataFrame (the operator can't unpersist
+    after the caller's action — this registry bounds what it can pin
+    instead)."""
+    key = (id(df.sparkSession), tag)
+    prev = _BOUNDED_CACHES.pop(key, None)
+    if prev is not None:
+        prev.unpersist()
+    _BOUNDED_CACHES[key] = df.persist()
+    return df

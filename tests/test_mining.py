@@ -1,0 +1,134 @@
+"""Unit tests for functions/mining.py (frequent_pairs, pagerank) and the
+new robust.trailing_zscore / dedup.fuzzy_pairs operators — hand-computed
+expectations on tiny inputs."""
+
+import math
+
+import pytest
+
+from storm_spark.functions import mining, robust
+from storm_spark.functions.dedup import fuzzy_pairs
+
+
+def test_frequent_pairs_support_and_lift(spark):
+    # 4 baskets: {a,b}, {a,b}, {a,c}, {b}
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "b"),
+    ]
+    df = spark.createDataFrame(rows, "basket bigint, item string")
+    out = {
+        (r.item_a, r.item_b): (r.support, r.n_a, r.n_b, r.lift)
+        for r in mining.frequent_pairs(df, ["basket"], "item", min_support=1).collect()
+    }
+    # support(a,b)=2, n_a=3, n_b=3, N=4 -> lift = 2*4/(3*3)
+    assert out[("a", "b")] == (2, 3, 3, round(2 * 4 / 9, 6))
+    # support(a,c)=1, lift = 1*4/(3*1)
+    assert out[("a", "c")] == (1, 3, 1, round(4 / 3, 6))
+    assert ("b", "c") not in out  # never co-occur
+
+
+def test_frequent_pairs_min_support_filters(spark):
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "c")]
+    df = spark.createDataFrame(rows, "basket bigint, item string")
+    out = mining.frequent_pairs(df, ["basket"], "item", min_support=2).collect()
+    assert out == []
+
+
+def test_frequent_pairs_duplicate_rows_collapse(spark):
+    """Raw events repeat items within a basket; support counts BASKETS."""
+    rows = [(1, "a")] * 5 + [(1, "b")] * 3 + [(2, "a"), (2, "b")]
+    df = spark.createDataFrame(rows, "basket bigint, item string")
+    out = mining.frequent_pairs(df, ["basket"], "item", min_support=1).collect()
+    assert len(out) == 1 and out[0].support == 2
+
+
+def test_pagerank_two_node_cycle(spark):
+    """a<->b is symmetric: ranks stay at the uniform 0.5 every round."""
+    e = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    out = {r.node: r.rank for r in mining.pagerank(e, iterations=3).collect()}
+    assert out == {"a": 0.5, "b": 0.5}
+
+
+def test_pagerank_dangling_sink(spark):
+    """a->b, b dangling. N=2, r0=0.5 each; after one round:
+    a = 0.15/2 (no in-edges), b = 0.15/2 + 0.85*0.5."""
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    out = {r.node: r.rank for r in mining.pagerank(e, iterations=1).collect()}
+    assert out["a"] == round((1 - 0.85) / 2, 8)
+    assert out["b"] == round((1 - 0.85) / 2 + 0.85 * 0.5, 8)
+
+
+def test_pagerank_weights_normalize_per_source(spark):
+    """a splits 3:1 between b and c — contributions follow the weights."""
+    e = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1)], "src string, dst string, w bigint"
+    )
+    out = {
+        r.node: r.rank
+        for r in mining.pagerank(e, weight_col="w", iterations=1).collect()
+    }
+    base = (1 - 0.85) / 3
+    assert out["b"] == round(base + 0.85 * (1 / 3) * 0.75, 8)
+    assert out["c"] == round(base + 0.85 * (1 / 3) * 0.25, 8)
+
+
+def test_trailing_zscore_hand_computed(spark):
+    """Window=3, min_periods=2: row 4's trailing window is rows 1-3."""
+    rows = [(1, i, float(v)) for i, v in enumerate([10, 20, 30, 100])]
+    df = spark.createDataFrame(rows, "k bigint, seq bigint, v double")
+    out = {
+        r.seq: r.z
+        for r in robust.trailing_zscore(
+            df, "k", ["seq"], "v", window=3, min_periods=2
+        ).collect()
+    }
+    assert out[0] is None and out[1] is None  # warm-up (<2 trailing)
+    # seq 2: trailing [10,20] -> mean 15, var 25, z=(30-15)/5
+    assert out[2] == pytest.approx(3.0)
+    # seq 3: trailing [10,20,30] -> mean 20, var = 1400/3 - 400 = 200/3
+    expect = (100 - 20) / math.sqrt(1400 / 3 - 400)
+    assert out[3] == pytest.approx(expect)
+
+
+def test_trailing_zscore_zero_variance_is_null(spark):
+    rows = [(1, i, 5.0) for i in range(5)] + [(1, 5, 50.0)]
+    df = spark.createDataFrame(rows, "k bigint, seq bigint, v double")
+    out = {
+        r.seq: r.z
+        for r in robust.trailing_zscore(
+            df, "k", ["seq"], "v", window=4, min_periods=2
+        ).collect()
+    }
+    assert out[5] is None  # trailing values all equal -> no score, not inf
+
+
+def test_fuzzy_pairs_detects_typo_dups(spark):
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jmups over the lazy dog"),   # transposition
+        (3, "a completely different document about storms"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = fuzzy_pairs(df, "doc_id", "text", max_dist=3)
+    got = [(r.id_a, r.id_b, r.dist) for r in out.collect()]
+    assert got == [(1, 2, 2)]  # jmups vs jumps = 2 edits; doc 3 unpaired
+
+
+def test_fuzzy_pairs_prefix_block_bounds_recall(spark):
+    """An edit INSIDE the blocking prefix escapes — the documented
+    blocking tradeoff (docs land in different blocks)."""
+    docs = [(1, "abcdefgh same tail text"), (2, "Xbcdefgh same tail text")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    assert fuzzy_pairs(df, "doc_id", "text", max_dist=3).count() == 0
+
+
+def test_fuzzy_pairs_hot_block_cap(spark):
+    """max_block_df drops blocks with more occupants than the cap."""
+    docs = [(i, f"same prefix here variant {i}") for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    uncapped = fuzzy_pairs(df, "doc_id", "text", max_dist=10).count()
+    capped = fuzzy_pairs(df, "doc_id", "text", max_dist=10, max_block_df=5).count()
+    assert uncapped > 0 and capped == 0
