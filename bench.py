@@ -88,6 +88,7 @@ HEADLINE = [
     "frequent_pairs",
     "pagerank",
     "fuzzy_pairs",
+    "scd2",
 ]
 
 

@@ -568,3 +568,61 @@ def retention_cohorts(
         j.groupBy(F.col("__cw__").alias("cohort_week"), F.col("__off__").alias("week_offset"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
     )
+
+
+def scd2_from_history(
+    df: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    order_cols: list[str],
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 table from a raw change
+    history — the warehouse versioning step that turns a CDC/event log
+    into per-key validity intervals: one row per (key, attribute-state)
+    RUN, with ``valid_from`` = the run's first event time and ``valid_to``
+    = the next run's start (NULL while current). Consecutive events whose
+    tracked attributes are unchanged collapse into one interval;
+    NULL-safe comparison, so NULL→NULL is "unchanged" and NULL→value is a
+    new version.
+
+    ``order_cols`` must make the per-key order total (e.g. ``[ts,
+    event_id]``); ``ts_col`` defaults to ``order_cols[0]`` and supplies
+    the interval bounds.
+
+    Scale shape: ONE key-keyed exchange carries both windows (the
+    change-point lag and the interval-closing lead run over the same
+    partitioning+ordering, so Catalyst plans Exchange → Sort → Window →
+    Filter → Window with no second shuffle); output size tracks the CHANGE
+    count, not the history. A key's history lands on one reducer — for
+    monster keys split by (key, year) and stitch the boundary rows, the
+    gap_fill remedy.
+    """
+    ts_col = ts_col or order_cols[0]
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    state = F.struct(*[F.col(c) for c in attr_cols])
+    is_change = ~state.eqNullSafe(F.lag(state).over(w)) | F.lag(state).over(w).isNull()
+    # first row of each run survives; lead() then closes each interval with
+    # the NEXT surviving row's start — over the same (key, order) window
+    w2 = Window.partitionBy(key_col).orderBy(*order_cols)
+    changes = (
+        df.select(
+            F.col(key_col),
+            *[F.col(c) for c in attr_cols],
+            *[F.col(c) for c in order_cols if c not in attr_cols],
+        )
+        .withColumn("__chg__", is_change)
+        .filter(F.col("__chg__"))
+    )
+    return changes.select(
+        F.col(key_col),
+        *[F.col(c) for c in attr_cols],
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w2).alias("valid_to"),
+    )
+
+
+def scd2_current(dim: DataFrame) -> DataFrame:
+    """The current snapshot of an SCD2 table: rows whose interval is open
+    (``valid_to IS NULL``) — a pushable filter, no shuffle."""
+    return dim.filter(F.col("valid_to").isNull())

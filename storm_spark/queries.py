@@ -3315,6 +3315,43 @@ WHERE levenshtein(a.sn, c.sn) <= 3
 """
 
 
+def q_scd2(spark, sf_dir):
+    """SCD type-2 dimension versioning from a raw change history
+    (temporal.scd2_from_history): each user's event_type runs collapse to
+    validity intervals — valid_from = run start, valid_to = next run's
+    start (NULL while current). One key-keyed exchange carries both the
+    change-point lag and the interval-closing lead. Interval bounds
+    surface as epoch-micros BIGINTs (engine-portable)."""
+    from storm_spark.functions import temporal
+
+    e = _events(spark, sf_dir)
+    dim = temporal.scd2_from_history(
+        e, "user_id", ["event_type"], ["ts", "event_id"]
+    )
+    return dim.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias("valid_from_us"),
+        F.unix_micros(F.col("valid_to").cast("timestamp")).alias("valid_to_us"),
+    )
+
+
+ORACLE_SCD2 = """
+WITH h AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t
+  FROM events),
+chg AS (
+  SELECT user_id, event_type, ts, event_id FROM h
+  WHERE event_type IS DISTINCT FROM prev_t)
+SELECT user_id, event_type,
+       epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us,
+       epoch_us(CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS TIMESTAMP)) AS valid_to_us
+FROM chg
+"""
+
+
 def q_ann_ivf_trained(spark, sf_dir):
     """IVF ANN probing TRAINED centroids (similarity.kmeans_centroids →
     ivf_topk): the iterative spherical-k-means trainer is deterministic
@@ -3422,6 +3459,7 @@ QUERIES = {
     "frequent_pairs": q_frequent_pairs,
     "pagerank": q_pagerank,
     "fuzzy_pairs": q_fuzzy_pairs,
+    "scd2": q_scd2,
     "winsorize": q_winsorize,
     "profile_table": q_profile_table,
     "sessionize": q_sessionize,
@@ -3441,7 +3479,6 @@ QUERIES = {
     "quality_repetition": q_quality_repetition,
     "winnow_fingerprint": q_winnow_fingerprint,
     "asof_join": q_asof_join,
-    "range_join": q_range_join,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_features": q_multimodal_features,
@@ -3471,6 +3508,7 @@ QUERIES = {
     "pivot": q_pivot,
     "count_distinct": q_count_distinct,
     "percentile_exact": q_percentile_exact,
+    "range_join": q_range_join,
     "wordcount": q_wordcount,
     "rollup_continuous": q_rollup_continuous,
     "decontaminate": q_decontaminate,
@@ -3620,6 +3658,7 @@ ORACLES = {
     "frequent_pairs": ORACLE_FREQUENT_PAIRS,
     "pagerank": ORACLE_PAGERANK,
     "fuzzy_pairs": ORACLE_FUZZY_PAIRS,
+    "scd2": ORACLE_SCD2,
     "ann_rescore": ORACLE_ANN_RESCORE,
     # deliberately the SAME oracle as outlier_mad: the histogram path must
     # be value-identical to the window path

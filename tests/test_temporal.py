@@ -478,3 +478,78 @@ def test_series_similarity_finds_shape_match(spark):
     ranked = sorted([(r.rank, r.neighbor_key, r.sim) for r in out.collect()])
     assert ranked[0][1] == 1 and ranked[0][2] == 1.0  # scaled copy: perfect correlation
     assert ranked[1][1] == 2 and ranked[1][2] < 0.5   # reversed shape ranks below
+
+
+def test_scd2_from_history_collapses_runs(spark):
+    from datetime import datetime
+
+    from storm_spark.functions.temporal import scd2_current, scd2_from_history
+
+    T = datetime
+    rows = [
+        # u1: a a b a  -> intervals a[0,2) b[2,3) a[3,-)
+        (1, T(2024, 1, 1, 0), 10, "a"),
+        (1, T(2024, 1, 1, 1), 11, "a"),
+        (1, T(2024, 1, 1, 2), 12, "b"),
+        (1, T(2024, 1, 1, 3), 13, "a"),
+        # u2: single state -> one open interval
+        (2, T(2024, 1, 1, 0), 20, "x"),
+        (2, T(2024, 1, 1, 5), 21, "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_id bigint, state string"
+    )
+    dim = scd2_from_history(df, "user_id", ["state"], ["ts", "event_id"])
+    got = sorted(
+        (r.user_id, r.state, r.valid_from.hour, r.valid_to.hour if r.valid_to else None)
+        for r in dim.collect()
+    )
+    assert got == [
+        (1, "a", 0, 2),
+        (1, "a", 3, None),
+        (1, "b", 2, 3),
+        (2, "x", 0, None),
+    ]
+    cur = sorted((r.user_id, r.state) for r in scd2_current(dim).collect())
+    assert cur == [(1, "a"), (2, "x")]
+
+
+def test_scd2_null_safe_attribute_comparison(spark):
+    """NULL→NULL is unchanged (one run); NULL→value is a new version."""
+    from datetime import datetime
+
+    from storm_spark.functions.temporal import scd2_from_history
+
+    T = datetime
+    rows = [
+        (1, T(2024, 1, 1, 0), 1, None),
+        (1, T(2024, 1, 1, 1), 2, None),   # still the NULL run
+        (1, T(2024, 1, 1, 2), 3, "v"),    # new version
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_id bigint, state string"
+    )
+    dim = scd2_from_history(df, "user_id", ["state"], ["ts", "event_id"])
+    got = sorted(
+        ((r.state, r.valid_from.hour) for r in dim.collect()),
+        key=lambda t: t[1],
+    )
+    assert got == [(None, 0), ("v", 2)]
+
+
+def test_scd2_single_exchange_plan(spark):
+    """Both windows (change-point lag, interval-closing lead) share one
+    key-keyed Exchange — no second shuffle."""
+    from datetime import datetime
+
+    from storm_spark.functions.temporal import scd2_from_history
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1, "a")],
+        "user_id bigint, ts timestamp, event_id bigint, state string",
+    )
+    plan = (
+        scd2_from_history(df, "user_id", ["state"], ["ts", "event_id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
