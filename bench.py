@@ -89,6 +89,7 @@ HEADLINE = [
     "pagerank",
     "fuzzy_pairs",
     "scd2",
+    "centroid_classify",
 ]
 
 

@@ -731,3 +731,64 @@ def semantic_dedup(
         assigned.join(losers, on="__id__", how="left_anti")
         .select(F.col("__id__").alias(id_col), F.col("__cell__").cast("bigint").alias("cell"))
     )
+
+
+def centroid_classify(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Nearest-centroid classification eval (Rocchio) over a labeled
+    embedding table — the cheap first-line probe of embedding quality a
+    training pipeline runs before anything expensive: per-label mean
+    vector, classify every vector by max cosine to the label centroids,
+    return the confusion matrix ``(label_col, pred, n)``. Accuracy =
+    Σ diagonal / Σ all, per-class recall = row-normalize — both derivable
+    from the output, which stays |labels|²-bounded.
+
+    Determinism (the k-means trainer's conventions, similarity.py:256):
+    per-dimension means round to 9 digits — partial-sum order across
+    partitions/engines wiggles a double average's last ulp, and rounding
+    pins the centroid to one engine-portable value; cosine then evaluates
+    index-sequentially on both engines (bit-identical), with the
+    zero-norm floor (`_denom`) guarding padding rows; argmax ties break
+    on the smaller label.
+
+    Scale shape: ONE (label, pos) partial-agg shuffle computes all
+    centroids (shuffle volume ~|labels|·dim per upstream partition —
+    map-side combined, never n·dim); the |labels|·dim centroid table
+    broadcasts back for a map-side rank-1 cosine pass; the confusion agg
+    is |labels|²-bounded. No driver collect anywhere — the centroid table
+    stays a DataFrame.
+    """
+    v = df.select(
+        F.col(id_col).alias("__id__"),
+        F.col(label_col).alias("__lbl__"),
+        F.col(vec_col).cast("array<double>").alias("__cv__"),
+    )
+    cents = (
+        v.select("__lbl__", F.posexplode("__cv__").alias("pos", "x"))
+        .groupBy("__lbl__", "pos")
+        .agg(F.round(F.avg("x"), 9).alias("m"))
+        .groupBy("__lbl__")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("__cent__")
+        )
+        .select(F.col("__lbl__").alias("__plbl__"), "__cent__")
+    )
+    w = Window.partitionBy("__id__").orderBy(
+        F.col("__cc__").desc(), F.col("__plbl__").asc()
+    )
+    pred = (
+        v.crossJoin(F.broadcast(cents))
+        .withColumn("__cc__", _cos(F.col("__cv__"), F.col("__cent__")))
+        .withColumn("__r__", F.row_number().over(w))
+        .filter(F.col("__r__") == 1)
+    )
+    return pred.groupBy(
+        F.col("__lbl__").alias(label_col), F.col("__plbl__").alias("pred")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))

@@ -3315,6 +3315,44 @@ WHERE levenshtein(a.sn, c.sn) <= 3
 """
 
 
+def q_centroid_classify(spark, sf_dir):
+    """Nearest-centroid (Rocchio) classification eval over the labeled
+    embeddings table (similarity.centroid_classify): per-label 9-digit-
+    rounded mean vectors → max-cosine argmax → confusion matrix. The
+    k-means trainer's determinism conventions make even the trained
+    centroids exactly SQL-twinnable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.centroid_classify(emb, "vec_id", "embedding", "label")
+
+
+def _oracle_centroid_classify():
+    cos = (
+        "(list_inner_product(e.vv, t.cv) / "
+        "greatest(sqrt(list_inner_product(e.vv, e.vv)) * "
+        "sqrt(list_inner_product(t.cv, t.cv)), 1e-12))"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS vv FROM embeddings),
+m AS (
+  SELECT label AS plbl, list(m ORDER BY pos) AS cv FROM (
+    SELECT label, pos, round(AVG(x), 9) AS m FROM (
+      SELECT label, unnest(generate_series(1, len(vv))) AS pos, unnest(vv) AS x
+      FROM v)
+    GROUP BY label, pos)
+  GROUP BY label),
+p AS (
+  SELECT label, plbl FROM (
+    SELECT e.label, t.plbl,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos} DESC, t.plbl ASC) AS r
+    FROM v e CROSS JOIN m t) WHERE r = 1)
+SELECT label, plbl AS pred, CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY 1, 2
+"""
+
+
+ORACLE_CENTROID_CLASSIFY = _oracle_centroid_classify()
+
+
 def q_scd2(spark, sf_dir):
     """SCD type-2 dimension versioning from a raw change history
     (temporal.scd2_from_history): each user's event_type runs collapse to
@@ -3460,6 +3498,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "fuzzy_pairs": q_fuzzy_pairs,
     "scd2": q_scd2,
+    "centroid_classify": q_centroid_classify,
     "winsorize": q_winsorize,
     "profile_table": q_profile_table,
     "sessionize": q_sessionize,
@@ -3478,7 +3517,6 @@ QUERIES = {
     "quota_sample": q_quota_sample,
     "quality_repetition": q_quality_repetition,
     "winnow_fingerprint": q_winnow_fingerprint,
-    "asof_join": q_asof_join,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_features": q_multimodal_features,
@@ -3509,6 +3547,7 @@ QUERIES = {
     "count_distinct": q_count_distinct,
     "percentile_exact": q_percentile_exact,
     "range_join": q_range_join,
+    "asof_join": q_asof_join,
     "wordcount": q_wordcount,
     "rollup_continuous": q_rollup_continuous,
     "decontaminate": q_decontaminate,
@@ -3659,6 +3698,7 @@ ORACLES = {
     "pagerank": ORACLE_PAGERANK,
     "fuzzy_pairs": ORACLE_FUZZY_PAIRS,
     "scd2": ORACLE_SCD2,
+    "centroid_classify": ORACLE_CENTROID_CLASSIFY,
     "ann_rescore": ORACLE_ANN_RESCORE,
     # deliberately the SAME oracle as outlier_mad: the histogram path must
     # be value-identical to the window path

