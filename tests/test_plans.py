@@ -118,6 +118,12 @@ _EXPRESSION_ONLY = [
     "substring_dedup",
     "pmi_collocations",
     "training_order",
+    "trailing_zscore",
+    "frequent_pairs",
+    "pagerank",
+    "fuzzy_pairs",
+    "scd2",
+    "centroid_classify",
 ]
 
 
@@ -338,3 +344,43 @@ def test_semantic_dedup_broadcasts_centroids(spark):
     plan = _plan(q_semantic_dedup(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_trailing_zscore_single_exchange(spark):
+    """All three trailing sums + the score ride ONE key-keyed exchange
+    (the only other Exchange is the scan-rebalance round-robin)."""
+    from storm_spark.queries import q_trailing_zscore
+
+    plan = (
+        q_trailing_zscore(spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_frequent_pairs_broadcasts_marginals(spark):
+    """Marginals and the basket total attach as broadcasts; the pair
+    fan-out is the only shuffled join."""
+    from storm_spark.queries import q_frequent_pairs
+
+    plan = _plan(q_frequent_pairs(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "BroadcastNestedLoopJoin Cross" in plan or "CartesianProduct" not in plan
+
+
+def test_pagerank_broadcasts_rank_table(spark):
+    """Each damped round joins the edge list against a BROADCAST rank
+    table — no shuffle of edges per iteration beyond the grouped sum."""
+    from storm_spark.queries import q_pagerank
+
+    plan = _plan(q_pagerank(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_centroid_classify_broadcasts_centroids(spark):
+    """The |labels|·dim centroid table broadcasts; corpus vectors never
+    shuffle for the classification pass."""
+    from storm_spark.queries import q_centroid_classify
+
+    plan = _plan(q_centroid_classify(spark, SF))
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in plan, plan
