@@ -597,6 +597,7 @@ def fuzzy_pairs(
     snippet_len: int = 40,
     prefix_len: int = 8,
     max_block_df: int | None = None,
+    two_pass: bool = False,
 ) -> DataFrame:
     """Typo-level near-duplicate pairs by bounded edit distance — the
     character-granular complement of the token-set detectors
@@ -614,45 +615,62 @@ def fuzzy_pairs(
 
     Recall tradeoff (standard blocking): an edit inside the prefix escapes
     detection — widen recall by lowering ``prefix_len`` (bigger blocks) or
-    running a second pass blocked on a suffix. Cost: one block-keyed
-    shuffle of (prefix, id, snippet); O(k²/2) levenshtein evaluations per
-    k-occupant block, each O(snippet_len²) — both engine-built-in
-    (Catalyst's levenshtein is JVM-side with the max-distance early-exit).
-    ``max_block_df`` drops blocks with more occupants (boilerplate
-    prefixes — the hot-shingle cap convention from
-    :func:`ngram_jaccard_pairs`): deterministic, documented recall cut
-    that bounds any block at O(cap²).
+    setting ``two_pass=True``, which unions a second pass blocked on the
+    snippet SUFFIX (a pair then escapes only when edits hit BOTH ends —
+    already ≥2 of the ``max_dist`` budget; cost: 2× candidate generation,
+    one extra pair-dedup agg). Cost: one block-keyed shuffle of (prefix,
+    id, snippet); O(k²/2) levenshtein evaluations per k-occupant block,
+    each O(snippet_len²) — both engine-built-in (Catalyst's levenshtein
+    is JVM-side with the max-distance early-exit). ``max_block_df`` drops
+    blocks with more occupants (boilerplate prefixes — the hot-shingle
+    cap convention from :func:`ngram_jaccard_pairs`): deterministic,
+    documented recall cut that bounds any block at O(cap²).
     """
     snip = F.substring(
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
         1,
         snippet_len,
     )
-    s = df.select(
-        F.col(id_col).alias("__id__"),
-        snip.alias("__sn__"),
-        F.substring(snip, 1, prefix_len).alias("__blk__"),
-    )
-    if max_block_df is not None:
-        occ = s.groupBy("__blk__").agg(F.count(F.lit(1)).alias("__occ__"))
-        s = (
-            s.join(F.broadcast(occ.filter(F.col("__occ__") <= max_block_df)), "__blk__")
-            .drop("__occ__")
+    base = df.select(F.col(id_col).alias("__id__"), snip.alias("__sn__"))
+
+    def _pairs_for(block_expr):
+        s = base.select("__id__", "__sn__", block_expr.alias("__blk__"))
+        if max_block_df is not None:
+            occ = s.groupBy("__blk__").agg(F.count(F.lit(1)).alias("__occ__"))
+            s = (
+                s.join(
+                    F.broadcast(occ.filter(F.col("__occ__") <= max_block_df)),
+                    "__blk__",
+                )
+                .drop("__occ__")
+            )
+        a = s.select(
+            F.col("__blk__"),
+            F.col("__id__").alias("id_a"),
+            F.col("__sn__").alias("__sa__"),
         )
-    a = s.select(
-        F.col("__blk__"),
-        F.col("__id__").alias("id_a"),
-        F.col("__sn__").alias("__sa__"),
-    )
-    b = s.select(
-        F.col("__blk__"),
-        F.col("__id__").alias("id_b"),
-        F.col("__sn__").alias("__sb__"),
-    )
+        b = s.select(
+            F.col("__blk__"),
+            F.col("__id__").alias("id_b"),
+            F.col("__sn__").alias("__sb__"),
+        )
+        return (
+            a.join(b, "__blk__")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("dist", F.levenshtein(F.col("__sa__"), F.col("__sb__")))
+            .filter(F.col("dist") <= max_dist)
+        )
+
+    cand = _pairs_for(F.substring(F.col("__sn__"), 1, prefix_len))
+    if two_pass:
+        cand = cand.unionByName(
+            _pairs_for(F.substring(F.col("__sn__"), -prefix_len, prefix_len))
+        )
+        # a pair found by both passes appears twice with the same dist
+        return cand.groupBy("id_a", "id_b").agg(
+            F.min("dist").cast("int").alias("dist")
+        )
     return (
-        a.join(b, "__blk__")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dist", F.levenshtein(F.col("__sa__"), F.col("__sb__")))
-        .filter(F.col("dist") <= max_dist)
+        cand
         .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
     )

@@ -132,3 +132,26 @@ def test_fuzzy_pairs_hot_block_cap(spark):
     uncapped = fuzzy_pairs(df, "doc_id", "text", max_dist=10).count()
     capped = fuzzy_pairs(df, "doc_id", "text", max_dist=10, max_block_df=5).count()
     assert uncapped > 0 and capped == 0
+
+
+def test_fuzzy_pairs_two_pass_recovers_prefix_edits(spark):
+    """two_pass=True adds a suffix-blocked pass: an edit INSIDE the prefix
+    no longer escapes (single-pass misses it), and pairs found by both
+    passes dedup to one row."""
+    docs = [
+        (1, "abcdefgh same tail text"),
+        (2, "Xbcdefgh same tail text"),   # prefix edit -> suffix pass catches
+        (3, "abcdefgh same tail texY"),   # suffix edit -> prefix pass catches
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    single = fuzzy_pairs(df, "doc_id", "text", max_dist=3)
+    both = fuzzy_pairs(df, "doc_id", "text", max_dist=3, two_pass=True)
+    got_single = {(r.id_a, r.id_b) for r in single.collect()}
+    got_both = {(r.id_a, r.id_b, r.dist) for r in both.collect()}
+    assert (1, 2) not in got_single
+    # (2,3) has edits at BOTH ends — the documented residual miss even
+    # with two passes (escaping now costs >=2 of the edit budget)
+    assert got_both == {(1, 2, 1), (1, 3, 1)}
+    # no duplicate pair rows after the union dedup ((1,3) is found by both
+    # passes and must appear once)
+    assert both.count() == 2
