@@ -90,6 +90,7 @@ HEADLINE = [
     "fuzzy_pairs",
     "scd2",
     "centroid_classify",
+    "psi_drift",
 ]
 
 

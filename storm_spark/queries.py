@@ -3315,6 +3315,46 @@ WHERE levenshtein(a.sn, c.sn) <= 3
 """
 
 
+def q_psi_drift(spark, sf_dir):
+    """PSI drift report (profile.psi_drift) between two event snapshots
+    (even vs odd users — a deterministic synthetic split): per-bin counts,
+    proportions, and PSI terms over 10 fixed integer-cents bins. Pure
+    integer bucketing; ln on identical doubles both engines."""
+    from storm_spark.functions.profile import psi_drift
+
+    e = _events(spark, sf_dir).withColumn("v_c", cents("value"))
+    old = e.filter(F.col("user_id") % 2 == 0)
+    new = e.filter(F.col("user_id") % 2 == 1)
+    return psi_drift(old, new, "v_c", lo=0, hi=50000, n_bins=10)
+
+
+def _oracle_psi_drift(lo=0, hi=50000, n_bins=10, eps=1e-6):
+    v = SQL_CENTS.format(x="value")
+    b = f"((least(greatest({v}, {lo}), {hi - 1}) - {lo}) * {n_bins}) // {hi - lo}"
+    return f"""
+WITH ob AS (
+  SELECT {b} AS bin, CAST(COUNT(*) AS BIGINT) AS n_old
+  FROM events WHERE user_id % 2 = 0 AND value IS NOT NULL GROUP BY 1),
+nb AS (
+  SELECT {b} AS bin, CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM events WHERE user_id % 2 = 1 AND value IS NOT NULL GROUP BY 1),
+grid AS (SELECT unnest(generate_series(0, {n_bins - 1})) AS bin),
+j AS (
+  SELECT g.bin, COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+  FROM grid g LEFT JOIN ob ON ob.bin = g.bin LEFT JOIN nb ON nb.bin = g.bin),
+t AS (SELECT CAST(SUM(n_old) AS DOUBLE) AS to_, CAST(SUM(n_new) AS DOUBLE) AS tn_ FROM j)
+SELECT bin, n_old, n_new,
+       round(greatest(n_old / to_, {eps}), 6) AS p_old,
+       round(greatest(n_new / tn_, {eps}), 6) AS p_new,
+       round((greatest(n_new / tn_, {eps}) - greatest(n_old / to_, {eps}))
+             * ln(greatest(n_new / tn_, {eps}) / greatest(n_old / to_, {eps})), 6) AS psi_term
+FROM j CROSS JOIN t
+"""
+
+
+ORACLE_PSI_DRIFT = _oracle_psi_drift()
+
+
 def q_centroid_classify(spark, sf_dir):
     """Nearest-centroid (Rocchio) classification eval over the labeled
     embeddings table (similarity.centroid_classify): per-label 9-digit-
@@ -3499,6 +3539,7 @@ QUERIES = {
     "fuzzy_pairs": q_fuzzy_pairs,
     "scd2": q_scd2,
     "centroid_classify": q_centroid_classify,
+    "psi_drift": q_psi_drift,
     "winsorize": q_winsorize,
     "profile_table": q_profile_table,
     "sessionize": q_sessionize,
@@ -3517,7 +3558,6 @@ QUERIES = {
     "quota_sample": q_quota_sample,
     "quality_repetition": q_quality_repetition,
     "winnow_fingerprint": q_winnow_fingerprint,
-    "cms_heavy_hitters": q_cms_heavy_hitters,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
@@ -3548,6 +3588,7 @@ QUERIES = {
     "percentile_exact": q_percentile_exact,
     "range_join": q_range_join,
     "asof_join": q_asof_join,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
     "wordcount": q_wordcount,
     "rollup_continuous": q_rollup_continuous,
     "decontaminate": q_decontaminate,
@@ -3699,6 +3740,7 @@ ORACLES = {
     "fuzzy_pairs": ORACLE_FUZZY_PAIRS,
     "scd2": ORACLE_SCD2,
     "centroid_classify": ORACLE_CENTROID_CLASSIFY,
+    "psi_drift": ORACLE_PSI_DRIFT,
     "ann_rescore": ORACLE_ANN_RESCORE,
     # deliberately the SAME oracle as outlier_mad: the histogram path must
     # be value-identical to the window path

@@ -29,3 +29,44 @@ def test_profile_single_scan(spark):
     df = spark.createDataFrame([(1, "a")], "k bigint, s string")
     plan = profile.profile_columns(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") == 1, plan
+
+
+def test_psi_drift_hand_computed(spark):
+    import math
+
+    from storm_spark.functions.profile import psi_drift
+
+    # lo=0, hi=10, 2 bins: [0,5) and [5,10). old: 3 low 1 high; new: 1 low 3 high
+    old = spark.createDataFrame([(v,) for v in [1, 2, 3, 7]], "v bigint")
+    new = spark.createDataFrame([(v,) for v in [4, 6, 8, 9]], "v bigint")
+    out = {r.bin: r for r in psi_drift(old, new, "v", lo=0, hi=10, n_bins=2).collect()}
+    assert (out[0].n_old, out[0].n_new) == (3, 1)
+    assert (out[1].n_old, out[1].n_new) == (1, 3)
+    expect0 = (0.25 - 0.75) * math.log(0.25 / 0.75)
+    assert out[0].psi_term == round(expect0, 6)
+    assert out[1].psi_term == round((0.75 - 0.25) * math.log(0.75 / 0.25), 6)
+
+
+def test_psi_drift_empty_bin_is_finite(spark):
+    """A bin present in one snapshot only floors at eps — large finite
+    term, never ±inf/NaN; every bin row exists even when empty on both."""
+    from storm_spark.functions.profile import psi_drift
+
+    old = spark.createDataFrame([(1,), (2,)], "v bigint")
+    new = spark.createDataFrame([(8,), (9,)], "v bigint")
+    rows = psi_drift(old, new, "v", lo=0, hi=10, n_bins=5).collect()
+    assert len(rows) == 5  # full grid
+    import math
+
+    assert all(math.isfinite(r.psi_term) for r in rows)
+
+
+def test_psi_drift_clamps_out_of_range_and_skips_nulls(spark):
+    from storm_spark.functions.profile import psi_drift
+
+    old = spark.createDataFrame([(-5,), (99,), (None,)], "v bigint")
+    new = spark.createDataFrame([(3,)], "v bigint")
+    out = {r.bin: (r.n_old, r.n_new) for r in
+           psi_drift(old, new, "v", lo=0, hi=10, n_bins=2).collect()}
+    # -5 clamps into bin 0, 99 into bin 1, NULL dropped
+    assert out == {0: (1, 1), 1: (1, 0)}
