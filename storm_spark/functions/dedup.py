@@ -636,12 +636,15 @@ def fuzzy_pairs(
     def _pairs_for(block_expr):
         s = base.select("__id__", "__sn__", block_expr.alias("__blk__"))
         if max_block_df is not None:
-            occ = s.groupBy("__blk__").agg(F.count(F.lit(1)).alias("__occ__"))
+            # whole-partition window count, NOT a broadcast join of the
+            # occupancy table — block cardinality tracks |docs|, far past
+            # any broadcast threshold at scale; the window's block-keyed
+            # exchange is the same key the pair join shuffles on anyway
             s = (
-                s.join(
-                    F.broadcast(occ.filter(F.col("__occ__") <= max_block_df)),
-                    "__blk__",
+                s.withColumn(
+                    "__occ__", F.count(F.lit(1)).over(Window.partitionBy("__blk__"))
                 )
+                .filter(F.col("__occ__") <= max_block_df)
                 .drop("__occ__")
             )
         a = s.select(
@@ -654,11 +657,17 @@ def fuzzy_pairs(
             F.col("__id__").alias("id_b"),
             F.col("__sn__").alias("__sb__"),
         )
+        # thresholded levenshtein: Catalyst computes the banded DP and
+        # returns -1 past the bound — O(max_dist·len) per pair instead of
+        # the full O(len²) table (the early-exit the docstring promises)
         return (
             a.join(b, "__blk__")
             .filter(F.col("id_a") < F.col("id_b"))
-            .withColumn("dist", F.levenshtein(F.col("__sa__"), F.col("__sb__")))
-            .filter(F.col("dist") <= max_dist)
+            .withColumn(
+                "dist",
+                F.levenshtein(F.col("__sa__"), F.col("__sb__"), max_dist),
+            )
+            .filter(F.col("dist") >= 0)
         )
 
     cand = _pairs_for(F.substring(F.col("__sn__"), 1, prefix_len))

@@ -130,9 +130,13 @@ def pagerank(
         ),
         "mining.pagerank.edges",
     )
-    # per-source normalization: w / Σ_out w
+    # per-source normalization: w / Σ_out w. No broadcast HINT — out_w is
+    # |nodes|-sized, and a forced broadcast would collect it to the driver
+    # regardless of size; AQE broadcasts it when it fits and shuffle-joins
+    # when it doesn't (the documented fallback only exists if we don't
+    # override the planner)
     out_w = e.groupBy("__s__").agg(F.sum("__w__").alias("__ow__"))
-    e_norm = e.join(F.broadcast(out_w), "__s__").select(
+    e_norm = e.join(out_w, "__s__").select(
         "__s__", "__d__", (F.col("__w__") / F.col("__ow__")).alias("__wn__")
     )
     bare = (
@@ -150,7 +154,7 @@ def pagerank(
     for _ in range(int(iterations)):
         contrib = (
             e_norm.join(
-                F.broadcast(ranks.select(F.col("node").alias("__s__"), "rank")), "__s__"
+                ranks.select(F.col("node").alias("__s__"), "rank"), "__s__"
             )
             .groupBy(F.col("__d__").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("__wn__")).alias("__in__"))

@@ -128,9 +128,12 @@ def psi_drift(
             F.coalesce("n_new", F.lit(0)).alias("n_new"),
         )
     )
+    # totals floor at 1: an EMPTY snapshot must yield p = eps everywhere
+    # (finite terms), not 0/0 — which Spark nulls but DuckDB (IEEE ops)
+    # turns into NaN, so an unguarded division would also split the twins
     tot = j.agg(
-        F.sum("n_old").cast("double").alias("__to__"),
-        F.sum("n_new").cast("double").alias("__tn__"),
+        F.greatest(F.sum("n_old"), F.lit(1)).cast("double").alias("__to__"),
+        F.greatest(F.sum("n_new"), F.lit(1)).cast("double").alias("__tn__"),
     )
     p_old = F.greatest(F.col("n_old") / F.col("__to__"), F.lit(float(eps)))
     p_new = F.greatest(F.col("n_new") / F.col("__tn__"), F.lit(float(eps)))

@@ -601,7 +601,9 @@ def scd2_from_history(
     ts_col = ts_col or order_cols[0]
     w = Window.partitionBy(key_col).orderBy(*order_cols)
     state = F.struct(*[F.col(c) for c in attr_cols])
-    is_change = ~state.eqNullSafe(F.lag(state).over(w)) | F.lag(state).over(w).isNull()
+    # a first row's lag is a NULL struct, and eqNullSafe(struct, NULL) is
+    # false — so the single negation already marks it as a change
+    is_change = ~state.eqNullSafe(F.lag(state).over(w))
     # first row of each run survives; lead() then closes each interval with
     # the NEXT surviving row's start — over the same (key, order) window
     w2 = Window.partitionBy(key_col).orderBy(*order_cols)

@@ -3342,7 +3342,8 @@ grid AS (SELECT unnest(generate_series(0, {n_bins - 1})) AS bin),
 j AS (
   SELECT g.bin, COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
   FROM grid g LEFT JOIN ob ON ob.bin = g.bin LEFT JOIN nb ON nb.bin = g.bin),
-t AS (SELECT CAST(SUM(n_old) AS DOUBLE) AS to_, CAST(SUM(n_new) AS DOUBLE) AS tn_ FROM j)
+t AS (SELECT CAST(greatest(SUM(n_old), 1) AS DOUBLE) AS to_,
+             CAST(greatest(SUM(n_new), 1) AS DOUBLE) AS tn_ FROM j)
 SELECT bin, n_old, n_new,
        round(greatest(n_old / to_, {eps}), 6) AS p_old,
        round(greatest(n_new / tn_, {eps}), 6) AS p_new,
@@ -3417,11 +3418,15 @@ def q_scd2(spark, sf_dir):
 ORACLE_SCD2 = """
 WITH h AS (
   SELECT user_id, event_type, ts, event_id,
-         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM events),
 chg AS (
+  -- rn = 1 keeps a key's opening run even when its first attribute is
+  -- NULL (NULL IS DISTINCT FROM NULL-lag is false and would drop it —
+  -- the engine's eqNullSafe-vs-missing-lag semantics keep it)
   SELECT user_id, event_type, ts, event_id FROM h
-  WHERE event_type IS DISTINCT FROM prev_t)
+  WHERE rn = 1 OR event_type IS DISTINCT FROM prev_t)
 SELECT user_id, event_type,
        epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us,
        epoch_us(CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)

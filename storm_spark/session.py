@@ -78,8 +78,11 @@ def rebalance_scan(df, min_partitions: int | None = None):
     return df
 
 
-# one live cache per (session, tag) — see bounded_persist
-_BOUNDED_CACHES: dict = {}
+import threading
+
+# guards the pop/persist pair in bounded_persist (concurrent operator
+# calls on one session must not strand an unregistered persisted DF)
+_BOUNDED_LOCK = threading.Lock()
 
 
 def bounded_persist(df, tag: str):
@@ -90,10 +93,19 @@ def bounded_persist(df, tag: str):
     called. The leak-safe alternative to a bare ``.persist()`` inside an
     operator that returns a lazy DataFrame (the operator can't unpersist
     after the caller's action — this registry bounds what it can pin
-    instead)."""
-    key = (id(df.sparkSession), tag)
-    prev = _BOUNDED_CACHES.pop(key, None)
-    if prev is not None:
-        prev.unpersist()
-    _BOUNDED_CACHES[key] = df.persist()
+    instead).
+
+    The registry lives ON the SparkSession object (not module-level), so
+    it is garbage-collected with the session — a process that cycles
+    sessions never accumulates dead entries."""
+    sess = df.sparkSession
+    with _BOUNDED_LOCK:
+        reg = getattr(sess, "_storm_bounded_caches", None)
+        if reg is None:
+            reg = {}
+            sess._storm_bounded_caches = reg
+        prev = reg.pop(tag, None)
+        if prev is not None:
+            prev.unpersist()
+        reg[tag] = df.persist()
     return df

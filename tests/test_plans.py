@@ -365,7 +365,10 @@ def test_frequent_pairs_broadcasts_marginals(spark):
 
     plan = _plan(q_frequent_pairs(spark, SF))
     assert plan.count("BroadcastHashJoin") >= 2, plan
-    assert "BroadcastNestedLoopJoin Cross" in plan or "CartesianProduct" not in plan
+    # the 1-row basket total must attach as a broadcast NLJ, never a
+    # cartesian product — both conditions, not either
+    assert "BroadcastNestedLoopJoin Cross" in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_pagerank_broadcasts_rank_table(spark):

@@ -297,3 +297,48 @@ def test_multimodal_null_content_rows(spark):
     assert {r.doc_id for r in imgs} == {1, 2}
     auds = multimodal.audio_features(df, "content", "doc_id").collect()
     assert {r.doc_id for r in auds} == {1, 2}
+
+
+def test_bounded_persist_one_live_cache_per_tag(spark):
+    """Each call releases the previous cache under the same tag; the
+    registry lives on the session (GC'd with it), never module-level."""
+    from storm_spark.session import bounded_persist
+
+    a = bounded_persist(spark.range(5), "review_fix_probe")
+    assert a.storageLevel.useMemory
+    b = bounded_persist(spark.range(6), "review_fix_probe")
+    assert not a.storageLevel.useMemory  # previous cache released
+    assert b.storageLevel.useMemory
+    assert "review_fix_probe" in spark._storm_bounded_caches
+    b.unpersist()
+    spark._storm_bounded_caches.pop("review_fix_probe", None)
+
+
+def test_fuzzy_pairs_thresholded_levenshtein_same_results(spark):
+    """The banded (thresholded) levenshtein path returns the same pairs
+    and distances as an unbounded computation filtered afterwards."""
+    from pyspark.sql import functions as F
+
+    from storm_spark.functions.dedup import fuzzy_pairs
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jmups over the lazy dog"),
+        (3, "the quick brown fox leaps over the lazy dog"),
+        (4, "totally unrelated text that shares no prefix"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {(r.id_a, r.id_b): r.dist
+           for r in fuzzy_pairs(df, "doc_id", "text", max_dist=5).collect()}
+    # brute-force check on the same normalized 40-char snippets
+    import itertools
+
+    snips = {i: " ".join(t.lower().split())[:40] for i, t in docs}
+    exp = {}
+    for x, y in itertools.combinations(sorted(snips), 2):
+        if snips[x][:8] == snips[y][:8]:
+            d = spark.createDataFrame([(snips[x], snips[y])], "a string, b string") \
+                .select(F.levenshtein("a", "b").alias("d")).collect()[0].d
+            if d <= 5:
+                exp[(x, y)] = d
+    assert got == exp
