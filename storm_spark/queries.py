@@ -3394,6 +3394,38 @@ FROM p GROUP BY 1, 2
 ORACLE_CENTROID_CLASSIFY = _oracle_centroid_classify()
 
 
+def q_fuzzy_pairs_two_pass(spark, sf_dir):
+    """fuzzy_pairs with the suffix-block second pass (two_pass=True): an
+    edit inside the 8-char prefix no longer escapes — escaping now costs
+    edits at BOTH snippet ends. Spark substring(s,-8,8) ≡ DuckDB
+    right(s,8) including short-string edges (verified)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.fuzzy_pairs(
+        docs, "doc_id", "text", max_dist=3, snippet_len=40, prefix_len=8,
+        two_pass=True,
+    )
+
+
+ORACLE_FUZZY_PAIRS_TWO_PASS = r"""
+WITH s AS (
+  SELECT doc_id,
+         substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 40) AS sn
+  FROM documents),
+pre AS (SELECT doc_id, sn, substr(sn, 1, 8) AS blk FROM s),
+suf AS (SELECT doc_id, sn, right(sn, 8) AS blk FROM s),
+cand AS (
+  SELECT a.doc_id AS id_a, c.doc_id AS id_b, levenshtein(a.sn, c.sn) AS d
+  FROM pre a JOIN pre c ON a.blk = c.blk AND a.doc_id < c.doc_id
+  WHERE levenshtein(a.sn, c.sn) <= 3
+  UNION ALL
+  SELECT a.doc_id, c.doc_id, levenshtein(a.sn, c.sn)
+  FROM suf a JOIN suf c ON a.blk = c.blk AND a.doc_id < c.doc_id
+  WHERE levenshtein(a.sn, c.sn) <= 3)
+SELECT id_a, id_b, CAST(MIN(d) AS INT) AS dist
+FROM cand GROUP BY 1, 2
+"""
+
+
 def q_scd2(spark, sf_dir):
     """SCD type-2 dimension versioning from a raw change history
     (temporal.scd2_from_history): each user's event_type runs collapse to
@@ -3545,6 +3577,7 @@ QUERIES = {
     "scd2": q_scd2,
     "centroid_classify": q_centroid_classify,
     "psi_drift": q_psi_drift,
+    "fuzzy_pairs_two_pass": q_fuzzy_pairs_two_pass,
     "winsorize": q_winsorize,
     "profile_table": q_profile_table,
     "sessionize": q_sessionize,
@@ -3562,7 +3595,6 @@ QUERIES = {
     "unigram_surprisal": q_unigram_surprisal,
     "quota_sample": q_quota_sample,
     "quality_repetition": q_quality_repetition,
-    "winnow_fingerprint": q_winnow_fingerprint,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
@@ -3594,6 +3626,7 @@ QUERIES = {
     "range_join": q_range_join,
     "asof_join": q_asof_join,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "winnow_fingerprint": q_winnow_fingerprint,
     "wordcount": q_wordcount,
     "rollup_continuous": q_rollup_continuous,
     "decontaminate": q_decontaminate,
@@ -3746,6 +3779,7 @@ ORACLES = {
     "scd2": ORACLE_SCD2,
     "centroid_classify": ORACLE_CENTROID_CLASSIFY,
     "psi_drift": ORACLE_PSI_DRIFT,
+    "fuzzy_pairs_two_pass": ORACLE_FUZZY_PAIRS_TWO_PASS,
     "ann_rescore": ORACLE_ANN_RESCORE,
     # deliberately the SAME oracle as outlier_mad: the histogram path must
     # be value-identical to the window path
