@@ -280,3 +280,85 @@ def running_word_counts(stream_df: DataFrame, word_col: str = "word") -> DataFra
         finish=lambda acc: {"count": acc},
         out_schema=f"{word_col} string, count long",
     )
+
+
+def stateful_trailing_zscore(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window: int = 24,
+    min_periods: int = 8,
+) -> DataFrame:
+    """In-stream twin of ``functions.robust.trailing_zscore``: each
+    arriving value z-scores against the key's trailing ``window`` previous
+    values, with the buffer carried across micro-batches — the score a
+    per-batch window can't produce for a batch's first rows. Emits
+    ``(key, ts, value, z)`` per event; z is NULL during warm-up
+    (< ``min_periods`` trailing values) or at zero variance.
+
+    Same trailing-window semantics as the batch twin (current row
+    excluded; identical s2/n − (s/n)² arithmetic on the same values), and
+    the same late-data contract as :func:`stateful_transitions`: an event
+    older than the key's newest seen event time is DROPPED (its score
+    would need the buffer as of an earlier point — gone). Streaming
+    scores therefore equal the batch twin's exactly when each key's
+    events arrive in non-decreasing event-time order across batches.
+
+    State per key is ``(last_ts, deque of ≤ window values)`` — O(window)
+    bytes, the same bound the batch operator's streaming frame buffer has.
+    """
+    import math
+    import pickle
+
+    def fn(key, pdfs, state: GroupState):
+        last_ts, buf = (
+            pickle.loads(state.get[0]) if state.exists else (None, [])
+        )
+        events = []
+        for pdf in pdfs:
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                if pd.isna(ts) or pd.isna(v):
+                    continue
+                tsec = ts.timestamp()
+                if last_ts is not None and tsec < last_ts:
+                    continue  # late arrival — see docstring
+                # truncate like the batch twin's cast("bigint") so a
+                # non-integer input scores identically on both paths
+                events.append((tsec, ts, float(int(v))))
+        if not events:
+            yield pd.DataFrame([], columns=[key_col, ts_col, value_col, "z"])
+            return
+        events.sort(key=lambda e: e[0])
+        rows = []
+        for tsec, ts, v in events:
+            z = None
+            n = len(buf)
+            if n >= min_periods:
+                s = sum(buf)
+                s2 = sum(x * x for x in buf)
+                mean = s / n
+                var = max(s2 / n - mean * mean, 0.0)
+                if var > 0:
+                    z = (v - mean) / math.sqrt(var)
+            rows.append(
+                {key_col: key[0], ts_col: ts, value_col: v, "z": z}
+            )
+            buf.append(v)
+            if len(buf) > window:
+                buf.pop(0)
+            last_ts = tsec
+        state.update((pickle.dumps((last_ts, buf)),))
+        yield pd.DataFrame(rows)
+
+    ktype = stream_df.schema[key_col].dataType.simpleString()
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=(
+            f"{key_col} {ktype}, {ts_col} timestamp, "
+            f"{value_col} double, z double"
+        ),
+        stateStructType="state binary",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -261,3 +261,61 @@ def test_stateful_transitions_drops_late_events(spark, tmp_path):
         total[(a, b)] += n
     # only a->c; the late 'b' contributes nothing (NOT a->b or b->c)
     assert total == {("a", "c"): 1}
+
+
+def test_stateful_trailing_zscore_matches_batch_twin(spark, tmp_path):
+    """Scores must equal robust.trailing_zscore on the SAME data split
+    across two micro-batches — the buffer carries the boundary (a
+    per-batch window would restart its warm-up in batch 2)."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from storm_spark.functions import robust
+    from storm_spark.streaming.stateful import stateful_trailing_zscore
+
+    T = datetime
+    vals = [10, 20, 30, 100, 15, 25]
+    all_rows = [("u1", T(2024, 1, 1, h), float(v)) for h, v in enumerate(vals)]
+    schema = "key string, ts timestamp, v double"
+    indir, ckpt = tmp_path / "in", tmp_path / "ckpt"
+    os.makedirs(indir)
+    b1 = spark.createDataFrame(all_rows[:4], schema)
+    b2 = spark.createDataFrame(all_rows[4:], schema)
+    b1.coalesce(1).write.mode("overwrite").parquet(str(indir / "b1"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{indir}/*")
+    )
+    out = stateful_trailing_zscore(stream, "key", "ts", "v", window=3, min_periods=2)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tz_stream")
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b2.coalesce(1).write.mode("overwrite").parquet(str(indir / "b2"))
+        q.processAllAvailable()
+        got = {
+            r.ts.hour: r.z
+            for r in spark.sql("select * from tz_stream").collect()
+        }
+    finally:
+        q.stop()
+    batch = spark.createDataFrame(all_rows, schema)
+    expect = {
+        r.ts.hour: r.z
+        for r in robust.trailing_zscore(
+            batch, "key", ["ts"], "v", window=3, min_periods=2
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    for h in expect:
+        if expect[h] is None:
+            assert got[h] is None, h
+        else:
+            assert got[h] == pytest.approx(expect[h]), h
