@@ -41,6 +41,7 @@ def frequent_pairs(
     basket_cols: list[str],
     item_col: str,
     min_support: int = 2,
+    max_basket_items: int | None = None,
 ) -> DataFrame:
     """Co-occurring item pairs across baskets: one row per unordered pair
     ``(item_a < item_b)`` seen together in at least ``min_support``
@@ -51,12 +52,34 @@ def frequent_pairs(
     Returns ``(item_a, item_b, support, n_a, n_b, lift)``; ``lift`` is a
     double rounded to 6 (exact inputs: all four factors are BIGINT counts,
     one multiply/divide each side — engine-portable).
+
+    ``max_basket_items`` is the fat-basket guard (the hot-shingle-cap
+    convention): a basket with k distinct items fans out k²/2 pair rows,
+    so one crawler session touching 10⁴ items costs 5·10⁷ rows; the cap
+    DROPS baskets above it entirely (deterministic, and the dropped
+    baskets also leave the marginals and total, keeping lift's
+    numerator/denominator consistent). A dropped basket is a documented
+    recall cut — typed event logs rarely need it; open-vocabulary item
+    spaces always do.
     """
     b = df.select(*[F.col(c) for c in basket_cols], F.col(item_col).alias("__i__"))
+    distinct_b = b.distinct()
+    if max_basket_items is not None:
+        # whole-partition window count per basket (no broadcast of a
+        # |baskets|-sized table); the basket-keyed exchange is the same
+        # key the pair self-join shuffles on
+        from pyspark.sql import Window
+
+        k = F.count(F.lit(1)).over(Window.partitionBy(*basket_cols))
+        distinct_b = (
+            distinct_b.withColumn("__k__", k)
+            .filter(F.col("__k__") <= max_basket_items)
+            .drop("__k__")
+        )
     # the distinct basket set feeds FIVE plan branches (both pair sides,
     # both marginals, the total) — cache the distilled rows so the raw
     # scan+distinct runs once, leak-bounded to one live cache per session
-    baskets = bounded_persist(b.distinct(), "mining.frequent_pairs.baskets")
+    baskets = bounded_persist(distinct_b, "mining.frequent_pairs.baskets")
     # total basket count rides the plan as a broadcast 1-row aggregate —
     # no eager driver-side count(), the whole operator stays one lazy plan
     n_b = (

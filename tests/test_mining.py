@@ -155,3 +155,22 @@ def test_fuzzy_pairs_two_pass_recovers_prefix_edits(spark):
     # no duplicate pair rows after the union dedup ((1,3) is found by both
     # passes and must appear once)
     assert both.count() == 2
+
+
+def test_frequent_pairs_fat_basket_cap(spark):
+    """max_basket_items drops oversize baskets entirely — pairs, marginals,
+    and the total all exclude them (lift stays internally consistent)."""
+    rows = (
+        [(1, "a"), (1, "b")]                       # small basket
+        + [(2, f"i{j}") for j in range(6)]          # fat basket: 6 items
+        + [(3, "a"), (3, "b")]
+    )
+    df = spark.createDataFrame(rows, "basket bigint, item string")
+    out = mining.frequent_pairs(
+        df, ["basket"], "item", min_support=1, max_basket_items=3
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # basket 2 gone everywhere: support 2 of N=2 baskets, marginals 2
+    assert (r.item_a, r.item_b, r.support, r.n_a, r.n_b) == ("a", "b", 2, 2, 2)
+    assert r.lift == round(2 * 2 / (2 * 2), 6)
