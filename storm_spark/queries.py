@@ -3555,7 +3555,13 @@ ORACLE_ANN_IVF_TRAINED = _oracle_ann_ivf_trained()
 # swapped in for nine triple-green core ops (dedup_exact, dedup_jaccard,
 # minhash_lsh, simhash, cosine_topk, text_profile, dataset_split,
 # chunk_tokens, pack_chunks — driver-green r1+r2+r3, re-verified locally
-# this round at sf0.01 AND sf0.001; now at the tail).
+# this round at sf0.01 AND sf0.001; now at the tail); (4) the eight
+# late-round-4 operators (trailing_zscore, frequent_pairs, pagerank,
+# fuzzy_pairs, scd2, centroid_classify, psi_drift, fuzzy_pairs_two_pass)
+# swapped in for eight r1-driver-green OLAP basics (cube, pivot,
+# count_distinct, percentile_exact, range_join, asof_join,
+# cms_heavy_hitters, winnow_fingerprint — all re-verified locally at
+# sf0.001+sf0.01+sf0.1 this round; now at the tail).
 #
 # COVERAGE INVARIANT for anything outside the first-50 window (including
 # rollup_continuous / decontaminate / partition_persist / linear_drpc /
