@@ -91,6 +91,7 @@ HEADLINE = [
     "scd2",
     "centroid_classify",
     "psi_drift",
+    "event_paths",
 ]
 
 

@@ -628,3 +628,48 @@ def scd2_current(dim: DataFrame) -> DataFrame:
     """The current snapshot of an SCD2 table: rows whose interval is open
     (``valid_to IS NULL``) — a pushable filter, no shuffle."""
     return dim.filter(F.col("valid_to").isNull())
+
+
+def event_paths(
+    df: DataFrame,
+    key_col: str,
+    type_col: str,
+    order_cols: list[str],
+    n: int = 3,
+    min_count: int = 1,
+) -> DataFrame:
+    """Common event PATHS — every run of ``n`` consecutive events per key,
+    counted corpus-wide: the "what journeys do users actually take"
+    report, the order-(n−1) generalization of :func:`event_transitions`
+    (n=2 degenerates to exactly its pair counts). Returns
+    ``(path, n_occurrences)`` with ``path`` = the n types joined by
+    ``>`` (e.g. ``view>cart>purchase``); runs shorter than ``n`` at a
+    key's start contribute nothing.
+
+    ``order_cols`` must make the per-key order total (lag ties would make
+    paths engine-dependent).
+
+    Scale shape: the same ONE key-keyed exchange as event_transitions —
+    all n−1 lags ride a single window over one sort — then a
+    partial-agg shuffle whose cardinality is ≤ |types|ⁿ (typed event
+    vocabularies keep this tiny; for open vocabularies cap n, not the
+    data). No self-join: a join-based n-gram build would be
+    O(events × run-length) per level.
+    """
+    if n < 2:
+        raise ValueError(f"need n >= 2, got {n}")
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    steps = [
+        F.lag(F.col(type_col), n - 1 - i).over(w).alias(f"__p{i}__")
+        for i in range(n - 1)
+    ]
+    stepped = df.select(F.col(key_col), F.col(type_col), *[F.col(c) for c in order_cols]).select(
+        *steps, F.col(type_col).alias(f"__p{n - 1}__")
+    )
+    full = stepped.filter(F.col("__p0__").isNotNull())
+    path = F.concat_ws(">", *[F.col(f"__p{i}__") for i in range(n)])
+    return (
+        full.groupBy(path.alias("path"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )

@@ -3394,6 +3394,31 @@ FROM p GROUP BY 1, 2
 ORACLE_CENTROID_CLASSIFY = _oracle_centroid_classify()
 
 
+def q_event_paths(spark, sf_dir):
+    """Common 3-step user journeys (temporal.event_paths): every run of 3
+    consecutive events per user, counted corpus-wide — the order-2
+    generalization of event_transitions. One key-keyed exchange carries
+    both lags; the path agg is ≤|types|³ cells."""
+    from storm_spark.functions import temporal
+
+    e = _events(spark, sf_dir)
+    return temporal.event_paths(
+        e, "user_id", "event_type", ["ts", "event_id"], n=3
+    )
+
+
+ORACLE_EVENT_PATHS = """
+SELECT concat_ws('>', p0, p1, event_type) AS path,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM (SELECT event_type,
+             lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p0,
+             lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p1
+      FROM events)
+WHERE p0 IS NOT NULL
+GROUP BY 1
+"""
+
+
 def q_fuzzy_pairs_two_pass(spark, sf_dir):
     """fuzzy_pairs with the suffix-block second pass (two_pass=True): an
     edit inside the 8-char prefix no longer escapes — escaping now costs
@@ -3584,6 +3609,7 @@ QUERIES = {
     "centroid_classify": q_centroid_classify,
     "psi_drift": q_psi_drift,
     "fuzzy_pairs_two_pass": q_fuzzy_pairs_two_pass,
+    "event_paths": q_event_paths,
     "winsorize": q_winsorize,
     "profile_table": q_profile_table,
     "sessionize": q_sessionize,
@@ -3601,7 +3627,6 @@ QUERIES = {
     "unigram_surprisal": q_unigram_surprisal,
     "quota_sample": q_quota_sample,
     "quality_repetition": q_quality_repetition,
-    "embedding_near_dup": q_embedding_near_dup,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_resize": q_multimodal_resize,
@@ -3633,6 +3658,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "winnow_fingerprint": q_winnow_fingerprint,
+    "embedding_near_dup": q_embedding_near_dup,
     "wordcount": q_wordcount,
     "rollup_continuous": q_rollup_continuous,
     "decontaminate": q_decontaminate,
@@ -3786,6 +3812,7 @@ ORACLES = {
     "centroid_classify": ORACLE_CENTROID_CLASSIFY,
     "psi_drift": ORACLE_PSI_DRIFT,
     "fuzzy_pairs_two_pass": ORACLE_FUZZY_PAIRS_TWO_PASS,
+    "event_paths": ORACLE_EVENT_PATHS,
     "ann_rescore": ORACLE_ANN_RESCORE,
     # deliberately the SAME oracle as outlier_mad: the histogram path must
     # be value-identical to the window path

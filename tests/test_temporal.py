@@ -553,3 +553,40 @@ def test_scd2_single_exchange_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_event_paths_hand_computed(spark):
+    from storm_spark.functions.temporal import event_paths
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "b"),  # abc, bcb
+        (2, 1, "a"), (2, 2, "b"), (2, 3, "c"),               # abc
+        (3, 1, "x"), (3, 2, "y"),                            # too short for n=3
+    ]
+    df = spark.createDataFrame(rows, "u bigint, seq bigint, t string")
+    got = {r.path: r.n_occurrences
+           for r in event_paths(df, "u", "t", ["seq"], n=3).collect()}
+    assert got == {"a>b>c": 2, "b>c>b": 1}
+
+
+def test_event_paths_n2_equals_transitions(spark):
+    """n=2 must reproduce event_transitions' pair counts exactly."""
+    from storm_spark.functions.temporal import event_paths, event_transitions
+
+    rows = [(u, s, t) for u in (1, 2) for s, t in enumerate("abcab")]
+    df = spark.createDataFrame(rows, "u bigint, seq bigint, t string")
+    paths = {r.path: r.n_occurrences
+             for r in event_paths(df, "u", "t", ["seq"], n=2).collect()}
+    trans = {f"{r.from_type}>{r.to_type}": r.n
+             for r in event_transitions(df, "u", "t", ["seq"]).collect()}
+    assert paths == trans
+
+
+def test_event_paths_rejects_n1(spark):
+    import pytest as _pytest
+
+    from storm_spark.functions.temporal import event_paths
+
+    df = spark.createDataFrame([(1, 1, "a")], "u bigint, seq bigint, t string")
+    with _pytest.raises(ValueError):
+        event_paths(df, "u", "t", ["seq"], n=1)
