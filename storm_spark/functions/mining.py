@@ -16,9 +16,10 @@ vocabulary|, never raw events. The pair fan-out is a self-equi-join on the
 basket key, producing O(k²/2) rows per basket where k ≤ |vocabulary| (for
 typed event logs k is tens, not thousands — the join is basket-local and
 AQE-sized). Support counting is a tiny (a, b)-keyed partial agg whose
-cardinality is ≤ |vocab|²/2. Item marginals attach by broadcast (|vocab|
-rows). Nothing in the plan scales with raw event count except the first
-distinct.
+cardinality is ≤ |vocab|²/2. Item marginals attach by an AQE-decided join
+(|vocab| rows — broadcast when small, shuffle join on the already-shuffled
+pair keys otherwise; never a forced driver collect). Nothing in the plan
+scales with raw event count except the first distinct.
 
 Scale shape (pagerank): the rank loop is |iters| joins of the edge list
 against the current rank table, each shuffled on the edge source — the
@@ -96,13 +97,19 @@ def frequent_pairs(
         .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
         .filter(F.col("support") >= min_support)
     )
+    # marginals attach WITHOUT a forced broadcast: marg is |item
+    # vocabulary|-sized, and for open-vocabulary item spaces (the case
+    # max_basket_items exists for) the vocabulary tracks the corpus — a
+    # forced F.broadcast would collect it to the driver regardless of
+    # size. AQE broadcasts it when it fits; otherwise this is a cheap
+    # shuffle join on the same keys `sup` was just aggregated on.
     out = (
         sup.join(
-            F.broadcast(marg.select(F.col("__i__").alias("item_a"), F.col("__n__").alias("n_a"))),
+            marg.select(F.col("__i__").alias("item_a"), F.col("__n__").alias("n_a")),
             "item_a",
         )
         .join(
-            F.broadcast(marg.select(F.col("__i__").alias("item_b"), F.col("__n__").alias("n_b"))),
+            marg.select(F.col("__i__").alias("item_b"), F.col("__n__").alias("n_b")),
             "item_b",
         )
         .crossJoin(F.broadcast(n_b))

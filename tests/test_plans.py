@@ -358,15 +358,14 @@ def test_trailing_zscore_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
-def test_frequent_pairs_broadcasts_marginals(spark):
-    """Marginals and the basket total attach as broadcasts; the pair
-    fan-out is the only shuffled join."""
+def test_frequent_pairs_no_forced_marginal_broadcast(spark):
+    """The |vocab|-sized marginal joins are AQE-decided (no forced
+    broadcast that would collect an open-vocabulary item table to the
+    driver); the 1-row basket total still attaches as a broadcast NLJ,
+    never a cartesian product."""
     from storm_spark.queries import q_frequent_pairs
 
     plan = _plan(q_frequent_pairs(spark, SF))
-    assert plan.count("BroadcastHashJoin") >= 2, plan
-    # the 1-row basket total must attach as a broadcast NLJ, never a
-    # cartesian product — both conditions, not either
     assert "BroadcastNestedLoopJoin Cross" in plan, plan
     assert "CartesianProduct" not in plan, plan
 
