@@ -2206,9 +2206,13 @@ def _sql_lsh_sig(vec_expr: str, n_planes: int, dim: int, table: int = 0) -> str:
     return " + ".join(terms)
 
 
+# the greatest(..., 1e-12) denominator floor mirrors similarity._cos's
+# _denom: a zero-norm vector (e.g. a constant series after centering)
+# scores 0.0 on both engines instead of 0/0 = NaN in DuckDB only
 SQL_COS = (
     "list_inner_product({a}, {b}) / "
-    "(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))"
+    "greatest(sqrt(list_inner_product({a}, {a})) * "
+    "sqrt(list_inner_product({b}, {b})), 1e-12)"
 )
 
 ORACLE_ANN_RESCORE = _oracle_ann_rescore()
@@ -2524,13 +2528,21 @@ def q_outlier_mad(spark, sf_dir):
     e = _events(spark, sf_dir).withColumn("v_c", cents("value"))
     flagged = robust.mad_outliers(e, "event_type", "v_c", k=3.0)
     out_v = F.when(F.col("is_outlier"), F.col("v_c"))
-    return flagged.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("is_outlier").cast("bigint")).cast("bigint").alias("n_outliers"),
-        F.round(F.min("median"), 2).alias("median_c"),
-        F.round(F.min("mad"), 2).alias("mad_c"),
-        F.min(out_v).cast("bigint").alias("min_outlier_c"),
-        F.max(out_v).cast("bigint").alias("max_outlier_c"),
+    # n = NON-NULL count (F.count of the column, not COUNT(*)) so this
+    # summary agrees with the histogram path under NULL values — both
+    # formulations' medians already skip NULLs; an all-NULL group (which
+    # the histogram path drops entirely) is filtered here too
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("v_c").alias("n"),
+            F.sum(F.col("is_outlier").cast("bigint")).cast("bigint").alias("n_outliers"),
+            F.round(F.min("median"), 2).alias("median_c"),
+            F.round(F.min("mad"), 2).alias("mad_c"),
+            F.min(out_v).cast("bigint").alias("min_outlier_c"),
+            F.max(out_v).cast("bigint").alias("max_outlier_c"),
+        )
+        .filter(F.col("n") > 0)
     )
 
 
@@ -2605,7 +2617,7 @@ def q_outlier_mad_hist(spark, sf_dir):
 ORACLE_OUTLIER_MAD = f"""
 WITH {robust.sql_mad_ctes('events', 'event_type', SQL_CENTS.format(x='value'), k=3.0)}
 SELECT grp AS event_type,
-       COUNT(*) AS n,
+       COUNT(val) AS n,
        CAST(SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
        round(MIN(median), 2) AS median_c,
        round(MIN(mad), 2) AS mad_c,
@@ -2613,6 +2625,7 @@ SELECT grp AS event_type,
        CAST(MAX(CASE WHEN is_outlier THEN val END) AS BIGINT) AS max_outlier_c
 FROM __mad__
 GROUP BY grp
+HAVING COUNT(val) > 0
 """
 
 

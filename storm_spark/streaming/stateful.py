@@ -167,6 +167,7 @@ def stateful_gap_fill(
 
     def fn(key, pdfs, state: GroupState):
         sums: dict = {}
+        seen: set = set()
         for pdf in pdfs:
             for ts, v in zip(pdf[ts_col], pdf[value_col]):
                 if pd.isna(ts):
@@ -174,18 +175,25 @@ def stateful_gap_fill(
                     # bucket (NaT.timestamp() would kill the query)
                     continue
                 b = (int(ts.timestamp()) // step_seconds) * step_seconds
-                sums[b] = sums.get(b, 0.0) + float(v)
+                seen.add(b)
+                if not pd.isna(v):
+                    # the batch twin's F.sum skips NULLs; a NaN here would
+                    # poison the bucket sum and every forward-filled bucket
+                    # after it. A bucket whose rows are ALL null-valued still
+                    # extends the grid (it appears in the batch per-bucket
+                    # table with a NULL sum) but emits as a gap below.
+                    sums[b] = sums.get(b, 0.0) + float(v)
         last_b, last_v = pickle.loads(state.get[0]) if state.exists else (None, None)
-        live = {b: v for b, v in sums.items() if last_b is None or b > last_b}
-        if not live:
+        live_seen = {b for b in seen if last_b is None or b > last_b}
+        if not live_seen:
             yield pd.DataFrame([], columns=[key_col, "bucket", "value", "is_gap"])
             return
-        start = min(live) if last_b is None else last_b + step_seconds
-        maxb = max(live)
+        start = min(live_seen) if last_b is None else last_b + step_seconds
+        maxb = max(live_seen)
         cur, rows = last_v, []
         for b in range(start, maxb + step_seconds, step_seconds):
-            if b in live:
-                cur, gap = live[b], False
+            if b in sums:  # range starts past last_b, so b is never stale
+                cur, gap = sums[b], False
             else:
                 gap = True
             rows.append({key_col: key[0], "bucket": b, "value": cur, "is_gap": gap})
@@ -298,7 +306,9 @@ def stateful_trailing_zscore(
     (< ``min_periods`` trailing values) or at zero variance.
 
     Same trailing-window semantics as the batch twin (current row
-    excluded; identical s2/n − (s/n)² arithmetic on the same values), and
+    excluded; identical s2/n − (s/n)² arithmetic on the same values; a
+    NULL value occupies a frame slot but contributes nothing to the sums
+    and emits its own z-NULL row, exactly like the batch ROWS frame), and
     the same late-data contract as :func:`stateful_transitions`: an event
     older than the key's newest seen event time is DROPPED (its score
     would need the buffer as of an earlier point — gone). Streaming
@@ -318,14 +328,17 @@ def stateful_trailing_zscore(
         events = []
         for pdf in pdfs:
             for ts, v in zip(pdf[ts_col], pdf[value_col]):
-                if pd.isna(ts) or pd.isna(v):
+                if pd.isna(ts):
                     continue
                 tsec = ts.timestamp()
                 if last_ts is not None and tsec < last_ts:
                     continue  # late arrival — see docstring
                 # truncate like the batch twin's cast("bigint") so a
-                # non-integer input scores identically on both paths
-                events.append((tsec, ts, float(int(v))))
+                # non-integer input scores identically on both paths; a
+                # NULL value stays None — the batch ROWS frame keeps it as
+                # a frame SLOT (shrinking effective n via COUNT) and still
+                # emits its z-NULL row, so we must too
+                events.append((tsec, ts, None if pd.isna(v) else float(int(v))))
         if not events:
             yield pd.DataFrame([], columns=[key_col, ts_col, value_col, "z"])
             return
@@ -333,10 +346,11 @@ def stateful_trailing_zscore(
         rows = []
         for tsec, ts, v in events:
             z = None
-            n = len(buf)
-            if n >= min_periods:
-                s = sum(buf)
-                s2 = sum(x * x for x in buf)
+            vals = [x for x in buf if x is not None]
+            n = len(vals)
+            if v is not None and n >= min_periods:
+                s = sum(vals)
+                s2 = sum(x * x for x in vals)
                 mean = s / n
                 var = max(s2 / n - mean * mean, 0.0)
                 if var > 0:

@@ -319,3 +319,115 @@ def test_stateful_trailing_zscore_matches_batch_twin(spark, tmp_path):
             assert got[h] is None, h
         else:
             assert got[h] == pytest.approx(expect[h]), h
+
+
+def test_stateful_gap_fill_null_values_match_batch_twin(spark, tmp_path):
+    """A NULL value must not poison the bucket sum (batch F.sum skips
+    NULLs), and a bucket whose rows are ALL null-valued still extends the
+    grid but emits as a gap — exactly what the batch twin's per-bucket
+    NULL sum does."""
+    from datetime import datetime
+
+    from storm_spark.functions import temporal
+    from storm_spark.streaming.stateful import stateful_gap_fill
+
+    T = datetime
+    schema = "key string, ts timestamp, v double"
+    rows = [
+        ("g", T(2024, 1, 1, 0, 10), 5.0),
+        ("g", T(2024, 1, 1, 0, 20), None),  # mixed bucket: sum skips NULL
+        ("g", T(2024, 1, 1, 2, 0), None),   # all-NULL bucket: extends grid, gap
+    ]
+    indir, ckpt = tmp_path / "in", tmp_path / "ckpt"
+    os.makedirs(indir)
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(indir / "b1")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{indir}/*")
+    )
+    out = stateful_gap_fill(stream, "key", "ts", "v", step_seconds=3600)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("gapfill_nulls")
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.bucket: (r.value, r.is_gap)
+            for r in spark.sql("select * from gapfill_nulls").collect()
+        }
+    finally:
+        q.stop()
+    batch = temporal.gap_fill(
+        spark.createDataFrame(rows, schema), "key", "ts", "v", step_seconds=3600
+    )
+    expect = {r.bucket: (r.value_c, r.is_gap) for r in batch.collect()}
+    assert got == expect
+    h0 = int(T(2024, 1, 1, 0).timestamp())
+    assert got == {
+        h0: (5.0, False),          # NULL skipped, not NaN-poisoned
+        h0 + 3600: (5.0, True),
+        h0 + 7200: (5.0, True),    # all-NULL bucket: present in grid, gap
+    }
+
+
+def test_stateful_trailing_zscore_null_values_match_batch_twin(spark, tmp_path):
+    """A NULL value occupies a ROWS-frame slot (shrinking effective n via
+    COUNT) and emits its own z-NULL row in the batch twin; the streaming
+    buffer must do the same instead of silently dropping the row."""
+    from datetime import datetime
+
+    from storm_spark.functions import robust
+    from storm_spark.streaming.stateful import stateful_trailing_zscore
+
+    T = datetime
+    vals = [10.0, 20.0, None, 30.0, 100.0, None, 15.0, 25.0]
+    all_rows = [("u1", T(2024, 1, 1, h), v) for h, v in enumerate(vals)]
+    schema = "key string, ts timestamp, v double"
+    indir, ckpt = tmp_path / "in", tmp_path / "ckpt"
+    os.makedirs(indir)
+    b1 = spark.createDataFrame(all_rows[:5], schema)
+    b2 = spark.createDataFrame(all_rows[5:], schema)
+    b1.coalesce(1).write.mode("overwrite").parquet(str(indir / "b1"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{indir}/*")
+    )
+    out = stateful_trailing_zscore(stream, "key", "ts", "v", window=3, min_periods=2)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tz_nulls")
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b2.coalesce(1).write.mode("overwrite").parquet(str(indir / "b2"))
+        q.processAllAvailable()
+        got = {
+            r.ts.hour: r.z for r in spark.sql("select * from tz_nulls").collect()
+        }
+    finally:
+        q.stop()
+    batch = spark.createDataFrame(all_rows, schema)
+    expect = {
+        r.ts.hour: r.z
+        for r in robust.trailing_zscore(
+            batch, "key", ["ts"], "v", window=3, min_periods=2
+        ).collect()
+    }
+    # every input row — NULL-valued included — has an output row
+    assert set(got) == set(expect) == set(range(len(vals)))
+    for h in expect:
+        if expect[h] is None:
+            assert got[h] is None, h
+        else:
+            assert got[h] == pytest.approx(expect[h]), h
