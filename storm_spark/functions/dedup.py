@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from storm_spark.functions.text import fingerprint, ngrams_from_tokens, tokens, word_ngrams
+from storm_spark.session import bounded_persist
 
 #: sentinel distinguishing "caller left the cap at its default" from an
 #: explicit ``max_shingle_df=1000`` — only the former warns.
@@ -193,7 +194,10 @@ def ngram_jaccard_pairs(
                 UserWarning,
                 stacklevel=2,
             )
-    idx = _shingle_index(df, id_col, text_col, n, max_shingle_df, toks_col).persist()
+    idx = bounded_persist(
+        _shingle_index(df, id_col, text_col, n, max_shingle_df, toks_col),
+        "dedup.jaccard.shingle_index",
+    )
     sizes = idx.groupBy("__id__").agg(F.count(F.lit(1)).alias("__n__"))
     a, b = idx.alias("a"), idx.alias("b")
     inter = (
@@ -486,7 +490,9 @@ def ngram_containment(
     """
     # the test index feeds two branches (sizes + containment join) —
     # persist so test-side tokenization/hashing runs once
-    t_idx = _shingle_index(test, id_col, text_col, n, None).persist()
+    t_idx = bounded_persist(
+        _shingle_index(test, id_col, text_col, n, None), "dedup.decontaminate.t_idx"
+    )
     train_sh = (
         _shingle_index(train, id_col, text_col, n, None).select("__sh__").distinct()
     )

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from storm_spark.functions.text import tokens
+from storm_spark.session import bounded_persist
 
 
 def bm25_topk(
@@ -56,11 +57,14 @@ def bm25_topk(
     # three consumers (corpus constants, postings, length join) don't each
     # rescan and retokenize the corpus (the repo's tokenize-once rule;
     # plan-measured 3 scans without it)
-    slim = base.select(
-        "__id__",
-        F.size("__toks__").cast("bigint").alias("__dl__"),
-        F.filter(F.col("__toks__"), lambda t: F.array_contains(terms_lit, t)).alias("__m__"),
-    ).persist()
+    slim = bounded_persist(
+        base.select(
+            "__id__",
+            F.size("__toks__").cast("bigint").alias("__dl__"),
+            F.filter(F.col("__toks__"), lambda t: F.array_contains(terms_lit, t)).alias("__m__"),
+        ),
+        "search.bm25.slim",
+    )
     corpus = slim.agg(
         F.count(F.lit(1)).alias("__n__"), F.avg("__dl__").alias("__avgdl__")
     )

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from storm_spark.session import bounded_persist
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -559,12 +561,15 @@ def embedding_near_dup_pairs(
     # (n_tables × n_planes dot products per row) dominates — caching the
     # (id, table, sig) table (3 ints/row, far smaller than the vectors)
     # halves it. Measured at sf0.1: warm 3.6→3.0 s, cold 8.4→3.9 s.
-    sig = df.select(
-        F.col(id_col).alias("__id__"),
-        F.posexplode(_multi_table_sigs(F.col(vec_col), dim, n_planes, n_tables)).alias(
-            "__t__", "__sig__"
+    sig = bounded_persist(
+        df.select(
+            F.col(id_col).alias("__id__"),
+            F.posexplode(
+                _multi_table_sigs(F.col(vec_col), dim, n_planes, n_tables)
+            ).alias("__t__", "__sig__"),
         ),
-    ).persist()
+        "similarity.near_dup.sig",
+    )
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(b, on=["__t__", "__sig__"])
@@ -705,7 +710,7 @@ def semantic_dedup(
     hold cell occupancy flat; trained centroids keep cells balanced.
     """
     assigned = _assign_cells(corpus, id_col, vec_col, n_clusters, centroids).drop("__cc__")
-    assigned = assigned.persist()
+    assigned = bounded_persist(assigned, "similarity.semantic_dedup.assigned")
     slim = assigned.select("__id__", "__cell__")
     cand = (
         slim.alias("a")

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from storm_spark.session import bounded_persist
+
 #: tokens = maximal runs of word characters, lowercased (BPE-ish pre-split)
 TOKEN_SPLIT_RE = "[^a-z0-9']+"
 
@@ -375,7 +377,10 @@ def tfidf_top_terms(
     # so the corpus is tokenized ONCE, not re-scanned per branch (at scale
     # the second full text pass dwarfs the (doc, term, count) cache;
     # MEMORY_AND_DISK spills rather than recomputes)
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf = bounded_persist(
+        toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")),
+        "text.tfidf.tf",
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -415,8 +420,14 @@ def unigram_surprisal(
     # regex tokenization (the expensive step) runs once; freq is
     # vocabulary-sized and also double-consumed (total + join), so it
     # persists too (trivial footprint)
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term")).persist()
-    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    toks = bounded_persist(
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term")),
+        "text.surprisal.toks",
+    )
+    freq = bounded_persist(
+        toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")),
+        "text.surprisal.freq",
+    )
     total = freq.select(F.sum("cnt").alias("total"))
     return (
         toks.join(freq, "term")
@@ -473,7 +484,8 @@ def pmi_collocations(
     value + lexicographic tie-break — deterministic and engine-portable.
     """
     base = df.select(tokens(text_col).alias("__toks__"))
-    base = base.persist()  # tokenize once; feeds the bigram and unigram branches
+    # tokenize once; feeds the bigram and unigram branches
+    base = bounded_persist(base, "text.pmi.base")
     uni = (
         base.select(F.explode("__toks__").alias("w"))
         .groupBy("w")

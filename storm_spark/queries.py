@@ -31,7 +31,7 @@ from storm_spark.operations.base import (
     LambdaFunction,
     PandasFunction,
 )
-from storm_spark.session import rebalance_scan
+from storm_spark.session import bounded_persist, rebalance_scan
 from storm_spark.state import MemoryMapState, ParquetMapState
 from storm_spark.topology import FeederSource, LocalCluster, Topology
 from storm_spark.builder import BasicBolt
@@ -1046,7 +1046,10 @@ def q_corpus_clean(spark, sf_dir):
     ).select("doc_id", "__toks__", "n_tokens")
     # exact feeds both the near-dup index and the final anti-join — persist
     # so the filter+fingerprint subtree runs once
-    exact = dedup.dedup_exact(quality, "doc_id", "text", toks_col="__toks__").persist()
+    exact = bounded_persist(
+        dedup.dedup_exact(quality, "doc_id", "text", toks_col="__toks__"),
+        "queries.corpus_clean.exact",
+    )
     near_pairs = dedup.ngram_jaccard_pairs(
         exact, "doc_id", "text", n=3, threshold=0.5, max_shingle_df=None, toks_col="__toks__"
     )

@@ -386,3 +386,39 @@ def test_centroid_classify_broadcasts_centroids(spark):
 
     plan = _plan(q_centroid_classify(spark, SF))
     assert "BroadcastNestedLoopJoin Cross BuildRight" in plan, plan
+
+
+def test_no_unbounded_persist_convention():
+    """Repo convention: every ``.persist()`` inside operator code must be
+    either (a) ``bounded_persist``'s own registry-managed call in
+    session.py, or (b) paired with an explicit ``.unpersist()`` in the same
+    module (an eager consume-then-release path). A bare ``.persist()`` on a
+    returned lazy DataFrame pins one more cache per operator call in a
+    long-lived session — the leak bounded_persist exists to prevent."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "storm_spark"
+    # file (relative) -> max allowed raw .persist() calls (the audited
+    # paired sites); any new site in any file must use bounded_persist
+    allowed = {
+        "session.py": 2,           # bounded_persist's managed call + its
+                                   # own docstring naming the anti-pattern
+        "stream.py": 1,            # paired unpersist at stream.py
+        "topology.py": 1,          # last_touched_keys swap (unpersists prev)
+        "plans/rollup.py": 1,      # fine_delta, unpersisted after merge
+        "state/parquet_state.py": 1,  # per-epoch batch, unpersisted
+        "functions/skew.py": 1,    # small side, unpersisted after join
+        "functions/dedup.py": 1,   # edges in near_dup_clusters, unpersisted
+    }
+    for py in sorted(root.rglob("*.py")):
+        rel = str(py.relative_to(root))
+        n = py.read_text().count(".persist()")
+        cap = allowed.get(rel, 0)
+        assert n <= cap, (
+            f"{rel} has {n} raw .persist() calls (allowed {cap}) — use "
+            "storm_spark.session.bounded_persist or pair with .unpersist()"
+        )
+        if cap and n and rel != "session.py":
+            assert ".unpersist()" in py.read_text(), (
+                f"{rel} persists without any unpersist"
+            )
