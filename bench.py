@@ -92,6 +92,18 @@ HEADLINE = [
     "centroid_classify",
     "psi_drift",
     "event_paths",
+    # r5: the previously-unbenched tail with nontrivial cost — two-pass
+    # fuzzy candidate generation, the continuous rollup's epoch loop
+    # (slowest single query observed in r4's oracle harness), the verb-
+    # chain/state/cogroup gate queries, graph clustering, decontamination
+    "fuzzy_pairs_two_pass",
+    "rollup_continuous",
+    "multi_reduce",
+    "repartition_verbs",
+    "state_scan",
+    "partition_persist",
+    "dedup_cluster",
+    "decontaminate",
 ]
 
 

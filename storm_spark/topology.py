@@ -357,19 +357,23 @@ class Topology:
                 out_schema = out_schema.add(name, _parse_ddl(t))
             field_orders = [list(s.fields) for s in slist]
 
+            # hoisted per-source index maps, shared across tuples (TridentTuple
+            # never mutates its field map); batch-extract the Arrow columns to
+            # plain lists ONCE — per-row .iloc is ~10x slower than list walks
+            idx_maps = [{f: i for i, f in enumerate(fo)} for fo in field_orders]
+
             def run(batches):
                 coll = TridentCollector()
                 state = reducer.init(coll)
                 for pdf in batches:
-                    srcs = pdf["__src__"]
-                    payloads = [pdf[f"__p{j}__"] for j in range(len(field_orders))]
-                    for r in range(len(pdf)):
-                        src = int(srcs.iloc[r])
-                        row = payloads[src].iloc[r]  # Arrow struct -> dict
+                    srcs = pdf["__src__"].tolist()
+                    payloads = [
+                        pdf[f"__p{j}__"].tolist() for j in range(len(field_orders))
+                    ]
+                    for r, src in enumerate(srcs):
+                        row = payloads[src][r]  # Arrow struct -> dict
                         fo = field_orders[src]
-                        tup = TridentTuple(
-                            [row[f] for f in fo], {f: i for i, f in enumerate(fo)}
-                        )
+                        tup = TridentTuple([row[f] for f in fo], idx_maps[src])
                         reducer.execute(state, src, tup, coll)
                 reducer.complete(state, coll)
                 yield pd.DataFrame(coll.rows, columns=out_l)
@@ -427,27 +431,62 @@ class Topology:
                 out_schema = out_schema.add(name, _parse_ddl(t))
             field_orders = list(rest_list)
 
-            def run(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
-                coll = TridentCollector()
-                state = reducer.init(coll)
-                srcs = pdf["__src__"]
-                payloads = [pdf[f"__p{j}__"] for j in range(len(field_orders))]
-                for r in range(len(pdf)):
-                    src = int(srcs.iloc[r])
-                    row = payloads[src].iloc[r]  # Arrow struct -> dict
-                    fo = field_orders[src]
-                    vals = [row[f] for f in fo]
-                    reducer.execute(
-                        state, src, TridentTuple(vals, {f: i for i, f in enumerate(fo)}), coll
-                    )
-                reducer.complete(state, coll)
-                return pd.DataFrame(
-                    [list(key) + r for r in coll.rows],
-                    columns=[f.name for f in out_schema.fields],
-                )
-
+            # Sort-based streaming cogroup instead of groupBy().applyInPandas:
+            # one hash exchange on the keys + a partition-local sort, then a
+            # SINGLE mapInPandas pass that walks key runs. applyInPandas pays
+            # a Python callback + pandas-DataFrame construction PER GROUP —
+            # with per-entity keys (millions of small groups at scale) that
+            # per-group overhead dominates the reducer itself; the sorted
+            # stream pays one callback per Arrow batch regardless of group
+            # count. Hoisted per-source index maps are shared across tuples
+            # (TridentTuple never mutates its field map).
+            idx_maps = [{f: i for i, f in enumerate(fo)} for fo in field_orders]
             kcols = [f"__k{j}__" for j in range(nkeys)]
-            return tagged.groupBy(*kcols).applyInPandas(run, out_schema)
+            out_cols = [f.name for f in out_schema.fields]
+            nsrc = len(field_orders)
+
+            def run_stream(batches):
+                coll = TridentCollector()
+                cur_key, state, out_rows = None, None, []
+
+                def close_key():
+                    if cur_key is not None:
+                        reducer.complete(state, coll)
+                        for r in coll.rows:
+                            out_rows.append(list(cur_key) + r)
+                        coll.rows.clear()
+
+                for pdf in batches:
+                    # NaN -> None so a NULL key forms ONE contiguous run
+                    # (groupBy's null==null semantics); NaN != NaN would
+                    # split it into per-row groups
+                    key_lists = [
+                        pdf[c].where(pd.notna(pdf[c]), None).tolist() for c in kcols
+                    ]
+                    srcs = pdf["__src__"].tolist()
+                    payloads = [pdf[f"__p{j}__"].tolist() for j in range(nsrc)]
+                    for r, src in enumerate(srcs):
+                        k = tuple(kl[r] for kl in key_lists)
+                        if k != cur_key:
+                            close_key()
+                            cur_key, state = k, reducer.init(coll)
+                        row = payloads[src][r]  # Arrow struct -> dict
+                        fo = field_orders[src]
+                        vals = [row[f] for f in fo]
+                        reducer.execute(
+                            state, src, TridentTuple(vals, idx_maps[src]), coll
+                        )
+                    if out_rows:
+                        yield pd.DataFrame(out_rows, columns=out_cols)
+                        out_rows = []
+                close_key()
+                if out_rows:
+                    yield pd.DataFrame(out_rows, columns=out_cols)
+
+            parted = tagged.repartition(*[F.col(c) for c in kcols]).sortWithinPartitions(
+                *kcols
+            )
+            return parted.mapInPandas(run_stream, out_schema)
 
         return Stream(self, build, out_l, "multireduce")._adopt_drpc(*streams)
 
