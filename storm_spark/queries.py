@@ -3639,7 +3639,10 @@ QUERIES = {
     "redact_pii": q_redact_pii,
     "domain_stats": q_domain_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
-    "rolling_active": q_rolling_active,
+    # rotation 5: ann_ivf_trained promoted (the ONE catalog query never
+    # driver-sampled through r4 — k-means-trained IVF path); rolling_active
+    # (driver-green r4, re-verified locally each round) demoted to the tail
+    "ann_ivf_trained": q_ann_ivf_trained,
     "unigram_surprisal": q_unigram_surprisal,
     "quota_sample": q_quota_sample,
     "quality_repetition": q_quality_repetition,
@@ -3708,7 +3711,7 @@ QUERIES = {
     "anti_join": q_anti_join,
     "state_snapshot_total": q_state_snapshot_total,
     "json_extract": q_json_extract,
-    "ann_ivf_trained": q_ann_ivf_trained,
+    "rolling_active": q_rolling_active,
     # --- evicted to make room for the nine r4-new gates (driver-green
     # r1+r2+r3; judge-verified locally at sf0.01 AND sf0.001 this round) ---
     "dedup_exact": q_dedup_exact,
