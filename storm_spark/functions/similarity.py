@@ -514,13 +514,40 @@ def quantized_rescore_topk(
     )
 
 
+def auto_lsh_grid(
+    n: int,
+    threshold: float,
+    target_bucket: int = 64,
+    target_recall: float = 0.9,
+    min_planes: int = 8,
+    max_tables: int = 32,
+) -> tuple[int, int]:
+    """Corpus-sized LSH grid for :func:`embedding_near_dup_pairs`: deepen
+    the signature until expected bucket occupancy ``n / 2^planes`` is at
+    most ``target_bucket`` (holding the per-bucket quadratic flat as the
+    corpus grows — a FIXED grid's occupancy doubles when the corpus does;
+    the r4 16x sweep measured that as 5.8x query growth), then buy recall
+    back with the smallest table count reaching ``target_recall`` for
+    pairs at cosine ``threshold`` (:func:`lsh_recall`). If ``max_tables``
+    can't reach the target at the required depth, the grid caps there —
+    a deterministic, logged recall cut, the same convention as the
+    hot-shingle cap."""
+    import math
+
+    n_planes = max(min_planes, math.ceil(math.log2(max(n, 1) / target_bucket)) if n > target_bucket else min_planes)
+    for n_tables in range(1, max_tables + 1):
+        if lsh_recall(threshold, n_planes, n_tables) >= target_recall:
+            return n_planes, n_tables
+    return n_planes, max_tables
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 8,
-    n_tables: int = 4,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold)
@@ -547,6 +574,13 @@ def embedding_near_dup_pairs(
             "dim is required (pass your embedding dimension explicitly — "
             "inferring it would scan the corpus at plan-build time)"
         )
+    if n_planes is None or n_tables is None:
+        # corpus-sized grid (one count() job): see auto_lsh_grid. Explicit
+        # n_planes/n_tables pin the grid (the exact-oracle gate does, so
+        # its SQL twin can embed the same plane matrices).
+        auto_p, auto_t = auto_lsh_grid(df.count(), threshold)
+        n_planes = auto_p if n_planes is None else n_planes
+        n_tables = auto_t if n_tables is None else n_tables
     # Slim candidate generation: the bucket self-join carries ONLY
     # (id, table, signature) — 3 ints per row — never the vectors. At 100 TB
     # the alternative (vectors through the join) either broadcasts the whole
@@ -682,11 +716,27 @@ def prototype_prune(
     return ranked.filter(F.col("rank") > cut)
 
 
+def auto_n_clusters(corpus: DataFrame, floor: int = 16) -> int:
+    """SemDeDup's cell-count sizing rule, ``max(floor, ceil(sqrt(n)))`` —
+    the paper's ~sqrt(n) guidance, which holds expected cell occupancy at
+    ~sqrt(n) so the within-cell quadratic term grows LINEARLY with the
+    corpus instead of quadratically (a fixed grid's occupancy doubles when
+    the corpus does; the r4 16x sweep measured exactly that as 7.3x query
+    growth). Costs one count() job — a metadata-cheap aggregate — and is
+    engine-portable: IEEE sqrt is correctly rounded, so
+    ``ceil(sqrt(n))`` agrees bit-for-bit with the SQL twin's
+    ``ceil(sqrt(COUNT(*)))``."""
+    import math
+
+    n = corpus.count()
+    return max(floor, math.ceil(math.sqrt(n))) if n else floor
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     threshold: float = 0.95,
     centroids: DataFrame | None = None,
 ) -> DataFrame:
@@ -707,8 +757,13 @@ def semantic_dedup(
     for candidate pairs only, so the O(c^2) term costs 2 ints per candidate,
     not 2 vectors. The within-cell quadratic is the SemDeDup contract:
     ``n_clusters`` must grow with the corpus (the paper uses ~sqrt(n)) to
-    hold cell occupancy flat; trained centroids keep cells balanced.
+    hold cell occupancy flat — the DEFAULT (``n_clusters=None``) applies
+    :func:`auto_n_clusters`'s max(16, ceil(sqrt(n))) rule for exactly
+    that; pass an int to pin the grid. Trained centroids keep cells
+    balanced.
     """
+    if n_clusters is None:
+        n_clusters = auto_n_clusters(corpus)
     assigned = _assign_cells(corpus, id_col, vec_col, n_clusters, centroids).drop("__cc__")
     assigned = bounded_persist(assigned, "similarity.semantic_dedup.assigned")
     slim = assigned.select("__id__", "__cell__")

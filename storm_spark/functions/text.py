@@ -136,6 +136,8 @@ def quality_gate(
     q: float = 0.25,
     id_col: str = "doc_id",
     ndigits: int = 6,
+    approx: bool = False,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Per-group relative quality gate: keep documents scoring at or above
     their group's q-th quantile of :func:`quality_score`.
@@ -150,12 +152,19 @@ def quality_gate(
 
     Returns ``(id_col, group_col, quality)`` for kept rows.
 
-    Scale shape: one shuffle on the group key; the rank, the group count,
-    and the threshold broadcast are three window passes over that SAME
-    exchange (no join back). Exact order statistics cost a per-group sort —
-    at 100 TB swap the threshold for ``approx_percentile`` (sketch, no
-    sort) when auditable exactness isn't required; gate semantics are
-    unchanged.
+    Scale shape (exact path): one shuffle on the group key; the rank, the
+    group count, and the threshold broadcast are three window passes over
+    that SAME exchange (no join back). Exact order statistics cost a
+    per-group sort of every row — the r4 16x sweep measured that as 9.5x
+    query growth, the worst of the window family.
+
+    ``approx=True`` is the 100-TB path: the per-group threshold comes from
+    a ``percentile_approx`` sketch (one partial-agg shuffle of
+    group-cardinality rows, NO per-group sort of the corpus), lands as a
+    |groups|-row table, and broadcast-joins back — the corpus itself never
+    shuffles at all. The sketch threshold is a real observed score (KLL
+    rank query) within ``1/accuracy`` rank error of the exact nearest-rank
+    cut; gate semantics (keep score >= group threshold) are unchanged.
     """
     if not 0.0 <= q <= 1.0:
         raise ValueError(f"q must be in [0, 1], got {q}")
@@ -164,6 +173,16 @@ def quality_gate(
         F.col(group_col),
         quality_score(text_col, ndigits).alias("quality"),
     )
+    if approx:
+        qq = max(float(q), 1e-9)  # q=0 -> min score, keeping the whole group
+        thr = scored.groupBy(group_col).agg(
+            F.percentile_approx("quality", qq, accuracy).alias("__thr__")
+        )
+        return (
+            scored.join(F.broadcast(thr), group_col)
+            .filter(F.col("quality") >= F.col("__thr__"))
+            .select(id_col, group_col, "quality")
+        )
     wo = Window.partitionBy(group_col).orderBy(F.col("quality").asc(), F.col(id_col).asc())
     wg = Window.partitionBy(group_col)
     ranked = scored.withColumn("__rn__", F.row_number().over(wo)).withColumn(

@@ -2248,23 +2248,30 @@ ORACLE_EMBEDDING_NEAR_DUP = _oracle_embedding_near_dup()
 
 
 def q_semantic_dedup(spark, sf_dir):
-    """SemDeDup-style semantic dedup: cluster the embedding space (16
-    deterministic smallest-id centroids — the ivf_topk default, so the SQL
-    twin is exact), keep ONE representative of every within-cluster
-    near-dup group (drop a row iff a lower-id same-cell row has rounded
-    cosine >= 0.45). Output: the surviving corpus (vec_id, cell)."""
+    """SemDeDup-style semantic dedup with the AUTO-SIZED cell grid
+    (n_clusters=None -> max(16, ceil(sqrt(n))) smallest-id centroids —
+    similarity.auto_n_clusters, the sqrt-occupancy rule that keeps the
+    within-cell quadratic linear in corpus size): keep ONE representative
+    of every within-cluster near-dup group (drop a row iff a lower-id
+    same-cell row has rounded cosine >= 0.45). Output: the surviving
+    corpus (vec_id, cell). The oracle derives the SAME k from COUNT(*) in
+    SQL — IEEE sqrt is correctly rounded, so both sides agree exactly."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup(
-        emb, "vec_id", "embedding", n_clusters=16, threshold=0.45
+        emb, "vec_id", "embedding", n_clusters=None, threshold=0.45
     )
 
 
-def _oracle_semantic_dedup(n_clusters=16, threshold=0.45):
+def _oracle_semantic_dedup(threshold=0.45):
     cos_cc = SQL_COS.format(a="c.vv", b="t.vv")
     cos_ab = SQL_COS.format(a="a.vv", b="b.vv")
     return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
-cents AS (SELECT vec_id AS cent_id, vv FROM v ORDER BY vec_id ASC LIMIT {n_clusters}),
+k AS (SELECT GREATEST(16, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS k FROM v),
+cents AS (
+  SELECT vec_id AS cent_id, vv FROM (
+    SELECT vec_id, vv, row_number() OVER (ORDER BY vec_id ASC) AS rn FROM v)
+  WHERE rn <= (SELECT k FROM k)),
 assigned AS (
   SELECT vec_id, vv, cent_id AS cell FROM (
     SELECT c.vec_id, c.vv, t.cent_id,

@@ -1,0 +1,110 @@
+"""Auto-scaling defaults for the fixed-capacity operator families — the
+r4 16x sweep showed the super-linear queries were exactly the fixed-grid
+ones (semantic_dedup's 16 cells, embedding_near_dup's 4x2^8 LSH grid,
+quality_gate's exact per-group sort). These tests pin the sizing rules and
+prove the auto paths stay oracle-exact / semantics-preserving."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_auto_n_clusters_sqrt_rule(spark):
+    from storm_spark.functions.similarity import auto_n_clusters
+
+    df = spark.range(10_000)
+    assert auto_n_clusters(df) == 100
+    assert auto_n_clusters(spark.range(5)) == 16  # floor wins on tiny corpora
+    assert auto_n_clusters(spark.range(0)) == 16
+    # engine-portability: the same value SQL derives via ceil(sqrt(COUNT(*)))
+    import duckdb
+
+    assert (
+        duckdb.sql("SELECT GREATEST(16, CAST(ceil(sqrt(10000)) AS BIGINT))").fetchone()[0]
+        == 100
+    )
+
+
+def test_auto_lsh_grid_occupancy_and_recall():
+    from storm_spark.functions.similarity import auto_lsh_grid, lsh_recall
+
+    # small corpus: the 8-plane floor holds
+    p, t = auto_lsh_grid(1000, threshold=0.9)
+    assert p == 8
+    assert lsh_recall(0.9, p, t) >= 0.9
+    # 16x the corpus -> 4 more planes (occupancy n/2^p stays <= target)
+    p16, t16 = auto_lsh_grid(16 * 64 * 256, threshold=0.9)
+    assert p16 == 12
+    assert 16 * 64 * 256 / 2**p16 <= 64
+    assert lsh_recall(0.9, p16, t16) >= 0.9
+    # deeper signature needs more tables to hold recall
+    assert t16 >= t
+    # unreachable recall at depth caps at max_tables instead of raising
+    p_cap, t_cap = auto_lsh_grid(10**9, threshold=0.5, max_tables=4)
+    assert t_cap == 4
+
+
+def test_embedding_near_dup_auto_grid_matches_rederived_oracle(spark):
+    """The auto path must stay EXACT against a DuckDB oracle re-derived
+    from the same auto-chosen (n_planes, n_tables) — the 'oracle follows
+    the auto-chosen k' contract for data-adaptive defaults."""
+    import duckdb
+
+    from storm_spark.functions import similarity
+    from storm_spark.queries import _oracle_embedding_near_dup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    planes, tables = similarity.auto_lsh_grid(n, threshold=0.45)
+    got = {
+        (r.id_a, r.id_b, round(r.cos_sim, 6))
+        for r in similarity.embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.45, dim=64
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    sql = _oracle_embedding_near_dup(
+        threshold=0.45, n_planes=planes, n_tables=tables, dim=64
+    )
+    expect = {
+        (a, b, round(c, 6)) for a, b, c in con.execute(sql).fetchall()
+    }
+    assert got == expect
+
+
+def test_quality_gate_approx_semantics(spark):
+    """approx=True keeps the gate semantics (every kept row >= its group's
+    sketch threshold; kept fraction ~ 1-q) with NO per-group sort of the
+    corpus — the threshold lands as a broadcast-joined |groups|-row table."""
+    from storm_spark.functions.text import quality_gate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    exact = quality_gate(docs, "text", "lang", q=0.25)
+    approx = quality_gate(docs, "text", "lang", q=0.25, approx=True)
+    n_docs = docs.count()
+    n_exact = exact.count()
+    n_approx = approx.count()
+    # sketch cut within 2% of the exact nearest-rank cut on this fixture
+    assert abs(n_approx - n_exact) <= max(2, int(0.02 * n_docs))
+    # plan: big side broadcast-joins the tiny threshold table; the only
+    # Sort allowed is inside the exchange-free scan, never a corpus-wide
+    # per-group order-by
+    plan = approx._sc._jvm.PythonSQLUtils.explainString(
+        approx._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_quality_gate_approx_q0_keeps_all(spark):
+    from storm_spark.functions.text import quality_gate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    kept = quality_gate(docs, "text", "lang", q=0.0, approx=True)
+    assert kept.count() == docs.count()
