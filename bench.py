@@ -104,6 +104,7 @@ HEADLINE = [
     "partition_persist",
     "dedup_cluster",
     "decontaminate",
+    "quality_gate_approx",
 ]
 
 

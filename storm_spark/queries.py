@@ -2796,6 +2796,20 @@ SELECT doc_id, lang, quality FROM thr WHERE quality >= t
 ORACLE_QUALITY_GATE = _oracle_quality_gate()
 
 
+def q_quality_gate_approx(spark, sf_dir):
+    """The 100-TB path of the quality gate (text.quality_gate approx=True):
+    the per-language threshold comes from a percentile_approx sketch —
+    group-cardinality partial agg + broadcast join back, NO per-group sort
+    of the corpus (the exact path's 16x-sweep hotspot, 9.3x growth).
+    Oracle: the SAME nearest-rank SQL as quality_gate — the KLL sketch's
+    rank error is floor(n/accuracy), which is ZERO while every group holds
+    fewer than ``accuracy``=10000 rows (true at the sf0.01 gate scale;
+    verified value-identical to the rank cut on the fixture), so the
+    sketch threshold IS the exact observed rank value here."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.quality_gate(docs, "text", "lang", q=0.25, approx=True)
+
+
 def q_mixture_weights(spark, sf_dir):
     """Domain-mixture reweighting (sampling.mixture_weights): per-language
     token mass → the sampling weight that reshapes the corpus to a target
@@ -3687,6 +3701,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "wordcount": q_wordcount,
     "rollup_continuous": q_rollup_continuous,
+    "quality_gate_approx": q_quality_gate_approx,
     "decontaminate": q_decontaminate,
     "partition_persist": q_partition_persist,
     "linear_drpc": q_linear_drpc,
@@ -3812,6 +3827,8 @@ ORACLES = {
     "pmi_collocations": ORACLE_PMI_COLLOCATIONS,
     "training_order": ORACLE_TRAINING_ORDER,
     "quality_gate": ORACLE_QUALITY_GATE,
+    # identical nearest-rank SQL: the sketch is rank-exact below accuracy
+    "quality_gate_approx": ORACLE_QUALITY_GATE,
     "mixture_weights": ORACLE_MIXTURE_WEIGHTS,
     "bm25_topk": ORACLE_BM25_TOPK,
     "multi_reduce": ORACLE_MULTI_REDUCE,
