@@ -843,6 +843,78 @@ def q_streaming_wordcount(spark, sf_dir):
 ORACLE_STREAMING_WORDCOUNT = ORACLE_STATE_WORDCOUNT
 
 
+def q_streaming_sessionize(spark, sf_dir):
+    """The stateful-streaming twin run END-TO-END through real Structured
+    Streaming, oracle-gated against the BATCH sessionize oracle: events
+    split into 3 event-time-ordered terciles → ``readStream`` (one file
+    per trigger) → ``stateful_sessionize`` (applyInPandasWithState,
+    event-time timeout) → memory sink; two far-future sentinel events
+    (user −1) advance the watermark so every real session times out and
+    emits. Per-user closed-session counts must equal the batch lag+cumsum
+    formulation over the same events — the exactness contract
+    (event-time-ordered source) under which the twins are value-identical.
+
+    Time-ordered splits make the contract self-fulfilling: a session with
+    a continuation in the next tercile necessarily ends within ``gap`` of
+    the tercile boundary, so its timeout is always AHEAD of the watermark
+    the earlier batch can establish — no premature close, ever."""
+    import os
+    import uuid
+    from datetime import timedelta
+
+    from storm_spark.streaming.stateful import stateful_sessionize
+
+    e = _events(spark, sf_dir).select("user_id", "ts", "event_id")
+    tmp = tempfile.mkdtemp(prefix="storm_spark_ssess_")
+    indir = os.path.join(tmp, "in")
+    os.makedirs(indir)
+    w = Window.orderBy("ts", "event_id")
+    parts = e.withColumn("__t__", F.ntile(3).over(w))
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+    feed_schema = e.select("user_id", "ts").schema
+    qname = "ssess_" + uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.schema(feed_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{indir}/*")
+    ).withWatermark("ts", "1 second")
+    out = stateful_sessionize(stream, "user_id", "ts", gap_seconds=1800)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        # write-then-drain per tercile pins the trigger order (file-source
+        # listing order is mtime-based — racy for order-sensitive state)
+        for b in (1, 2, 3):
+            parts.filter(F.col("__t__") == b).select("user_id", "ts").coalesce(
+                1
+            ).write.mode("overwrite").parquet(os.path.join(indir, f"b{b}"))
+            q.processAllAvailable()
+        for i, off in enumerate((3600, 7200)):
+            sent = spark.createDataFrame(
+                [(-1, max_ts + timedelta(seconds=off))], feed_schema
+            )
+            sent.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(indir, f"s{i}")
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(qname)
+        .filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+    )
+
+
+# its oracle is ORACLE_SESSIONIZE (defined below) — registered in ORACLES
+
+
 def q_drpc_state_lookup(spark, sf_dir):
     """DRPC parameterized query over persistent state: split args →
     stateQuery(MapGet) → Sum (the reference word-count DRPC, integration
@@ -3658,7 +3730,10 @@ QUERIES = {
     "partition_pruned": q_partition_pruned,
     "bloom_join": q_bloom_join,
     "redact_pii": q_redact_pii,
-    "domain_stats": q_domain_stats,
+    # rotation 5 (cont.): streaming_sessionize promoted — the first
+    # end-to-end oracle-gated stateful-streaming twin (VERDICT r4 #7);
+    # domain_stats (driver-green r4, pure projection) demoted to the tail
+    "streaming_sessionize": q_streaming_sessionize,
     "tfidf_top_terms": q_tfidf_top_terms,
     # rotation 5: ann_ivf_trained promoted (the ONE catalog query never
     # driver-sampled through r4 — k-means-trained IVF path); rolling_active
@@ -3702,6 +3777,7 @@ QUERIES = {
     "wordcount": q_wordcount,
     "rollup_continuous": q_rollup_continuous,
     "quality_gate_approx": q_quality_gate_approx,
+    "domain_stats": q_domain_stats,
     "decontaminate": q_decontaminate,
     "partition_persist": q_partition_persist,
     "linear_drpc": q_linear_drpc,
@@ -3829,6 +3905,8 @@ ORACLES = {
     "quality_gate": ORACLE_QUALITY_GATE,
     # identical nearest-rank SQL: the sketch is rank-exact below accuracy
     "quality_gate_approx": ORACLE_QUALITY_GATE,
+    # the streaming twin is gated against the BATCH sessionize oracle
+    "streaming_sessionize": ORACLE_SESSIONIZE,
     "mixture_weights": ORACLE_MIXTURE_WEIGHTS,
     "bm25_topk": ORACLE_BM25_TOPK,
     "multi_reduce": ORACLE_MULTI_REDUCE,

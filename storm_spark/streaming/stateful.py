@@ -131,9 +131,15 @@ def stateful_sessionize(
         state.setTimeoutTimestamp(max(deadline, wm + 1))
         yield pd.DataFrame([], columns=[key_col, "session_start", "session_end", "n_events"])
 
+    # preserve the key column's real type (a bigint user id must not be
+    # declared string — Arrow would reject the kernel's output)
+    ktype = stream_df.schema[key_col].dataType.simpleString()
     return stream_df.groupBy(key_col).applyInPandasWithState(
         fn,
-        outputStructType=f"{key_col} string, session_start double, session_end double, n_events long",
+        outputStructType=(
+            f"{key_col} {ktype}, session_start double, "
+            "session_end double, n_events long"
+        ),
         stateStructType="state binary",
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
