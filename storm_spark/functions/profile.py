@@ -148,3 +148,162 @@ def psi_drift(
             F.round((p_new - p_old) * F.log(p_new / p_old), 6).alias("psi_term"),
         )
     )
+
+
+def group_corr(
+    df: DataFrame,
+    group_col: str,
+    x_col,
+    y_col,
+    min_n: int = 2,
+) -> DataFrame:
+    """Per-group Pearson correlation from EXACT integer sums — the drift
+    diagnostic ("does this metric track that one, per segment?") computed
+    so both engines agree to the bit. Pass integer-unit expressions (the
+    integer-cents rule): the six sufficient statistics (n, Σx, Σy, Σxy,
+    Σx², Σy²) accumulate as DECIMAL(38,0) — exact at any row count, where
+    BIGINT sums of squares overflow around 10¹² rows of 10³-unit values —
+    and r derives in double from the exact sums with one fixed formula
+    (``(nΣxy − ΣxΣy) / sqrt((nΣx²−(Σx)²) · (nΣy²−(Σy)²))``), so there is
+    no accumulation-order skew by construction. r is NULL when a group is
+    smaller than ``min_n`` or either variance is zero.
+
+    Scale shape: ONE map-side-combined group agg (6 decimals per group) —
+    a single partial+final shuffle of |groups| rows; the formula is a
+    map-side expression after it.
+
+    Returns ``(group_col, n, r)`` with r rounded to 6.
+    """
+    # decimal(18,0) inputs: the product is decimal(37,0) (inside Spark's
+    # 38-precision cap — decimal(38,0) inputs would silently cap the
+    # product's precision) and SUM widens by 10 digits to decimal(38,0)
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("decimal(18,0)")
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("decimal(18,0)")
+    # pairwise-complete observations: a NULL on either side would skew the
+    # sums against n (SUM skips NULLs, COUNT(*) doesn't) — drop the row
+    df = df.where(x.isNotNull() & y.isNotNull())
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).alias("__sx__"),
+        F.sum(y).alias("__sy__"),
+        F.sum(x * y).alias("__sxy__"),
+        F.sum(x * x).alias("__sxx__"),
+        F.sum(y * y).alias("__syy__"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("__sx__").cast("double"), F.col("__sy__").cast("double")
+    sxy = F.col("__sxy__").cast("double")
+    sxx, syy = F.col("__sxx__").cast("double"), F.col("__syy__").cast("double")
+    cov = nd * sxy - sx * sy
+    vx = nd * sxx - sx * sx
+    vy = nd * syy - sy * sy
+    r = cov / F.sqrt(vx * vy)
+    return agg.select(
+        group_col,
+        "n",
+        F.when(
+            (F.col("n") >= F.lit(int(min_n))) & (vx > 0) & (vy > 0), F.round(r, 6)
+        ).alias("r"),
+    )
+
+
+def sql_group_corr(table: str, group_expr: str, x_expr: str, y_expr: str, min_n: int = 2) -> str:
+    """DuckDB twin of :func:`group_corr` — HUGEINT sums (exact, 128-bit),
+    the identical double formula, full SELECT."""
+    x, y = f"CAST({x_expr} AS HUGEINT)", f"CAST({y_expr} AS HUGEINT)"
+    return f"""
+SELECT grp, n,
+       CASE WHEN n >= {min_n} AND vx > 0 AND vy > 0
+            THEN round(cov / sqrt(vx * vy), 6) END AS r
+FROM (
+  SELECT grp, n,
+         n_d * sxy - sx * sy AS cov,
+         n_d * sxx - sx * sx AS vx,
+         n_d * syy - sy * sy AS vy
+  FROM (
+    SELECT {group_expr} AS grp,
+           COUNT(*) AS n,
+           CAST(COUNT(*) AS DOUBLE) AS n_d,
+           CAST(SUM({x}) AS DOUBLE) AS sx,
+           CAST(SUM({y}) AS DOUBLE) AS sy,
+           CAST(SUM({x} * {y}) AS DOUBLE) AS sxy,
+           CAST(SUM({x} * {x}) AS DOUBLE) AS sxx,
+           CAST(SUM({y} * {y}) AS DOUBLE) AS syy
+    FROM {table}
+    WHERE ({x_expr}) IS NOT NULL AND ({y_expr}) IS NOT NULL
+    GROUP BY 1))
+"""
+
+
+def group_entropy(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group Shannon entropy of a categorical column (natural log) —
+    the behavioral-diversity feature ("how varied is this user's event
+    mix?") a feature pipeline derives per entity. Returns
+    ``(group_col, n, n_cats, entropy)``.
+
+    Determinism: double ADDITION is order-sensitive in the last ulp, and a
+    plain SUM over per-category terms would make the result depend on
+    which engine/partition order folded first. Both sides instead fold the
+    per-category counts in CATEGORY order — Spark sorts the collected
+    (cat, count) structs and ``F.aggregate``-folds them index-
+    sequentially; the SQL twin folds ``list(... ORDER BY cat)`` with
+    ``list_reduce`` — so the summation order is pinned and the rounded
+    entropy is bit-identical.
+
+    Scale shape: one (group, cat)-keyed map-side-combined agg collapses
+    raw rows, then one group-keyed agg collects |cats-per-group| structs
+    (bounded by the category vocabulary, NOT the row count — the collect
+    is a vocabulary-sized list per group, the same bound mixture_weights
+    carries).
+    """
+    # NULL categories are excluded (engines disagree on NULL placement in
+    # ordered collections; a "missing" category is a data-quality signal
+    # for profile_columns, not a diversity term)
+    counts = (
+        df.where(F.col(cat_col).isNotNull())
+        .groupBy(group_col, cat_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c__"))
+    )
+    per_group = counts.groupBy(group_col).agg(
+        F.sum("__c__").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cats"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col(cat_col).alias("k"), F.col("__c__").alias("c")))
+        ).alias("__cats__"),
+    )
+    nd = F.col("n").cast("double")
+    ent = F.aggregate(
+        "__cats__",
+        F.lit(0.0),
+        lambda acc, s: acc - (s["c"].cast("double") / nd) * F.log(s["c"].cast("double") / nd),
+    )
+    return per_group.select(
+        group_col, "n", "n_cats", F.round(ent, ndigits).alias("entropy")
+    )
+
+
+def sql_group_entropy(table: str, group_expr: str, cat_expr: str, ndigits: int = 6) -> str:
+    """DuckDB twin of :func:`group_entropy` — category-ordered list fold
+    (list_reduce), full SELECT."""
+    return f"""
+SELECT grp AS g, n, n_cats,
+       round(list_reduce(
+         list_prepend(0.0, terms),
+         (a, b) -> a + b), {ndigits}) AS entropy
+FROM (
+  SELECT grp, n, n_cats,
+         list(-(c / n_d) * ln(c / n_d) ORDER BY cat) AS terms
+  FROM (
+    SELECT {group_expr} AS grp, {cat_expr} AS cat,
+           COUNT(*) AS c,
+           CAST(SUM(COUNT(*)) OVER (PARTITION BY {group_expr}) AS DOUBLE) AS n_d,
+           SUM(COUNT(*)) OVER (PARTITION BY {group_expr}) AS n,
+           COUNT(*) OVER (PARTITION BY {group_expr}) AS n_cats
+    FROM {table} WHERE ({cat_expr}) IS NOT NULL GROUP BY 1, 2)
+  GROUP BY grp, n, n_cats)
+"""

@@ -437,3 +437,31 @@ def training_order(
         df.select(F.col(id_col), key.alias("__key__"), shard.cast("bigint").alias("shard"))
         .select(F.col(id_col), "shard", F.row_number().over(w).cast("bigint").alias("position"))
     )
+
+
+def k_anonymize(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity suppression: keep only rows whose quasi-identifier
+    combination is shared by at least ``k`` rows — the release gate a
+    privacy-aware pipeline runs before publishing (a quasi-identifier
+    combination seen fewer than k times re-identifies its subjects;
+    Sweeney 2002). NULL-valued quasi-identifiers group together (NULL is
+    itself a disclosure-relevant value).
+
+    Scale shape: ONE group-keyed exchange; the group size is a
+    whole-partition window count over it (no ORDER BY, no sort; no join
+    back), the filter is map-side after. Skewed quasi-groups are safe:
+    big groups pass the gate by definition, and the window only counts.
+
+    Returns the surviving rows (all columns) plus ``k_group_size``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = Window.partitionBy(*quasi_cols)
+    return (
+        df.withColumn("k_group_size", F.count(F.lit(1)).over(w).cast("bigint"))
+        .filter(F.col("k_group_size") >= k)
+    )

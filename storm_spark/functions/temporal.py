@@ -630,6 +630,72 @@ def scd2_current(dim: DataFrame) -> DataFrame:
     return dim.filter(F.col("valid_to").isNull())
 
 
+def pit_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    fact_ts: str,
+    attr_cols: list[str],
+    valid_from: str = "valid_from",
+) -> DataFrame:
+    """Point-in-time join: attach to each fact row the SCD2 dimension
+    version valid AT the fact's timestamp (``valid_from <= fact_ts``,
+    latest such version) — the warehouse lookup that makes historical
+    reports reproducible (joining the CURRENT dimension instead silently
+    rewrites history). Facts before the key's first version pad NULL.
+
+    Pure-expression formulation — NO join at all: version-start rows and
+    fact rows UNION into one stream, a single (key)-keyed window ordered
+    by ``(ts, version-first)`` carries the latest version's attribute
+    STRUCT forward (struct-carry, not per-column carry — a version whose
+    attribute is legitimately NULL must not inherit an older version's
+    value), and fact rows read the carried struct. One exchange, zero
+    fan-out; a key's traffic lands on one reducer (split monster keys by
+    (key, year) and stitch — the gap_fill remedy). The version-first tie
+    order makes a version effective ON its own start instant (asof <=).
+
+    ``valid_to`` never needs checking: :func:`scd2_from_history` intervals
+    are contiguous per key (each ``valid_to`` IS the next ``valid_from``),
+    so the latest version at or before t is the containing one. For
+    interval tables WITH gaps, use :func:`range_join` instead.
+
+    Output: all fact columns + ``attr_cols`` + ``valid_from``.
+    """
+    fact_cols = fact.columns
+    attrs = F.struct(
+        *[F.col(c) for c in attr_cols], F.col(valid_from).alias("__vf__")
+    )
+    d = dim.select(
+        F.col(key_col),
+        F.col(valid_from).alias("__ts__"),
+        F.lit(0).alias("__tag__"),
+        attrs.alias("__ver__"),
+        *[F.lit(None).cast(fact.schema[c].dataType).alias(f"__f_{c}__")
+          for c in fact_cols if c != key_col],
+    )
+    f = fact.select(
+        F.col(key_col),
+        F.col(fact_ts).alias("__ts__"),
+        F.lit(1).alias("__tag__"),
+        F.lit(None).cast(d.schema["__ver__"].dataType).alias("__ver__"),
+        *[F.col(c).alias(f"__f_{c}__") for c in fact_cols if c != key_col],
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("__ts__", "__tag__")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = d.unionByName(f).withColumn(
+        "__cur__", F.last("__ver__", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("__tag__") == 1).select(
+        F.col(key_col),
+        *[F.col(f"__f_{c}__").alias(c) for c in fact_cols if c != key_col],
+        *[F.col("__cur__")[c].alias(c) for c in attr_cols],
+        F.col("__cur__")["__vf__"].alias(valid_from),
+    )
+
+
 def event_paths(
     df: DataFrame,
     key_col: str,

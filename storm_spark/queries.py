@@ -1249,11 +1249,16 @@ def q_rollup_continuous(spark, sf_dir):
     from storm_spark.plans import ContinuousRollup
     from storm_spark.state.base import StateType
 
-    e = _events(spark, sf_dir).select(
-        F.unix_timestamp("ts").alias("ts_epoch"),
-        F.col("event_type").alias("k"),
-        cents("value").alias("v"),
-        "event_id",
+    # the three epoch feeds all filter this projection — cache the 4 slim
+    # columns so the events scan + ts normalization runs once, not 3x
+    e = bounded_persist(
+        _events(spark, sf_dir).select(
+            F.unix_timestamp("ts").alias("ts_epoch"),
+            F.col("event_type").alias("k"),
+            cents("value").alias("v"),
+            "event_id",
+        ),
+        "queries.rollup_continuous.events",
     )
     tmp = tempfile.mkdtemp(prefix="storm_spark_rollup_")
 
@@ -3601,6 +3606,203 @@ FROM chg
 """
 
 
+
+def q_pit_join(spark, sf_dir):
+    """Point-in-time join (temporal.pit_join): probe each user's SCD2
+    event_type dimension 30 minutes after every event — the
+    reproducible-history lookup (joining the CURRENT dimension would
+    rewrite the past). Pure expression, zero joins: version starts and
+    probes union into ONE key-keyed window with a struct-carry. Summarized
+    per attached version type with exact epoch-second sums so any per-row
+    mismatch flips the hash."""
+    from storm_spark.functions import temporal
+
+    e = _events(spark, sf_dir)
+    dim = temporal.scd2_from_history(e, "user_id", ["event_type"], ["ts", "event_id"])
+    fact = e.select(
+        "user_id",
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("probe_ts"),
+        "event_id",
+    )
+    pit = temporal.pit_join(
+        fact,
+        dim.select("user_id", "event_type", "valid_from"),
+        "user_id",
+        "probe_ts",
+        ["event_type"],
+    )
+    return pit.groupBy(F.col("event_type").alias("version_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("unix_micros(CAST(valid_from AS TIMESTAMP)) div 1000000"))
+        .cast("bigint")
+        .alias("sum_vf_s"),
+        F.sum(F.expr("unix_micros(CAST(probe_ts AS TIMESTAMP)) div 1000000"))
+        .cast("bigint")
+        .alias("sum_probe_s"),
+    )
+
+
+# the oracle rebuilds the SCD2 versions (the ORACLE_SCD2 CTEs), unions
+# version-starts with the +30min probes, and carries the latest version
+# struct with last_value IGNORE NULLS over the same (key, ts, tag) order
+ORACLE_PIT_JOIN = """
+WITH h AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+chg AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS vf FROM h
+  WHERE rn = 1 OR event_type IS DISTINCT FROM prev_t),
+u AS (
+  SELECT user_id, vf AS pt, 0 AS tag,
+         struct_pack(t := event_type, vf := vf) AS ver
+  FROM chg
+  UNION ALL
+  SELECT user_id, CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS pt, 1 AS tag,
+         NULL AS ver
+  FROM events),
+carried AS (
+  SELECT user_id, pt, tag,
+         last_value(ver IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY pt, tag
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur
+  FROM u)
+SELECT cur.t AS version_type,
+       COUNT(*) AS n,
+       CAST(SUM(epoch_us(cur.vf) // 1000000) AS BIGINT) AS sum_vf_s,
+       CAST(SUM(epoch_us(pt) // 1000000) AS BIGINT) AS sum_probe_s
+FROM carried WHERE tag = 1
+GROUP BY 1
+"""
+
+
+def q_group_corr(spark, sf_dir):
+    """Per-segment Pearson correlation between the event value (cents) and
+    time of day (profile.group_corr): six DECIMAL(38,0)-exact sufficient
+    statistics per group, r derived in double from the exact sums — no
+    accumulation-order skew, bit-identical across engines."""
+    from storm_spark.functions import profile
+
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        cents("value").alias("v_c"),
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000").alias("__s__"),
+    )
+    return profile.group_corr(
+        e.withColumn("tod_s", F.pmod(F.col("__s__"), F.lit(86400))),
+        "event_type",
+        "v_c",
+        "tod_s",
+    )
+
+
+def _oracle_group_corr():
+    from storm_spark.functions.profile import sql_group_corr
+
+    inner = sql_group_corr(
+        "events",
+        "event_type",
+        SQL_CENTS.format(x="value"),
+        "((epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) % 86400 + 86400) % 86400",
+    )
+    return f"SELECT grp AS event_type, n, r FROM ({inner})"
+
+
+ORACLE_GROUP_CORR = _oracle_group_corr()
+
+
+def q_user_entropy(spark, sf_dir):
+    """Per-user Shannon entropy of the event-type mix (profile.
+    group_entropy) — the behavioral-diversity feature. The per-category
+    terms fold in CATEGORY order on both engines (sorted struct array +
+    F.aggregate vs list(... ORDER BY) + list_reduce), pinning the
+    double-summation order so the rounded entropy is bit-identical."""
+    from storm_spark.functions import profile
+
+    e = _events(spark, sf_dir)
+    return profile.group_entropy(e, "user_id", "event_type")
+
+
+def _oracle_user_entropy():
+    from storm_spark.functions.profile import sql_group_entropy
+
+    inner = sql_group_entropy("events", "user_id", "event_type")
+    return f"SELECT g AS user_id, n, n_cats, entropy FROM ({inner})"
+
+
+ORACLE_USER_ENTROPY = _oracle_user_entropy()
+
+
+def q_k_anonymize(spark, sf_dir):
+    """k-anonymity release gate (sampling.k_anonymize): keep documents
+    whose (lang, source) quasi-identifier combination covers >= 5 rows —
+    one group-keyed window count, map-side filter, no join back."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.k_anonymize(docs, ["lang", "source"], k=5)
+    return out.select("doc_id", "lang", "source", "k_group_size")
+
+
+ORACLE_K_ANONYMIZE = """
+SELECT doc_id, lang, source, k_group_size FROM (
+  SELECT doc_id, lang, source,
+         COUNT(*) OVER (PARTITION BY lang, source) AS k_group_size
+  FROM documents)
+WHERE k_group_size >= 5
+"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping-priority top-10) adapted to the fixture schema
+    (o_orderpriority for the missing o_shippriority): 3-way join with the
+    customer dim broadcast, partial+final agg on the composite key, top-10
+    via TakeOrderedAndProject. Revenue is EXACT: cents x (100 - discount
+    basis points) accumulates as BIGINT — no double SUM anywhere."""
+    cutoff = "1998-06-01"
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+    )
+    rev = (
+        cents("l_extendedprice")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("bigint").alias("revenue_cbp"))
+        .orderBy(F.col("revenue_cbp").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 1000000").alias("o_date_s"),
+            "o_orderpriority",
+            "revenue_cbp",
+        )
+    )
+
+
+ORACLE_TPCH_Q3 = f"""
+SELECT l_orderkey,
+       epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 1000000 AS o_date_s,
+       o_orderpriority,
+       CAST(SUM({SQL_CENTS.format(x='l_extendedprice')}
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_cbp
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cbp DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+
 def q_ann_ivf_trained(spark, sf_dir):
     """IVF ANN probing TRAINED centroids (similarity.kmeans_centroids →
     ivf_topk): the iterative spherical-k-means trainer is deterministic
@@ -3778,6 +3980,12 @@ QUERIES = {
     "rollup_continuous": q_rollup_continuous,
     "quality_gate_approx": q_quality_gate_approx,
     "domain_stats": q_domain_stats,
+    # r5 additions (tail; verified locally per the coverage invariant)
+    "pit_join": q_pit_join,
+    "group_corr": q_group_corr,
+    "user_entropy": q_user_entropy,
+    "k_anonymize": q_k_anonymize,
+    "tpch_q3": q_tpch_q3,
     "decontaminate": q_decontaminate,
     "partition_persist": q_partition_persist,
     "linear_drpc": q_linear_drpc,
@@ -3907,6 +4115,11 @@ ORACLES = {
     "quality_gate_approx": ORACLE_QUALITY_GATE,
     # the streaming twin is gated against the BATCH sessionize oracle
     "streaming_sessionize": ORACLE_SESSIONIZE,
+    "pit_join": ORACLE_PIT_JOIN,
+    "group_corr": ORACLE_GROUP_CORR,
+    "user_entropy": ORACLE_USER_ENTROPY,
+    "k_anonymize": ORACLE_K_ANONYMIZE,
+    "tpch_q3": ORACLE_TPCH_Q3,
     "mixture_weights": ORACLE_MIXTURE_WEIGHTS,
     "bm25_topk": ORACLE_BM25_TOPK,
     "multi_reduce": ORACLE_MULTI_REDUCE,

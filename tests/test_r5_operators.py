@@ -1,0 +1,143 @@
+"""Edge cases for the r5 operator additions: pit_join (struct carry),
+group_corr (exact-sum Pearson), group_entropy (ordered fold), k_anonymize
+(suppression boundary)."""
+
+from datetime import datetime
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_pit_join_attaches_version_valid_at_ts(spark):
+    from storm_spark.functions.temporal import pit_join
+
+    T = datetime
+    dim = spark.createDataFrame(
+        [
+            ("u1", "bronze", T(2024, 1, 1)),
+            ("u1", "gold", T(2024, 6, 1)),
+            ("u2", "silver", T(2024, 3, 1)),
+        ],
+        "key string, tier string, valid_from timestamp",
+    )
+    fact = spark.createDataFrame(
+        [
+            ("u1", T(2024, 3, 1), 1),   # mid first interval -> bronze
+            ("u1", T(2024, 6, 1), 2),   # ON version start -> gold (asof <=)
+            ("u1", T(2024, 9, 1), 3),   # after last -> gold (open interval)
+            ("u2", T(2024, 1, 1), 4),   # before first version -> NULL
+        ],
+        "key string, ts timestamp, fid int",
+    )
+    got = {
+        r.fid: (r.tier, r.valid_from)
+        for r in pit_join(fact, dim, "key", "ts", ["tier"]).collect()
+    }
+    assert got[1] == ("bronze", T(2024, 1, 1))
+    assert got[2] == ("gold", T(2024, 6, 1))
+    assert got[3] == ("gold", T(2024, 6, 1))
+    assert got[4] == (None, None)
+
+
+def test_pit_join_null_attr_not_inherited(spark):
+    """A version whose attribute is legitimately NULL must NOT inherit the
+    previous version's value — the struct-carry contract."""
+    from storm_spark.functions.temporal import pit_join
+
+    T = datetime
+    dim = spark.createDataFrame(
+        [("u1", "a", T(2024, 1, 1)), ("u1", None, T(2024, 2, 1))],
+        "key string, attr string, valid_from timestamp",
+    )
+    fact = spark.createDataFrame(
+        [("u1", T(2024, 3, 1), 1)], "key string, ts timestamp, fid int"
+    )
+    row = pit_join(fact, dim, "key", "ts", ["attr"]).collect()[0]
+    assert row.attr is None            # NOT "a"
+    assert row.valid_from == T(2024, 2, 1)  # but the version DID attach
+
+
+def test_pit_join_is_pure_expression(spark):
+    """No join operator and no Python eval: one union + one window."""
+    from storm_spark.functions.temporal import pit_join
+
+    T = datetime
+    dim = spark.createDataFrame(
+        [("u1", "a", T(2024, 1, 1))], "key string, attr string, valid_from timestamp"
+    )
+    fact = spark.createDataFrame(
+        [("u1", T(2024, 3, 1), 1)], "key string, ts timestamp, fid int"
+    )
+    df = pit_join(fact, dim, "key", "ts", ["attr"])
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan
+
+
+def test_group_corr_exact_cases(spark):
+    from storm_spark.functions.profile import group_corr
+
+    rows = (
+        [("lin", x, 2 * x + 7) for x in range(10)]          # r = 1
+        + [("anti", x, -3 * x) for x in range(10)]          # r = -1
+        + [("const", x, 5) for x in range(10)]              # zero y-var -> NULL
+        + [("tiny", 1, 1)]                                  # n < min_n -> NULL
+    )
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r.g: (r.n, r.r) for r in group_corr(df, "g", "x", "y").collect()}
+    assert got["lin"] == (10, 1.0)
+    assert got["anti"] == (10, -1.0)
+    assert got["const"][1] is None
+    assert got["tiny"] == (1, None)
+
+
+def test_group_corr_skips_null_pairs(spark):
+    from storm_spark.functions.profile import group_corr
+
+    df = spark.createDataFrame(
+        [("g", 1, 2), ("g", 2, 4), ("g", 3, 6), ("g", 4, None), ("g", None, 9)],
+        "g string, x long, y long",
+    )
+    r = group_corr(df, "g", "x", "y").collect()[0]
+    assert r.n == 3  # pairwise-complete only
+    assert r.r == 1.0
+
+
+def test_group_entropy_values(spark):
+    from storm_spark.functions.profile import group_entropy
+
+    rows = (
+        [("uniform", c) for c in "abcd" * 4]   # 4 cats x 4 -> ln(4)
+        + [("single", "z")] * 8                # one cat -> 0
+        + [("skew", "a")] * 3 + [("skew", "b")]
+    )
+    df = spark.createDataFrame(rows, "g string, c string")
+    got = {r.g: (r.n, r.n_cats, r.entropy) for r in group_entropy(df, "g", "c").collect()}
+    assert got["uniform"] == (16, 4, round(math.log(4), 6))
+    assert got["single"] == (8, 1, -0.0) or got["single"] == (8, 1, 0.0)
+    p = [3 / 4, 1 / 4]
+    assert got["skew"][2] == pytest.approx(-sum(x * math.log(x) for x in p), abs=1e-6)
+
+
+def test_k_anonymize_boundary(spark):
+    from storm_spark.functions.sampling import k_anonymize
+
+    rows = [("a", "x", i) for i in range(5)] + [("b", "y", i) for i in range(4)]
+    df = spark.createDataFrame(rows, "q1 string, q2 string, id int")
+    out = k_anonymize(df, ["q1", "q2"], k=5).collect()
+    assert {r.q1 for r in out} == {"a"}          # group of 4 suppressed
+    assert all(r.k_group_size == 5 for r in out)
+    with pytest.raises(ValueError):
+        k_anonymize(df, ["q1"], k=0)
+
+
+def test_k_anonymize_null_quasi_groups_together(spark):
+    from storm_spark.functions.sampling import k_anonymize
+
+    rows = [(None, i) for i in range(5)] + [("v", 9)]
+    df = spark.createDataFrame(rows, "q string, id int")
+    out = k_anonymize(df, ["q"], k=5).collect()
+    assert len(out) == 5 and all(r.q is None for r in out)
