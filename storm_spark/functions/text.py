@@ -551,3 +551,124 @@ def pmi_collocations(
     return scored.orderBy(
         F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
     ).limit(k)
+
+
+def lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Bigram-LM perplexity scoring — train a Laplace-smoothed bigram
+    language model on the corpus itself and score every document's average
+    negative log-likelihood under it: the classic statistical quality
+    filter (a document whose token transitions are unlike the corpus —
+    boilerplate, gibberish, wrong language — scores high). Returns
+    ``(id_col, n_bigrams, avg_nll, ppl)`` for documents with at least one
+    bigram; ``ppl = exp(avg_nll)``.
+
+    ``p(w2|w1) = (c(w1,w2) + α) / (c(w1) + α·V)`` with V = unigram
+    vocabulary size; α must be an exact binary fraction (0.5, 0.25) so the
+    smoothed probability is the same double on every engine.
+
+    Determinism: counts are exact BIGINTs, p and ln(p) evaluate on
+    identical doubles, and the per-document summation folds the log-probs
+    in TOKEN-POSITION order on both engines (sorted (pos, lp) structs +
+    ``F.aggregate`` vs ``list(... ORDER BY pos)`` + ``list_reduce``) — the
+    group_entropy convention, because a plain SUM's fold order is
+    engine-dependent in the last ulp.
+
+    Scale shape: the corpus tokenizes ONCE into a cached slim (id, toks)
+    projection feeding all three consumers (bigram counts, unigram counts,
+    per-doc scoring). Count tables are vocabulary-bounded after map-side-
+    combined partial aggs; the scoring join shuffles (doc, pos, w1, w2)
+    rows on the bigram key — corpus-token-bounded, the same O(tokens)
+    bound tfidf carries; V attaches as a broadcast 1-row aggregate. The
+    per-doc collect_list is document-length-bounded (the chunking bound).
+    """
+    toks = bounded_persist(
+        df.select(F.col(id_col), tokens(text_col).alias("__toks__")),
+        "text.lm_score.toks",
+    )
+    big = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                "transform(slice(__toks__, 2, greatest(size(__toks__) - 1, 0)),"
+                " (w, i) -> struct(element_at(__toks__, i + 1) AS w1, w AS w2))"
+            )
+        ).alias("__pos__", "__bg__"),
+    ).select(
+        id_col, "__pos__", F.col("__bg__.w1").alias("__w1__"), F.col("__bg__.w2").alias("__w2__")
+    )
+    uni = toks.select(F.explode("__toks__").alias("__w1__"))
+    uni_counts = uni.groupBy("__w1__").agg(F.count(F.lit(1)).cast("bigint").alias("__cu__"))
+    v = uni_counts.agg(F.count(F.lit(1)).cast("bigint").alias("__V__"))
+    bg_counts = big.groupBy("__w1__", "__w2__").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cb__")
+    )
+    a = float(alpha)
+    scored = (
+        big.join(bg_counts, ["__w1__", "__w2__"])
+        .join(uni_counts, "__w1__")
+        .crossJoin(F.broadcast(v))
+        .select(
+            F.col(id_col),
+            "__pos__",
+            F.log(
+                (F.col("__cb__").cast("double") + F.lit(a))
+                / (F.col("__cu__").cast("double") + F.lit(a) * F.col("__V__").cast("double"))
+            ).alias("__lp__"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("__pos__").alias("p"), F.col("__lp__").alias("l")))
+        ).alias("__lps__"),
+    )
+    nll = -F.aggregate("__lps__", F.lit(0.0), lambda acc, s: acc + s["l"]) / F.col(
+        "n_bigrams"
+    ).cast("double")
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        F.round(nll, ndigits).alias("avg_nll"),
+        F.round(F.exp(nll), ndigits).alias("ppl"),
+    )
+
+
+def sql_lm_score(table: str, id_expr: str, text_expr: str, alpha: float = 0.5, ndigits: int = 6) -> str:
+    """DuckDB twin of :func:`lm_score` — position-ordered list fold, full
+    SELECT ``(id, n_bigrams, avg_nll, ppl)``."""
+    # the SQL twin of tokens() — same regex as TOKEN_SPLIT_RE
+    toks = (
+        f"list_filter(string_split_regex(lower(trim({text_expr})),"
+        " '[^a-z0-9'']+'), x -> x <> '')"
+    )
+    a = float(alpha)
+    return f"""
+WITH t AS (SELECT {id_expr} AS id, {toks} AS toks FROM {table}),
+big AS (
+  SELECT id, i AS pos, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+uni AS (
+  SELECT w1, COUNT(*) AS cu FROM (
+    SELECT unnest(toks) AS w1 FROM t) GROUP BY 1),
+v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS V FROM uni),
+bgc AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY 1, 2),
+lp AS (
+  SELECT big.id, big.pos,
+         ln((cb + {a}) / (cu + {a} * V)) AS l
+  FROM big JOIN bgc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v)
+SELECT id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       round(nll, {ndigits}) AS avg_nll,
+       round(exp(nll), {ndigits}) AS ppl
+FROM (
+  SELECT id, n_bigrams,
+         -list_reduce(list_prepend(0.0, lps), (a, b) -> a + b) / n_bigrams AS nll
+  FROM (
+    SELECT id, COUNT(*) AS n_bigrams, list(l ORDER BY pos) AS lps
+    FROM lp GROUP BY id))
+"""

@@ -3803,6 +3803,117 @@ LIMIT 10
 
 
 
+
+def q_lm_perplexity(spark, sf_dir):
+    """Bigram-LM perplexity scoring (text.lm_score): train a Laplace-
+    smoothed bigram model on the document corpus and score each doc's
+    average NLL / perplexity under it — the statistical gibberish/
+    boilerplate filter. Exact: BIGINT counts, alpha=0.5 (exact binary),
+    per-doc log-prob fold pinned to token-position order on both
+    engines."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.lm_score(docs, "doc_id", "text", alpha=0.5)
+
+
+def _oracle_lm_perplexity():
+    from storm_spark.functions.text import sql_lm_score
+
+    inner = sql_lm_score("documents", "doc_id", "text", alpha=0.5)
+    return f"SELECT id AS doc_id, n_bigrams, avg_nll, ppl FROM ({inner})"
+
+
+ORACLE_LM_PERPLEXITY = _oracle_lm_perplexity()
+
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 (forecast revenue change): pure filter + global agg — the
+    plan-shape probe for predicate pushdown into the scan (all four
+    filters pushable) with an integer-exact revenue sum (cents x discount
+    basis points as BIGINT)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = cents("l_extendedprice") * F.round(F.col("l_discount") * 100).cast("bigint")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.round(F.col("l_discount") * 100).cast("bigint").between(5, 7))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).cast("bigint").alias("revenue_cbp"),
+             F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+ORACLE_TPCH_Q6 = f"""
+SELECT CAST(SUM({SQL_CENTS.format(x='l_extendedprice')}
+             * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cbp,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+
+
+def q_streaming_transitions(spark, sf_dir):
+    """stateful_transitions run END-TO-END through Structured Streaming and
+    gated against the BATCH event_transitions oracle: events split into 3
+    event-time-ordered terciles (each written SORTED by (ts, event_id) so
+    equal-ts ties fold in the same order as the batch lag), one file per
+    trigger; per-batch transition DELTAS from the memory sink sum to the
+    corpus totals — including the batch-boundary transitions a per-batch
+    lag() loses, which is the whole point of the keyed state."""
+    import os
+    import uuid
+
+    from storm_spark.streaming.stateful import stateful_transitions
+
+    e = _events(spark, sf_dir).select("user_id", "ts", "event_type", "event_id")
+    tmp = tempfile.mkdtemp(prefix="storm_spark_strans_")
+    indir = os.path.join(tmp, "in")
+    os.makedirs(indir)
+    w = Window.orderBy("ts", "event_id")
+    parts = e.withColumn("__t__", F.ntile(3).over(w))
+    feed_schema = e.select("user_id", "ts", "event_type").schema
+    qname = "strans_" + uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.schema(feed_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{indir}/*")
+    )
+    out = stateful_transitions(stream, "user_id", "ts", "event_type")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        for b in (1, 2, 3):
+            (
+                parts.filter(F.col("__t__") == b)
+                .orderBy("ts", "event_id")
+                .select("user_id", "ts", "event_type")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(indir, f"b{b}"))
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(qname)
+        .groupBy("from_type", "to_type")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+
+
+# gated against the BATCH oracle — streaming deltas must sum to it exactly
+
 def q_ann_ivf_trained(spark, sf_dir):
     """IVF ANN probing TRAINED centroids (similarity.kmeans_centroids →
     ivf_topk): the iterative spherical-k-means trainer is deterministic
@@ -3986,6 +4097,9 @@ QUERIES = {
     "user_entropy": q_user_entropy,
     "k_anonymize": q_k_anonymize,
     "tpch_q3": q_tpch_q3,
+    "tpch_q6": q_tpch_q6,
+    "lm_perplexity": q_lm_perplexity,
+    "streaming_transitions": q_streaming_transitions,
     "decontaminate": q_decontaminate,
     "partition_persist": q_partition_persist,
     "linear_drpc": q_linear_drpc,
@@ -4120,6 +4234,9 @@ ORACLES = {
     "user_entropy": ORACLE_USER_ENTROPY,
     "k_anonymize": ORACLE_K_ANONYMIZE,
     "tpch_q3": ORACLE_TPCH_Q3,
+    "tpch_q6": ORACLE_TPCH_Q6,
+    "lm_perplexity": ORACLE_LM_PERPLEXITY,
+    "streaming_transitions": ORACLE_EVENT_TRANSITIONS,
     "mixture_weights": ORACLE_MIXTURE_WEIGHTS,
     "bm25_topk": ORACLE_BM25_TOPK,
     "multi_reduce": ORACLE_MULTI_REDUCE,

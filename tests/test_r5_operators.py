@@ -141,3 +141,22 @@ def test_k_anonymize_null_quasi_groups_together(spark):
     df = spark.createDataFrame(rows, "q string, id int")
     out = k_anonymize(df, ["q"], k=5).collect()
     assert len(out) == 5 and all(r.q is None for r in out)
+
+
+def test_lm_score_basics(spark):
+    from storm_spark.functions.text import lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a b"), (3, "x"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in lm_score(df, "doc_id", "text", alpha=0.5).collect()}
+    # docs without a bigram emit nothing
+    assert set(got) == {1, 2}
+    assert got[1].n_bigrams == 4 and got[2].n_bigrams == 1
+    # the repeated-pattern doc is more probable than chance: ppl < vocab+1
+    assert got[1].ppl < 4.0
+    import math
+
+    for r in got.values():
+        assert r.ppl == pytest.approx(math.exp(r.avg_nll), rel=1e-4)
