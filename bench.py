@@ -105,6 +105,14 @@ HEADLINE = [
     "dedup_cluster",
     "decontaminate",
     "quality_gate_approx",
+    # r5 operator additions (streaming gates exempt from the wall-time list)
+    "pit_join",
+    "group_corr",
+    "user_entropy",
+    "k_anonymize",
+    "tpch_q3",
+    "tpch_q6",
+    "lm_perplexity",
 ]
 
 

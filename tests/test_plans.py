@@ -124,6 +124,14 @@ _EXPRESSION_ONLY = [
     "fuzzy_pairs",
     "scd2",
     "centroid_classify",
+    "pit_join",
+    "group_corr",
+    "user_entropy",
+    "k_anonymize",
+    "tpch_q3",
+    "tpch_q6",
+    "lm_perplexity",
+    "quality_gate_approx",
 ]
 
 
@@ -422,3 +430,21 @@ def test_no_unbounded_persist_convention():
             assert ".unpersist()" in py.read_text(), (
                 f"{rel} persists without any unpersist"
             )
+
+
+def test_tpch_q6_filters_pushed(spark):
+    """All four Q6 predicates (two dates, discount band, quantity) must
+    reach the parquet scan."""
+    from storm_spark.queries import q_tpch_q6
+
+    plan = _plan(q_tpch_q6(spark, SF))
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed, pushed
+
+
+def test_tpch_q3_broadcasts_customer_and_takeordered(spark):
+    from storm_spark.queries import q_tpch_q3
+
+    plan = _plan(q_tpch_q3(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
