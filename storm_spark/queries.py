@@ -3914,6 +3914,77 @@ def q_streaming_transitions(spark, sf_dir):
 
 # gated against the BATCH oracle — streaming deltas must sum to it exactly
 
+
+def q_streaming_gap_fill(spark, sf_dir):
+    """stateful_gap_fill run END-TO-END through Structured Streaming and
+    gated against the BATCH gap_fill oracle: hourly value totals per
+    event_type with forward-filled gaps, fed as 3 time-ordered batches.
+    Batches split on BUCKET boundaries (dense_rank over the hour bucket →
+    tercile), never mid-bucket — an emitted bucket is immutable, so a
+    bucket straddling two triggers would lose its later events while the
+    batch twin counts them. Union of per-trigger emissions must equal the
+    batch grid exactly (every bucket exactly once, same fills, same
+    gaps)."""
+    import os
+    import uuid
+
+    from storm_spark.streaming.stateful import stateful_gap_fill
+
+    e = _events(spark, sf_dir).select(
+        "event_type", "ts", cents("value").cast("double").alias("v_c")
+    )
+    secs = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000")
+    e = e.withColumn("__b__", (secs - F.pmod(secs, F.lit(3600))))
+    wb = Window.orderBy("__b__")
+    wall = Window.partitionBy()
+    parts = (
+        e.withColumn("__dr__", F.dense_rank().over(wb))
+        .withColumn("__nb__", F.max("__dr__").over(wall))
+        .withColumn(
+            "__t__",
+            F.least(F.lit(3), F.ceil(F.col("__dr__") * 3 / F.col("__nb__")).cast("int")),
+        )
+    )
+    feed_schema = e.select("event_type", "ts", "v_c").schema
+    tmp = tempfile.mkdtemp(prefix="storm_spark_sgap_")
+    indir = os.path.join(tmp, "in")
+    os.makedirs(indir)
+    qname = "sgap_" + uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.schema(feed_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{indir}/*")
+    )
+    out = stateful_gap_fill(stream, "event_type", "ts", "v_c", step_seconds=3600)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        for b in (1, 2, 3):
+            (
+                parts.filter(F.col("__t__") == b)
+                .select("event_type", "ts", "v_c")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(indir, f"b{b}"))
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname).select(
+        "event_type",
+        "bucket",
+        F.col("value").cast("bigint").alias("value_c"),
+        "is_gap",
+    )
+
+
+# gated against the BATCH gap_fill oracle (registered in ORACLES)
+
 def q_ann_ivf_trained(spark, sf_dir):
     """IVF ANN probing TRAINED centroids (similarity.kmeans_centroids →
     ivf_topk): the iterative spherical-k-means trainer is deterministic
@@ -4100,6 +4171,7 @@ QUERIES = {
     "tpch_q6": q_tpch_q6,
     "lm_perplexity": q_lm_perplexity,
     "streaming_transitions": q_streaming_transitions,
+    "streaming_gap_fill": q_streaming_gap_fill,
     "decontaminate": q_decontaminate,
     "partition_persist": q_partition_persist,
     "linear_drpc": q_linear_drpc,
@@ -4237,6 +4309,7 @@ ORACLES = {
     "tpch_q6": ORACLE_TPCH_Q6,
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
     "streaming_transitions": ORACLE_EVENT_TRANSITIONS,
+    "streaming_gap_fill": ORACLE_GAP_FILL,
     "mixture_weights": ORACLE_MIXTURE_WEIGHTS,
     "bm25_topk": ORACLE_BM25_TOPK,
     "multi_reduce": ORACLE_MULTI_REDUCE,
