@@ -3985,6 +3985,92 @@ def q_streaming_gap_fill(spark, sf_dir):
 
 # gated against the BATCH gap_fill oracle (registered in ORACLES)
 
+
+def q_streaming_trailing_zscore(spark, sf_dir):
+    """The fourth stateful twin driver-gated end-to-end:
+    stateful_trailing_zscore through real Structured Streaming vs the
+    batch three-BIGINT-sum window formulation. The trailing buffer carries
+    across triggers — batch 2's first rows score against batch 1's tail,
+    which a per-batch window cannot produce. Terciles are (ts, event_id)-
+    ordered and each file is written sorted, so ties fold exactly like
+    the batch ROWS frame. Compared on (user, epoch-second, value, z) for
+    |z| > 3 — the same anomaly set as the batch gate."""
+    import os
+    import uuid
+
+    from storm_spark.streaming.stateful import stateful_trailing_zscore
+
+    e = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", cents("value").cast("double").alias("v_c")
+    )
+    w = Window.orderBy("ts", "event_id")
+    parts = e.withColumn("__t__", F.ntile(3).over(w))
+    feed_schema = e.select("user_id", "ts", "v_c").schema
+    tmp = tempfile.mkdtemp(prefix="storm_spark_stz_")
+    indir = os.path.join(tmp, "in")
+    os.makedirs(indir)
+    qname = "stz_" + uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.schema(feed_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{indir}/*")
+    )
+    out = stateful_trailing_zscore(stream, "user_id", "ts", "v_c", window=24, min_periods=8)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        for b in (1, 2, 3):
+            (
+                parts.filter(F.col("__t__") == b)
+                .orderBy("ts", "event_id")
+                .select("user_id", "ts", "v_c")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(indir, f"b{b}"))
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(qname)
+        .filter(F.abs(F.col("z")) > 3)
+        .select(
+            "user_id",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000").alias("ts_s"),
+            F.col("v_c").cast("bigint").alias("v_c"),
+            F.round("z", 6).alias("z"),
+        )
+    )
+
+
+def _oracle_streaming_trailing_zscore():
+    from storm_spark.functions.robust import sql_trailing_zscore
+
+    ctes = sql_trailing_zscore(
+        "events",
+        "user_id",
+        "ts ASC, event_id ASC",
+        SQL_CENTS.format(x="value"),
+        window=24,
+        min_periods=8,
+    )
+    return (
+        "WITH " + ctes.strip().rstrip() + "\n"
+        "SELECT key AS user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_s,\n"
+        "       val AS v_c, round(z, 6) AS z\n"
+        "FROM __tz__ WHERE abs(z) > 3"
+    )
+
+
+ORACLE_STREAMING_TRAILING_ZSCORE = _oracle_streaming_trailing_zscore()
+
+
+
 def q_ann_ivf_trained(spark, sf_dir):
     """IVF ANN probing TRAINED centroids (similarity.kmeans_centroids →
     ivf_topk): the iterative spherical-k-means trainer is deterministic
@@ -4172,6 +4258,7 @@ QUERIES = {
     "lm_perplexity": q_lm_perplexity,
     "streaming_transitions": q_streaming_transitions,
     "streaming_gap_fill": q_streaming_gap_fill,
+    "streaming_trailing_zscore": q_streaming_trailing_zscore,
     "decontaminate": q_decontaminate,
     "partition_persist": q_partition_persist,
     "linear_drpc": q_linear_drpc,
@@ -4310,6 +4397,7 @@ ORACLES = {
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
     "streaming_transitions": ORACLE_EVENT_TRANSITIONS,
     "streaming_gap_fill": ORACLE_GAP_FILL,
+    "streaming_trailing_zscore": ORACLE_STREAMING_TRAILING_ZSCORE,
     "mixture_weights": ORACLE_MIXTURE_WEIGHTS,
     "bm25_topk": ORACLE_BM25_TOPK,
     "multi_reduce": ORACLE_MULTI_REDUCE,
