@@ -4071,6 +4071,66 @@ ORACLE_STREAMING_TRAILING_ZSCORE = _oracle_streaming_trailing_zscore()
 
 
 
+
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming content dedup (streaming.dedup.streaming_dedup_fingerprint
+    = dropDuplicates on the md5 content fingerprint) run end-to-end:
+    trigger 1 delivers the corpus, triggers 2 and 3 re-deliver every
+    document under shifted ids (the at-least-once-source replay case) —
+    the stream must emit exactly the first arrival per content
+    fingerprint. Oracle: min doc_id per fingerprint over the full tripled
+    feed (originals carry the smaller ids, so first arrival = min id)."""
+    import os
+    import uuid
+
+    from storm_spark.streaming.dedup import streaming_dedup_fingerprint
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="storm_spark_sdd_")
+    indir = os.path.join(tmp, "in")
+    os.makedirs(indir)
+    qname = "sdd_" + uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{indir}/*")
+    )
+    out = streaming_dedup_fingerprint(stream, "text")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        for b, shift in ((1, 0), (2, 1_000_000), (3, 2_000_000)):
+            (
+                docs.withColumn("doc_id", F.col("doc_id") + F.lit(shift))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(indir, f"b{b}"))
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname).select("doc_id").orderBy("doc_id")
+
+
+ORACLE_STREAMING_DEDUP = """
+WITH feed AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+  UNION ALL SELECT doc_id + 2000000, text FROM documents)
+SELECT MIN(doc_id) AS doc_id
+FROM feed
+GROUP BY md5(array_to_string(
+  list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9'']+'), x -> x <> ''), ' '))
+ORDER BY doc_id
+"""
+
+
+
 def q_ann_ivf_trained(spark, sf_dir):
     """IVF ANN probing TRAINED centroids (similarity.kmeans_centroids →
     ivf_topk): the iterative spherical-k-means trainer is deterministic
@@ -4259,6 +4319,7 @@ QUERIES = {
     "streaming_transitions": q_streaming_transitions,
     "streaming_gap_fill": q_streaming_gap_fill,
     "streaming_trailing_zscore": q_streaming_trailing_zscore,
+    "streaming_dedup": q_streaming_dedup,
     "decontaminate": q_decontaminate,
     "partition_persist": q_partition_persist,
     "linear_drpc": q_linear_drpc,
@@ -4398,6 +4459,7 @@ ORACLES = {
     "streaming_transitions": ORACLE_EVENT_TRANSITIONS,
     "streaming_gap_fill": ORACLE_GAP_FILL,
     "streaming_trailing_zscore": ORACLE_STREAMING_TRAILING_ZSCORE,
+    "streaming_dedup": ORACLE_STREAMING_DEDUP,
     "mixture_weights": ORACLE_MIXTURE_WEIGHTS,
     "bm25_topk": ORACLE_BM25_TOPK,
     "multi_reduce": ORACLE_MULTI_REDUCE,
