@@ -113,6 +113,7 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q6",
     "lm_perplexity",
+    "tpch_q5",
 ]
 
 

@@ -4131,6 +4131,60 @@ ORDER BY doc_id
 
 
 
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local-supplier volume): the 6-table join — lineitem ⋈
+    orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region with the
+    same-nation constraint (c_nationkey = s_nationkey) — revenue per
+    nation for ASIA orders in one year. The three dimension tables
+    broadcast (plan-audited); only the two fact joins shuffle. Revenue is
+    integer-exact (cents × (100 − discount bp) as BIGINT)."""
+    cutoff_lo, cutoff_hi = "1996-01-01", "1997-01-01"
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(cutoff_lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(cutoff_hi).cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        cents("l_extendedprice")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("bigint").alias("revenue_cbp"))
+    )
+
+
+ORACLE_TPCH_Q5 = f"""
+SELECT n_name,
+       CAST(SUM({SQL_CENTS.format(x='l_extendedprice')}
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_cbp
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+
 def q_ann_ivf_trained(spark, sf_dir):
     """IVF ANN probing TRAINED centroids (similarity.kmeans_centroids →
     ivf_topk): the iterative spherical-k-means trainer is deterministic
@@ -4315,6 +4369,7 @@ QUERIES = {
     "k_anonymize": q_k_anonymize,
     "tpch_q3": q_tpch_q3,
     "tpch_q6": q_tpch_q6,
+    "tpch_q5": q_tpch_q5,
     "lm_perplexity": q_lm_perplexity,
     "streaming_transitions": q_streaming_transitions,
     "streaming_gap_fill": q_streaming_gap_fill,
@@ -4455,6 +4510,7 @@ ORACLES = {
     "k_anonymize": ORACLE_K_ANONYMIZE,
     "tpch_q3": ORACLE_TPCH_Q3,
     "tpch_q6": ORACLE_TPCH_Q6,
+    "tpch_q5": ORACLE_TPCH_Q5,
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
     "streaming_transitions": ORACLE_EVENT_TRANSITIONS,
     "streaming_gap_fill": ORACLE_GAP_FILL,

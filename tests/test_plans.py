@@ -129,6 +129,7 @@ _EXPRESSION_ONLY = [
     "user_entropy",
     "k_anonymize",
     "tpch_q3",
+    "tpch_q5",
     "tpch_q6",
     "lm_perplexity",
     "quality_gate_approx",
@@ -448,3 +449,12 @@ def test_tpch_q3_broadcasts_customer_and_takeordered(spark):
     plan = _plan(q_tpch_q3(spark, SF))
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tpch_q5_broadcasts_all_dims(spark):
+    """customer, supplier, and the nation⋈region chain all broadcast —
+    only the lineitem⋈orders fact join shuffles."""
+    from storm_spark.queries import q_tpch_q5
+
+    plan = _plan(q_tpch_q5(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
