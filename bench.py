@@ -114,6 +114,7 @@ HEADLINE = [
     "tpch_q6",
     "lm_perplexity",
     "tpch_q5",
+    "equi_depth_bins",
 ]
 
 

@@ -20,7 +20,7 @@ columns are the caller's responsibility — scale to integer units first
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -306,4 +306,82 @@ FROM (
            COUNT(*) OVER (PARTITION BY {group_expr}) AS n_cats
     FROM {table} WHERE ({cat_expr}) IS NOT NULL GROUP BY 1, 2)
   GROUP BY grp, n, n_cats)
+"""
+
+
+def equi_depth_bins(
+    df: DataFrame,
+    value_col,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Equi-depth (equal-frequency) binning of a numeric column — the
+    feature bucketizer that gives each bin ~N/n_bins rows regardless of
+    the distribution (equal-WIDTH bins starve on long tails). Returns one
+    row per non-empty bin: ``(bin, n, lo, hi)``.
+
+    Semantics are value-based (all rows of one value share a bin —
+    ``bin(v) = min(n_bins−1, cum_rows_below(v) · n_bins div N)``), not
+    NTILE's row-split (which scatters ties across tiles by physical row
+    order — nondeterministic without a total order, and a total order
+    means a global sort). Pure integer arithmetic on exact counts:
+    engine-portable.
+
+    Scale shape (the mad_outliers_histogram pattern): raw rows collapse to
+    a (value, count) histogram with ONE map-side-combined shuffle; the
+    cumulative window and bin assignment run over DISTINCT values
+    (vocabulary-sized, one ordered pass); the per-bin summary is a tiny
+    agg. A billion rows with 50k distinct cents cost 50k histogram rows —
+    no global sort of the data, ever.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast("bigint")
+    hist = (
+        df.where(v.isNotNull())
+        .groupBy(v.alias("__v__"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c__"))
+    )
+    w_cum = Window.orderBy("__v__").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    staged = hist.select(
+        "__v__",
+        "__c__",
+        F.coalesce(F.sum("__c__").over(w_cum), F.lit(0)).alias("__below__"),
+        F.sum("__c__").over(w_all).alias("__nt__"),
+    )
+    # BIGINT floor-div (`div`), never double division — a double quotient
+    # loses exactness past 2^53 rows and could misbin a boundary value
+    binned = staged.select(
+        "__v__",
+        "__c__",
+        F.least(
+            F.lit(int(n_bins) - 1),
+            F.expr(f"(__below__ * {int(n_bins)}) div __nt__"),
+        ).alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.sum("__c__").cast("bigint").alias("n"),
+        F.min("__v__").alias("lo"),
+        F.max("__v__").alias("hi"),
+    )
+
+
+def sql_equi_depth_bins(table: str, value_expr: str, n_bins: int = 10) -> str:
+    """DuckDB twin of :func:`equi_depth_bins` — full SELECT
+    ``(bin, n, lo, hi)``."""
+    return f"""
+SELECT bin, CAST(SUM(c) AS BIGINT) AS n, MIN(v) AS lo, MAX(v) AS hi
+FROM (
+  SELECT v, c,
+         LEAST({int(n_bins) - 1},
+               (below * {int(n_bins)}) // n_total) AS bin
+  FROM (
+    SELECT v, c,
+           COALESCE(SUM(c) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+           SUM(c) OVER () AS n_total
+    FROM (
+      SELECT CAST({value_expr} AS BIGINT) AS v, COUNT(*) AS c
+      FROM {table} WHERE ({value_expr}) IS NOT NULL GROUP BY 1)))
+GROUP BY bin
 """

@@ -4185,6 +4185,29 @@ GROUP BY n_name
 
 
 
+
+def q_equi_depth_bins(spark, sf_dir):
+    """Equi-depth feature binning (profile.equi_depth_bins): decile bins
+    of the event value in cents via the histogram pattern — raw rows
+    collapse to a (value, count) table first, the cumulative pass runs
+    over distinct values only, and bin ids derive from exact BIGINT
+    floor-div. No global sort of the data."""
+    from storm_spark.functions import profile
+
+    e = _events(spark, sf_dir)
+    return profile.equi_depth_bins(e, cents("value"), n_bins=10)
+
+
+def _oracle_equi_depth_bins():
+    from storm_spark.functions.profile import sql_equi_depth_bins
+
+    return sql_equi_depth_bins("events", SQL_CENTS.format(x="value"), n_bins=10)
+
+
+ORACLE_EQUI_DEPTH_BINS = _oracle_equi_depth_bins()
+
+
+
 def q_ann_ivf_trained(spark, sf_dir):
     """IVF ANN probing TRAINED centroids (similarity.kmeans_centroids →
     ivf_topk): the iterative spherical-k-means trainer is deterministic
@@ -4370,6 +4393,7 @@ QUERIES = {
     "tpch_q3": q_tpch_q3,
     "tpch_q6": q_tpch_q6,
     "tpch_q5": q_tpch_q5,
+    "equi_depth_bins": q_equi_depth_bins,
     "lm_perplexity": q_lm_perplexity,
     "streaming_transitions": q_streaming_transitions,
     "streaming_gap_fill": q_streaming_gap_fill,
@@ -4511,6 +4535,7 @@ ORACLES = {
     "tpch_q3": ORACLE_TPCH_Q3,
     "tpch_q6": ORACLE_TPCH_Q6,
     "tpch_q5": ORACLE_TPCH_Q5,
+    "equi_depth_bins": ORACLE_EQUI_DEPTH_BINS,
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
     "streaming_transitions": ORACLE_EVENT_TRANSITIONS,
     "streaming_gap_fill": ORACLE_GAP_FILL,

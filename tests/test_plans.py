@@ -133,6 +133,7 @@ _EXPRESSION_ONLY = [
     "tpch_q6",
     "lm_perplexity",
     "quality_gate_approx",
+    "equi_depth_bins",
 ]
 
 

@@ -160,3 +160,16 @@ def test_lm_score_basics(spark):
 
     for r in got.values():
         assert r.ppl == pytest.approx(math.exp(r.avg_nll), rel=1e-4)
+
+
+def test_equi_depth_bins_balanced_and_tie_stable(spark):
+    from storm_spark.functions.profile import equi_depth_bins
+
+    # 100 distinct values -> 4 bins of exactly 25
+    df = spark.createDataFrame([(i,) for i in range(100)], "v long")
+    got = {r.bin: (r.n, r.lo, r.hi) for r in equi_depth_bins(df, "v", 4).collect()}
+    assert got == {0: (25, 0, 24), 1: (25, 25, 49), 2: (25, 50, 74), 3: (25, 75, 99)}
+    # all rows of one value share a bin, even when NTILE would split them
+    df2 = spark.createDataFrame([(1,)] * 9 + [(2,)], "v long")
+    got2 = {r.bin: r.n for r in equi_depth_bins(df2, "v", 2).collect()}
+    assert got2 == {0: 9, 1: 1}
