@@ -115,6 +115,7 @@ HEADLINE = [
     "lm_perplexity",
     "tpch_q5",
     "equi_depth_bins",
+    "contamination_pairs",
 ]
 
 

@@ -689,3 +689,61 @@ def fuzzy_pairs(
         cand
         .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
     )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_containment: float = 0.2,
+    top_k: int = 3,
+    max_shingle_df: int | None = 1000,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Pair-level contamination ATTRIBUTION — where :func:`ngram_containment`
+    answers "is this test doc contaminated?", this answers "by WHICH train
+    doc?": for each test document, the ``top_k`` train documents sharing
+    the largest fraction of its n-gram shingles (ties broken by train id),
+    for pairs at or above ``min_containment``. The dataset-forensics
+    report a leak post-mortem needs — drop lists name documents, sources
+    get fixed at the pair level.
+
+    Returns ``(test_id, train_id, n_overlap, containment, rank)``.
+
+    Scale shape: both corpora collapse to DISTINCT (doc, 60-bit-shingle)
+    inverted indexes; the pair fan-out is the shingle-keyed index join
+    whose per-shingle cost is df_test × df_train — bounded by the
+    ``max_shingle_df`` hot-shingle cap (dropping ultra-frequent shingles
+    from BOTH sides, the same deterministic recall cut the Jaccard path
+    documents). Overlap counting is a (test, train)-keyed partial agg;
+    the top-k cut is one window over the test key. Never all-pairs.
+    """
+    t_idx = bounded_persist(
+        _shingle_index(test, id_col, text_col, n, max_shingle_df),
+        "dedup.contamination.t_idx",
+    )
+    tr_idx = _shingle_index(train, id_col, text_col, n, max_shingle_df)
+    sizes = t_idx.groupBy("__id__").agg(F.count(F.lit(1)).alias("__n__"))
+    overlap = (
+        t_idx.select(F.col("__id__").alias("test_id"), "__sh__")
+        .join(tr_idx.select(F.col("__id__").alias("train_id"), "__sh__"), "__sh__")
+        .groupBy("test_id", "train_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    scored = overlap.join(
+        sizes.select(F.col("__id__").alias("test_id"), "__n__"), "test_id"
+    ).withColumn(
+        "containment",
+        F.round(F.col("n_overlap").cast("double") / F.col("__n__"), ndigits),
+    )
+    w = Window.partitionBy("test_id").orderBy(
+        F.col("containment").desc(), F.col("train_id").asc()
+    )
+    return (
+        scored.filter(F.col("containment") >= float(min_containment))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= int(top_k))
+        .select("test_id", "train_id", "n_overlap", "containment", "rank")
+    )

@@ -4208,6 +4208,56 @@ ORACLE_EQUI_DEPTH_BINS = _oracle_equi_depth_bins()
 
 
 
+
+def q_contamination_pairs(spark, sf_dir):
+    """Pair-level contamination attribution (dedup.contamination_pairs):
+    for each odd-id (test) document, the top-3 even-id (train) documents
+    sharing the largest fraction of its 5-gram shingles at containment
+    >= 0.2 — the leak post-mortem report naming WHICH train doc
+    contaminated each test doc. Inverted-index join with the hot-shingle
+    cap on both sides; never all-pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup.contamination_pairs(
+        train, test, "doc_id", "text", n=5, min_containment=0.2, top_k=3
+    )
+
+
+def _oracle_contamination_pairs(n=5, min_containment=0.2, top_k=3, cap=1000):
+    toks = SQL_TOKS.format(x="text")
+    sh = SQL_SHINGLES.format(t="toks", nm1=n - 1)
+    return f"""
+WITH base AS (SELECT doc_id, {toks} AS toks FROM documents),
+te0 AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS sh
+        FROM (SELECT doc_id, unnest({sh}) AS s FROM base WHERE doc_id % 2 = 1)),
+tr0 AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS sh
+        FROM (SELECT doc_id, unnest({sh}) AS s FROM base WHERE doc_id % 2 = 0)),
+te AS (SELECT * FROM te0 WHERE sh NOT IN (
+         SELECT sh FROM te0 GROUP BY sh HAVING COUNT(*) > {cap})),
+tr AS (SELECT * FROM tr0 WHERE sh NOT IN (
+         SELECT sh FROM tr0 GROUP BY sh HAVING COUNT(*) > {cap})),
+sizes AS (SELECT doc_id AS test_id, COUNT(*) AS n FROM te GROUP BY 1),
+ov AS (SELECT te.doc_id AS test_id, tr.doc_id AS train_id, COUNT(*) AS n_overlap
+       FROM te JOIN tr USING (sh) GROUP BY 1, 2),
+scored AS (
+  SELECT test_id, train_id, n_overlap,
+         round(n_overlap / n, 6) AS containment
+  FROM ov JOIN sizes USING (test_id))
+SELECT test_id, train_id, CAST(n_overlap AS BIGINT) AS n_overlap, containment,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY test_id
+              ORDER BY containment DESC, train_id ASC) AS rank
+  FROM scored WHERE containment >= {min_containment})
+WHERE rank <= {top_k}
+"""
+
+
+ORACLE_CONTAMINATION_PAIRS = _oracle_contamination_pairs()
+
+
+
 def q_ann_ivf_trained(spark, sf_dir):
     """IVF ANN probing TRAINED centroids (similarity.kmeans_centroids →
     ivf_topk): the iterative spherical-k-means trainer is deterministic
@@ -4394,6 +4444,7 @@ QUERIES = {
     "tpch_q6": q_tpch_q6,
     "tpch_q5": q_tpch_q5,
     "equi_depth_bins": q_equi_depth_bins,
+    "contamination_pairs": q_contamination_pairs,
     "lm_perplexity": q_lm_perplexity,
     "streaming_transitions": q_streaming_transitions,
     "streaming_gap_fill": q_streaming_gap_fill,
@@ -4536,6 +4587,7 @@ ORACLES = {
     "tpch_q6": ORACLE_TPCH_Q6,
     "tpch_q5": ORACLE_TPCH_Q5,
     "equi_depth_bins": ORACLE_EQUI_DEPTH_BINS,
+    "contamination_pairs": ORACLE_CONTAMINATION_PAIRS,
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
     "streaming_transitions": ORACLE_EVENT_TRANSITIONS,
     "streaming_gap_fill": ORACLE_GAP_FILL,

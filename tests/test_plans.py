@@ -134,6 +134,7 @@ _EXPRESSION_ONLY = [
     "lm_perplexity",
     "quality_gate_approx",
     "equi_depth_bins",
+    "contamination_pairs",
 ]
 
 
