@@ -4075,23 +4075,35 @@ ORACLE_STREAMING_TRAILING_ZSCORE = _oracle_streaming_trailing_zscore()
 def q_streaming_dedup(spark, sf_dir):
     """Streaming content dedup (streaming.dedup.streaming_dedup_fingerprint
     = dropDuplicates on the md5 content fingerprint) run end-to-end:
-    trigger 1 delivers the corpus, triggers 2 and 3 re-deliver every
-    document under shifted ids (the at-least-once-source replay case) —
-    the stream must emit exactly the first arrival per content
-    fingerprint. Oracle: min doc_id per fingerprint over the full tripled
-    feed (originals carry the smaller ids, so first arrival = min id)."""
+    trigger 1 delivers each fingerprint's min-id copy, trigger 2 the
+    remaining intra-corpus duplicates plus a full shifted-id re-delivery,
+    trigger 3 another re-delivery (the at-least-once-source replay case)
+    — the stream must emit exactly the first arrival per content
+    fingerprint. Oracle: min doc_id per fingerprint over the full feed
+    (originals carry the smaller ids, so first arrival = min id)."""
     import os
     import uuid
 
     from storm_spark.streaming.dedup import streaming_dedup_fingerprint
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # dropDuplicates keeps an ARBITRARY row among duplicates landing in the
+    # SAME trigger — feed each fingerprint's min-id copy alone in trigger 1
+    # (intra-corpus duplicate texts exist at sf0.1) so "first arrival" is
+    # deterministic; triggers 2-3 re-deliver everything under shifted ids
+    docs = docs.withColumn(
+        "__rn__",
+        F.row_number().over(
+            Window.partitionBy(text.fingerprint("text")).orderBy("doc_id")
+        ),
+    )
     tmp = tempfile.mkdtemp(prefix="storm_spark_sdd_")
     indir = os.path.join(tmp, "in")
     os.makedirs(indir)
     qname = "sdd_" + uuid.uuid4().hex[:8]
+    feed_schema = docs.select("doc_id", "text").schema
     stream = (
-        spark.readStream.schema(docs.schema)
+        spark.readStream.schema(feed_schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(f"{indir}/*")
     )
@@ -4104,12 +4116,18 @@ def q_streaming_dedup(spark, sf_dir):
         .start()
     )
     try:
-        for b, shift in ((1, 0), (2, 1_000_000), (3, 2_000_000)):
-            (
-                docs.withColumn("doc_id", F.col("doc_id") + F.lit(shift))
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(os.path.join(indir, f"b{b}"))
+        feeds = (
+            docs.filter(F.col("__rn__") == 1).select("doc_id", "text"),
+            docs.filter(F.col("__rn__") > 1)
+            .select("doc_id", "text")
+            .unionByName(
+                docs.select((F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text")
+            ),
+            docs.select((F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"), "text"),
+        )
+        for b, feed in enumerate(feeds, start=1):
+            feed.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(indir, f"b{b}")
             )
             q.processAllAvailable()
     finally:
