@@ -245,9 +245,9 @@ def choose_lsh_params(
 
     min_planes = max(1, math.ceil(math.log2(1.0 / max_candidate_frac)))
     for n_planes in range(min_planes + 8, min_planes - 1, -1):
-        for n_tables in range(1, max_tables + 1):
-            if lsh_recall(at_cos, n_planes, n_tables) >= target_recall:
-                return n_planes, n_tables
+        n_tables = tables_for_recall(at_cos, n_planes, target_recall, max_tables)
+        if n_tables is not None:
+            return n_planes, n_tables
     raise ValueError(
         f"no (planes, tables) within max_tables={max_tables} reaches "
         f"recall {target_recall} at cos {at_cos}; lower the target or raise "
@@ -514,6 +514,23 @@ def quantized_rescore_topk(
     )
 
 
+def tables_for_recall(
+    threshold: float,
+    n_planes: int,
+    target_recall: float = 0.9,
+    max_tables: int = 32,
+) -> int | None:
+    """Smallest table count whose OR-construction reaches ``target_recall``
+    for pairs at cosine ``threshold`` under ``n_planes``-deep signatures
+    (:func:`lsh_recall`); ``None`` when ``max_tables`` can't reach it.
+    The single recall sweep shared by :func:`choose_lsh_params` and
+    :func:`auto_lsh_grid`."""
+    for n_tables in range(1, max_tables + 1):
+        if lsh_recall(threshold, n_planes, n_tables) >= target_recall:
+            return n_tables
+    return None
+
+
 def auto_lsh_grid(
     n: int,
     threshold: float,
@@ -528,17 +545,28 @@ def auto_lsh_grid(
     corpus grows — a FIXED grid's occupancy doubles when the corpus does;
     the r4 16x sweep measured that as 5.8x query growth), then buy recall
     back with the smallest table count reaching ``target_recall`` for
-    pairs at cosine ``threshold`` (:func:`lsh_recall`). If ``max_tables``
-    can't reach the target at the required depth, the grid caps there —
-    a deterministic, logged recall cut, the same convention as the
-    hot-shingle cap."""
+    pairs at cosine ``threshold`` (:func:`tables_for_recall`). If
+    ``max_tables`` can't reach the target at the required depth, the grid
+    caps there — a deterministic recall cut that WARNS (the hot-shingle
+    cap convention)."""
     import math
+    import warnings
 
     n_planes = max(min_planes, math.ceil(math.log2(max(n, 1) / target_bucket)) if n > target_bucket else min_planes)
-    for n_tables in range(1, max_tables + 1):
-        if lsh_recall(threshold, n_planes, n_tables) >= target_recall:
-            return n_planes, n_tables
-    return n_planes, max_tables
+    n_tables = tables_for_recall(threshold, n_planes, target_recall, max_tables)
+    if n_tables is None:
+        warnings.warn(
+            f"auto_lsh_grid: {max_tables} tables cannot reach recall "
+            f"{target_recall} at cos {threshold} with {n_planes} planes "
+            f"(occupancy-driven for n={n}); capping at {max_tables} tables — "
+            "expected recall is "
+            f"{lsh_recall(threshold, n_planes, max_tables):.3f}. Raise "
+            "max_tables or target_bucket for more recall.",
+            UserWarning,
+            stacklevel=2,
+        )
+        return n_planes, max_tables
+    return n_planes, n_tables
 
 
 def embedding_near_dup_pairs(
@@ -577,10 +605,28 @@ def embedding_near_dup_pairs(
     if n_planes is None or n_tables is None:
         # corpus-sized grid (one count() job): see auto_lsh_grid. Explicit
         # n_planes/n_tables pin the grid (the exact-oracle gate does, so
-        # its SQL twin can embed the same plane matrices).
-        auto_p, auto_t = auto_lsh_grid(df.count(), threshold)
-        n_planes = auto_p if n_planes is None else n_planes
-        n_tables = auto_t if n_tables is None else n_tables
+        # its SQL twin can embed the same plane matrices). When only ONE
+        # half is pinned, the other half calibrates against the EFFECTIVE
+        # value — auto tables for 8 auto planes would silently miss the
+        # recall target under a caller's deeper pinned signature.
+        if n_planes is None and n_tables is None:
+            n_planes, n_tables = auto_lsh_grid(df.count(), threshold)
+        elif n_tables is None:
+            n_tables = tables_for_recall(threshold, n_planes)
+            if n_tables is None:
+                import warnings
+
+                n_tables = 32
+                warnings.warn(
+                    f"embedding_near_dup_pairs: 32 tables cannot reach recall "
+                    f"0.9 at cos {threshold} with the pinned {n_planes} planes "
+                    f"(expected recall {lsh_recall(threshold, n_planes, 32):.3f}); "
+                    "capping at 32 — a deterministic recall cut.",
+                    UserWarning,
+                    stacklevel=2,
+                )
+        else:  # n_planes is None, tables pinned: occupancy-only sizing
+            n_planes, _ = auto_lsh_grid(df.count(), threshold, max_tables=n_tables)
     # Slim candidate generation: the bucket self-join carries ONLY
     # (id, table, signature) — 3 ints per row — never the vectors. At 100 TB
     # the alternative (vectors through the join) either broadcasts the whole

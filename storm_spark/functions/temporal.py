@@ -680,9 +680,17 @@ def pit_join(
         F.lit(None).cast(d.schema["__ver__"].dataType).alias("__ver__"),
         *[F.col(c).alias(f"__f_{c}__") for c in fact_cols if c != key_col],
     )
+    # the trailing __ver__ struct orders same-instant versions
+    # deterministically (struct comparison is field-lexicographic and
+    # engine-portable): two versions sharing one valid_from — e.g. SCD2
+    # built from equal-ts change events — always carry the SAME winner
+    # instead of whichever row the shuffle ordered last. Fact rows' NULL
+    # structs only tie among themselves (tag already sorts them after
+    # every dim row at their instant), where order cannot change the
+    # carried value.
     w = (
         Window.partitionBy(key_col)
-        .orderBy("__ts__", "__tag__")
+        .orderBy("__ts__", "__tag__", F.col("__ver__").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = d.unionByName(f).withColumn(

@@ -3665,7 +3665,7 @@ u AS (
 carried AS (
   SELECT user_id, pt, tag,
          last_value(ver IGNORE NULLS)
-           OVER (PARTITION BY user_id ORDER BY pt, tag
+           OVER (PARTITION BY user_id ORDER BY pt, tag, ver NULLS LAST
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur
   FROM u)
 SELECT cur.t AS version_type,

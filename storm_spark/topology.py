@@ -457,11 +457,15 @@ class Topology:
                         coll.rows.clear()
 
                 for pdf in batches:
-                    # NaN -> None so a NULL key forms ONE contiguous run
+                    # NaN/NaT -> None so a NULL key forms ONE contiguous run
                     # (groupBy's null==null semantics); NaN != NaN would
-                    # split it into per-row groups
+                    # split it into per-row groups. The astype(object) step
+                    # matters: on a float64/datetime64 column, .where(...,
+                    # None) coerces None straight back to NaN/NaT — only an
+                    # object-dtype column can actually hold None.
                     key_lists = [
-                        pdf[c].where(pd.notna(pdf[c]), None).tolist() for c in kcols
+                        pdf[c].astype(object).where(pd.notna(pdf[c]), None).tolist()
+                        for c in kcols
                     ]
                     srcs = pdf["__src__"].tolist()
                     payloads = [pdf[f"__p{j}__"].tolist() for j in range(nsrc)]

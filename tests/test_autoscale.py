@@ -42,9 +42,24 @@ def test_auto_lsh_grid_occupancy_and_recall():
     assert lsh_recall(0.9, p16, t16) >= 0.9
     # deeper signature needs more tables to hold recall
     assert t16 >= t
-    # unreachable recall at depth caps at max_tables instead of raising
-    p_cap, t_cap = auto_lsh_grid(10**9, threshold=0.5, max_tables=4)
+    # unreachable recall at depth caps at max_tables, with a warning —
+    # the hot-shingle-cap convention for deterministic recall cuts
+    with pytest.warns(UserWarning, match="capping"):
+        p_cap, t_cap = auto_lsh_grid(10**9, threshold=0.5, max_tables=4)
     assert t_cap == 4
+
+
+def test_lsh_half_pinned_recalibrates_tables():
+    """Pinning n_planes deeper than the auto choice must re-derive
+    n_tables against the PINNED depth — auto tables for 8 planes would
+    silently miss the recall target at 16."""
+    from storm_spark.functions.similarity import lsh_recall, tables_for_recall
+
+    t8 = tables_for_recall(0.95, 8)
+    t16 = tables_for_recall(0.95, 16)
+    assert t16 > t8
+    assert lsh_recall(0.95, 16, t16) >= 0.9
+    assert lsh_recall(0.95, 16, t8) < 0.9  # the bug the fix removes
 
 
 def test_embedding_near_dup_auto_grid_matches_rederived_oracle(spark):

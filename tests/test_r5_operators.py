@@ -173,3 +173,31 @@ def test_equi_depth_bins_balanced_and_tie_stable(spark):
     df2 = spark.createDataFrame([(1,)] * 9 + [(2,)], "v long")
     got2 = {r.bin: r.n for r in equi_depth_bins(df2, "v", 2).collect()}
     assert got2 == {0: 9, 1: 1}
+
+
+def test_multi_reduce_null_numeric_keys_form_one_group(spark):
+    """Arrow hands a nullable bigint key to the cogroup kernel as float64
+    with NaN; NaN != NaN would split the NULL-key run into per-row groups.
+    All NULL keys must reduce as ONE group (groupBy's null==null)."""
+    from storm_spark.topology import Topology
+
+    class CountBoth:
+        out_types = ["bigint", "bigint"]
+
+        def init(self, collector):
+            return [0, 0]
+
+        def execute(self, state, stream_index, tup, collector):
+            state[stream_index] += 1
+
+        def complete(self, state, collector):
+            collector.emit([state[0], state[1]])
+
+    topo = Topology(spark)
+    a = spark.createDataFrame([(None, 1), (None, 2), (7, 3)], "k long, v long")
+    b = spark.createDataFrame([(None, 9), (7, 8)], "k long, v long")
+    s1 = topo.new_stream("nk_a", a).group_by(["k"])
+    s2 = topo.new_stream("nk_b", b).group_by(["k"])
+    out = topo.multi_reduce([s1, s2], CountBoth(), ["k", "n_a", "n_b"]).df
+    got = {r.k: (r.n_a, r.n_b) for r in out.collect()}
+    assert got == {None: (2, 1), 7: (1, 1)}
