@@ -116,6 +116,7 @@ HEADLINE = [
     "tpch_q5",
     "equi_depth_bins",
     "contamination_pairs",
+    "triangle_count",
 ]
 
 

@@ -198,3 +198,71 @@ def pagerank(
             ).alias("rank"),
         )
     return ranks.select("node", F.round("rank", 8).alias("rank"))
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Global triangle count plus per-node participation — the standard
+    graph-cohesion statistic (clustering structure, community strength,
+    spam/bot ring detection). Input is an undirected edge list (either or
+    both orientations; self-loops and duplicates are cleaned). Returns one
+    row per node appearing in at least one triangle:
+    ``(node, n_triangles)`` — the global count is Σ/3.
+
+    Scale shape (the degree-ordered wedge formulation, Suri & Vassilvitskii
+    2011): edges canonicalize to ONE orientation ordered by (degree, id) —
+    each wedge is then generated exactly once at its LOWEST-degree apex, so
+    a hub of degree d contributes wedges only for the few neighbors
+    ordered above it, bounding wedge count by O(E^1.5) instead of Σd² (a
+    single celebrity node cannot quadratically explode the join). The
+    wedge build is one self-join on the apex, closure is one semi-ish join
+    against the canonical edge set, and participation is a tiny explode +
+    partial agg. All expression joins — AQE-skew-safe, no Python.
+    """
+    e_raw = edges.select(
+        F.col(src_col).cast("bigint").alias("a"), F.col(dst_col).cast("bigint").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    und = (
+        e_raw.select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        ).distinct()
+    )
+    sym = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("__d__"))
+    # rank nodes by (degree, id) — a total order; orient every edge from
+    # lower to higher rank
+    ranked = (
+        sym.join(deg.select(F.col("u").alias("u"), F.col("__d__").alias("du")), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("__d__").alias("dv")),
+            "v",
+        )
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+    )
+    w1, w2 = ranked.alias("w1"), ranked.alias("w2")
+    wedges = (
+        w1.join(w2, F.col("w1.u") == F.col("w2.u"))
+        .filter(F.col("w1.v") < F.col("w2.v"))
+        .select(
+            F.col("w1.u").alias("apex"),
+            F.col("w1.v").alias("x"),
+            F.col("w2.v").alias("y"),
+        )
+    )
+    closing = und.select(F.col("u").alias("x"), F.col("v").alias("y")).unionByName(
+        und.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    ).distinct()
+    tris = wedges.join(closing, ["x", "y"])
+    per_node = (
+        tris.select(F.explode(F.array("apex", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return per_node

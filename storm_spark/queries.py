@@ -4276,6 +4276,51 @@ ORACLE_CONTAMINATION_PAIRS = _oracle_contamination_pairs()
 
 
 
+
+def q_triangle_count(spark, sf_dir):
+    """Per-node triangle participation (mining.triangle_count) over the
+    part CO-PURCHASE graph: an edge joins two parts bought together in at
+    least 2 distinct orders (the frequent_pairs relation as a graph —
+    sparse and scale-stable: ~3.5k edges at sf0.001 through sf0.1, where
+    a user co-activity graph over the fixture's 30-day window is nearly
+    complete). The engine counts via the degree-ordered wedge formulation
+    (each wedge generated once at its lowest-degree apex — O(E^1.5),
+    hub-safe); the oracle counts the same triangles with the plain a<b<c
+    three-way join, so the gate also proves the two formulations
+    equivalent."""
+    li = _t(spark, sf_dir, "lineitem")
+    co = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = co.alias("a"), co.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .filter(F.col("__n__") >= 2)
+        .select("src", "dst")
+    )
+    return mining.triangle_count(edges, "src", "dst")
+
+
+ORACLE_TRIANGLE_COUNT = """
+WITH co AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM co a JOIN co b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v)
+SELECT node, COUNT(*) AS n_triangles
+FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+GROUP BY node
+"""
+
+
+
 def q_ann_ivf_trained(spark, sf_dir):
     """IVF ANN probing TRAINED centroids (similarity.kmeans_centroids →
     ivf_topk): the iterative spherical-k-means trainer is deterministic
@@ -4463,6 +4508,7 @@ QUERIES = {
     "tpch_q5": q_tpch_q5,
     "equi_depth_bins": q_equi_depth_bins,
     "contamination_pairs": q_contamination_pairs,
+    "triangle_count": q_triangle_count,
     "lm_perplexity": q_lm_perplexity,
     "streaming_transitions": q_streaming_transitions,
     "streaming_gap_fill": q_streaming_gap_fill,
@@ -4606,6 +4652,7 @@ ORACLES = {
     "tpch_q5": ORACLE_TPCH_Q5,
     "equi_depth_bins": ORACLE_EQUI_DEPTH_BINS,
     "contamination_pairs": ORACLE_CONTAMINATION_PAIRS,
+    "triangle_count": ORACLE_TRIANGLE_COUNT,
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
     "streaming_transitions": ORACLE_EVENT_TRANSITIONS,
     "streaming_gap_fill": ORACLE_GAP_FILL,

@@ -174,3 +174,24 @@ def test_frequent_pairs_fat_basket_cap(spark):
     # basket 2 gone everywhere: support 2 of N=2 baskets, marginals 2
     assert (r.item_a, r.item_b, r.support, r.n_a, r.n_b) == ("a", "b", 2, 2, 2)
     assert r.lift == round(2 * 2 / (2 * 2), 6)
+
+
+def test_triangle_count_basics(spark):
+    """4-clique = 4 triangles, every node in 3; an appended path node joins
+    none; duplicate/reversed/self edges are cleaned."""
+    from storm_spark.functions import mining
+
+    edges = [(a, b) for a in range(4) for b in range(4) if a != b]  # both orients
+    edges += [(3, 4), (4, 4), (0, 1)]  # tail, self-loop, duplicate
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in mining.triangle_count(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_count_hub_degree_ordering(spark):
+    """A star (hub + leaves, no leaf-leaf edges) has zero triangles — and
+    the degree ordering means the hub generates no wedges at all."""
+    from storm_spark.functions import mining
+
+    df = spark.createDataFrame([(0, i) for i in range(1, 30)], "src long, dst long")
+    assert mining.triangle_count(df).count() == 0

@@ -135,6 +135,7 @@ _EXPRESSION_ONLY = [
     "quality_gate_approx",
     "equi_depth_bins",
     "contamination_pairs",
+    "triangle_count",
 ]
 
 
