@@ -117,6 +117,7 @@ HEADLINE = [
     "equi_depth_bins",
     "contamination_pairs",
     "triangle_count",
+    "trailing_corr",
 ]
 
 

@@ -310,3 +310,101 @@ __madv__ AS (SELECT grp, quantile_cont(dev, 0.5) AS mad FROM __dev__ GROUP BY gr
 __mad__ AS (SELECT d.grp, val, median, mad, dev > {float(k)} * mad AS is_outlier
             FROM __dev__ d JOIN __madv__ USING (grp))
 """
+
+
+def trailing_corr(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    x_col: Column | str,
+    y_col: Column | str,
+    window: int = 24,
+    min_periods: int = 8,
+    out_col: str = "r",
+) -> DataFrame:
+    """Append ``out_col`` = the Pearson correlation of (x, y) over the
+    key's TRAILING ``window`` rows (current row included) — the online
+    co-movement monitor ("has this metric decoupled from that one?") that
+    :func:`group_corr`'s whole-group statistic can't give per point in
+    time. NULL during warm-up (fewer than ``min_periods`` rows in frame)
+    or when either variance is zero.
+
+    Exactness: with integer-unit inputs all six trailing sufficient sums
+    (n, Σx, Σy, Σxy, Σx², Σy²) are exact BIGINT window sums; r derives in
+    double from those with the one fixed formula — no accumulation-order
+    skew, the :func:`trailing_zscore` argument. (BIGINT is safe here
+    because the frame is ROWS-bounded: ``window`` terms of ~10⁶-unit
+    products stay far under 2⁶³ — unlike group_corr's unbounded groups,
+    which need decimal128.)
+
+    Scale shape: one key-keyed exchange; all six sums ride the SAME
+    ROWS-bounded frame (one window operator, O(window) streaming buffer);
+    the per-row r is a map-side expression.
+
+    Rows where either input is NULL emit r NULL and contribute nothing to
+    the sums, but still occupy frame slots — the ROWS-frame convention
+    shared with :func:`trailing_zscore`.
+    """
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("bigint")
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("bigint")
+    both = x.isNotNull() & y.isNotNull()
+    xv = F.when(both, x)
+    yv = F.when(both, y)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window - 1), 0)
+    )
+    n = F.count(xv).over(w)
+    sx = F.sum(xv).over(w)
+    sy = F.sum(yv).over(w)
+    sxy = F.sum(xv * yv).over(w)
+    sxx = F.sum(xv * xv).over(w)
+    syy = F.sum(yv * yv).over(w)
+    nd = n.cast("double")
+    cov = nd * sxy.cast("double") - sx.cast("double") * sy.cast("double")
+    vx = nd * sxx.cast("double") - sx.cast("double") * sx.cast("double")
+    vy = nd * syy.cast("double") - sy.cast("double") * sy.cast("double")
+    r = cov / F.sqrt(vx * vy)
+    return df.withColumn(
+        out_col,
+        F.when(both & (n >= F.lit(int(min_periods))) & (vx > 0) & (vy > 0), r),
+    )
+
+
+def sql_trailing_corr(
+    table: str,
+    key_expr: str,
+    order_by: str,
+    x_expr: str,
+    y_expr: str,
+    window: int = 24,
+    min_periods: int = 8,
+) -> str:
+    """DuckDB twin of :func:`trailing_corr` — CTE ending in
+    ``__tc__(key, xv, yv, r)`` with the identical six-sum formula."""
+    frame = f"ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW"
+    over = f"OVER (PARTITION BY {key_expr} ORDER BY {order_by} {frame})"
+    x = f"(CASE WHEN ({x_expr}) IS NOT NULL AND ({y_expr}) IS NOT NULL THEN {x_expr} END)"
+    y = f"(CASE WHEN ({x_expr}) IS NOT NULL AND ({y_expr}) IS NOT NULL THEN {y_expr} END)"
+    return f"""
+__tcw__ AS (
+  SELECT {key_expr} AS key, {x_expr} AS xv, {y_expr} AS yv,
+         COUNT({x}) {over} AS n,
+         CAST(SUM({x}) {over} AS BIGINT) AS sx,
+         CAST(SUM({y}) {over} AS BIGINT) AS sy,
+         CAST(SUM({x} * {y}) {over} AS BIGINT) AS sxy,
+         CAST(SUM({x} * {x}) {over} AS BIGINT) AS sxx,
+         CAST(SUM({y} * {y}) {over} AS BIGINT) AS syy,
+         * FROM {table}),
+__tc__ AS (
+  SELECT *,
+         CASE WHEN xv IS NOT NULL AND yv IS NOT NULL
+                   AND n >= {min_periods}
+                   AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+              THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                          * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+              END AS r
+  FROM __tcw__)
+"""

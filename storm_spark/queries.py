@@ -4321,6 +4321,48 @@ GROUP BY node
 
 
 
+
+def q_trailing_corr(spark, sf_dir):
+    """Rolling co-movement monitor (robust.trailing_corr): each event's
+    Pearson r between value (cents) and time-of-day over the user's
+    trailing 24 rows — six exact BIGINT window sums on ONE ROWS frame, r
+    in double from the fixed formula (no accumulation-order skew).
+    Summarized as the |r| > 0.8 co-movement anomalies."""
+    e = _events(spark, sf_dir).withColumn("v_c", cents("value")).withColumn(
+        "tod_s",
+        F.pmod(F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000"), F.lit(86400)),
+    )
+    scored = robust.trailing_corr(
+        e, "user_id", ["ts", "event_id"], "v_c", "tod_s", window=24, min_periods=8
+    )
+    return scored.filter(F.abs(F.col("r")) > 0.8).select(
+        "user_id", "event_id", F.round("r", 6).alias("r")
+    )
+
+
+def _oracle_trailing_corr():
+    from storm_spark.functions.robust import sql_trailing_corr
+
+    ctes = sql_trailing_corr(
+        "events",
+        "user_id",
+        "ts ASC, event_id ASC",
+        SQL_CENTS.format(x="value"),
+        "((epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) % 86400 + 86400) % 86400",
+        window=24,
+        min_periods=8,
+    )
+    return (
+        "WITH " + ctes.strip().rstrip() + "\n"
+        "SELECT key AS user_id, event_id, round(r, 6) AS r\n"
+        "FROM __tc__ WHERE abs(r) > 0.8"
+    )
+
+
+ORACLE_TRAILING_CORR = _oracle_trailing_corr()
+
+
+
 def q_ann_ivf_trained(spark, sf_dir):
     """IVF ANN probing TRAINED centroids (similarity.kmeans_centroids →
     ivf_topk): the iterative spherical-k-means trainer is deterministic
@@ -4509,6 +4551,7 @@ QUERIES = {
     "equi_depth_bins": q_equi_depth_bins,
     "contamination_pairs": q_contamination_pairs,
     "triangle_count": q_triangle_count,
+    "trailing_corr": q_trailing_corr,
     "lm_perplexity": q_lm_perplexity,
     "streaming_transitions": q_streaming_transitions,
     "streaming_gap_fill": q_streaming_gap_fill,
@@ -4653,6 +4696,7 @@ ORACLES = {
     "equi_depth_bins": ORACLE_EQUI_DEPTH_BINS,
     "contamination_pairs": ORACLE_CONTAMINATION_PAIRS,
     "triangle_count": ORACLE_TRIANGLE_COUNT,
+    "trailing_corr": ORACLE_TRAILING_CORR,
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
     "streaming_transitions": ORACLE_EVENT_TRANSITIONS,
     "streaming_gap_fill": ORACLE_GAP_FILL,

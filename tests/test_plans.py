@@ -136,6 +136,7 @@ _EXPRESSION_ONLY = [
     "equi_depth_bins",
     "contamination_pairs",
     "triangle_count",
+    "trailing_corr",
 ]
 
 
@@ -452,6 +453,17 @@ def test_tpch_q3_broadcasts_customer_and_takeordered(spark):
     plan = _plan(q_tpch_q3(spark, SF))
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_trailing_corr_single_exchange(spark):
+    """All six trailing sums + r ride ONE key-keyed exchange."""
+    from storm_spark.queries import q_trailing_corr
+
+    plan = (
+        q_trailing_corr(spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
 def test_tpch_q5_broadcasts_all_dims(spark):

@@ -170,3 +170,25 @@ def test_mad_histogram_matches_window_with_nulls(spark):
     }
     assert win_agg == hist_agg
     assert win_agg["g"] == (3, 2.0, 1.0)
+
+
+def test_trailing_corr_tracks_local_relationship(spark):
+    """A key whose y flips from +2x to -2x mid-series: early rows r=1, and
+    once the window holds only flipped rows r=-1; NULL pairs occupy frame
+    slots but score NULL."""
+    from datetime import datetime
+
+    from storm_spark.functions import robust
+
+    T = datetime
+    rows = [("k", T(2024, 1, 1, h), h, 2 * h) for h in range(8)]
+    rows += [("k", T(2024, 1, 1, 8 + i), 8 + i, -2 * (8 + i)) for i in range(8)]
+    rows.append(("k", T(2024, 1, 2, 1), None, 5))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, x long, y long")
+    out = robust.trailing_corr(
+        df, "k", ["ts"], "x", "y", window=8, min_periods=4
+    ).collect()
+    by_hour = {r.ts: r.r for r in out}
+    assert by_hour[T(2024, 1, 1, 7)] == pytest.approx(1.0)
+    assert by_hour[T(2024, 1, 1, 15)] == pytest.approx(-1.0)
+    assert by_hour[T(2024, 1, 2, 1)] is None  # NULL x -> NULL r
