@@ -118,6 +118,10 @@ HEADLINE = [
     "contamination_pairs",
     "triangle_count",
     "trailing_corr",
+    # r6 TPC-H depth gates
+    "tpch_q4",
+    "tpch_q16",
+    "tpch_q18",
 ]
 
 
@@ -183,7 +187,20 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # Durable copy: BENCH_r05.json was lost to a truncated stdout capture
+    # (the driver's tail cut the head off this single long line), so the
+    # record must never depend on how much of stdout a harness keeps.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"),
+    )
+    try:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
+    except OSError as exc:
+        print(f"# bench_out write failed: {exc}", file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

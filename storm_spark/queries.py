@@ -915,6 +915,95 @@ def q_streaming_sessionize(spark, sf_dir):
 # its oracle is ORACLE_SESSIONIZE (defined below) — registered in ORACLES
 
 
+def q_streaming_recovery(spark, sf_dir):
+    """Crash-recovery gate (VERDICT r5 #4): the sessionize streaming twin
+    run through real Structured Streaming with a MID-FEED DRIVER RESTART —
+    the reference's §2.9 story (MasterBatchCoordinator.java:121-180
+    replays uncommitted txids after coordinator failure) demonstrated
+    under actual failure, not a clean run.
+
+    Terciles 1-2 feed a first ``StreamingQuery``; it is then STOPPED
+    (simulating driver death after its offsets + GroupState snapshots are
+    committed to the checkpoint), a SECOND query is started from the SAME
+    checkpoint, and tercile 3 plus the watermark sentinels feed the
+    restarted query. Exactly-once across the restart needs all three
+    checkpoint legs at once: the file-source offset log (no tercile is
+    re-read or skipped), the HDFS-backed state store
+    (applyInPandasWithState GroupState snapshots restore, so sessions
+    spanning the crash point still merge), and the parquet sink's
+    _spark_metadata commit log (no duplicate output files) — which is why
+    this gate uses a file sink, not the memory sink the clean-run twins
+    use (the memory sink is driver-memory-only and loses pre-crash rows
+    on restart by design). The per-user closed-session counts must equal
+    the batch lag+cumsum oracle over the same events — identical to the
+    clean-run contract."""
+    import os
+    import uuid
+    from datetime import timedelta
+
+    from storm_spark.streaming.stateful import stateful_sessionize
+
+    e = _events(spark, sf_dir).select("user_id", "ts", "event_id")
+    tmp = tempfile.mkdtemp(prefix="storm_spark_srec_")
+    indir = os.path.join(tmp, "in")
+    outdir = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(indir)
+    w = Window.orderBy("ts", "event_id")
+    parts = e.withColumn("__t__", F.ntile(3).over(w))
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+    feed_schema = e.select("user_id", "ts").schema
+
+    def start_query():
+        stream = (
+            spark.readStream.schema(feed_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{indir}/*")
+        ).withWatermark("ts", "1 second")
+        out = stateful_sessionize(stream, "user_id", "ts", gap_seconds=1800)
+        return (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .queryName("srec_" + uuid.uuid4().hex[:8])
+            .start()
+        )
+
+    q = start_query()
+    try:
+        for b in (1, 2):
+            parts.filter(F.col("__t__") == b).select("user_id", "ts").coalesce(
+                1
+            ).write.mode("overwrite").parquet(os.path.join(indir, f"b{b}"))
+            q.processAllAvailable()
+    finally:
+        q.stop()  # the crash: offsets + state committed, query gone
+
+    q2 = start_query()  # recovery: same checkpoint, fresh query
+    try:
+        parts.filter(F.col("__t__") == 3).select("user_id", "ts").coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(indir, "b3"))
+        q2.processAllAvailable()
+        for i, off in enumerate((3600, 7200)):
+            sent = spark.createDataFrame(
+                [(-1, max_ts + timedelta(seconds=off))], feed_schema
+            )
+            sent.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(indir, f"s{i}")
+            )
+            q2.processAllAvailable()
+    finally:
+        q2.stop()
+    return (
+        spark.read.parquet(outdir)
+        .filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+    )
+
+
 def q_drpc_state_lookup(spark, sf_dir):
     """DRPC parameterized query over persistent state: split args →
     stateQuery(MapGet) → Sum (the reference word-count DRPC, integration
@@ -3754,10 +3843,17 @@ WHERE k_group_size >= 5
 
 def q_tpch_q3(spark, sf_dir):
     """TPC-H Q3 (shipping-priority top-10) adapted to the fixture schema
-    (o_orderpriority for the missing o_shippriority): 3-way join with the
-    customer dim broadcast, partial+final agg on the composite key, top-10
-    via TakeOrderedAndProject. Revenue is EXACT: cents x (100 - discount
-    basis points) accumulates as BIGINT — no double SUM anywhere."""
+    (o_orderpriority for the missing o_shippriority): 3-way join,
+    partial+final agg on the composite key, top-10 via
+    TakeOrderedAndProject. Revenue is EXACT: cents x (100 - discount
+    basis points) accumulates as BIGINT — no double SUM anywhere.
+
+    Customer scales linearly with sf (150k rows/sf), so its join strategy
+    is left to AQE rather than a forced ``F.broadcast`` hint: at bench sf
+    AQE still picks broadcast-hash (same plan, no cost), while at the
+    100-TB bar it degrades gracefully to a shuffle join instead of
+    collecting a multi-GB table to the driver (same rationale as
+    mining.py's frequent_pairs marginals)."""
     cutoff = "1998-06-01"
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
@@ -3770,7 +3866,7 @@ def q_tpch_q3(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(rev).cast("bigint").alias("revenue_cbp"))
         .orderBy(F.col("revenue_cbp").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
@@ -4154,9 +4250,13 @@ def q_tpch_q5(spark, sf_dir):
     """TPC-H Q5 (local-supplier volume): the 6-table join — lineitem ⋈
     orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region with the
     same-nation constraint (c_nationkey = s_nationkey) — revenue per
-    nation for ASIA orders in one year. The three dimension tables
-    broadcast (plan-audited); only the two fact joins shuffle. Revenue is
-    integer-exact (cents × (100 − discount bp) as BIGINT)."""
+    nation for ASIA orders in one year. Only the genuinely bounded dims
+    (nation=25 rows, region=5 rows) carry a forced broadcast hint;
+    customer and supplier scale linearly with sf (150k/10k rows per sf),
+    so their join strategy is AQE-decided — broadcast at bench scale,
+    shuffle join at the 100-TB bar instead of a driver-side collect of a
+    multi-GB table. Revenue is integer-exact (cents × (100 − discount bp)
+    as BIGINT)."""
     cutoff_lo, cutoff_hi = "1996-01-01", "1997-01-01"
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = _t(spark, sf_dir, "nation").join(
@@ -4175,8 +4275,8 @@ def q_tpch_q5(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
@@ -4199,6 +4299,167 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name
+"""
+
+
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 (order-priority checking) adapted to the fixture schema:
+    the reference predicate EXISTS(lineitem WHERE l_commitdate <
+    l_receiptdate) becomes EXISTS(lineitem shipped >90 days after the
+    order date) — the fixtures carry no commit/receipt dates, but the
+    shape is identical: a correlated EXISTS that Spark compiles to a
+    LEFT-SEMI join on the order key with a non-equi residual
+    (l_shipdate > o_orderdate + 90 days), then a count per priority.
+    The semi join deduplicates multi-lineitem matches for free — no
+    DISTINCT pass. Scale: one key-partitioned semi join of two fact
+    tables, AQE-decided strategy, count agg is priority-cardinality (5).
+
+    Reference parity: storm's Trident join surface (stream.py join
+    INNER) has no EXISTS verb — this exercises the engine's semi-join
+    free win (SURVEY §2.6) on a TPC-H-shaped workload."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_TPCH_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 (parts/supplier relationship) adapted to the fixture
+    schema: the fixtures have no partsupp table or s_comment, so
+    lineitem serves as the part-supplier link and negative-balance
+    suppliers stand in for the 'Customer Complaints' exclusion. Shape is
+    the reference's exactly: a NOT-IN subquery over suppliers compiled
+    to a LEFT-ANTI join, brand/type-prefix/size-set rejection filters on
+    part, and COUNT(DISTINCT supplier) per (brand, type, size).
+    Scale: the (partkey, suppkey) link table is de-duplicated BEFORE the
+    part join (distinct on the narrow key pair — map-side partial),
+    the anti join's right side is the filtered supplier-key list
+    (AQE-decided, broadcast at any realistic scale: it's bounded by
+    |suppliers|), and the distinct-count agg shuffles once on the
+    composite group key."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (~F.col("p_type").startswith("MEDIUM POLISHED"))
+        & (F.col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49))
+    )
+    bad_s = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    link = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        link.join(bad_s, link.l_suppkey == bad_s.s_suppkey, "left_anti")
+        .join(p, link.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+    )
+
+
+ORACLE_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) link
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_type NOT LIKE 'MEDIUM POLISHED%'
+  AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+"""
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): orders whose total lineitem
+    quantity exceeds 300, joined back to customer and lineitem, top-100
+    by (o_totalprice desc, o_orderdate). Shape: the HAVING-SUM subquery
+    becomes an aggregated key list LEFT-SEMI-joined into orders (not a
+    join-back of the agg row — the semi join carries only the key), then
+    the final per-order quantity agg runs on the surviving ~0.01% of
+    orders. Quantities are integral in TPC-H — summed as BIGINT, exact.
+    Scale: the HAVING agg is one map-side-combined shuffle of lineitem
+    on l_orderkey; the semi join prunes orders/lineitem to the tiny
+    qualifying set before the 3-way join; top-100 compiles to
+    TakeOrderedAndProject (no global sort). Price carried in cents."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 1000000").alias("o_date_s"),
+            cents("o_totalprice").alias("o_totalprice_c"),
+            "total_qty",
+        )
+    )
+
+
+ORACLE_TPCH_Q18 = f"""
+SELECT c_name, c_custkey, o_orderkey,
+       epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 1000000 AS o_date_s,
+       {SQL_CENTS.format(x='o_totalprice')} AS o_totalprice_c,
+       SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 100
 """
 
 
@@ -4470,20 +4731,37 @@ QUERIES = {
     "state_avg": q_state_avg,
     "ann_rescore": q_ann_rescore,
     "series_similarity": q_series_similarity,
-    "corpus_diff": q_corpus_diff,
-    "event_transitions": q_event_transitions,
-    "trailing_zscore": q_trailing_zscore,
+    # rotation 6 (VERDICT r5 #3): promote twelve of the 24 r5-new tail
+    # gates that have never had a driver-green row — the 6-table tpch_q5,
+    # the degree-ordered triangle_count, pit_join, lm_perplexity,
+    # trailing_corr, equi_depth_bins, contamination_pairs, group_corr,
+    # tpch_q3, and three more streaming twins. Demoted to the tail:
+    # corpus_diff, event_transitions, pagerank, fuzzy_pairs, scd2,
+    # centroid_classify, psi_drift, fuzzy_pairs_two_pass, event_paths,
+    # winsorize, streaming_sessionize, tfidf_top_terms — all driver-green
+    # in r4/r5 and re-verified locally at sf0.01 each round.
+    "tpch_q5": q_tpch_q5,
+    "tpch_q3": q_tpch_q3,
+    "triangle_count": q_triangle_count,
+    "pit_join": q_pit_join,
+    "lm_perplexity": q_lm_perplexity,
+    "trailing_corr": q_trailing_corr,
+    "equi_depth_bins": q_equi_depth_bins,
+    "contamination_pairs": q_contamination_pairs,
+    "group_corr": q_group_corr,
+    "streaming_gap_fill": q_streaming_gap_fill,
+    "streaming_dedup": q_streaming_dedup,
+    "streaming_transitions": q_streaming_transitions,
+    # r6-new TPC-H depth gates (VERDICT r5 #6): semi-join with non-equi
+    # residual (Q4), anti-join + distinct-count (Q16), HAVING-sum
+    # semi-join + top-k (Q18) — straight into the driver window
+    "tpch_q4": q_tpch_q4,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q18": q_tpch_q18,
+    # r6-new: stateful streaming under a mid-feed driver restart
+    # (checkpoint-recovery proof — VERDICT r5 #4)
+    "streaming_recovery": q_streaming_recovery,
     "frequent_pairs": q_frequent_pairs,
-    "pagerank": q_pagerank,
-    "fuzzy_pairs": q_fuzzy_pairs,
-    "scd2": q_scd2,
-    "centroid_classify": q_centroid_classify,
-    "psi_drift": q_psi_drift,
-    "fuzzy_pairs_two_pass": q_fuzzy_pairs_two_pass,
-    "event_paths": q_event_paths,
-    "winsorize": q_winsorize,
-    "profile_table": q_profile_table,
-    "sessionize": q_sessionize,
     "outlier_mad": q_outlier_mad,
     "outlier_mad_hist": q_outlier_mad_hist,
     "gap_fill": q_gap_fill,
@@ -4492,11 +4770,6 @@ QUERIES = {
     "partition_pruned": q_partition_pruned,
     "bloom_join": q_bloom_join,
     "redact_pii": q_redact_pii,
-    # rotation 5 (cont.): streaming_sessionize promoted — the first
-    # end-to-end oracle-gated stateful-streaming twin (VERDICT r4 #7);
-    # domain_stats (driver-green r4, pure projection) demoted to the tail
-    "streaming_sessionize": q_streaming_sessionize,
-    "tfidf_top_terms": q_tfidf_top_terms,
     # rotation 5: ann_ivf_trained promoted (the ONE catalog query never
     # driver-sampled through r4 — k-means-trained IVF path); rolling_active
     # (driver-green r4, re-verified locally each round) demoted to the tail
@@ -4540,24 +4813,29 @@ QUERIES = {
     "rollup_continuous": q_rollup_continuous,
     "quality_gate_approx": q_quality_gate_approx,
     "domain_stats": q_domain_stats,
-    # r5 additions (tail; verified locally per the coverage invariant)
-    "pit_join": q_pit_join,
-    "group_corr": q_group_corr,
+    # r5 additions still in the tail (verified locally per the coverage
+    # invariant; twelve of their siblings were promoted in rotation 6)
     "user_entropy": q_user_entropy,
     "k_anonymize": q_k_anonymize,
-    "tpch_q3": q_tpch_q3,
     "tpch_q6": q_tpch_q6,
-    "tpch_q5": q_tpch_q5,
-    "equi_depth_bins": q_equi_depth_bins,
-    "contamination_pairs": q_contamination_pairs,
-    "triangle_count": q_triangle_count,
-    "trailing_corr": q_trailing_corr,
-    "lm_perplexity": q_lm_perplexity,
-    "streaming_transitions": q_streaming_transitions,
-    "streaming_gap_fill": q_streaming_gap_fill,
     "streaming_trailing_zscore": q_streaming_trailing_zscore,
-    "streaming_dedup": q_streaming_dedup,
     "decontaminate": q_decontaminate,
+    # rotation 6 demotions (driver-green r4/r5, re-verified locally)
+    "trailing_zscore": q_trailing_zscore,
+    "profile_table": q_profile_table,
+    "sessionize": q_sessionize,
+    "corpus_diff": q_corpus_diff,
+    "event_transitions": q_event_transitions,
+    "pagerank": q_pagerank,
+    "fuzzy_pairs": q_fuzzy_pairs,
+    "scd2": q_scd2,
+    "centroid_classify": q_centroid_classify,
+    "psi_drift": q_psi_drift,
+    "fuzzy_pairs_two_pass": q_fuzzy_pairs_two_pass,
+    "event_paths": q_event_paths,
+    "winsorize": q_winsorize,
+    "streaming_sessionize": q_streaming_sessionize,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "partition_persist": q_partition_persist,
     "linear_drpc": q_linear_drpc,
     "dedup_jaccard_capped": q_dedup_jaccard_capped,
@@ -4686,6 +4964,7 @@ ORACLES = {
     "quality_gate_approx": ORACLE_QUALITY_GATE,
     # the streaming twin is gated against the BATCH sessionize oracle
     "streaming_sessionize": ORACLE_SESSIONIZE,
+    "streaming_recovery": ORACLE_SESSIONIZE,
     "pit_join": ORACLE_PIT_JOIN,
     "group_corr": ORACLE_GROUP_CORR,
     "user_entropy": ORACLE_USER_ENTROPY,
@@ -4693,6 +4972,9 @@ ORACLES = {
     "tpch_q3": ORACLE_TPCH_Q3,
     "tpch_q6": ORACLE_TPCH_Q6,
     "tpch_q5": ORACLE_TPCH_Q5,
+    "tpch_q4": ORACLE_TPCH_Q4,
+    "tpch_q16": ORACLE_TPCH_Q16,
+    "tpch_q18": ORACLE_TPCH_Q18,
     "equi_depth_bins": ORACLE_EQUI_DEPTH_BINS,
     "contamination_pairs": ORACLE_CONTAMINATION_PAIRS,
     "triangle_count": ORACLE_TRIANGLE_COUNT,

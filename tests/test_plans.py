@@ -447,12 +447,19 @@ def test_tpch_q6_filters_pushed(spark):
     assert "l_shipdate" in pushed and "l_quantity" in pushed, pushed
 
 
-def test_tpch_q3_broadcasts_customer_and_takeordered(spark):
+def test_tpch_q3_no_forced_broadcast_and_takeordered(spark):
+    """Q3 joins only sf-linear tables (lineitem/orders/customer), so the
+    plan must carry NO forced broadcast hint — AQE picks broadcast at
+    bench scale but can degrade to shuffle join at 100x (VERDICT r5 #1).
+    Top-10 still compiles to TakeOrderedAndProject, and no cartesian."""
     from storm_spark.queries import q_tpch_q3
 
-    plan = _plan(q_tpch_q3(spark, SF))
-    assert "BroadcastHashJoin" in plan, plan
+    df = q_tpch_q3(spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+    plan = _plan(df)
     assert "TakeOrderedAndProject" in plan, plan
+    assert "Cartesian" not in plan, plan
 
 
 def test_trailing_corr_single_exchange(spark):
@@ -466,10 +473,56 @@ def test_trailing_corr_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
-def test_tpch_q5_broadcasts_all_dims(spark):
-    """customer, supplier, and the nation⋈region chain all broadcast —
-    only the lineitem⋈orders fact join shuffles."""
+def test_tpch_q5_dims_broadcast_facts_aqe(spark):
+    """Only the bounded dims (nation=25, region=5 rows) carry forced
+    broadcast hints; the sf-linear customer/supplier joins are
+    AQE-decided (VERDICT r5 #1). The dims still compile to
+    BroadcastHashJoin and nothing goes cartesian."""
     from storm_spark.queries import q_tpch_q5
 
-    plan = _plan(q_tpch_q5(spark, SF))
-    assert plan.count("BroadcastHashJoin") >= 3, plan
+    df = q_tpch_q5(spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # exactly the two bounded-dim hints (region into nation, nation into
+    # the fact chain) — any more means someone re-forced a fact table
+    assert analyzed.count("ResolvedHint") == 2, analyzed
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Cartesian" not in plan, plan
+
+
+def test_tpch_q4_semi_join_with_residual(spark):
+    """The adapted EXISTS compiles to a LEFT-SEMI join on the order key
+    (non-equi shipdate residual riding the same join), never a cartesian
+    or an inner-join + distinct."""
+    from storm_spark.queries import q_tpch_q4
+
+    plan = _plan(q_tpch_q4(spark, SF))
+    assert "LeftSemi" in plan, plan
+    assert "Cartesian" not in plan, plan
+    assert "Distinct" not in plan, plan
+
+
+def test_tpch_q16_anti_join_no_forced_broadcast(spark):
+    """NOT IN compiles to LEFT-ANTI; the link-table DISTINCT runs as a
+    partial-then-final aggregate before the part join; no forced
+    broadcast hints (supplier/part strategy is AQE-decided)."""
+    from storm_spark.queries import q_tpch_q16
+
+    df = q_tpch_q16(spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+    plan = _plan(df)
+    assert "LeftAnti" in plan, plan
+    assert "Cartesian" not in plan, plan
+
+
+def test_tpch_q18_semi_prune_and_takeordered(spark):
+    """The HAVING-sum key list prunes orders via LEFT-SEMI before the
+    3-way join, and the top-100 compiles to TakeOrderedAndProject — no
+    global sort of the joined fact rows."""
+    from storm_spark.queries import q_tpch_q18
+
+    plan = _plan(q_tpch_q18(spark, SF))
+    assert "LeftSemi" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Cartesian" not in plan, plan

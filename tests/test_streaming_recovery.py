@@ -1,0 +1,173 @@
+"""Checkpoint crash-recovery parity for the stateful streaming twins.
+
+The reference's transactional core is surviving coordinator failure —
+``MasterBatchCoordinator.java:121-180`` replays uncommitted txids after a
+restart and state lands exactly-once. The Spark analogue: a
+``StreamingQuery`` killed mid-feed must, when restarted from the same
+checkpoint, restore its GroupState snapshots and file-source offsets and
+converge to the same answer as a clean batch run. ``q_streaming_recovery``
+(queries.py) is the catalog gate at sf0.01; this test proves the same
+contract on a tiny synthetic feed where the crash point is pinned to land
+INSIDE an open session, so state restoration (not just offset replay) is
+what's under test.
+"""
+
+import os
+import tempfile
+import uuid
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+
+GAP = 1800
+T0 = datetime(2024, 1, 1, 0, 0, 0)
+
+SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+
+def _mk(user, minutes):
+    return (user, T0 + timedelta(minutes=minutes))
+
+
+# Feed design: user 1's first session (0,10,20 min) STRADDLES the crash —
+# events 0,10 land before the kill, 20 after — so the restarted query must
+# restore the open-session GroupState to avoid splitting it in two. User 2
+# closes a session entirely pre-crash and opens another post-crash.
+BATCH_PRE = [_mk(1, 0), _mk(1, 10), _mk(2, 0)]
+BATCH_POST = [_mk(1, 20), _mk(1, 200), _mk(2, 200), _mk(2, 210)]
+# expected closed sessions: user 1 -> {0-20 min, 200 min} = 2;
+# user 2 -> {0 min, 200-210 min} = 2
+EXPECTED = {1: 2, 2: 2}
+
+
+def test_restart_from_checkpoint_matches_batch(spark):
+    from storm_spark.streaming.stateful import stateful_sessionize
+
+    tmp = tempfile.mkdtemp(prefix="srec_test_")
+    indir, outdir, ckpt = (os.path.join(tmp, d) for d in ("in", "out", "ckpt"))
+    os.makedirs(indir)
+
+    def start():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{indir}/*")
+        ).withWatermark("ts", "1 second")
+        out = stateful_sessionize(stream, "user_id", "ts", gap_seconds=GAP)
+        return (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .queryName("srec_t_" + uuid.uuid4().hex[:8])
+            .start()
+        )
+
+    q = start()
+    try:
+        spark.createDataFrame(BATCH_PRE, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(indir, "b1"))
+        q.processAllAvailable()
+    finally:
+        q.stop()  # crash: user 1's session is OPEN in checkpointed state
+
+    q2 = start()
+    try:
+        spark.createDataFrame(BATCH_POST, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(indir, "b2"))
+        q2.processAllAvailable()
+        # sentinel far in the future closes every session via watermark
+        sent = [(-1, T0 + timedelta(days=2)), (-1, T0 + timedelta(days=3))]
+        for i, row in enumerate(sent):
+            spark.createDataFrame([row], SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(indir, f"s{i}"))
+            q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    rows = (
+        spark.read.parquet(outdir)
+        .filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    got = {r["user_id"]: r["n"] for r in rows}
+    assert got == EXPECTED, got
+
+    # the straddling session must be ONE row spanning the crash point —
+    # 3 events, 0..20 min — not two fragments
+    s1 = (
+        spark.read.parquet(outdir)
+        .filter((F.col("user_id") == 1) & (F.col("n_events") == 3))
+        .collect()
+    )
+    assert len(s1) == 1, spark.read.parquet(outdir).collect()
+
+
+def test_restart_does_not_replay_committed_batches(spark):
+    """Offset-log leg: a batch fully processed before the crash must not
+    re-emit after restart (exactly-once, not at-least-once). User 3's
+    session closes pre-crash via sentinel; post-restart sentinels must not
+    produce a duplicate closed-session row."""
+    from storm_spark.streaming.stateful import stateful_sessionize
+
+    tmp = tempfile.mkdtemp(prefix="srec_test2_")
+    indir, outdir, ckpt = (os.path.join(tmp, d) for d in ("in", "out", "ckpt"))
+    os.makedirs(indir)
+
+    def start():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{indir}/*")
+        ).withWatermark("ts", "1 second")
+        out = stateful_sessionize(stream, "user_id", "ts", gap_seconds=GAP)
+        return (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .queryName("srec_t2_" + uuid.uuid4().hex[:8])
+            .start()
+        )
+
+    q = start()
+    try:
+        spark.createDataFrame([_mk(3, 0), _mk(3, 5)], SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(indir, "b1"))
+        q.processAllAvailable()
+        # two watermark advances close user 3's session BEFORE the crash
+        for i, d in enumerate((1, 2)):
+            spark.createDataFrame(
+                [(-1, T0 + timedelta(days=d))], SCHEMA
+            ).coalesce(1).write.mode("overwrite").parquet(os.path.join(indir, f"p{i}"))
+            q.processAllAvailable()
+        pre = spark.read.parquet(outdir).filter(F.col("user_id") == 3).count()
+        assert pre == 1, pre
+    finally:
+        q.stop()
+
+    q2 = start()
+    try:
+        for i, d in enumerate((4, 5)):
+            spark.createDataFrame(
+                [(-1, T0 + timedelta(days=d))], SCHEMA
+            ).coalesce(1).write.mode("overwrite").parquet(os.path.join(indir, f"r{i}"))
+            q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    post = spark.read.parquet(outdir).filter(F.col("user_id") == 3).count()
+    assert post == 1, "committed batch re-emitted after restart"
