@@ -161,9 +161,17 @@ def group_corr(
     diagnostic ("does this metric track that one, per segment?") computed
     so both engines agree to the bit. Pass integer-unit expressions (the
     integer-cents rule): the six sufficient statistics (n, Σx, Σy, Σxy,
-    Σx², Σy²) accumulate as DECIMAL(38,0) — exact at any row count, where
-    BIGINT sums of squares overflow around 10¹² rows of 10³-unit values —
-    and r derives in double from the exact sums with one fixed formula
+    Σx², Σy²) accumulate as DECIMAL(38,0) — exact at any row count
+    **provided each input value fits DECIMAL(18,0)**, i.e. |x|,|y| < 10¹⁸
+    (where BIGINT sums of squares would overflow around 10¹² rows of
+    10³-unit values). The 18-digit per-value bound is load-bearing, not
+    cosmetic: wider inputs would push the x·y product past Spark's
+    38-precision cap, and a value ≥ 10¹⁸ either throws (ANSI) or casts to
+    NULL and is then dropped by the pairwise-complete filter — silently
+    diverging from DuckDB's 128-bit HUGEINT twin. Integer-unit metrics
+    (cents, counts, micros) sit many orders of magnitude inside the bound;
+    pre-scale anything wider before calling.
+    r derives in double from the exact sums with one fixed formula
     (``(nΣxy − ΣxΣy) / sqrt((nΣx²−(Σx)²) · (nΣy²−(Σy)²))``), so there is
     no accumulation-order skew by construction. r is NULL when a group is
     smaller than ``min_n`` or either variance is zero.

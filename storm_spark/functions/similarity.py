@@ -771,7 +771,15 @@ def auto_n_clusters(corpus: DataFrame, floor: int = 16) -> int:
     growth). Costs one count() job — a metadata-cheap aggregate — and is
     engine-portable: IEEE sqrt is correctly rounded, so
     ``ceil(sqrt(n))`` agrees bit-for-bit with the SQL twin's
-    ``ceil(sqrt(COUNT(*)))``."""
+    ``ceil(sqrt(COUNT(*)))``.
+
+    CHANGE NOTE (r5): ``semantic_dedup``/``embedding_near_dup_pairs``
+    default to this auto-sizing instead of the old fixed 8x4 grid. Two
+    caller-visible effects: plan construction now runs an eager count()
+    job (the rest of the build stays lazy), and the auto-chosen grid
+    changes recall vs the old fixed default. Callers needing the previous
+    behavior (fully lazy build, pinned recall) pass explicit
+    ``n_clusters``/grid params — the gate queries do exactly that."""
     import math
 
     n = corpus.count()

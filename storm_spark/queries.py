@@ -18,6 +18,7 @@ Determinism rules (the driver hash-compares values against DuckDB):
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -904,6 +905,7 @@ def q_streaming_sessionize(spark, sf_dir):
             q.processAllAvailable()
     finally:
         q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)  # memory sink holds the rows driver-side; feed/ckpt dirs are dead
     return (
         spark.table(qname)
         .filter(F.col("user_id") >= 0)
@@ -2971,8 +2973,24 @@ def q_quality_gate_approx(spark, sf_dir):
     rank error is floor(n/accuracy), which is ZERO while every group holds
     fewer than ``accuracy``=10000 rows (true at the sf0.01 gate scale;
     verified value-identical to the rank cut on the fixture), so the
-    sketch threshold IS the exact observed rank value here."""
+    sketch threshold IS the exact observed rank value here.
+
+    GUARD (ADVICE r5): the sketch==exact equivalence silently breaks the
+    moment any language group reaches ``accuracy`` rows (max group is
+    ~2.1k at sf0.1 today, 10k at roughly sf0.5 of the documents table) —
+    so fail LOUDLY with the reason instead of letting a grown fixture
+    surface as an inscrutable hash mismatch."""
     docs = _t(spark, sf_dir, "documents")
+    accuracy = 10000
+    max_group = (
+        docs.groupBy("lang").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_group is not None and max_group < accuracy, (
+        f"quality_gate_approx oracle equivalence requires every language "
+        f"group < accuracy={accuracy} rows (KLL rank error floor(n/accuracy) "
+        f"= 0); largest group is now {max_group}. Raise accuracy or switch "
+        f"this gate to a rows-only check."
+    )
     return text.quality_gate(docs, "text", "lang", q=0.25, approx=True)
 
 
@@ -4001,6 +4019,7 @@ def q_streaming_transitions(spark, sf_dir):
             q.processAllAvailable()
     finally:
         q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)  # memory sink holds the rows driver-side; feed/ckpt dirs are dead
     return (
         spark.table(qname)
         .groupBy("from_type", "to_type")
@@ -4071,6 +4090,7 @@ def q_streaming_gap_fill(spark, sf_dir):
             q.processAllAvailable()
     finally:
         q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)  # memory sink holds the rows driver-side; feed/ckpt dirs are dead
     return spark.table(qname).select(
         "event_type",
         "bucket",
@@ -4132,6 +4152,7 @@ def q_streaming_trailing_zscore(spark, sf_dir):
             q.processAllAvailable()
     finally:
         q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)  # memory sink holds the rows driver-side; feed/ckpt dirs are dead
     return (
         spark.table(qname)
         .filter(F.abs(F.col("z")) > 3)
@@ -4228,6 +4249,7 @@ def q_streaming_dedup(spark, sf_dir):
             q.processAllAvailable()
     finally:
         q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)  # memory sink holds the rows driver-side; feed/ckpt dirs are dead
     return spark.table(qname).select("doc_id").orderBy("doc_id")
 
 
