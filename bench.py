@@ -122,6 +122,8 @@ HEADLINE = [
     "tpch_q4",
     "tpch_q16",
     "tpch_q18",
+    "tpch_q13",
+    "tpch_q22",
 ]
 
 

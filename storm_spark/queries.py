@@ -4485,6 +4485,105 @@ LIMIT 100
 """
 
 
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution) adapted to the
+    fixture schema: the reference excludes orders by o_comment pattern;
+    the fixtures carry no comment column, so '1-URGENT' priority orders
+    are excluded instead — the shape is unchanged: a LEFT OUTER join of
+    customer against the filtered orders (customers with no surviving
+    orders MUST appear with count 0 — the whole point of Q13 vs a plain
+    groupBy), a per-customer count, then a second aggregation over the
+    counts themselves. Scale: the outer join shuffles on custkey; the
+    first agg collapses to |customers| rows map-side-combined; the second
+    agg is |distinct counts| — tiny. The filter lands on the orders scan
+    BEFORE the join (pushed, not post-join)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        # count the join-key column, not COUNT(*): unmatched customers
+        # carry a NULL o_orderkey and must count 0
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+ORACLE_TPCH_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity) adapted to the fixture
+    schema: the reference segments on phone country codes (absent here),
+    so the customer's nation plays that role, and "has not placed an
+    order" becomes "has not ordered since 1998-05-01" — every customer in
+    the synthetic fixture has SOME order, so the reference's literal
+    predicate is degenerate here; the recency cut restores its
+    selectivity. Shape preserved exactly: a scalar aggregate subquery
+    (the avg positive balance threshold), an anti join against the
+    filtered orders (NOT EXISTS), and a per-segment count/sum.
+
+    Scale: the scalar avg is ONE tiny aggregate broadcast into the filter
+    (Spark plans the cross of a 1-row subquery as BroadcastNestedLoopJoin
+    — bounded, not a data-sized cartesian); the anti join shuffles
+    customer against the date-pruned orders key projection (the date
+    filter pushes to the orders scan); balances aggregate in exact
+    cents."""
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = (
+        _t(spark, sf_dir, "customer")
+        .filter(
+            F.col("c_acctbal") > 0.0
+        )
+        .agg(F.avg(cents("c_acctbal")).alias("__avg__"))
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-05-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(cents("c_acctbal") > F.col("__avg__"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.sum(cents("c_acctbal")).cast("bigint").alias("totacctbal_c"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+ORACLE_TPCH_Q22 = f"""
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM({SQL_CENTS.format(x='c_acctbal')}) AS BIGINT) AS totacctbal_c
+FROM customer
+WHERE {SQL_CENTS.format(x='c_acctbal')} > (
+    SELECT AVG({SQL_CENTS.format(x='c_acctbal')})
+    FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1998-05-01')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 
 
 def q_equi_depth_bins(spark, sf_dir):
@@ -4780,6 +4879,8 @@ QUERIES = {
     "tpch_q4": q_tpch_q4,
     "tpch_q16": q_tpch_q16,
     "tpch_q18": q_tpch_q18,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q22": q_tpch_q22,
     # r6-new: stateful streaming under a mid-feed driver restart
     # (checkpoint-recovery proof — VERDICT r5 #4)
     "streaming_recovery": q_streaming_recovery,
@@ -4997,6 +5098,8 @@ ORACLES = {
     "tpch_q4": ORACLE_TPCH_Q4,
     "tpch_q16": ORACLE_TPCH_Q16,
     "tpch_q18": ORACLE_TPCH_Q18,
+    "tpch_q13": ORACLE_TPCH_Q13,
+    "tpch_q22": ORACLE_TPCH_Q22,
     "equi_depth_bins": ORACLE_EQUI_DEPTH_BINS,
     "contamination_pairs": ORACLE_CONTAMINATION_PAIRS,
     "triangle_count": ORACLE_TRIANGLE_COUNT,

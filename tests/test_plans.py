@@ -516,6 +516,31 @@ def test_tpch_q16_anti_join_no_forced_broadcast(spark):
     assert "Cartesian" not in plan, plan
 
 
+def test_tpch_q13_outer_join_pushed_filter(spark):
+    """The priority exclusion prunes the orders scan BEFORE the outer
+    join (pushed filter), the join stays outer (zero-order customers
+    survive), and nothing goes cartesian."""
+    from storm_spark.queries import q_tpch_q13
+
+    plan = _plan(q_tpch_q13(spark, SF))
+    assert "LeftOuter" in plan, plan
+    assert "Cartesian" not in plan, plan
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "o_orderpriority" in pushed, pushed
+
+
+def test_tpch_q22_anti_join_scalar_threshold(spark):
+    """NOT EXISTS compiles to LEFT-ANTI on the date-pruned orders key
+    projection; the scalar avg rides a bounded 1-row broadcast (BNLJ over
+    a single-row aggregate is not a data-sized cartesian)."""
+    from storm_spark.queries import q_tpch_q22
+
+    plan = _plan(q_tpch_q22(spark, SF))
+    assert "LeftAnti" in plan, plan
+    pushed = plan.split("PushedFilters:")
+    assert any("o_orderdate" in seg.split("\n")[0] for seg in pushed[1:]), plan
+
+
 def test_tpch_q18_semi_prune_and_takeordered(spark):
     """The HAVING-sum key list prunes orders via LEFT-SEMI before the
     3-way join, and the top-100 compiles to TakeOrderedAndProject — no
