@@ -124,6 +124,7 @@ HEADLINE = [
     "tpch_q18",
     "tpch_q13",
     "tpch_q22",
+    "ks_drift",
 ]
 
 

@@ -374,6 +374,140 @@ def equi_depth_bins(
     )
 
 
+def ks_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    group_col: str,
+    value_col,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance per group — the
+    bin-free drift detector (PSI needs a bin grid and saturates on shift
+    past the last edge; KS is the sup-norm of the empirical CDF gap and
+    sees ANY distributional change). Per group:
+    ``D = max_v |F_ref(v) − F_cur(v)|`` over the union of observed
+    values. Returns ``(group_col, n_ref, n_cur, ks)``, ks rounded to 6;
+    groups present on only one side are dropped (a CDF against nothing is
+    not a distance).
+
+    Exactness: the CDF gap is compared as INTEGER cross products —
+    ``|c_ref·n_cur − c_cur·n_ref|`` in DECIMAL(38,0) (exact up to ~10¹⁹
+    rows per side; BIGINT would overflow at ~3·10⁹ squared) — and divides
+    by n_ref·n_cur in double only once, on the per-group MAXIMUM. Both
+    engines take the same max over the same integers: bit-identical.
+
+    Scale shape (the histogram pattern, same as :func:`equi_depth_bins`):
+    each side collapses to a (group, value, count) histogram in ONE
+    map-side-combined shuffle of the union — cost bounded by DISTINCT
+    (group, value) pairs, not rows; the cumulative pass is a per-group
+    window over those vocabulary-sized histograms; the final max is a
+    group-cardinality agg. No sort of raw data, no join between the
+    sides (the union + conditional counts replace a full-outer merge).
+
+    Reference parity: the drift/diff family (SURVEY §2's profiling
+    extensions) alongside psi_drift (fixed bins) and corpus_diff
+    (categorical) — nathanmarz/storm has no analytics surface for this;
+    it's first-class pipeline tooling per the build brief.
+    """
+    v_ref = (F.col(value_col) if isinstance(value_col, str) else value_col)
+    tagged = ref.select(
+        F.col(group_col).alias("__g__"),
+        v_ref.cast("bigint").alias("__v__"),
+        F.lit(1).alias("__r__"),
+        F.lit(0).alias("__c__"),
+    ).unionAll(
+        cur.select(
+            F.col(group_col).alias("__g__"),
+            (F.col(value_col) if isinstance(value_col, str) else value_col)
+            .cast("bigint")
+            .alias("__v__"),
+            F.lit(0).alias("__r__"),
+            F.lit(1).alias("__c__"),
+        )
+    )
+    hist = (
+        tagged.where(F.col("__v__").isNotNull())
+        .groupBy("__g__", "__v__")
+        .agg(
+            F.sum("__r__").cast("decimal(38,0)").alias("__cr__"),
+            F.sum("__c__").cast("decimal(38,0)").alias("__cc__"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("__g__")
+        .orderBy("__v__")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("__g__")
+    staged = hist.select(
+        "__g__",
+        F.sum("__cr__").over(w_cum).alias("__fr__"),
+        F.sum("__cc__").over(w_cum).alias("__fc__"),
+        F.sum("__cr__").over(w_all).alias("__nr__"),
+        F.sum("__cc__").over(w_all).alias("__nc__"),
+    )
+    gap = F.abs(
+        F.col("__fr__") * F.col("__nc__") - F.col("__fc__") * F.col("__nr__")
+    )
+    return (
+        staged.groupBy(F.col("__g__").alias(group_col))
+        .agg(
+            F.max(gap).alias("__maxgap__"),
+            F.max("__nr__").cast("bigint").alias("n_ref"),
+            F.max("__nc__").cast("bigint").alias("n_cur"),
+        )
+        .where((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+        .select(
+            group_col,
+            "n_ref",
+            "n_cur",
+            F.round(
+                F.col("__maxgap__").cast("double")
+                / (F.col("n_ref").cast("double") * F.col("n_cur").cast("double")),
+                6,
+            ).alias("ks"),
+        )
+    )
+
+
+def sql_ks_drift(
+    ref_sql: str, cur_sql: str, group_expr: str, value_expr: str
+) -> str:
+    """DuckDB twin of :func:`ks_drift`. ``ref_sql``/``cur_sql`` are
+    relation expressions (table names or parenthesized subqueries)."""
+    return f"""
+SELECT g AS grp, n_ref, n_cur,
+       round(CAST(maxgap AS DOUBLE) / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)), 6) AS ks
+FROM (
+  SELECT g,
+         MAX(ABS(fr * nc - fc * nr)) AS maxgap,
+         CAST(MAX(nr) AS BIGINT) AS n_ref,
+         CAST(MAX(nc) AS BIGINT) AS n_cur
+  FROM (
+    SELECT g,
+           SUM(cr) OVER (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fr,
+           SUM(cc) OVER (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fc,
+           SUM(cr) OVER (PARTITION BY g) AS nr,
+           SUM(cc) OVER (PARTITION BY g) AS nc
+    FROM (
+      SELECT g, v,
+             CAST(SUM(r) AS HUGEINT) AS cr,
+             CAST(SUM(c) AS HUGEINT) AS cc
+      FROM (
+        SELECT {group_expr} AS g, CAST({value_expr} AS BIGINT) AS v,
+               1 AS r, 0 AS c
+        FROM {ref_sql} WHERE ({value_expr}) IS NOT NULL
+        UNION ALL
+        SELECT {group_expr} AS g, CAST({value_expr} AS BIGINT) AS v,
+               0 AS r, 1 AS c
+        FROM {cur_sql} WHERE ({value_expr}) IS NOT NULL)
+      GROUP BY g, v))
+  GROUP BY g)
+WHERE n_ref > 0 AND n_cur > 0
+"""
+
+
 def sql_equi_depth_bins(table: str, value_expr: str, n_bins: int = 10) -> str:
     """DuckDB twin of :func:`equi_depth_bins` — full SELECT
     ``(bin, n, lo, hi)``."""

@@ -3549,6 +3549,37 @@ def q_psi_drift(spark, sf_dir):
     return psi_drift(old, new, "v_c", lo=0, hi=50000, n_bins=10)
 
 
+def q_ks_drift(spark, sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov drift per event_type
+    (profile.ks_drift) between the same even/odd-user snapshots as
+    psi_drift — the bin-free detector (PSI saturates outside its grid; KS
+    is the sup-norm CDF gap over observed values). Integer cross-product
+    comparison in DECIMAL(38,0), one double division on the per-group
+    max — bit-identical across engines. Histogram pattern: cost bounded
+    by distinct (type, value) pairs, never a raw sort."""
+    from storm_spark.functions.profile import ks_drift
+
+    e = _events(spark, sf_dir).withColumn("v_c", cents("value"))
+    ref = e.filter(F.col("user_id") % 2 == 0)
+    cur = e.filter(F.col("user_id") % 2 == 1)
+    return ks_drift(ref, cur, "event_type", "v_c")
+
+
+def _oracle_ks_drift():
+    from storm_spark.functions.profile import sql_ks_drift
+
+    inner = sql_ks_drift(
+        "(SELECT * FROM events WHERE user_id % 2 = 0)",
+        "(SELECT * FROM events WHERE user_id % 2 = 1)",
+        "event_type",
+        SQL_CENTS.format(x="value"),
+    )
+    return f"SELECT grp AS event_type, n_ref, n_cur, ks FROM ({inner})"
+
+
+ORACLE_KS_DRIFT = _oracle_ks_drift()
+
+
 def _oracle_psi_drift(lo=0, hi=50000, n_bins=10, eps=1e-6):
     v = SQL_CENTS.format(x="value")
     b = f"((least(greatest({v}, {lo}), {hi - 1}) - {lo}) * {n_bins}) // {hi - lo}"
@@ -4881,6 +4912,8 @@ QUERIES = {
     "tpch_q18": q_tpch_q18,
     "tpch_q13": q_tpch_q13,
     "tpch_q22": q_tpch_q22,
+    # r6-new: exact two-sample KS drift (bin-free twin of psi_drift)
+    "ks_drift": q_ks_drift,
     # r6-new: stateful streaming under a mid-feed driver restart
     # (checkpoint-recovery proof — VERDICT r5 #4)
     "streaming_recovery": q_streaming_recovery,
@@ -5100,6 +5133,7 @@ ORACLES = {
     "tpch_q18": ORACLE_TPCH_Q18,
     "tpch_q13": ORACLE_TPCH_Q13,
     "tpch_q22": ORACLE_TPCH_Q22,
+    "ks_drift": ORACLE_KS_DRIFT,
     "equi_depth_bins": ORACLE_EQUI_DEPTH_BINS,
     "contamination_pairs": ORACLE_CONTAMINATION_PAIRS,
     "triangle_count": ORACLE_TRIANGLE_COUNT,
