@@ -4061,6 +4061,88 @@ def q_streaming_transitions(spark, sf_dir):
 # gated against the BATCH oracle — streaming deltas must sum to it exactly
 
 
+def q_streaming_interval_join(spark, sf_dir):
+    """Stream-STREAM interval join (streaming/joins.py interval_join) run
+    END-TO-END and gated against the batch self-join oracle: even-id
+    events feed one watermarked stream, odd-id events a second, joined on
+    user_id where the odd row lands within [ts, ts+1h] of the even row —
+    the cross-batch correlation the reference CANNOT express (a Trident
+    join forgets the other side at the batch boundary,
+    JoinerMultiReducer; Spark's symmetric hash join buffers both sides
+    under watermark control instead).
+
+    Both sides split on the same global time terciles, so a pair spanning
+    a boundary always has its left row within the join horizon of the
+    watermark the earlier batch can establish — the same ordering
+    argument as the sessionize twin; inner-join matches emit in the
+    micro-batch where both sides are present (no close-out sentinels
+    needed — emission doesn't wait for the watermark, only state expiry
+    does). Output: per-user pair counts, equal to the batch join."""
+    import os
+    import uuid
+
+    from storm_spark.streaming.joins import interval_join
+
+    e = _events(spark, sf_dir).select("user_id", "ts", "event_id")
+    tmp = tempfile.mkdtemp(prefix="storm_spark_sij_")
+    left_dir = os.path.join(tmp, "left")
+    right_dir = os.path.join(tmp, "right")
+    os.makedirs(left_dir)
+    os.makedirs(right_dir)
+    w = Window.orderBy("ts", "event_id")
+    parts = e.withColumn("__t__", F.ntile(3).over(w))
+    feed_schema = e.schema
+    qname = "sij_" + uuid.uuid4().hex[:8]
+    left = (
+        spark.readStream.schema(feed_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{left_dir}/*")
+    ).withWatermark("ts", "1 second")
+    right = (
+        spark.readStream.schema(feed_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{right_dir}/*")
+    ).withWatermark("ts", "1 second")
+    joined = interval_join(
+        left, right, "user_id", "ts", lower_seconds=0, upper_seconds=3600
+    ).select("user_id", "event_id", F.col("event_id_r"))
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        for b in (1, 2, 3):
+            tb = parts.filter(F.col("__t__") == b)
+            tb.filter(F.col("event_id") % 2 == 0).select(*e.columns).coalesce(
+                1
+            ).write.mode("overwrite").parquet(os.path.join(left_dir, f"b{b}"))
+            tb.filter(F.col("event_id") % 2 == 1).select(*e.columns).coalesce(
+                1
+            ).write.mode("overwrite").parquet(os.path.join(right_dir, f"b{b}"))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)  # memory sink holds the rows driver-side
+    return (
+        spark.table(qname)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+ORACLE_STREAMING_INTERVAL_JOIN = """
+SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+GROUP BY a.user_id
+"""
+
+
 def q_streaming_gap_fill(spark, sf_dir):
     """stateful_gap_fill run END-TO-END through Structured Streaming and
     gated against the BATCH gap_fill oracle: hourly value totals per
@@ -4914,6 +4996,9 @@ QUERIES = {
     "tpch_q22": q_tpch_q22,
     # r6-new: exact two-sample KS drift (bin-free twin of psi_drift)
     "ks_drift": q_ks_drift,
+    # r6-new: cross-batch stream-stream interval join (the correlation a
+    # Trident per-batch join cannot express)
+    "streaming_interval_join": q_streaming_interval_join,
     # r6-new: stateful streaming under a mid-feed driver restart
     # (checkpoint-recovery proof — VERDICT r5 #4)
     "streaming_recovery": q_streaming_recovery,
@@ -5134,6 +5219,7 @@ ORACLES = {
     "tpch_q13": ORACLE_TPCH_Q13,
     "tpch_q22": ORACLE_TPCH_Q22,
     "ks_drift": ORACLE_KS_DRIFT,
+    "streaming_interval_join": ORACLE_STREAMING_INTERVAL_JOIN,
     "equi_depth_bins": ORACLE_EQUI_DEPTH_BINS,
     "contamination_pairs": ORACLE_CONTAMINATION_PAIRS,
     "triangle_count": ORACLE_TRIANGLE_COUNT,

@@ -1,0 +1,49 @@
+"""Stream-stream interval join — watermarked two-sided correlation.
+
+The reference joins streams per-batch (``Stream.join`` inside one Trident
+batch, ``JoinerMultiReducer``); Spark's Structured Streaming adds the
+UNBOUNDED cross-batch variant: two independently-arriving streams joined
+on a key within an event-time interval, with both sides' watermarks
+bounding the buffered state (storm has no analogue — a Trident join
+forgets the other side at the batch boundary).
+
+At scale the state per side is O(rows inside the watermark horizon), keyed
+and co-partitioned by Spark's streaming symmetric hash join — the same
+shuffle shape as a batch equi-join, plus time-range pruning of buffered
+rows as the watermark advances.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    lower_seconds: int,
+    upper_seconds: int,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Inner-join two watermarked streams on ``key_col`` where the right
+    row's event time falls in ``[left.ts + lower, left.ts + upper]``.
+
+    Both inputs MUST carry ``withWatermark(ts_col, ...)`` — the time-range
+    conjunct plus the two watermarks is exactly what lets Spark expire
+    buffered rows instead of holding both streams forever (the documented
+    stream-stream join state-cleanup contract). Right columns keep their
+    names unless they collide, in which case they get ``suffix``.
+    """
+    lcols = set(left.columns)
+    renames = {c: (c + suffix if c in lcols else c) for c in right.columns}
+    r = right.select([F.col(c).alias(renames[c]) for c in right.columns])
+    rk, rt = renames[key_col], renames[ts_col]
+    cond = (
+        (F.col(key_col) == F.col(rk))
+        & (F.col(rt) >= F.col(ts_col) + F.expr(f"INTERVAL {int(lower_seconds)} SECONDS"))
+        & (F.col(rt) <= F.col(ts_col) + F.expr(f"INTERVAL {int(upper_seconds)} SECONDS"))
+    )
+    return left.join(r, cond, "inner")
