@@ -79,7 +79,15 @@ def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     for warm in (False, True):
         for name in names:
             t0 = time.time()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            # fault isolation (bench.py convention): one broken query at
+            # one scale must not erase the whole sweep
+            try:
+                QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001
+                out[name] = float("nan")
+                print(f"  {name}: ERROR {type(exc).__name__}: {exc}"[:300], file=sys.stderr)
+                spark.catalog.clearCache()
+                continue
             if warm:
                 out[name] = round(time.time() - t0, 2)
                 print(f"  {name}: {out[name]}s", file=sys.stderr)
@@ -106,8 +114,9 @@ def main() -> None:
 
     print(f"{'query':24s} {'1x':>8s} {args.factor:>6d}x  growth")
     for n in names:
-        g = big[n] / base[n] if base[n] else float("inf")
-        print(f"{n:24s} {base[n]:7.2f}s {big[n]:7.2f}s  {g:5.1f}x")
+        b1, bN = base.get(n, float("nan")), big.get(n, float("nan"))
+        g = bN / b1 if b1 else float("inf")
+        print(f"{n:24s} {b1:7.2f}s {bN:7.2f}s  {g:5.1f}x")
 
 
 if __name__ == "__main__":
