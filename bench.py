@@ -124,6 +124,8 @@ HEADLINE = [
     "tpch_q18",
     "tpch_q13",
     "tpch_q22",
+    "tpch_q10",
+    "tpch_q14",
     "ks_drift",
 ]
 

@@ -4598,6 +4598,115 @@ LIMIT 100
 """
 
 
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting): revenue lost to returned
+    lineitems (l_returnflag = 'R') per customer for one quarter of
+    orders, top-20 customers. The full reference shape on the fixture
+    schema (minus the absent address/phone/comment display columns, plus
+    the nation join): lineitem ⋈ orders ⋈ customer ⋈ nation, revenue
+    integer-exact as cents × (100 − discount bp), top-20 via
+    TakeOrderedAndProject. Only nation (25 rows) carries a broadcast
+    hint; the sf-linear joins are AQE-decided."""
+    cutoff_lo, cutoff_hi = "1996-01-01", "1996-04-01"
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(cutoff_lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(cutoff_hi).cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        cents("l_extendedprice")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(rev).cast("bigint").alias("revenue_cbp"),
+            cents(F.min("c_acctbal")).alias("c_acctbal_c"),
+        )
+        .orderBy(F.col("revenue_cbp").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+ORACLE_TPCH_Q10 = f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM({SQL_CENTS.format(x='l_extendedprice')}
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_cbp,
+       {SQL_CENTS.format(x='MIN(c_acctbal)')} AS c_acctbal_c
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_cbp DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): the share of one month's revenue
+    from promo parts — a conditional aggregate over the lineitem ⋈ part
+    join. The fixture's p_type carries the reference's PROMO prefix
+    domain, so the predicate is verbatim. Revenue stays integer
+    (cents × (100 − discount bp) as BIGINT) on both the numerator and
+    denominator; the ratio alone converts to double, rounded to 6 — no
+    float accumulation anywhere. The part side is AQE-decided (sf-linear,
+    no forced hint); the promo test is a map-side CASE, not a filter, so
+    one join feeds both sums."""
+    cutoff_lo, cutoff_hi = "1996-03-01", "1996-04-01"
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(cutoff_lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(cutoff_hi).cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = (
+        cents("l_extendedprice")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
+    agg = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("promo_cbp"),
+            F.sum(rev).cast("bigint").alias("total_cbp"),
+        )
+    )
+    return agg.select(
+        "promo_cbp",
+        "total_cbp",
+        F.round(
+            F.lit(100.0) * F.col("promo_cbp").cast("double")
+            / F.col("total_cbp").cast("double"),
+            6,
+        ).alias("promo_pct"),
+    )
+
+
+ORACLE_TPCH_Q14 = f"""
+SELECT promo_cbp, total_cbp,
+       round(100.0 * CAST(promo_cbp AS DOUBLE) / CAST(total_cbp AS DOUBLE), 6) AS promo_pct
+FROM (
+  SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE 0 END) AS BIGINT) AS promo_cbp,
+         CAST(SUM(rev) AS BIGINT) AS total_cbp
+  FROM (
+    SELECT {SQL_CENTS.format(x='l_extendedprice')}
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev,
+           p_type
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'))
+"""
+
+
 def q_tpch_q13(spark, sf_dir):
     """TPC-H Q13 (customer order-count distribution) adapted to the
     fixture schema: the reference excludes orders by o_comment pattern;
@@ -4994,6 +5103,8 @@ QUERIES = {
     "tpch_q18": q_tpch_q18,
     "tpch_q13": q_tpch_q13,
     "tpch_q22": q_tpch_q22,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q14": q_tpch_q14,
     # r6-new: exact two-sample KS drift (bin-free twin of psi_drift)
     "ks_drift": q_ks_drift,
     # r6-new: cross-batch stream-stream interval join (the correlation a
@@ -5218,6 +5329,8 @@ ORACLES = {
     "tpch_q18": ORACLE_TPCH_Q18,
     "tpch_q13": ORACLE_TPCH_Q13,
     "tpch_q22": ORACLE_TPCH_Q22,
+    "tpch_q10": ORACLE_TPCH_Q10,
+    "tpch_q14": ORACLE_TPCH_Q14,
     "ks_drift": ORACLE_KS_DRIFT,
     "streaming_interval_join": ORACLE_STREAMING_INTERVAL_JOIN,
     "equi_depth_bins": ORACLE_EQUI_DEPTH_BINS,

@@ -541,6 +541,38 @@ def test_tpch_q22_anti_join_scalar_threshold(spark):
     assert any("o_orderdate" in seg.split("\n")[0] for seg in pushed[1:]), plan
 
 
+def test_tpch_q10_dim_hint_only_and_takeordered(spark):
+    """Only the 25-row nation dim is hint-broadcast; the sf-linear
+    customer/orders/lineitem joins are AQE-decided. Returnflag and the
+    date window push to the scans; top-20 is TakeOrderedAndProject."""
+    from storm_spark.queries import q_tpch_q10
+
+    df = q_tpch_q10(spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1, analyzed
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Cartesian" not in plan, plan
+    pushed = [seg.split("\n")[0] for seg in plan.split("PushedFilters:")[1:]]
+    assert any("l_returnflag" in s for s in pushed), pushed
+    assert any("o_orderdate" in s for s in pushed), pushed
+
+
+def test_tpch_q14_single_join_conditional_agg(spark):
+    """The promo share rides ONE lineitem-part join (the CASE is
+    map-side, not a second filtered join); date filter pushed; no forced
+    hints, no cartesian."""
+    from storm_spark.queries import q_tpch_q14
+
+    df = q_tpch_q14(spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+    plan = _plan(df)
+    assert plan.count("Join") >= 1 and "Cartesian" not in plan, plan
+    pushed = [seg.split("\n")[0] for seg in plan.split("PushedFilters:")[1:]]
+    assert any("l_shipdate" in s for s in pushed), pushed
+
+
 def test_tpch_q18_semi_prune_and_takeordered(spark):
     """The HAVING-sum key list prunes orders via LEFT-SEMI before the
     3-way join, and the top-100 compiles to TakeOrderedAndProject — no
