@@ -127,6 +127,7 @@ HEADLINE = [
     "tpch_q10",
     "tpch_q14",
     "ks_drift",
+    "dedup_jaccard_prefix",
 ]
 
 

@@ -223,6 +223,112 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    ndigits: int = 6,
+    toks_col: str | None = None,
+) -> DataFrame:
+    """EXACT Jaccard near-dup pairs via prefix filtering (the
+    PPJoin-family bound) — same results as uncapped
+    :func:`ngram_jaccard_pairs`, structurally cheaper candidate
+    generation, and unlike ``max_shingle_df`` it is LOSSLESS: the cap
+    trades recall for boundedness; the prefix trades nothing.
+
+    The bound: order every doc's shingles by one global total order
+    (ascending document frequency, shingle hash tie-break — rarest
+    first). If J(A,B) >= t then |A∩B| >= ceil(t·|A|), so A and B must
+    share at least one shingle among each one's first
+    ``|A| − ceil(t·|A|) + 1`` shingles — two docs whose PREFIXES are
+    disjoint cannot reach the threshold. Only prefix shingles enter the
+    candidate self-join; full shingle sets are consulted only to verify
+    the (few) candidates exactly.
+
+    Scale shape: the candidate join's fan-out per shingle is O(prefix
+    postings²) over the RAREST shingles — precisely the ones with tiny
+    document frequency, the opposite end of the hot-shingle problem the
+    cap exists for; stock phrases shared by half the corpus sit at the
+    TAIL of every doc's ordering and never generate candidates at
+    t >= ~0.1. Verification joins the distinct candidate pairs back
+    through the full index (cost Σ|A| over candidates, not corpus²) and
+    the size filter ``min >= ceil(t·max)`` prunes length-incompatible
+    candidates before that. At 100 TB this is the difference between
+    "bounded with a disclosed recall cut" (capped) and "bounded and
+    exact" (prefix) — both stay in the engine as three shuffles
+    (index, candidates, verify).
+
+    Returns ``(id_a, id_b, jaccard)``, ``id_a < id_b``,
+    ``jaccard >= threshold`` rounded to ``ndigits``.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    idx = bounded_persist(
+        _shingle_index(df, id_col, text_col, n, None, toks_col),
+        "dedup.jaccard_prefix.shingle_index",
+    )
+    sizes = idx.groupBy("__id__").agg(F.count(F.lit(1)).alias("__n__"))
+    sh_df = idx.groupBy("__sh__").agg(F.count(F.lit(1)).alias("__df__"))
+    w = Window.partitionBy("__id__").orderBy("__df__", "__sh__")
+    ranked = (
+        idx.join(sh_df, "__sh__")
+        .withColumn("__pos__", F.row_number().over(w))
+        .join(sizes, "__id__")
+    )
+    # prefix length |A| − ceil(t·|A|) + 1; F.ceil on the double product is
+    # safe here — a fractionally-early ceil only ENLARGES the prefix,
+    # which costs candidates but never correctness
+    prefix = ranked.filter(
+        F.col("__pos__")
+        <= F.col("__n__") - F.ceil(F.lit(float(threshold)) * F.col("__n__")) + 1
+    ).select("__id__", "__sh__", "__n__")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__sh__") == F.col("b.__sh__"))
+            & (F.col("a.__id__") < F.col("b.__id__"))
+            # size-compatibility: J >= t forces min(|A|,|B|) >= t·max
+            & (
+                F.least(F.col("a.__n__"), F.col("b.__n__"))
+                >= F.ceil(
+                    F.lit(float(threshold))
+                    * F.greatest(F.col("a.__n__"), F.col("b.__n__"))
+                )
+            ),
+        )
+        .select(
+            F.col("a.__id__").alias("id_a"),
+            F.col("b.__id__").alias("id_b"),
+            F.col("a.__n__").alias("__na__"),
+            F.col("b.__n__").alias("__nb__"),
+        )
+        .distinct()
+    )
+    fa = idx.select(F.col("__id__").alias("id_a"), "__sh__")
+    fb = idx.select(F.col("__id__").alias("id_b"), "__sh__")
+    inter = (
+        cand.join(fa, "id_a")
+        .join(fb, ["id_b", "__sh__"])
+        .groupBy("id_a", "id_b", "__na__", "__nb__")
+        .agg(F.count(F.lit(1)).alias("__inter__"))
+    )
+    return (
+        inter.select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("__inter__").cast("double")
+                / (F.col("__na__") + F.col("__nb__") - F.col("__inter__")),
+                ndigits,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_perm: int = 12
 ) -> DataFrame:
