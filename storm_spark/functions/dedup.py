@@ -252,13 +252,18 @@ def ngram_jaccard_pairs_prefix(
     document frequency, the opposite end of the hot-shingle problem the
     cap exists for; stock phrases shared by half the corpus sit at the
     TAIL of every doc's ordering and never generate candidates at
-    t >= ~0.1. Verification joins the distinct candidate pairs back
-    through the full index (cost Σ|A| over candidates, not corpus²) and
-    the size filter ``min >= ceil(t·max)`` prunes length-incompatible
-    candidates before that. At 100 TB this is the difference between
-    "bounded with a disclosed recall cut" (capped) and "bounded and
-    exact" (prefix) — both stay in the engine as three shuffles
-    (index, candidates, verify).
+    t >= ~0.1. Verification semi-filters the full index down to docs
+    that appear in some candidate pair, runs the ordinary shingle-keyed
+    intersection join over THAT subset, and keeps only candidate pairs —
+    worst case the plain inverted-index cost restricted to candidate
+    docs, typically far less. (The first cut joined each candidate PAIR
+    against its full shingle list — Σ pairs×|A| rows — which the r6 10×
+    sweep caught exploding 27× on a duplicate-dense fixture where every
+    doc had 9 exact clones; the join-then-filter shape runs the same
+    pathological input at plain-path cost.) The size filter
+    ``min >= ceil(t·max)`` prunes length-incompatible candidates before
+    any of that. At 100 TB this is the difference between "bounded with
+    a disclosed recall cut" (capped) and "bounded and exact" (prefix).
 
     Returns ``(id_a, id_b, jaccard)``, ``id_a < id_b``,
     ``jaccard >= threshold`` rounded to ``ndigits``.
@@ -307,14 +312,18 @@ def ngram_jaccard_pairs_prefix(
         )
         .distinct()
     )
-    fa = idx.select(F.col("__id__").alias("id_a"), "__sh__")
-    fb = idx.select(F.col("__id__").alias("id_b"), "__sh__")
-    inter = (
-        cand.join(fa, "id_a")
-        .join(fb, ["id_b", "__sh__"])
-        .groupBy("id_a", "id_b", "__na__", "__nb__")
+    fa = idx.join(
+        cand.select(F.col("id_a").alias("__id__")).distinct(), "__id__", "left_semi"
+    ).select(F.col("__id__").alias("id_a"), "__sh__")
+    fb = idx.join(
+        cand.select(F.col("id_b").alias("__id__")).distinct(), "__id__", "left_semi"
+    ).select(F.col("__id__").alias("id_b"), "__sh__")
+    inter_all = (
+        fa.join(fb, (fa.__sh__ == fb.__sh__) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("__inter__"))
     )
+    inter = inter_all.join(cand, ["id_a", "id_b"])
     return (
         inter.select(
             "id_a",
