@@ -126,6 +126,9 @@ HEADLINE = [
     "tpch_q22",
     "tpch_q10",
     "tpch_q14",
+    "tpch_q7",
+    "tpch_q15",
+    "tpch_q17",
     "ks_drift",
     "dedup_jaccard_prefix",
 ]

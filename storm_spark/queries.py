@@ -4612,6 +4612,165 @@ LIMIT 100
 """
 
 
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping) on the fixture nation domain
+    (NATION_9 ↔ NATION_10 standing in for FRANCE/GERMANY): revenue
+    between a nation pair in BOTH directions per (supplier nation,
+    customer nation, ship year). Two nation-dim joins against the same
+    25-row table (both hint-broadcast — genuinely bounded), the pair
+    disjunction evaluated AFTER the dims attach, fact joins AQE-decided,
+    revenue integer-exact."""
+    na, nb = "NATION_9", "NATION_10"
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__sk__"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__ck__"), F.col("n_name").alias("cust_nation")
+    )
+    rev = (
+        cents("l_extendedprice")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__sk__"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__ck__"))
+        .filter(
+            ((F.col("supp_nation") == na) & (F.col("cust_nation") == nb))
+            | ((F.col("supp_nation") == nb) & (F.col("cust_nation") == na))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(rev).cast("bigint").alias("revenue_cbp"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+ORACLE_TPCH_Q7 = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(rev) AS BIGINT) AS revenue_cbp
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate) AS l_year,
+         {SQL_CENTS.format(x='l_extendedprice')}
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+      OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01')
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, return
+    the supplier(s) whose revenue equals the maximum — the reference's
+    revenue VIEW + scalar MAX subquery becomes an aggregate plus an
+    unpartitioned max window over the (|suppliers|-sized) aggregate —
+    NOT over raw rows, so the single-partition window is bounded; the
+    revenue agg itself is one map-side-combined shuffle. Integer-exact
+    revenue makes the tie semantics deterministic (double revenue would
+    make 'equals the max' engine-dependent)."""
+    cutoff_lo, cutoff_hi = "1996-01-01", "1996-04-01"
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(cutoff_lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(cutoff_hi).cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        cents("l_extendedprice")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
+    per_supp = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(rev).cast("bigint").alias("total_revenue_cbp"))
+    )
+    w = Window.partitionBy()
+    top = per_supp.withColumn(
+        "__mx__", F.max("total_revenue_cbp").over(w)
+    ).filter(F.col("total_revenue_cbp") == F.col("__mx__"))
+    return (
+        top.join(s, top.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("s_suppkey"),
+            F.col("s_name"),
+            F.col("total_revenue_cbp"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_TPCH_Q15 = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM({SQL_CENTS.format(x='l_extendedprice')}
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_revenue_cbp
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue_cbp
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue_cbp = (SELECT MAX(total_revenue_cbp) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): average yearly revenue
+    lost if small orders were not filled — lineitems whose quantity is
+    below 20% of their part's average quantity. The correlated scalar
+    subquery (avg per part) becomes per-part sufficient statistics
+    joined back; the 0.2·avg comparison is EXACT integer arithmetic:
+    ``l_quantity < 0.2 · (sum/cnt)  ⟺  5·l_quantity·cnt < sum`` (TPC-H
+    quantities are integral — no float division enters the predicate,
+    so the boundary rows are engine-identical). Output divides the cents
+    total by 7 in double, rounded once. The brand/container filter of
+    the reference is dropped (no such columns); the aggregation shape is
+    unchanged. One map-side-combined per-part agg + one AQE-decided
+    join; no window over raw rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    per_part = li.groupBy(F.col("l_partkey").alias("__pk__")).agg(
+        F.sum(q).alias("__sq__"), F.count(F.lit(1)).alias("__cq__")
+    )
+    return (
+        li.join(per_part, li.l_partkey == F.col("__pk__"))
+        .filter(F.lit(5) * q * F.col("__cq__") < F.col("__sq__"))
+        .agg(
+            F.round(
+                F.sum(cents("l_extendedprice")).cast("double") / F.lit(7.0), 2
+            ).alias("avg_yearly_c"),
+            F.count(F.lit(1)).cast("bigint").alias("n_small"),
+        )
+    )
+
+
+ORACLE_TPCH_Q17 = f"""
+SELECT round(CAST(SUM({SQL_CENTS.format(x='l_extendedprice')}) AS DOUBLE) / 7.0, 2) AS avg_yearly_c,
+       COUNT(*) AS n_small
+FROM lineitem l
+JOIN (SELECT l_partkey AS pk, SUM(CAST(l_quantity AS BIGINT)) AS sq, COUNT(*) AS cq
+      FROM lineitem GROUP BY 1) pa ON l.l_partkey = pa.pk
+WHERE 5 * CAST(l_quantity AS BIGINT) * cq < sq
+"""
+
+
 def q_tpch_q10(spark, sf_dir):
     """TPC-H Q10 (returned-item reporting): revenue lost to returned
     lineitems (l_returnflag = 'R') per customer for one quarter of
@@ -5119,6 +5278,9 @@ QUERIES = {
     "tpch_q22": q_tpch_q22,
     "tpch_q10": q_tpch_q10,
     "tpch_q14": q_tpch_q14,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q17": q_tpch_q17,
     # r6-new: exact two-sample KS drift (bin-free twin of psi_drift)
     "ks_drift": q_ks_drift,
     # r6-new: cross-batch stream-stream interval join (the correlation a
@@ -5347,6 +5509,9 @@ ORACLES = {
     "tpch_q22": ORACLE_TPCH_Q22,
     "tpch_q10": ORACLE_TPCH_Q10,
     "tpch_q14": ORACLE_TPCH_Q14,
+    "tpch_q7": ORACLE_TPCH_Q7,
+    "tpch_q15": ORACLE_TPCH_Q15,
+    "tpch_q17": ORACLE_TPCH_Q17,
     "ks_drift": ORACLE_KS_DRIFT,
     "streaming_interval_join": ORACLE_STREAMING_INTERVAL_JOIN,
     "dedup_jaccard_prefix": ORACLE_DEDUP_JACCARD_PREFIX,

@@ -573,6 +573,43 @@ def test_tpch_q14_single_join_conditional_agg(spark):
     assert any("l_shipdate" in s for s in pushed), pushed
 
 
+def test_tpch_q7_two_nation_dims_only_hints(spark):
+    """Exactly the two bounded nation-dim hints; fact joins AQE-decided;
+    ship-date window pushed; no cartesian."""
+    from storm_spark.queries import q_tpch_q7
+
+    df = q_tpch_q7(spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 2, analyzed
+    plan = _plan(df)
+    assert "Cartesian" not in plan, plan
+    pushed = [seg.split("\n")[0] for seg in plan.split("PushedFilters:")[1:]]
+    assert any("l_shipdate" in s for s in pushed), pushed
+
+
+def test_tpch_q15_window_over_aggregate_not_rows(spark):
+    """The scalar-max window runs over the |suppliers|-sized AGGREGATE
+    (below an Aggregate node in the plan), never over raw lineitem — the
+    single-partition window is bounded by supplier cardinality."""
+    from storm_spark.queries import q_tpch_q15
+
+    plan = q_tpch_q15(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
+    # Window sits above Aggregate in the optimized logical plan
+    iw, ia = plan.index("Window"), plan.index("Aggregate")
+    assert iw < ia, plan
+
+
+def test_tpch_q17_integer_predicate_no_window(spark):
+    """The 0.2*avg correlated subquery compiles to a per-part aggregate
+    + join with an integer cross-product predicate — no window over raw
+    lineitem rows and no cartesian."""
+    from storm_spark.queries import q_tpch_q17
+
+    plan = _plan(q_tpch_q17(spark, SF))
+    assert "Window" not in plan, plan
+    assert "Cartesian" not in plan, plan
+
+
 def test_tpch_q18_semi_prune_and_takeordered(spark):
     """The HAVING-sum key list prunes orders via LEFT-SEMI before the
     3-way join, and the top-100 compiles to TakeOrderedAndProject — no
