@@ -115,6 +115,57 @@ def test_restart_from_checkpoint_matches_batch(spark):
     assert len(s1) == 1, spark.read.parquet(outdir).collect()
 
 
+def test_dedup_state_survives_restart(spark):
+    """The builtin stateful operator's state store (dropDuplicates), not
+    just applyInPandasWithState: a key first seen BEFORE the crash must
+    still be suppressed when re-delivered AFTER the restart — the
+    reference's message-id replay dedup surviving coordinator failure."""
+    from storm_spark.streaming.dedup import streaming_dedup_exact
+
+    tmp = tempfile.mkdtemp(prefix="sdd_rec_")
+    indir, outdir, ckpt = (os.path.join(tmp, d) for d in ("in", "out", "ckpt"))
+    os.makedirs(indir)
+
+    def start():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{indir}/*")
+        )
+        out = streaming_dedup_exact(stream, ["user_id"])
+        return (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .queryName("sddrec_" + uuid.uuid4().hex[:8])
+            .start()
+        )
+
+    q = start()
+    try:
+        spark.createDataFrame(
+            [_mk(1, 0), _mk(2, 0), _mk(1, 5)], SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(indir, "b1"))
+        q.processAllAvailable()
+    finally:
+        q.stop()  # crash with keys {1, 2} in dedup state
+
+    q2 = start()
+    try:
+        # re-deliver key 1 (pre-crash) and key 2, plus a genuinely new key 3
+        spark.createDataFrame(
+            [_mk(1, 60), _mk(2, 60), _mk(3, 60)], SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(indir, "b2"))
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    rows = spark.read.parquet(outdir).groupBy("user_id").count().collect()
+    got = {r["user_id"]: r["count"] for r in rows}
+    assert got == {1: 1, 2: 1, 3: 1}, got
+
+
 def test_restart_does_not_replay_committed_batches(spark):
     """Offset-log leg: a batch fully processed before the crash must not
     re-emit after restart (exactly-once, not at-least-once). User 3's
