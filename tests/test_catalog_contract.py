@@ -1,0 +1,62 @@
+"""Catalog/driver-contract invariants — cheap guards that catch the
+classes of drift that have actually bitten between rounds: an operator
+registered without its oracle, a bench entry pointing at a renamed query,
+or a rows-only gate sneaking in unannounced."""
+
+ROWS_ONLY = {
+    # documented rows-only by design (VERDICT r5): sketches whose output
+    # is approximate, and the PIL-blocked multimodal decode
+    "approx_distinct",
+    "percentile",
+    "multimodal_features",
+}
+
+
+def test_every_query_has_oracle_or_is_allowlisted():
+    from storm_spark.queries import ORACLES, QUERIES
+
+    missing = [n for n in QUERIES if n not in ORACLES and n not in ROWS_ONLY]
+    assert not missing, f"queries without oracle nor rows-only listing: {missing}"
+
+
+def test_no_orphan_oracles():
+    from storm_spark.queries import ORACLES, QUERIES
+
+    orphans = [n for n in ORACLES if n not in QUERIES]
+    assert not orphans, f"oracles without a queries() entry: {orphans}"
+
+
+def test_bench_headline_is_subset_of_catalog():
+    import bench
+    from storm_spark.queries import QUERIES
+
+    unknown = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not unknown, f"bench headline entries not in catalog: {unknown}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate bench entries"
+
+
+def test_driver_window_is_oracle_dense():
+    """The driver samples the first 50 queries() keys — everything in the
+    window must be exact-oracle-gated except the documented rows-only
+    entries (a weak check burning a window slot should be a deliberate
+    choice, not drift)."""
+    from storm_spark.queries import ORACLES, QUERIES
+
+    window = list(QUERIES)[:50]
+    weak = [n for n in window if n not in ORACLES and n not in ROWS_ONLY]
+    assert not weak, weak
+
+
+def test_entry_contract_importable():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__spark_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    qs, os_ = mod.queries(), mod.oracle_sql()
+    assert len(qs) >= 138 and set(os_) <= set(qs)
+    assert callable(mod.entry)
