@@ -127,6 +127,7 @@ HEADLINE = [
     "tpch_q10",
     "tpch_q14",
     "tpch_q7",
+    "tpch_q8",
     "tpch_q15",
     "tpch_q17",
     "ks_drift",

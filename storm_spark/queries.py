@@ -4075,6 +4075,83 @@ def q_streaming_transitions(spark, sf_dir):
 # gated against the BATCH oracle — streaming deltas must sum to it exactly
 
 
+def q_streaming_window_hourly(spark, sf_dir):
+    """Spark's NATIVE watermarked windowed aggregation run end-to-end and
+    gated against the batch window_hourly oracle — the built-in
+    streaming-state surface (in contrast to the applyInPandasWithState
+    twins, this exercises Spark's own windowed-agg state store): tumbling
+    1-hour event-time windows × event_type in APPEND mode, where a window
+    emits exactly once, after the watermark passes its end. Feeds are
+    globally time-ordered terciles, so a window straddling a trigger
+    boundary keeps accumulating until the NEXT tercile's data advances
+    the watermark past its end — no partial emission; far-future
+    sentinels close the final windows. Union of emissions must equal the
+    batch hour×type grid exactly."""
+    import os
+    import uuid
+
+    e = _events(spark, sf_dir).select("event_type", "ts", cents("value").alias("v_c"))
+    tmp = tempfile.mkdtemp(prefix="storm_spark_swh_")
+    indir = os.path.join(tmp, "in")
+    os.makedirs(indir)
+    w = Window.orderBy("ts", "event_type", "v_c")
+    parts = e.withColumn("__t__", F.ntile(3).over(w))
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+    feed_schema = e.schema
+    qname = "swh_" + uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.schema(feed_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{indir}/*")
+    ).withWatermark("ts", "1 second")
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v_c").cast("bigint").alias("value_c"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        from datetime import timedelta
+
+        for b in (1, 2, 3):
+            parts.filter(F.col("__t__") == b).select(*e.columns).coalesce(
+                1
+            ).write.mode("overwrite").parquet(os.path.join(indir, f"b{b}"))
+            q.processAllAvailable()
+        for i, off in enumerate((7200, 14400)):
+            sent = spark.createDataFrame(
+                [("__sentinel__", max_ts + timedelta(seconds=off), 0)], feed_schema
+            )
+            sent.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(indir, f"s{i}")
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)  # memory sink holds the rows driver-side
+    return (
+        spark.table(qname)
+        .filter(F.col("event_type") != "__sentinel__")
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("hour_epoch"),
+            "event_type",
+            "n",
+            "value_c",
+        )
+    )
+
+
+# oracle: ORACLE_WINDOW_HOURLY (same grid as the batch window_aggregate)
+
+
 def q_streaming_interval_join(spark, sf_dir):
     """Stream-STREAM interval join (streaming/joins.py interval_join) run
     END-TO-END and gated against the batch self-join oracle: even-id
@@ -4771,6 +4848,89 @@ WHERE 5 * CAST(l_quantity AS BIGINT) * cq < sq
 """
 
 
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (national market share): NATION_9's share of AMERICA's
+    revenue for MEDIUM-type parts per order year — the reference shape
+    intact on the fixture domain (supplier nation standing in for the
+    reference's named nation, p_type = 'MEDIUM' for the long type
+    string). The market-share division is the only double: numerator and
+    denominator are both integer revenue sums built by a conditional
+    CASE in ONE aggregation over one join tree (no second pass). Bounded
+    dims (nation ×2, region) hint-broadcast; part/customer/supplier/
+    orders/lineitem joins AQE-decided."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "MEDIUM")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("__ck__"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__sk__"), F.col("n_name").alias("supp_nation")
+    )
+    rev = (
+        cents("l_extendedprice")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("__ck__"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("__sk__"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_9", rev).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("nation_cbp"),
+            F.sum(rev).cast("bigint").alias("total_cbp"),
+        )
+        .select(
+            "o_year",
+            "nation_cbp",
+            "total_cbp",
+            F.round(
+                F.col("nation_cbp").cast("double") / F.col("total_cbp").cast("double"),
+                6,
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+ORACLE_TPCH_Q8 = f"""
+SELECT o_year, nation_cbp, total_cbp,
+       round(CAST(nation_cbp AS DOUBLE) / CAST(total_cbp AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         CAST(SUM(CASE WHEN n2.n_name = 'NATION_9' THEN rev ELSE 0 END) AS BIGINT) AS nation_cbp,
+         CAST(SUM(rev) AS BIGINT) AS total_cbp
+  FROM (
+    SELECT l_orderkey, l_suppkey,
+           {SQL_CENTS.format(x='l_extendedprice')}
+             * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'MEDIUM') l
+  JOIN orders ON l.l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l.l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1)
+ORDER BY o_year
+"""
+
+
 def q_tpch_q10(spark, sf_dir):
     """TPC-H Q10 (returned-item reporting): revenue lost to returned
     lineitems (l_returnflag = 'R') per customer for one quarter of
@@ -5279,6 +5439,7 @@ QUERIES = {
     "tpch_q10": q_tpch_q10,
     "tpch_q14": q_tpch_q14,
     "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
     "tpch_q15": q_tpch_q15,
     "tpch_q17": q_tpch_q17,
     # r6-new: exact two-sample KS drift (bin-free twin of psi_drift)
@@ -5288,6 +5449,8 @@ QUERIES = {
     "streaming_interval_join": q_streaming_interval_join,
     # r6-new: lossless prefix-filtered Jaccard join (PPJoin-family bound)
     "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+    # r6-new: Spark's NATIVE windowed-agg state store gated end-to-end
+    "streaming_window_hourly": q_streaming_window_hourly,
     # r6-new: stateful streaming under a mid-feed driver restart
     # (checkpoint-recovery proof — VERDICT r5 #4)
     "streaming_recovery": q_streaming_recovery,
@@ -5446,6 +5609,7 @@ ORACLES = {
     "drpc_state_lookup": ORACLE_DRPC_STATE_LOOKUP,
     "linear_drpc": ORACLE_LINEAR_DRPC,
     "window_hourly": ORACLE_WINDOW_HOURLY,
+    "streaming_window_hourly": ORACLE_WINDOW_HOURLY,
     "window_sliding": ORACLE_WINDOW_SLIDING,
     "sessionize": ORACLE_SESSIONIZE,
     "json_extract": ORACLE_JSON_EXTRACT,
@@ -5510,6 +5674,7 @@ ORACLES = {
     "tpch_q10": ORACLE_TPCH_Q10,
     "tpch_q14": ORACLE_TPCH_Q14,
     "tpch_q7": ORACLE_TPCH_Q7,
+    "tpch_q8": ORACLE_TPCH_Q8,
     "tpch_q15": ORACLE_TPCH_Q15,
     "tpch_q17": ORACLE_TPCH_Q17,
     "ks_drift": ORACLE_KS_DRIFT,

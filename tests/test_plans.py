@@ -587,6 +587,22 @@ def test_tpch_q7_two_nation_dims_only_hints(spark):
     assert any("l_shipdate" in s for s in pushed), pushed
 
 
+def test_tpch_q8_single_agg_bounded_hints(spark):
+    """Market share = conditional CASE inside ONE aggregation (exactly
+    one pass over the join tree — no second scan for the denominator);
+    only the three bounded dims carry hints; no cartesian."""
+    from storm_spark.queries import q_tpch_q8
+
+    df = q_tpch_q8(spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 3, analyzed
+    plan = _plan(df)
+    assert "Cartesian" not in plan, plan
+    # one logical aggregate (partial+final physical pair at most)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("Aggregate") == 1, opt
+
+
 def test_tpch_q15_window_over_aggregate_not_rows(spark):
     """The scalar-max window runs over the |suppliers|-sized AGGREGATE
     (below an Aggregate node in the plan), never over raw lineitem — the
