@@ -274,13 +274,17 @@ def ngram_jaccard_pairs_prefix(
         _shingle_index(df, id_col, text_col, n, None, toks_col),
         "dedup.jaccard_prefix.shingle_index",
     )
-    sizes = idx.groupBy("__id__").agg(F.count(F.lit(1)).alias("__n__"))
     sh_df = idx.groupBy("__sh__").agg(F.count(F.lit(1)).alias("__df__"))
+    # rank AND size ride one id-keyed exchange: row_number and the
+    # whole-partition count share the same window partitioning, so the
+    # separate sizes aggregate (and its join back) would be a second
+    # shuffle of the index for information this exchange already has
     w = Window.partitionBy("__id__").orderBy("__df__", "__sh__")
+    w_id = Window.partitionBy("__id__")
     ranked = (
         idx.join(sh_df, "__sh__")
         .withColumn("__pos__", F.row_number().over(w))
-        .join(sizes, "__id__")
+        .withColumn("__n__", F.count(F.lit(1)).over(w_id))
     )
     # prefix length |A| − ceil(t·|A|) + 1; F.ceil on the double product is
     # safe here — a fractionally-early ceil only ENLARGES the prefix,
@@ -312,14 +316,20 @@ def ngram_jaccard_pairs_prefix(
         )
         .distinct()
     )
+    # distinct alias names on the two sides: both derive from the same
+    # cached index, and a bare __sh__ == __sh__ would resolve ambiguously
+    # (Spark warns "trivially true equals predicate")
     fa = idx.join(
         cand.select(F.col("id_a").alias("__id__")).distinct(), "__id__", "left_semi"
-    ).select(F.col("__id__").alias("id_a"), "__sh__")
+    ).select(F.col("__id__").alias("id_a"), F.col("__sh__").alias("__sha__"))
     fb = idx.join(
         cand.select(F.col("id_b").alias("__id__")).distinct(), "__id__", "left_semi"
-    ).select(F.col("__id__").alias("id_b"), "__sh__")
+    ).select(F.col("__id__").alias("id_b"), F.col("__sh__").alias("__shb__"))
     inter_all = (
-        fa.join(fb, (fa.__sh__ == fb.__sh__) & (F.col("id_a") < F.col("id_b")))
+        fa.join(
+            fb,
+            (F.col("__sha__") == F.col("__shb__")) & (F.col("id_a") < F.col("id_b")),
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("__inter__"))
     )
