@@ -2345,14 +2345,27 @@ def q_approx_distinct(spark, sf_dir):
 
 
 def q_percentile(spark, sf_dir):
-    """approx_percentile sketch — estimator-specific (rows-only check)."""
+    """approx_percentile sketch, EXACT-gated (upgraded from rows-only in
+    r6): with per-group rows < accuracy the GK sketch's rank error
+    floor(n/accuracy) is ZERO, so the sketch returns precisely the
+    nearest-rank observed value and matches DuckDB's quantile_disc
+    bit-for-bit (verified at all three fixture scales). Accuracy
+    self-sizes from the largest group — the quality_gate_approx pattern —
+    so fixture growth degrades the ERROR BOUND disclosure, never the
+    gate, and the plan keeps the production sketch shape: one
+    partial+final agg, no per-group sort."""
+    o = _t(spark, sf_dir, "orders")
+    max_group = o.groupBy("o_orderpriority").count().agg(F.max("count")).collect()[0][0]
+    # 10x margin, not max_group+1: Spark's GK bound is a CEILING on
+    # n/accuracy (a bare +1 left a ±1-rank slip at 30k-row groups —
+    # caught at sf0.1); at 10x the rank window is unambiguously zero
+    accuracy = max(10000, 10 * int(max_group))
     return (
-        _t(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
+        o.groupBy("o_orderpriority")
         .agg(
-            F.percentile_approx(cents("o_totalprice"), [0.5, 0.95, 0.99], 10000).alias(
-                "p_c"
-            )
+            F.percentile_approx(
+                cents("o_totalprice"), [0.5, 0.95, 0.99], accuracy
+            ).alias("p_c")
         )
         .select(
             "o_orderpriority",
@@ -2361,6 +2374,15 @@ def q_percentile(spark, sf_dir):
             F.col("p_c")[2].alias("p99_c"),
         )
     )
+
+
+ORACLE_PERCENTILE = f"""
+SELECT o_orderpriority,
+       quantile_disc({SQL_CENTS.format(x='o_totalprice')}, 0.5) AS p50_c,
+       quantile_disc({SQL_CENTS.format(x='o_totalprice')}, 0.95) AS p95_c,
+       quantile_disc({SQL_CENTS.format(x='o_totalprice')}, 0.99) AS p99_c
+FROM orders GROUP BY o_orderpriority
+"""
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -5610,6 +5632,7 @@ ORACLES = {
     "linear_drpc": ORACLE_LINEAR_DRPC,
     "window_hourly": ORACLE_WINDOW_HOURLY,
     "streaming_window_hourly": ORACLE_WINDOW_HOURLY,
+    "percentile": ORACLE_PERCENTILE,
     "window_sliding": ORACLE_WINDOW_SLIDING,
     "sessionize": ORACLE_SESSIONIZE,
     "json_extract": ORACLE_JSON_EXTRACT,

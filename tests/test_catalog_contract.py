@@ -4,10 +4,10 @@ registered without its oracle, a bench entry pointing at a renamed query,
 or a rows-only gate sneaking in unannounced."""
 
 ROWS_ONLY = {
-    # documented rows-only by design (VERDICT r5): sketches whose output
-    # is approximate, and the PIL-blocked multimodal decode
+    # documented rows-only by design: the HLL sketch's output is
+    # estimator-specific, and the multimodal decode is PIL-blocked
+    # (percentile graduated to exact in r6 via zero-rank-error accuracy)
     "approx_distinct",
-    "percentile",
     "multimodal_features",
 }
 
