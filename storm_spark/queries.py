@@ -1418,6 +1418,24 @@ SELECT doc_id, unnest(fps) AS fp FROM sel
 """
 
 
+def q_sessionize_native(spark, sf_dir):
+    """Sessionization through Spark's NATIVE ``session_window`` surface
+    (the built-in gap-merge operator, vs q_sessionize's lag+cumsum
+    formulation and the applyInPandasWithState streaming twin) — same
+    30-min gap, same per-user session counts, gated against the SAME
+    oracle, which proves the three formulations equivalent. Catalyst
+    plans this as a session-window aggregate: one user-keyed exchange,
+    in-partition merge of overlapping [start, last+gap) intervals — no
+    window-function pass at all."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Sessionization: 30-min-gap sessions per user (lag + cumulative-new-
     session — the batch twin of streaming session_window)."""
@@ -5473,6 +5491,8 @@ QUERIES = {
     "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     # r6-new: Spark's NATIVE windowed-agg state store gated end-to-end
     "streaming_window_hourly": q_streaming_window_hourly,
+    # r6-new: native session_window vs the lag+cumsum and stateful twins
+    "sessionize_native": q_sessionize_native,
     # r6-new: stateful streaming under a mid-feed driver restart
     # (checkpoint-recovery proof — VERDICT r5 #4)
     "streaming_recovery": q_streaming_recovery,
@@ -5633,6 +5653,7 @@ ORACLES = {
     "window_hourly": ORACLE_WINDOW_HOURLY,
     "streaming_window_hourly": ORACLE_WINDOW_HOURLY,
     "percentile": ORACLE_PERCENTILE,
+    "sessionize_native": ORACLE_SESSIONIZE,
     "window_sliding": ORACLE_WINDOW_SLIDING,
     "sessionize": ORACLE_SESSIONIZE,
     "json_extract": ORACLE_JSON_EXTRACT,
