@@ -132,6 +132,7 @@ HEADLINE = [
     "tpch_q17",
     "ks_drift",
     "dedup_jaccard_prefix",
+    "sessionize_native",
 ]
 
 
