@@ -133,6 +133,8 @@ HEADLINE = [
     "ks_drift",
     "dedup_jaccard_prefix",
     "sessionize_native",
+    "set_intersect",
+    "set_except",
 ]
 
 

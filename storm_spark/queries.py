@@ -1418,6 +1418,56 @@ SELECT doc_id, unnest(fps) AS fp FROM sel
 """
 
 
+def q_set_intersect(spark, sf_dir):
+    """Multiset INTERSECT ALL (Spark free win alongside semi/anti —
+    SURVEY §2.6): per-user event counts present in BOTH month-halves'
+    profiles, bag semantics (a user emitting k times in each half
+    intersects k times). Catalyst plans intersect-all as a partial-agg'd
+    count-min join, not a distinct pass."""
+    e = _events(spark, sf_dir)
+    first = e.filter(F.dayofmonth("ts") <= 15).select("user_id", "event_type")
+    second = e.filter(F.dayofmonth("ts") > 15).select("user_id", "event_type")
+    return (
+        first.intersectAll(second)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+
+
+ORACLE_SET_INTERSECT = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_common
+FROM (
+  SELECT user_id, event_type FROM events WHERE date_part('day', ts) <= 15
+  INTERSECT ALL
+  SELECT user_id, event_type FROM events WHERE date_part('day', ts) > 15)
+GROUP BY user_id
+"""
+
+
+def q_set_except(spark, sf_dir):
+    """Multiset EXCEPT ALL: (user, event_type) activity present in the
+    first month-half but gone in the second — the churn/regression diff,
+    bag semantics (surplus occurrences survive)."""
+    e = _events(spark, sf_dir)
+    first = e.filter(F.dayofmonth("ts") <= 15).select("user_id", "event_type")
+    second = e.filter(F.dayofmonth("ts") > 15).select("user_id", "event_type")
+    return (
+        first.exceptAll(second)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lost"))
+    )
+
+
+ORACLE_SET_EXCEPT = """
+SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_lost
+FROM (
+  SELECT user_id, event_type FROM events WHERE date_part('day', ts) <= 15
+  EXCEPT ALL
+  SELECT user_id, event_type FROM events WHERE date_part('day', ts) > 15)
+GROUP BY user_id, event_type
+"""
+
+
 def q_sessionize_native(spark, sf_dir):
     """Sessionization through Spark's NATIVE ``session_window`` surface
     (the built-in gap-merge operator, vs q_sessionize's lag+cumsum
@@ -5493,6 +5543,9 @@ QUERIES = {
     "streaming_window_hourly": q_streaming_window_hourly,
     # r6-new: native session_window vs the lag+cumsum and stateful twins
     "sessionize_native": q_sessionize_native,
+    # r6-new: multiset INTERSECT/EXCEPT ALL (the remaining set-op free win)
+    "set_intersect": q_set_intersect,
+    "set_except": q_set_except,
     # r6-new: stateful streaming under a mid-feed driver restart
     # (checkpoint-recovery proof — VERDICT r5 #4)
     "streaming_recovery": q_streaming_recovery,
@@ -5654,6 +5707,8 @@ ORACLES = {
     "streaming_window_hourly": ORACLE_WINDOW_HOURLY,
     "percentile": ORACLE_PERCENTILE,
     "sessionize_native": ORACLE_SESSIONIZE,
+    "set_intersect": ORACLE_SET_INTERSECT,
+    "set_except": ORACLE_SET_EXCEPT,
     "window_sliding": ORACLE_WINDOW_SLIDING,
     "sessionize": ORACLE_SESSIONIZE,
     "json_extract": ORACLE_JSON_EXTRACT,
