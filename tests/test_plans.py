@@ -137,6 +137,24 @@ _EXPRESSION_ONLY = [
     "contamination_pairs",
     "triangle_count",
     "trailing_corr",
+    # r6 expression-only additions
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q22",
+    "ks_drift",
+    "dedup_jaccard_prefix",
+    "percentile",
+    "sessionize_native",
+    "set_intersect",
+    "set_except",
 ]
 
 
