@@ -4242,6 +4242,83 @@ def q_streaming_window_hourly(spark, sf_dir):
 # oracle: ORACLE_WINDOW_HOURLY (same grid as the batch window_aggregate)
 
 
+def q_streaming_topk(spark, sf_dir):
+    """Streaming grouped FirstN (streaming/stateful.py stateful_topk) run
+    end-to-end and gated against the BATCH topk_per_group oracle: top-3
+    lineitems per returnflag by price, maintained as O(k) GroupState
+    across three time-ordered triggers and emitted ONCE per group when
+    the sentinel-advanced watermark passes the group's last event — the
+    reference's FirstN partial/final split (FirstN.java:31-124) as
+    checkpointed streaming state instead of a per-batch PriorityQueue.
+    Top-k merge commutes, so the time-ordered feed only matters for the
+    watermark's late-row drop rule, not the ranking itself."""
+    import os
+    import uuid
+    from datetime import timedelta
+
+    from storm_spark.streaming.stateful import stateful_topk
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        # the fixture's shipdate loads as TIMESTAMP_NTZ; stateful
+        # watermarks require the session (ltz) timestamp type
+        F.col("l_shipdate").cast("timestamp").alias("ts"),
+        cents("l_extendedprice").alias("price_c"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    tmp = tempfile.mkdtemp(prefix="storm_spark_stopk_")
+    indir = os.path.join(tmp, "in")
+    os.makedirs(indir)
+    w = Window.orderBy("ts", "l_orderkey", "l_linenumber")
+    parts = li.withColumn("__t__", F.ntile(3).over(w))
+    max_ts = li.agg(F.max("ts")).collect()[0][0]
+    feed_schema = li.schema
+    qname = "stopk_" + uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.schema(feed_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{indir}/*")
+    ).withWatermark("ts", "1 second")
+    out = stateful_topk(
+        stream, "l_returnflag", "ts", "price_c",
+        ["l_orderkey", "l_linenumber"], k=3,
+        flush_at_ts=max_ts.timestamp(),
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        for b in (1, 2, 3):
+            parts.filter(F.col("__t__") == b).select(*li.columns).coalesce(
+                1
+            ).write.mode("overwrite").parquet(os.path.join(indir, f"b{b}"))
+            q.processAllAvailable()
+        for i, off in enumerate((3600, 7200)):
+            sent = spark.createDataFrame(
+                [("__s__", max_ts + timedelta(seconds=off), 0, 0, 0)], feed_schema
+            )
+            sent.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(indir, f"s{i}")
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)  # memory sink holds the rows driver-side
+    return (
+        spark.table(qname)
+        .filter(F.col("l_returnflag") != "__s__")
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "price_c", "rank")
+    )
+
+
+# its oracle is ORACLE_TOPK_PER_GROUP — the batch grouped-FirstN contract
+
+
 def q_streaming_interval_join(spark, sf_dir):
     """Stream-STREAM interval join (streaming/joins.py interval_join) run
     END-TO-END and gated against the batch self-join oracle: even-id
@@ -5546,6 +5623,8 @@ QUERIES = {
     # r6-new: multiset INTERSECT/EXCEPT ALL (the remaining set-op free win)
     "set_intersect": q_set_intersect,
     "set_except": q_set_except,
+    # r6-new: streaming grouped FirstN — O(k) GroupState, watermark close-out
+    "streaming_topk": q_streaming_topk,
     # r6-new: stateful streaming under a mid-feed driver restart
     # (checkpoint-recovery proof — VERDICT r5 #4)
     "streaming_recovery": q_streaming_recovery,
@@ -5709,6 +5788,7 @@ ORACLES = {
     "sessionize_native": ORACLE_SESSIONIZE,
     "set_intersect": ORACLE_SET_INTERSECT,
     "set_except": ORACLE_SET_EXCEPT,
+    "streaming_topk": ORACLE_TOPK_PER_GROUP,
     "window_sliding": ORACLE_WINDOW_SLIDING,
     "sessionize": ORACLE_SESSIONIZE,
     "json_extract": ORACLE_JSON_EXTRACT,
