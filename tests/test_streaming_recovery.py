@@ -222,3 +222,76 @@ def test_restart_does_not_replay_committed_batches(spark):
 
     post = spark.read.parquet(outdir).filter(F.col("user_id") == 3).count()
     assert post == 1, "committed batch re-emitted after restart"
+
+
+def test_stateful_topk_silent_key_emits_once(spark):
+    """Regression for the r6 partial-emission bug: a key with data in
+    trigger 1, SILENT in trigger 2 while the global watermark advances
+    hours past its last event, then active again in trigger 3, must emit
+    exactly ONE final top-k (the flush-instant deadline), never a partial
+    mid-stream leaderboard plus a second one."""
+    from datetime import timedelta
+
+    from pyspark.sql.types import IntegerType, StringType
+
+    from storm_spark.streaming.stateful import stateful_topk
+
+    schema = StructType(
+        [
+            StructField("grp", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("score", LongType()),
+            StructField("item", LongType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="stopk_test_")
+    indir = os.path.join(tmp, "in")
+    os.makedirs(indir)
+    t = lambda h: T0 + timedelta(hours=h)
+    flush_at = t(30)
+    batches = [
+        # trigger 1: both keys
+        [("a", t(0), 10, 1), ("a", t(1), 30, 2), ("b", t(1), 5, 7)],
+        # trigger 2: only b — watermark jumps 20h past a's last event
+        [("b", t(20), 9, 8), ("b", t(21), 1, 9)],
+        # trigger 3: a returns with the true #1 item
+        [("a", t(29), 99, 3)],
+        # sentinels past the flush instant
+        [("__s__", t(40), 0, 0)],
+        [("__s__", t(50), 0, 0)],
+    ]
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{indir}/*")
+    ).withWatermark("ts", "1 second")
+    out = stateful_topk(
+        stream, "grp", "ts", "score", ["item"], k=2,
+        flush_at_ts=flush_at.timestamp(),
+    )
+    qname = "stopkt_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(indir, f"b{i}"))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    res = [
+        (r["grp"], r["score"], r["item"], r["rank"])
+        for r in spark.table(qname).filter(F.col("grp") != "__s__").collect()
+    ]
+    assert sorted(res) == [
+        ("a", 30, 2, 2),
+        ("a", 99, 3, 1),
+        ("b", 5, 7, 2),
+        ("b", 9, 8, 1),
+    ], sorted(res)
