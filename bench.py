@@ -135,6 +135,10 @@ HEADLINE = [
     "sessionize_native",
     "set_intersect",
     "set_except",
+    # late-r6 operators
+    "graph_bfs",
+    "dedup_merge",
+    "trailing_ewma",
 ]
 
 

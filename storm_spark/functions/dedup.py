@@ -872,3 +872,58 @@ def contamination_pairs(
         .filter(F.col("rank") <= int(top_k))
         .select("test_id", "train_id", "n_overlap", "containment", "rank")
     )
+
+
+def canonicalize_clusters(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+    cluster_id_col: str = "id",
+) -> DataFrame:
+    """Survivorship step after near-dup clustering: per duplicate cluster
+    keep the best record and report the collapse. Input is the corpus plus
+    a ``(id, cluster_id)`` assignment (:func:`near_dup_clusters` output —
+    which only covers nodes that appeared in a near-dup pair); documents
+    absent from the assignment are their own singleton cluster. The
+    canonical record is the cluster member with the highest
+    ``quality_col`` (ties broken by smallest id — deterministic).
+
+    Returns ``(cluster_id, canonical_id, cluster_size)`` — one row per
+    cluster. Downstream "keep one per cluster" is a semi-join of the
+    corpus against ``canonical_id``.
+
+    Scale shape: one LEFT join of the corpus against the (much smaller)
+    assignment table — AQE broadcasts it when it fits — then ONE exchange
+    keyed on cluster_id shared by both window computations (row_number for
+    the argmax and count for the size run over the same partition), with
+    the filter collapsing each cluster to a single row before anything
+    else sees it. No join-back, no driver collect; nothing scales past
+    |corpus| rows through a single keyed shuffle.
+    """
+    assign = clusters.select(
+        F.col(cluster_id_col).alias(id_col), F.col("cluster_id").alias("__cl__")
+    )
+    d = (
+        docs.select(id_col, quality_col)
+        .join(assign, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col(quality_col),
+            F.coalesce(F.col("__cl__"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        d.withColumn("__rn__", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .filter(F.col("__rn__") == 1)
+        .select(
+            F.col("cluster_id").cast("bigint"),
+            F.col(id_col).cast("bigint").alias("canonical_id"),
+            "cluster_size",
+        )
+    )

@@ -266,3 +266,67 @@ def triangle_count(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
     return per_node
+
+
+def graph_bfs(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    max_hops: int = 4,
+    directed: bool = False,
+) -> DataFrame:
+    """Multi-source BFS shortest-hop distance: ``(node, dist)`` for every
+    node reachable from any seed within ``max_hops`` edges, ``dist`` = the
+    MINIMUM hop count (seeds themselves at 0). The graph-traversal
+    companion to :func:`pagerank` (fixed-round value propagation) and
+    ``near_dup_clusters`` (min-label propagation): reachability questions
+    over the co-occurrence / near-dup graphs the other operators induce —
+    "what is within k hops of these flagged items", the contamination /
+    influence-radius question a curation pipeline asks.
+
+    Scale shape: the classic frontier formulation — per hop ONE join of
+    the (shrinking) frontier against the edge list shuffled on the edge
+    source, a DISTINCT on the discovered nodes, and an anti-join against
+    the visited set (both keyed shuffles bounded by |frontier|·avg-degree
+    and |visited|). The edge list persists once (bounded_persist) and is
+    reused every hop; ``localCheckpoint`` truncates lineage per round so
+    plans don't nest across iterations. The frontier monotonically shrinks
+    on diameter-bounded graphs; the loop exits early the moment a hop
+    discovers nothing (one ``limit(1).count()`` action per hop, the same
+    convergence-probe convention as ``near_dup_clusters``). Hop counts
+    are integers — exact on any engine.
+
+    Reference parity: iterative fixpoint over a keyed stream is Trident's
+    persistentAggregate-loop idiom (storm-core/src/jvm/storm/trident/
+    Stream.java groupBy/persistentAggregate); the BFS composition is the
+    beyond-reference training-pipeline layer.
+    """
+    e = edges.select(F.col(src_col).alias("__s__"), F.col(dst_col).alias("__d__"))
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("__d__").alias("__s__"), F.col("__s__").alias("__d__"))
+        )
+    e = bounded_persist(e.distinct(), "mining.graph_bfs.edges")
+    visited = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("int"))
+        .localCheckpoint()
+    )
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["__s__"])
+            .select(F.col("__d__").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop).cast("int"))
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return visited

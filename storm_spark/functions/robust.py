@@ -408,3 +408,54 @@ __tc__ AS (
               END AS r
   FROM __tcw__)
 """
+
+
+def trailing_ewma(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: Column | str,
+    alpha: float = 0.5,
+    lags: int = 8,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Append ``out_col`` = the exponentially-weighted trailing mean of the
+    key's last ``lags`` values (current row included, weight ``(1−α)^j`` at
+    lag j, renormalized over the slots that actually exist) — the smoothing
+    twin of :func:`trailing_zscore`'s uniform frame: recent points dominate,
+    warm-up rows average over the shorter available history instead of
+    emitting NULL, and a NULL value contributes neither weight nor mass.
+
+    Truncating the classically-infinite EWMA recursion at ``lags`` terms is
+    what makes the operator BOTH scale-safe and engine-exact: the windowed
+    form needs only an O(lags) ROWS buffer per key (the untruncated
+    recursion is a sequential scan with no partial aggregation), and the
+    remaining mass below the cut is (1−α)^lags — pick lags so that's noise.
+
+    Exactness: with α a binary fraction (0.5, 0.25, …) and integer-unit
+    values, every term ``x·(1−α)^j`` is a dyadic rational of bounded bits,
+    so the lag-chain numerator/denominator sums are EXACT doubles (no
+    accumulation rounding at all for |x| ≤ 2^40); the single final divide
+    rounds once, identically on any IEEE-754 engine. The weight literals
+    are emitted as exact decimal strings (binary fractions have finite
+    decimal expansions) so both engines parse the same double.
+
+    Scale shape: ONE key-keyed exchange; all ``lags`` lag() expressions
+    ride the SAME window spec, so Spark plans a single Window operator
+    streaming each key's sorted run with an O(lags) row buffer. The
+    blend is a map-side expression over the lag slots.
+
+    ``order_cols`` must make the per-key order total.
+    """
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast("double")
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(lags):
+        wt = F.lit((1.0 - alpha) ** j)
+        xj = v if j == 0 else F.lag(v, j).over(w)
+        num = num + F.coalesce(xj * wt, F.lit(0.0))
+        den = den + F.when(xj.isNotNull(), wt).otherwise(F.lit(0.0))
+    return df.withColumn(
+        out_col, F.when(den > 0, num / den)
+    )

@@ -5544,6 +5544,142 @@ def _oracle_ann_ivf_trained(k=5, n_lists=4, n_iters=2, n_probe=2):
 ORACLE_ANN_IVF_TRAINED = _oracle_ann_ivf_trained()
 
 
+# ---------------------------------------------------------------------------
+# late-round-6 operators: graph BFS, dedup survivorship, trailing EWMA
+# ---------------------------------------------------------------------------
+
+
+def _copurchase_edges(spark, sf_dir):
+    """The part co-purchase graph (shared with q_triangle_count): an edge
+    joins two parts bought together in >= 2 distinct orders — sparse and
+    scale-stable across sf."""
+    li = _t(spark, sf_dir, "lineitem")
+    co = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = co.alias("a"), co.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .filter(F.col("__n__") >= 2)
+        .select("src", "dst")
+    )
+
+
+def q_graph_bfs(spark, sf_dir):
+    """Multi-source BFS influence radius (mining.graph_bfs): shortest hop
+    distance from the lowest-id part to everything within 4 hops of the
+    co-purchase graph — the "what is within k hops of these flagged items"
+    reachability question (contamination radius, recall expansion) the
+    pair/cluster operators can't answer. Iterative frontier joins with an
+    early-exit probe per hop; integer hop counts are exact on any engine.
+    The oracle is a recursive CTE accumulating (node, depth) pairs (UNION
+    dedup bounds the state at |V|·hops even on cyclic graphs) min-folded
+    to the same distances — proving the frontier iteration equivalent to
+    the declarative fixpoint."""
+    edges = _copurchase_edges(spark, sf_dir)
+    seeds = edges.agg(F.min("src").alias("node"))
+    out = mining.graph_bfs(edges, seeds, "src", "dst", "node", max_hops=4)
+    return out.select(F.col("node").cast("bigint").alias("node"), "dist")
+
+
+ORACLE_GRAPH_BFS = """
+WITH RECURSIVE co AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM co a JOIN co b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+e AS (SELECT u AS s, v AS t FROM und UNION SELECT v, u FROM und),
+seeds AS (SELECT MIN(u) AS node FROM und),
+walk(node, d) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.t, walk.d + 1 FROM walk JOIN e ON e.s = walk.node WHERE walk.d < 4)
+SELECT CAST(node AS BIGINT) AS node, CAST(MIN(d) AS INT) AS dist
+FROM walk GROUP BY node
+"""
+
+
+def q_dedup_merge(spark, sf_dir):
+    """Dedup survivorship (dedup.canonicalize_clusters): the step AFTER
+    clustering — per near-dup cluster (MinHash-LSH pairs → connected
+    components, singletons included via the left-join coalesce) keep the
+    highest-quality record (max n_chars, ties to smallest id) and report
+    the collapse as (cluster_id, canonical_id, cluster_size). One corpus
+    join against the small assignment table plus ONE cluster-keyed
+    exchange shared by both window computations."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_perm=12, bands=4)
+    clusters = dedup.near_dup_clusters(pairs)
+    return dedup.canonicalize_clusters(docs, clusters, "doc_id", "n_chars")
+
+
+def _oracle_dedup_merge():
+    assign = _oracle_dedup_cluster().strip().rstrip()
+    return f"""
+WITH assign AS ({assign}),
+fulljoin AS (
+  SELECT d.doc_id, d.n_chars, COALESCE(a.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN assign a USING (doc_id)),
+r AS (
+  SELECT cluster_id, doc_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM fulljoin)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(doc_id AS BIGINT) AS canonical_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM r WHERE rn = 1
+"""
+
+
+ORACLE_DEDUP_MERGE = _oracle_dedup_merge()
+
+
+def q_trailing_ewma(spark, sf_dir):
+    """Trailing exponential smoothing (robust.trailing_ewma): each event's
+    value (cents) blended over the user's last 8 rows with half-decay
+    weights, renormalized over the slots that exist — reported as the
+    smoothing-residual spikes (|raw − smoothed| > 2500 cents), the
+    "sudden departure from recent level" screen that complements
+    trailing_zscore's variance-scaled one. α = 0.5 and integer cents make
+    every weighted term dyadic: the lag-chain sums are EXACT doubles and
+    the single divide rounds once, identically on both engines."""
+    e = _events(spark, sf_dir).withColumn("v_c", cents("value"))
+    scored = robust.trailing_ewma(
+        e, "user_id", ["ts", "event_id"], "v_c", alpha=0.5, lags=8
+    )
+    return scored.filter(
+        F.abs(F.col("v_c") - F.col("ewma")) > 2500
+    ).select("user_id", "event_id", "v_c", F.round("ewma", 6).alias("ewma"))
+
+
+def _oracle_trailing_ewma(alpha=0.5, lags=8, threshold=2500):
+    v = SQL_CENTS.format(x="value")
+    over = "OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)"
+    num_terms, den_terms = [], []
+    for j in range(lags):
+        wt = repr((1.0 - alpha) ** j)
+        xj = f"CAST({v} AS DOUBLE)" if j == 0 else f"CAST(lag({v}, {j}) {over} AS DOUBLE)"
+        num_terms.append(f"COALESCE({xj} * {wt}, 0.0)")
+        den_terms.append(f"CASE WHEN {xj} IS NOT NULL THEN {wt} ELSE 0.0 END")
+    num = " + ".join(num_terms)
+    den = " + ".join(den_terms)
+    return f"""
+WITH scored AS (
+  SELECT user_id, event_id, {v} AS v_c,
+         CASE WHEN ({den}) > 0 THEN ({num}) / ({den}) END AS ewma
+  FROM events)
+SELECT user_id, event_id, v_c, round(ewma, 6) AS ewma
+FROM scored WHERE abs(v_c - ewma) > {threshold}
+"""
+
+
+ORACLE_TRAILING_EWMA = _oracle_trailing_ewma()
+
+
 # Insertion order matters: the driver's correctness gate samples the FIRST 50
 # entries. Rotated three times in round 4 so every operator with zero driver
 # rows sits inside the window: (1) the 15 queries catalog growth pushed past
@@ -5632,9 +5768,14 @@ QUERIES = {
     "outlier_mad": q_outlier_mad,
     "outlier_mad_hist": q_outlier_mad_hist,
     "gap_fill": q_gap_fill,
-    "weighted_sample": q_weighted_sample,
-    "bucketed_join": q_bucketed_join,
-    "partition_pruned": q_partition_pruned,
+    # rotation 6b: the three late-r6 operators (frontier BFS, dedup
+    # survivorship, trailing EWMA) go straight into the driver window;
+    # weighted_sample / bucketed_join / partition_pruned (driver-green
+    # since r1-r3, re-verified locally at sf0.01 each round) demoted to
+    # the tail.
+    "graph_bfs": q_graph_bfs,
+    "dedup_merge": q_dedup_merge,
+    "trailing_ewma": q_trailing_ewma,
     "bloom_join": q_bloom_join,
     "redact_pii": q_redact_pii,
     # rotation 5: ann_ivf_trained promoted (the ONE catalog query never
@@ -5675,6 +5816,9 @@ QUERIES = {
     "asof_join": q_asof_join,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "winnow_fingerprint": q_winnow_fingerprint,
+    "weighted_sample": q_weighted_sample,
+    "bucketed_join": q_bucketed_join,
+    "partition_pruned": q_partition_pruned,
     "embedding_near_dup": q_embedding_near_dup,
     "wordcount": q_wordcount,
     "rollup_continuous": q_rollup_continuous,
@@ -5877,6 +6021,9 @@ ORACLES = {
     "funnel": ORACLE_FUNNEL,
     "retention": ORACLE_RETENTION,
     "ann_ivf_trained": ORACLE_ANN_IVF_TRAINED,
+    "graph_bfs": ORACLE_GRAPH_BFS,
+    "dedup_merge": ORACLE_DEDUP_MERGE,
+    "trailing_ewma": ORACLE_TRAILING_EWMA,
     "outlier_mad": ORACLE_OUTLIER_MAD,
     "gap_fill": ORACLE_GAP_FILL,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,

@@ -1,0 +1,174 @@
+"""Unit + property tests for the late-round-6 operators: graph_bfs
+(frontier BFS vs a brute-force Python BFS), canonicalize_clusters
+(survivorship rules), trailing_ewma (vs a per-key Python model)."""
+
+import collections
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _python_bfs(edges, seeds, max_hops, directed):
+    adj = collections.defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+        if not directed:
+            adj[d].add(s)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for n in frontier:
+            nxt |= adj[n]
+        nxt -= dist.keys()
+        if not nxt:
+            break
+        for n in nxt:
+            dist[n] = h
+        frontier = nxt
+    return dist
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    n_seeds=st.integers(1, 3),
+    max_hops=st.integers(1, 4),
+    directed=st.booleans(),
+)
+def test_graph_bfs_equals_bruteforce(spark, edges, n_seeds, max_hops, directed):
+    from storm_spark.functions import mining
+
+    seeds = sorted({e[0] for e in edges})[:n_seeds]
+    e_df = spark.createDataFrame(edges, "src int, dst int")
+    s_df = spark.createDataFrame([(s,) for s in seeds], "node int")
+    got = {
+        (r["node"], r["dist"])
+        for r in mining.graph_bfs(
+            e_df, s_df, max_hops=max_hops, directed=directed
+        ).collect()
+    }
+    want = set(_python_bfs(edges, seeds, max_hops, directed).items())
+    assert got == want
+
+
+def test_graph_bfs_unreachable_and_hop_cap(spark):
+    """A disconnected node never appears; max_hops truncates a chain."""
+    from storm_spark.functions import mining
+
+    chain = [(i, i + 1) for i in range(5)] + [(10, 11)]
+    e_df = spark.createDataFrame(chain, "src int, dst int")
+    s_df = spark.createDataFrame([(0,)], "node int")
+    out = dict(
+        (r["node"], r["dist"])
+        for r in mining.graph_bfs(e_df, s_df, max_hops=2, directed=True).collect()
+    )
+    assert out == {0: 0, 1: 1, 2: 2}
+
+
+def test_canonicalize_clusters_rules(spark):
+    """Max-quality wins, ties break to the smallest id, singletons coalesce
+    to their own cluster, sizes count every member."""
+    from storm_spark.functions import dedup
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 40), (3, 40), (7, 5)], "doc_id long, n_chars long"
+    )
+    # cluster {1,2,3} labeled by min id; doc 7 absent from the assignment
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "id long, cluster_id long"
+    )
+    rows = {
+        r["cluster_id"]: (r["canonical_id"], r["cluster_size"])
+        for r in dedup.canonicalize_clusters(docs, clusters).collect()
+    }
+    # ties 2 vs 3 at n_chars 40 -> min id 2; singleton 7 -> itself, size 1
+    assert rows == {1: (2, 3), 7: (7, 1)}
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(0, 1000)), min_size=1, max_size=20
+    ),
+    alpha=st.sampled_from([0.5, 0.25]),
+    lags=st.sampled_from([3, 8]),
+)
+def test_trailing_ewma_equals_python_model(spark, vals, alpha, lags):
+    """Renormalized truncated EWMA: weights (1-a)^j over the slots whose
+    lagged value exists (inside the key AND non-NULL)."""
+    from storm_spark.functions import robust
+
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k int, i int, v long")
+    got = {
+        r["i"]: r["ewma"]
+        for r in robust.trailing_ewma(
+            df, "k", ["i"], "v", alpha=alpha, lags=lags
+        ).collect()
+    }
+    for i in range(len(vals)):
+        num = den = 0.0
+        for j in range(lags):
+            if i - j < 0 or vals[i - j] is None:
+                continue
+            w = (1.0 - alpha) ** j
+            num += vals[i - j] * w
+            den += w
+        want = num / den if den > 0 else None
+        if want is None:
+            assert got[i] is None
+        else:
+            assert got[i] == pytest.approx(want, abs=1e-9)
+
+
+def test_trailing_ewma_single_exchange(spark):
+    """All lag terms must ride ONE window operator: exactly one Exchange
+    (plus none for the literal source) and no Python eval in the plan."""
+    from storm_spark.functions import robust
+
+    df = spark.createDataFrame([(1, 1, 10)], "k int, i int, v long")
+    plan = (
+        robust.trailing_ewma(df, "k", ["i"], "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+    assert plan.count("Window") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_canonicalize_clusters_one_keyed_exchange(spark):
+    """row_number and the size count share the cluster_id partition: the
+    plan has exactly one exchange keyed on cluster_id after the join."""
+    from storm_spark.functions import dedup
+
+    docs = spark.createDataFrame([(1, 10)], "doc_id long, n_chars long")
+    clusters = spark.createDataFrame([(1, 1)], "id long, cluster_id long")
+    plan = (
+        dedup.canonicalize_clusters(docs, clusters)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(cluster_id" in plan
+    # one partitioning for the two window ops (count may reuse row_number's)
+    assert plan.count("hashpartitioning(cluster_id") <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

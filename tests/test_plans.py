@@ -155,6 +155,10 @@ _EXPRESSION_ONLY = [
     "sessionize_native",
     "set_intersect",
     "set_except",
+    # late-r6 expression-only additions (graph_bfs excluded: its plan
+    # construction runs per-hop actions, covered by test_late_r6 instead)
+    "dedup_merge",
+    "trailing_ewma",
 ]
 
 
