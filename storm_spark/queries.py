@@ -5680,6 +5680,80 @@ FROM scored WHERE abs(v_c - ewma) > {threshold}
 ORACLE_TRAILING_EWMA = _oracle_trailing_ewma()
 
 
+def q_streaming_enrich(spark, sf_dir):
+    """Stream-STATIC enrich (streaming/joins.py static_enrich) run
+    END-TO-END: the events stream joins the batch-computed per-user
+    profile (lifetime count + sum of cents) inside every micro-batch —
+    Trident's stateQuery+MapGet enrich re-expressed as Spark's
+    stream-static join (the static side is re-planned per batch, no
+    streaming state store, no watermark needed). Spike events are flagged
+    with INTEGER arithmetic only (v·n > 2·Σv — no doubles, engine-exact);
+    output is per-user spike counts, equal to the batch join by
+    construction since the join is stateless across batches."""
+    import os
+    import uuid
+
+    from storm_spark.streaming.joins import static_enrich
+
+    e = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    profile = (
+        e.withColumn("v_c", cents("value"))
+        .groupBy("user_id")
+        .agg(
+            F.count("v_c").alias("n_u"),
+            F.sum("v_c").alias("sum_u"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="storm_spark_senr_")
+    feed_dir = os.path.join(tmp, "feed")
+    os.makedirs(feed_dir)
+    w = Window.orderBy("ts", "event_id")
+    parts = e.withColumn("__t__", F.ntile(3).over(w))
+    qname = "senr_" + uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{feed_dir}/*")
+    ).withColumn("v_c", cents("value"))
+    enriched = static_enrich(stream, profile, "user_id", how="inner")
+    spikes = enriched.filter(
+        F.col("v_c") * F.col("n_u") > F.lit(2) * F.col("sum_u")
+    ).select("user_id", "event_id")
+    q = (
+        spikes.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        for b in (1, 2, 3):
+            parts.filter(F.col("__t__") == b).select(*e.columns).coalesce(
+                1
+            ).write.mode("overwrite").parquet(os.path.join(feed_dir, f"b{b}"))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)  # memory sink holds the rows driver-side
+    return (
+        spark.table(qname)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_spikes"))
+    )
+
+
+ORACLE_STREAMING_ENRICH = f"""
+WITH ev AS (
+  SELECT user_id, event_id, {SQL_CENTS.format(x='value')} AS v_c FROM events),
+prof AS (
+  SELECT user_id, COUNT(v_c) AS n_u, SUM(v_c) AS sum_u FROM ev GROUP BY user_id)
+SELECT ev.user_id, COUNT(*) AS n_spikes
+FROM ev JOIN prof USING (user_id)
+WHERE ev.v_c * prof.n_u > 2 * prof.sum_u
+GROUP BY ev.user_id
+"""
+
+
 # Insertion order matters: the driver's correctness gate samples the FIRST 50
 # entries. Rotated three times in round 4 so every operator with zero driver
 # rows sits inside the window: (1) the 15 queries catalog growth pushed past
@@ -5776,8 +5850,8 @@ QUERIES = {
     "graph_bfs": q_graph_bfs,
     "dedup_merge": q_dedup_merge,
     "trailing_ewma": q_trailing_ewma,
+    "streaming_enrich": q_streaming_enrich,
     "bloom_join": q_bloom_join,
-    "redact_pii": q_redact_pii,
     # rotation 5: ann_ivf_trained promoted (the ONE catalog query never
     # driver-sampled through r4 — k-means-trained IVF path); rolling_active
     # (driver-green r4, re-verified locally each round) demoted to the tail
@@ -5819,6 +5893,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "bucketed_join": q_bucketed_join,
     "partition_pruned": q_partition_pruned,
+    "redact_pii": q_redact_pii,
     "embedding_near_dup": q_embedding_near_dup,
     "wordcount": q_wordcount,
     "rollup_continuous": q_rollup_continuous,
@@ -6024,6 +6099,7 @@ ORACLES = {
     "graph_bfs": ORACLE_GRAPH_BFS,
     "dedup_merge": ORACLE_DEDUP_MERGE,
     "trailing_ewma": ORACLE_TRAILING_EWMA,
+    "streaming_enrich": ORACLE_STREAMING_ENRICH,
     "outlier_mad": ORACLE_OUTLIER_MAD,
     "gap_fill": ORACLE_GAP_FILL,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,

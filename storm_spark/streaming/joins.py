@@ -47,3 +47,29 @@ def interval_join(
         & (F.col(rt) <= F.col(ts_col) + F.expr(f"INTERVAL {int(upper_seconds)} SECONDS"))
     )
     return left.join(r, cond, "inner")
+
+
+def static_enrich(
+    stream: DataFrame,
+    static: DataFrame,
+    key_cols: list[str] | str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-STATIC join: enrich each streaming row with the matching row
+    of a batch-computed dimension (a per-key profile, a lookup table, a
+    model score) — the Structured-Streaming analogue of Trident's
+    ``stateQuery`` + ``MapGet`` enrich (storm-core/src/jvm/storm/trident/
+    Stream.java stateQuery): the reference queries a persistent state per
+    tuple; Spark re-plans the static side into every micro-batch and joins
+    it instead, so the "state read" is a join with full optimizer support.
+
+    Stateless across batches — each micro-batch joins independently, no
+    streaming state store, so any output mode works and there is no
+    watermark requirement. At scale the per-batch plan is an ordinary
+    batch join: the planner broadcasts the dimension when it fits and
+    shuffle-joins otherwise (no forced broadcast hint here — a per-key
+    profile is key-cardinality-sized and grows with the corpus; the
+    mining.py:163 rationale).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    return stream.join(static, keys, how)

@@ -9,6 +9,8 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+from conftest import sorted_rows
+
 SETTINGS = dict(
     max_examples=10,
     deadline=None,
@@ -172,3 +174,41 @@ def test_canonicalize_clusters_one_keyed_exchange(spark):
     # one partitioning for the two window ops (count may reuse row_number's)
     assert plan.count("hashpartitioning(cluster_id") <= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_static_enrich_matches_batch_join(spark, tmp_path):
+    """Stream-static enrich over two micro-batches equals the batch join;
+    stateless across batches (append mode, no watermark)."""
+    import uuid
+
+    from storm_spark.streaming.joins import static_enrich
+
+    static = spark.createDataFrame(
+        [(1, "gold"), (2, "basic")], "user_id int, tier string"
+    )
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    qname = "enr_" + uuid.uuid4().hex[:8]
+    stream = spark.readStream.schema("user_id int, v int").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(feed) + "/*")
+    q = (
+        static_enrich(stream, static, "user_id", how="inner")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        rows = [[(1, 10), (3, 30)], [(2, 20), (1, 11)]]
+        for i, batch in enumerate(rows):
+            spark.createDataFrame(batch, "user_id int, v int").coalesce(
+                1
+            ).write.mode("overwrite").parquet(str(feed / f"b{i}"))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted_rows(spark.table(qname).select("user_id", "v", "tier"))
+    # user 3 has no profile row (inner join drops it); both batches joined
+    assert got == [(1, 10, "gold"), (1, 11, "gold"), (2, 20, "basic")]
