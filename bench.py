@@ -139,6 +139,7 @@ HEADLINE = [
     "graph_bfs",
     "dedup_merge",
     "trailing_ewma",
+    "k_core",
 ]
 
 

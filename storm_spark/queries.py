@@ -5754,6 +5754,44 @@ GROUP BY ev.user_id
 """
 
 
+def q_k_core(spark, sf_dir):
+    """k-core density screen (mining.k_core): 4 peeling rounds at k=3
+    over the part co-purchase graph — iteratively dropping degree<3
+    nodes (with the cascade) isolates the co-purchase backbone from
+    tendrils, the cohesion question triangle_count's local counts and
+    graph_bfs's reachability don't answer. The oracle unrolls the same
+    rounds as CTE layers (the pagerank/k-means convention); the engine's
+    early exit is a no-op for equality since converged rounds change
+    nothing. Integer degrees — exact on any engine."""
+    edges = _copurchase_edges(spark, sf_dir)
+    return mining.k_core(edges, k=3, max_rounds=4)
+
+
+def _oracle_k_core(k=3, rounds=4):
+    sql = """
+WITH co AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM co a JOIN co b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+e0 AS (SELECT u AS s, v AS t FROM und UNION ALL SELECT v, u FROM und)"""
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        sql += f""",
+surv{i} AS (SELECT s AS node FROM {prev} GROUP BY s HAVING COUNT(*) >= {k}),
+e{i} AS (SELECT e.s, e.t FROM {prev} e
+         JOIN surv{i} a ON a.node = e.s JOIN surv{i} b ON b.node = e.t)"""
+        prev = f"e{i}"
+    sql += f"""
+SELECT CAST(s AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS degree
+FROM {prev} GROUP BY s"""
+    return sql
+
+
+ORACLE_K_CORE = _oracle_k_core()
+
+
 # Insertion order matters: the driver's correctness gate samples the FIRST 50
 # entries. Rotated three times in round 4 so every operator with zero driver
 # rows sits inside the window: (1) the 15 queries catalog growth pushed past
@@ -5851,13 +5889,13 @@ QUERIES = {
     "dedup_merge": q_dedup_merge,
     "trailing_ewma": q_trailing_ewma,
     "streaming_enrich": q_streaming_enrich,
+    "k_core": q_k_core,
     "bloom_join": q_bloom_join,
     # rotation 5: ann_ivf_trained promoted (the ONE catalog query never
     # driver-sampled through r4 — k-means-trained IVF path); rolling_active
     # (driver-green r4, re-verified locally each round) demoted to the tail
     "ann_ivf_trained": q_ann_ivf_trained,
     "unigram_surprisal": q_unigram_surprisal,
-    "quota_sample": q_quota_sample,
     "quality_repetition": q_quality_repetition,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
@@ -5894,6 +5932,7 @@ QUERIES = {
     "bucketed_join": q_bucketed_join,
     "partition_pruned": q_partition_pruned,
     "redact_pii": q_redact_pii,
+    "quota_sample": q_quota_sample,
     "embedding_near_dup": q_embedding_near_dup,
     "wordcount": q_wordcount,
     "rollup_continuous": q_rollup_continuous,
@@ -6100,6 +6139,7 @@ ORACLES = {
     "dedup_merge": ORACLE_DEDUP_MERGE,
     "trailing_ewma": ORACLE_TRAILING_EWMA,
     "streaming_enrich": ORACLE_STREAMING_ENRICH,
+    "k_core": ORACLE_K_CORE,
     "outlier_mad": ORACLE_OUTLIER_MAD,
     "gap_fill": ORACLE_GAP_FILL,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,

@@ -212,3 +212,46 @@ def test_static_enrich_matches_batch_join(spark, tmp_path):
     got = sorted_rows(spark.table(qname).select("user_id", "v", "tier"))
     # user 3 has no profile row (inner join drops it); both batches joined
     assert got == [(1, 10, "gold"), (1, 11, "gold"), (2, 20, "basic")]
+
+
+def _python_k_core(edges, k, rounds):
+    adj = collections.defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    alive = set(adj)
+    for _ in range(rounds):
+        surv = {n for n in alive if len(adj[n] & alive) >= k}
+        if surv == alive:
+            break
+        alive = surv
+    # engine/oracle derive nodes from the surviving EDGE list: a node that
+    # survived the last round but lost its last edge does not appear
+    return {
+        n: len(adj[n] & alive) for n in alive if adj[n] & alive
+    }
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 10), st.integers(0, 10)),
+        min_size=1,
+        max_size=35,
+    ),
+    k=st.integers(1, 3),
+    rounds=st.integers(1, 4),
+)
+def test_k_core_equals_bruteforce(spark, edges, k, rounds):
+    """Fixed-round peeling (with early exit) must equal the Python model:
+    same survivors, same within-core degrees, self-loops ignored."""
+    from storm_spark.functions import mining
+
+    e_df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        (r["node"], r["degree"])
+        for r in mining.k_core(e_df, k=k, max_rounds=rounds).collect()
+    }
+    want = set(_python_k_core(edges, k, rounds).items())
+    assert got == want
