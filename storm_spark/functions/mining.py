@@ -309,27 +309,35 @@ def graph_bfs(
             e.select(F.col("__d__").alias("__s__"), F.col("__s__").alias("__d__"))
         )
     e = bounded_persist(e.distinct(), "mining.graph_bfs.edges")
-    visited = (
+    # per-hop layers are checkpointed ONCE each; the visited set is a lazy
+    # union over those cached layers (re-checkpointing the growing visited
+    # table every hop would rewrite O(V) rows per hop for nothing)
+    layers = [
         seeds.select(F.col(seed_col).alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("int"))
         .localCheckpoint()
-    )
-    frontier = visited.select("node")
+    ]
+    visited_nodes = layers[0].select("node")
+    frontier = visited_nodes
     for hop in range(1, max_hops + 1):
         nxt = (
             frontier.join(e, frontier["node"] == e["__s__"])
             .select(F.col("__d__").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(visited_nodes, "node", "left_anti")
             .withColumn("dist", F.lit(hop).cast("int"))
             .localCheckpoint()
         )
         if nxt.limit(1).count() == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        layers.append(nxt)
+        visited_nodes = visited_nodes.unionByName(nxt.select("node"))
         frontier = nxt.select("node")
-    return visited
+    out = layers[0]
+    for layer in layers[1:]:
+        out = out.unionByName(layer)
+    return out
 
 
 def k_core(
@@ -379,7 +387,10 @@ def k_core(
         )
         .localCheckpoint()
     )
-    n_nodes = cur.select("__s__").distinct().count()
+    # convergence probe on the EDGE count (a plain count of the cached
+    # checkpoint — no distinct shuffle): an edge disappears iff one of its
+    # endpoints was peeled, so unchanged edges ⟺ unchanged nodes
+    n_edges = cur.count()
     for _ in range(max_rounds):
         surv = (
             cur.groupBy("__s__")
@@ -396,11 +407,11 @@ def k_core(
             )
             .localCheckpoint()
         )
-        n_after = nxt.select("__s__").distinct().count()
+        n_after = nxt.count()
         cur = nxt
-        if n_after == n_nodes:
+        if n_after == n_edges:
             break
-        n_nodes = n_after
+        n_edges = n_after
     return cur.groupBy(F.col("__s__").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("degree")
     )
