@@ -5577,7 +5577,11 @@ def q_graph_bfs(spark, sf_dir):
     dedup bounds the state at |V|·hops even on cyclic graphs) min-folded
     to the same distances — proving the frontier iteration equivalent to
     the declarative fixpoint."""
-    edges = _copurchase_edges(spark, sf_dir)
+    # persist the co-purchase join ONCE: both the seed agg and the BFS edge
+    # cache fill read it (unpersisted it would run the self-join twice)
+    edges = bounded_persist(
+        _copurchase_edges(spark, sf_dir), "queries.graph_bfs.copurchase"
+    )
     seeds = edges.agg(F.min("src").alias("node"))
     out = mining.graph_bfs(edges, seeds, "src", "dst", "node", max_hops=4)
     return out.select(F.col("node").cast("bigint").alias("node"), "dist")
