@@ -140,6 +140,8 @@ HEADLINE = [
     "dedup_merge",
     "trailing_ewma",
     "k_core",
+    "unpivot",
+    "quantile_normalize",
 ]
 
 

@@ -5796,6 +5796,73 @@ FROM {prev} GROUP BY s"""
 ORACLE_K_CORE = _oracle_k_core()
 
 
+def q_unpivot(spark, sf_dir):
+    """Wide→long reshaping (DataFrame.unpivot / SQL stack): the inverse of
+    q_pivot and the missing fourth OLAP reshaping verb next to
+    cube/rollup/pivot — melt the four lineitem money/quantity measures
+    into (l_returnflag, metric, value_c) rows and aggregate per metric.
+    A pure narrow projection (explode of a 4-struct literal per row, no
+    extra shuffle beyond the final agg); integer cents keep it exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    melted = li.select(
+        "l_returnflag",
+        cents("l_quantity").alias("quantity"),
+        cents("l_extendedprice").alias("extendedprice"),
+        cents("l_discount").alias("discount"),
+        cents("l_tax").alias("tax"),
+    ).unpivot(
+        ["l_returnflag"],
+        ["quantity", "extendedprice", "discount", "tax"],
+        "metric",
+        "value_c",
+    )
+    return melted.groupBy("l_returnflag", "metric").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("value_c").cast("bigint").alias("sum_c"),
+    )
+
+
+_UNPIVOT_METRICS = ["quantity", "extendedprice", "discount", "tax"]
+ORACLE_UNPIVOT = (
+    "WITH m AS ("
+    + "\n  UNION ALL ".join(
+        f"SELECT l_returnflag, '{m}' AS metric, "
+        f"{SQL_CENTS.format(x='l_' + m)} AS value_c FROM lineitem"
+        for m in _UNPIVOT_METRICS
+    )
+    + """)
+SELECT l_returnflag, metric, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(value_c) AS BIGINT) AS sum_c
+FROM m GROUP BY l_returnflag, metric
+"""
+)
+
+
+def q_quantile_normalize(spark, sf_dir):
+    """Cross-group score calibration: each document's length mapped to its
+    WITHIN-LANGUAGE percent_rank — the "same scale across domains"
+    normalization a mixture pipeline applies before comparing quality
+    scores between subcorpora with different raw distributions. One keyed
+    window exchange; percent_rank = (rank−1)/(n−1) with min-rank ties is
+    the identical definition on both engines, and the single divide of
+    two exact integers rounds once. Rows in singleton groups emit 0."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(F.percent_rank().over(w), 8).alias("pr"),
+    )
+
+
+ORACLE_QUANTILE_NORMALIZE = """
+SELECT doc_id, lang, n_chars,
+       round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars), 8) AS pr
+FROM documents
+"""
+
+
 # Insertion order matters: the driver's correctness gate samples the FIRST 50
 # entries. Rotated three times in round 4 so every operator with zero driver
 # rows sits inside the window: (1) the 15 queries catalog growth pushed past
@@ -5894,12 +5961,12 @@ QUERIES = {
     "trailing_ewma": q_trailing_ewma,
     "streaming_enrich": q_streaming_enrich,
     "k_core": q_k_core,
-    "bloom_join": q_bloom_join,
+    "unpivot": q_unpivot,
+    "quantile_normalize": q_quantile_normalize,
     # rotation 5: ann_ivf_trained promoted (the ONE catalog query never
     # driver-sampled through r4 — k-means-trained IVF path); rolling_active
     # (driver-green r4, re-verified locally each round) demoted to the tail
     "ann_ivf_trained": q_ann_ivf_trained,
-    "unigram_surprisal": q_unigram_surprisal,
     "quality_repetition": q_quality_repetition,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
@@ -5937,6 +6004,8 @@ QUERIES = {
     "partition_pruned": q_partition_pruned,
     "redact_pii": q_redact_pii,
     "quota_sample": q_quota_sample,
+    "bloom_join": q_bloom_join,
+    "unigram_surprisal": q_unigram_surprisal,
     "embedding_near_dup": q_embedding_near_dup,
     "wordcount": q_wordcount,
     "rollup_continuous": q_rollup_continuous,
@@ -6144,6 +6213,8 @@ ORACLES = {
     "trailing_ewma": ORACLE_TRAILING_EWMA,
     "streaming_enrich": ORACLE_STREAMING_ENRICH,
     "k_core": ORACLE_K_CORE,
+    "unpivot": ORACLE_UNPIVOT,
+    "quantile_normalize": ORACLE_QUANTILE_NORMALIZE,
     "outlier_mad": ORACLE_OUTLIER_MAD,
     "gap_fill": ORACLE_GAP_FILL,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,

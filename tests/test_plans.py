@@ -159,6 +159,8 @@ _EXPRESSION_ONLY = [
     # construction runs per-hop actions, covered by test_late_r6 instead)
     "dedup_merge",
     "trailing_ewma",
+    "unpivot",
+    "quantile_normalize",
 ]
 
 
