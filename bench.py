@@ -142,6 +142,7 @@ HEADLINE = [
     "k_core",
     "unpivot",
     "quantile_normalize",
+    "weighted_median",
 ]
 
 

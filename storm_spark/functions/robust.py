@@ -459,3 +459,51 @@ def trailing_ewma(
     return df.withColumn(
         out_col, F.when(den > 0, num / den)
     )
+
+
+def weighted_percentile(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: Column | str,
+    weight_col: Column | str,
+    p_num: int = 1,
+    p_den: int = 2,
+    out_col: str = "wpct",
+) -> DataFrame:
+    """Exact weighted lower-percentile per group: the smallest value v such
+    that the total weight of rows with value ≤ v reaches ``p_num/p_den`` of
+    the group's weight — weighted median at 1/2. The statistic a WEIGHTED
+    corpus needs where plain percentiles mislead ("the discount level at
+    which half the quantity ships"; the quality score below which half the
+    token mass sits). NULL values/weights contribute nothing.
+
+    Exact and engine-portable by construction: the threshold test is pure
+    integer arithmetic (``p_den·cum ≥ p_num·tot`` — no doubles anywhere),
+    and the cumulative weight uses the ties-INCLUSIVE default RANGE frame
+    (ORDER BY value ⇒ RANGE UNBOUNDED PRECEDING..CURRENT ROW on both
+    engines), so every row of a tied value block sees the block-end
+    cumulative and the answer is independent of intra-tie row order.
+
+    Scale shape: ONE group-keyed exchange — both window functions (running
+    and total weight) ride the same partition, and the final min-aggregate
+    groups on the partitioning key, so Catalyst plans no second shuffle.
+    Weights/values must be integers (cast upstream: cents, token counts).
+    """
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast("bigint")
+    wt = (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast(
+        "bigint"
+    )
+    base = df.select(*group_cols, v.alias("__v__"), wt.alias("__w__")).filter(
+        F.col("__v__").isNotNull() & F.col("__w__").isNotNull()
+    )
+    cum = F.sum("__w__").over(
+        Window.partitionBy(*group_cols).orderBy("__v__")
+    )
+    tot = F.sum("__w__").over(Window.partitionBy(*group_cols))
+    return (
+        base.withColumn("__cum__", cum)
+        .withColumn("__tot__", tot)
+        .filter(F.lit(int(p_den)) * F.col("__cum__") >= F.lit(int(p_num)) * F.col("__tot__"))
+        .groupBy(*group_cols)
+        .agg(F.min("__v__").alias(out_col))
+    )

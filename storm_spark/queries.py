@@ -5863,6 +5863,45 @@ FROM documents
 """
 
 
+def q_weighted_median(spark, sf_dir):
+    """Exact weighted median (robust.weighted_percentile at p=1/2): per
+    return flag, the discount level at which HALF THE SHIPPED QUANTITY
+    sits at or below — the weighted statistic plain percentile_exact
+    can't give (a high-volume line should count by its quantity, not
+    once). Pure integer threshold arithmetic on a ties-inclusive RANGE
+    cumulative; one group-keyed exchange end-to-end."""
+    li = _t(spark, sf_dir, "lineitem")
+    return robust.weighted_percentile(
+        li.select(
+            "l_returnflag",
+            cents("l_discount").alias("disc_c"),
+            cents("l_quantity").alias("qty_c"),
+        ),
+        ["l_returnflag"],
+        "disc_c",
+        "qty_c",
+        p_num=1,
+        p_den=2,
+        out_col="wmedian_disc_c",
+    )
+
+
+ORACLE_WEIGHTED_MEDIAN = f"""
+WITH t AS (
+  SELECT l_returnflag,
+         {SQL_CENTS.format(x='l_discount')} AS v,
+         {SQL_CENTS.format(x='l_quantity')} AS w
+  FROM lineitem),
+c AS (
+  SELECT l_returnflag, v,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM t)
+SELECT l_returnflag, CAST(MIN(v) AS BIGINT) AS wmedian_disc_c
+FROM c WHERE 2 * cum >= tot GROUP BY l_returnflag
+"""
+
+
 # Insertion order matters: the driver's correctness gate samples the FIRST 50
 # entries. Rotated three times in round 4 so every operator with zero driver
 # rows sits inside the window: (1) the 15 queries catalog growth pushed past
@@ -5963,11 +6002,11 @@ QUERIES = {
     "k_core": q_k_core,
     "unpivot": q_unpivot,
     "quantile_normalize": q_quantile_normalize,
+    "weighted_median": q_weighted_median,
     # rotation 5: ann_ivf_trained promoted (the ONE catalog query never
     # driver-sampled through r4 — k-means-trained IVF path); rolling_active
     # (driver-green r4, re-verified locally each round) demoted to the tail
     "ann_ivf_trained": q_ann_ivf_trained,
-    "quality_repetition": q_quality_repetition,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_resize": q_multimodal_resize,
@@ -6006,6 +6045,7 @@ QUERIES = {
     "quota_sample": q_quota_sample,
     "bloom_join": q_bloom_join,
     "unigram_surprisal": q_unigram_surprisal,
+    "quality_repetition": q_quality_repetition,
     "embedding_near_dup": q_embedding_near_dup,
     "wordcount": q_wordcount,
     "rollup_continuous": q_rollup_continuous,
@@ -6215,6 +6255,7 @@ ORACLES = {
     "k_core": ORACLE_K_CORE,
     "unpivot": ORACLE_UNPIVOT,
     "quantile_normalize": ORACLE_QUANTILE_NORMALIZE,
+    "weighted_median": ORACLE_WEIGHTED_MEDIAN,
     "outlier_mad": ORACLE_OUTLIER_MAD,
     "gap_fill": ORACLE_GAP_FILL,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,

@@ -255,3 +255,59 @@ def test_k_core_equals_bruteforce(spark, edges, k, rounds):
     }
     want = set(_python_k_core(edges, k, rounds).items())
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 1),          # group
+            st.integers(-5, 5),         # value
+            st.integers(1, 9),          # weight
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    p=st.sampled_from([(1, 2), (1, 4), (9, 10)]),
+)
+def test_weighted_percentile_equals_bruteforce(spark, rows, p):
+    """Smallest v with cumulative (ties-inclusive) weight >= p*total —
+    independent of input row order."""
+    from storm_spark.functions import robust
+
+    p_num, p_den = p
+    df = spark.createDataFrame(rows, "g int, v long, w long")
+    got = {
+        r["g"]: r["wpct"]
+        for r in robust.weighted_percentile(
+            df, ["g"], "v", "w", p_num=p_num, p_den=p_den
+        ).collect()
+    }
+    want = {}
+    groups = {g for g, _, _ in rows}
+    for g in groups:
+        members = sorted((v, w) for gg, v, w in rows if gg == g)
+        tot = sum(w for _, w in members)
+        cum = 0
+        by_val = {}
+        for v, w in members:
+            cum += w
+            by_val[v] = cum  # ties-inclusive: last write wins per value
+        want[g] = min(v for v, c in by_val.items() if p_den * c >= p_num * tot)
+    assert got == want
+
+
+def test_weighted_percentile_single_exchange(spark):
+    """Running sum, total, and the final min-agg all ride ONE group-keyed
+    exchange."""
+    from storm_spark.functions import robust
+
+    df = spark.createDataFrame([(1, 2, 3)], "g int, v long, w long")
+    plan = (
+        robust.weighted_percentile(df, ["g"], "v", "w")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

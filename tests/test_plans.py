@@ -161,6 +161,7 @@ _EXPRESSION_ONLY = [
     "trailing_ewma",
     "unpivot",
     "quantile_normalize",
+    "weighted_median",
 ]
 
 
