@@ -143,6 +143,8 @@ HEADLINE = [
     "unpivot",
     "quantile_normalize",
     "weighted_median",
+    "grouping_sets",
+    "user_streaks",
 ]
 
 

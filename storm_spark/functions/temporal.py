@@ -747,3 +747,45 @@ def event_paths(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
         .filter(F.col("n_occurrences") >= min_count)
     )
+
+
+def activity_streaks(
+    df: DataFrame,
+    key_col: str,
+    ts_col: Column | str,
+) -> DataFrame:
+    """Longest consecutive-day activity streak per key — the classic
+    gaps-and-islands reduction: distinct active days, then
+    ``day − row_number`` is CONSTANT within a consecutive run (each next
+    day advances both by one) and jumps at every gap, so grouping on that
+    island constant splits runs without self-joins or iteration. Returns
+    ``(key, longest_streak, n_active_days, n_streaks)`` — the engagement
+    / data-continuity profile (sensor uptime runs, user habit streaks)
+    that :func:`sessionize`'s intra-day gap logic doesn't express.
+
+    Exactness: date arithmetic and counts only — no floats anywhere.
+
+    Scale shape: two exchanges, both the ones you'd want — the distinct
+    shuffles (key, day) WITH map-side partial dedup (raw event volume
+    collapses before the wire), then the window re-keys the already-tiny
+    distinct-day rows on ``key`` alone; the island count and the final
+    per-key rollup REUSE that key partitioning with zero further
+    exchanges (grouping on (key, island) is satisfied by key-partitioning
+    — every group lives in one partition).
+    """
+    ts = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    days = df.select(
+        F.col(key_col).alias("key"), F.to_date(ts).alias("__day__")
+    ).distinct()
+    w = Window.partitionBy("key").orderBy("__day__")
+    islands = days.withColumn(
+        "__island__", F.date_sub(F.col("__day__"), F.row_number().over(w))
+    )
+    runs = islands.groupBy("key", "__island__").agg(
+        F.count(F.lit(1)).alias("__len__")
+    )
+    return runs.groupBy("key").agg(
+        F.max("__len__").cast("bigint").alias("longest_streak"),
+        F.sum("__len__").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+    )

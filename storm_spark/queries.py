@@ -37,7 +37,15 @@ from storm_spark.state import MemoryMapState, ParquetMapState
 from storm_spark.topology import FeederSource, LocalCluster, Topology
 from storm_spark.builder import BasicBolt
 from storm_spark.drpc import BatchBolt
-from storm_spark.functions import dedup, mining, robust, sampling, similarity, text
+from storm_spark.functions import (
+    dedup,
+    mining,
+    robust,
+    sampling,
+    similarity,
+    temporal,
+    text,
+)
 from storm_spark.functions.text import LANG_MARKERS, STOPWORDS_EN, TOKEN_SPLIT_RE
 
 # ---------------------------------------------------------------------------
@@ -5902,6 +5910,73 @@ FROM c WHERE 2 * cum >= tot GROUP BY l_returnflag
 """
 
 
+def q_grouping_sets(spark, sf_dir):
+    """Arbitrary multi-dimensional aggregation (DataFrame.groupingSets +
+    grouping_id): the general form cube/rollup specialize — per-flag
+    margins, per-status margins, and the grand total in ONE pass with the
+    standard grouping_id disambiguating real NULLs from aggregated-out
+    dimensions (bit order = column list order, identical on both
+    engines). One partial+final hash agg; integer counts/cents exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(cents("l_quantity")).cast("bigint").alias("qty_c"),
+        )
+    )
+
+
+ORACLE_GROUPING_SETS = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM({SQL_CENTS.format(x='l_quantity')}) AS BIGINT) AS qty_c
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def q_user_streaks(spark, sf_dir):
+    """Gaps-and-islands streak profile (temporal.activity_streaks): per
+    user the longest run of consecutive ACTIVE DAYS, total active days,
+    and number of runs — day − row_number is constant within a
+    consecutive run and jumps at every gap, so one window + two
+    aggregations (all clustered on user_id: ONE exchange) split runs
+    without self-joins or iteration. Pure date/count arithmetic."""
+    e = _events(spark, sf_dir)
+    return temporal.activity_streaks(e, "user_id", "ts").select(
+        F.col("key").alias("user_id"),
+        "longest_streak",
+        "n_active_days",
+        "n_streaks",
+    )
+
+
+ORACLE_USER_STREAKS = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+  FROM events),
+i AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT)
+           AS island
+  FROM d),
+runs AS (
+  SELECT user_id, island, COUNT(*) AS len FROM i GROUP BY user_id, island)
+SELECT user_id,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM runs GROUP BY user_id
+"""
+
+
 # Insertion order matters: the driver's correctness gate samples the FIRST 50
 # entries. Rotated three times in round 4 so every operator with zero driver
 # rows sits inside the window: (1) the 15 queries catalog growth pushed past
@@ -5987,9 +6062,7 @@ QUERIES = {
     # (checkpoint-recovery proof — VERDICT r5 #4)
     "streaming_recovery": q_streaming_recovery,
     "frequent_pairs": q_frequent_pairs,
-    "outlier_mad": q_outlier_mad,
     "outlier_mad_hist": q_outlier_mad_hist,
-    "gap_fill": q_gap_fill,
     # rotation 6b: the three late-r6 operators (frontier BFS, dedup
     # survivorship, trailing EWMA) go straight into the driver window;
     # weighted_sample / bucketed_join / partition_pruned (driver-green
@@ -6003,6 +6076,8 @@ QUERIES = {
     "unpivot": q_unpivot,
     "quantile_normalize": q_quantile_normalize,
     "weighted_median": q_weighted_median,
+    "grouping_sets": q_grouping_sets,
+    "user_streaks": q_user_streaks,
     # rotation 5: ann_ivf_trained promoted (the ONE catalog query never
     # driver-sampled through r4 — k-means-trained IVF path); rolling_active
     # (driver-green r4, re-verified locally each round) demoted to the tail
@@ -6044,6 +6119,8 @@ QUERIES = {
     "redact_pii": q_redact_pii,
     "quota_sample": q_quota_sample,
     "bloom_join": q_bloom_join,
+    "outlier_mad": q_outlier_mad,
+    "gap_fill": q_gap_fill,
     "unigram_surprisal": q_unigram_surprisal,
     "quality_repetition": q_quality_repetition,
     "embedding_near_dup": q_embedding_near_dup,
@@ -6256,6 +6333,8 @@ ORACLES = {
     "unpivot": ORACLE_UNPIVOT,
     "quantile_normalize": ORACLE_QUANTILE_NORMALIZE,
     "weighted_median": ORACLE_WEIGHTED_MEDIAN,
+    "grouping_sets": ORACLE_GROUPING_SETS,
+    "user_streaks": ORACLE_USER_STREAKS,
     "outlier_mad": ORACLE_OUTLIER_MAD,
     "gap_fill": ORACLE_GAP_FILL,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,

@@ -311,3 +311,68 @@ def test_weighted_percentile_single_exchange(spark):
     )
     assert plan.count("Exchange") == 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 15)),  # (user, day offset)
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_activity_streaks_equals_bruteforce(spark, rows):
+    """Gaps-and-islands: longest consecutive-day run, active days, runs."""
+    import datetime
+
+    from storm_spark.functions import temporal
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (u, base + datetime.timedelta(days=d, hours=(u + d) % 24))
+        for u, d in rows
+    ]
+    df = spark.createDataFrame(data, "user_id int, ts timestamp")
+    got = {
+        r["key"]: (r["longest_streak"], r["n_active_days"], r["n_streaks"])
+        for r in temporal.activity_streaks(df, "user_id", "ts").collect()
+    }
+    want = {}
+    for u in {u for u, _ in rows}:
+        days = sorted({d for uu, d in rows if uu == u})
+        runs = []
+        cur = 1
+        for a, b in zip(days, days[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        want[u] = (max(runs), len(days), len(runs))
+    assert got == want
+
+
+def test_activity_streaks_plan_shape(spark):
+    """Two exchanges only — the map-side-deduped (key, day) distinct and
+    the key-only window re-key; the island count and final rollup must
+    REUSE the window's key partitioning (no further exchange)."""
+    import datetime
+
+    from storm_spark.functions import temporal
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1))], "user_id int, ts timestamp"
+    )
+    plan = (
+        temporal.activity_streaks(df, "user_id", "ts")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 2, plan
+    # both aggregations after the window ride the existing partitioning:
+    # every Exchange sits BELOW the Window in the tree (appears after it
+    # in the toString, which prints top-down)
+    assert plan.index("Window") < plan.index("Exchange"), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

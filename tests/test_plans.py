@@ -162,6 +162,8 @@ _EXPRESSION_ONLY = [
     "unpivot",
     "quantile_normalize",
     "weighted_median",
+    "grouping_sets",
+    "user_streaks",
 ]
 
 
