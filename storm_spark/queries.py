@@ -5977,6 +5977,111 @@ FROM runs GROUP BY user_id
 """
 
 
+def q_streaming_outer_join(spark, sf_dir):
+    """LEFT OUTER stream-stream interval join run END-TO-END — the second
+    streaming-only join behavior after the inner gate: matched pairs emit
+    when both sides are present, but an UNMATCHED left row emits (NULL
+    right side) only once the watermark proves no match can still arrive
+    — so the harness advances the watermark past all real data with
+    far-future sentinel feeds on BOTH sides before stopping, and the
+    total output must then equal the batch left join. Even-id events =
+    left, odd = right, matched within [ts, ts+30min] per user. Output:
+    per-user matched-pair and no-match-row counts."""
+    import os
+    import uuid
+    from datetime import timedelta
+
+    from storm_spark.streaming.joins import interval_join
+
+    e = _events(spark, sf_dir).select("user_id", "ts", "event_id")
+    max_ts = e.agg(F.max("ts")).collect()[0][0]  # 1-row driver fetch
+    tmp = tempfile.mkdtemp(prefix="storm_spark_soj_")
+    left_dir = os.path.join(tmp, "left")
+    right_dir = os.path.join(tmp, "right")
+    os.makedirs(left_dir)
+    os.makedirs(right_dir)
+    w = Window.orderBy("ts", "event_id")
+    parts = e.withColumn("__t__", F.ntile(3).over(w))
+    qname = "soj_" + uuid.uuid4().hex[:8]
+    left = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{left_dir}/*")
+    ).withWatermark("ts", "1 second")
+    right = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{right_dir}/*")
+    ).withWatermark("ts", "1 second")
+    joined = interval_join(
+        left, right, "user_id", "ts",
+        lower_seconds=0, upper_seconds=1800, how="left_outer",
+    ).select("user_id", "event_id", F.col("event_id_r"))
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        for b in (1, 2, 3):
+            tb = parts.filter(F.col("__t__") == b)
+            tb.filter(F.col("event_id") % 2 == 0).select(*e.columns).coalesce(
+                1
+            ).write.mode("overwrite").parquet(os.path.join(left_dir, f"b{b}"))
+            tb.filter(F.col("event_id") % 2 == 1).select(*e.columns).coalesce(
+                1
+            ).write.mode("overwrite").parquet(os.path.join(right_dir, f"b{b}"))
+            q.processAllAvailable()
+        # two sentinel rounds: the first advances the watermark past every
+        # real row, the second gives the join a batch in which to FLUSH
+        # the now-expired unmatched left rows
+        for s in (1, 2):
+            sent = spark.createDataFrame(
+                [(-1, max_ts + timedelta(days=s), -s)], e.schema
+            )
+            sent.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(left_dir, f"s{s}")
+            )
+            sent.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(right_dir, f"s{s}")
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.table(qname)
+        .filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(
+            F.count("event_id_r").cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("event_id_r").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unmatched"),
+        )
+    )
+
+
+ORACLE_STREAMING_OUTER_JOIN = """
+WITH l AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+           FROM events WHERE event_id % 2 = 0),
+r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events WHERE event_id % 2 = 1),
+j AS (
+  SELECT l.user_id, l.event_id, r.event_id AS event_id_r
+  FROM l LEFT JOIN r
+    ON l.user_id = r.user_id
+   AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1800 SECONDS)
+SELECT user_id,
+       CAST(COUNT(event_id_r) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN event_id_r IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unmatched
+FROM j GROUP BY user_id
+"""
+
+
 # Insertion order matters: the driver's correctness gate samples the FIRST 50
 # entries. Rotated three times in round 4 so every operator with zero driver
 # rows sits inside the window: (1) the 15 queries catalog growth pushed past
@@ -6061,7 +6166,6 @@ QUERIES = {
     # r6-new: stateful streaming under a mid-feed driver restart
     # (checkpoint-recovery proof — VERDICT r5 #4)
     "streaming_recovery": q_streaming_recovery,
-    "frequent_pairs": q_frequent_pairs,
     "outlier_mad_hist": q_outlier_mad_hist,
     # rotation 6b: the three late-r6 operators (frontier BFS, dedup
     # survivorship, trailing EWMA) go straight into the driver window;
@@ -6072,6 +6176,7 @@ QUERIES = {
     "dedup_merge": q_dedup_merge,
     "trailing_ewma": q_trailing_ewma,
     "streaming_enrich": q_streaming_enrich,
+    "streaming_outer_join": q_streaming_outer_join,
     "k_core": q_k_core,
     "unpivot": q_unpivot,
     "quantile_normalize": q_quantile_normalize,
@@ -6121,6 +6226,7 @@ QUERIES = {
     "bloom_join": q_bloom_join,
     "outlier_mad": q_outlier_mad,
     "gap_fill": q_gap_fill,
+    "frequent_pairs": q_frequent_pairs,
     "unigram_surprisal": q_unigram_surprisal,
     "quality_repetition": q_quality_repetition,
     "embedding_near_dup": q_embedding_near_dup,
@@ -6335,6 +6441,7 @@ ORACLES = {
     "weighted_median": ORACLE_WEIGHTED_MEDIAN,
     "grouping_sets": ORACLE_GROUPING_SETS,
     "user_streaks": ORACLE_USER_STREAKS,
+    "streaming_outer_join": ORACLE_STREAMING_OUTER_JOIN,
     "outlier_mad": ORACLE_OUTLIER_MAD,
     "gap_fill": ORACLE_GAP_FILL,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,

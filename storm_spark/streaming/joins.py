@@ -27,15 +27,25 @@ def interval_join(
     lower_seconds: int,
     upper_seconds: int,
     suffix: str = "_r",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join two watermarked streams on ``key_col`` where the right
-    row's event time falls in ``[left.ts + lower, left.ts + upper]``.
+    """Join two watermarked streams on ``key_col`` where the right row's
+    event time falls in ``[left.ts + lower, left.ts + upper]``; ``how`` is
+    ``inner`` or ``left_outer``.
 
     Both inputs MUST carry ``withWatermark(ts_col, ...)`` — the time-range
     conjunct plus the two watermarks is exactly what lets Spark expire
     buffered rows instead of holding both streams forever (the documented
     stream-stream join state-cleanup contract). Right columns keep their
     names unless they collide, in which case they get ``suffix``.
+
+    ``left_outer`` adds the second streaming-only behavior: a MATCHED pair
+    emits in the micro-batch where both sides are present, but an
+    UNMATCHED left row emits (with NULL right columns) only once the
+    watermark passes its join horizon — the engine cannot know "no match
+    will ever come" earlier. A driver that needs every outer row flushed
+    must advance the watermark past the data (feed a far-future sentinel)
+    before stopping the query; same per-side state bound as inner.
     """
     lcols = set(left.columns)
     renames = {c: (c + suffix if c in lcols else c) for c in right.columns}
@@ -46,7 +56,9 @@ def interval_join(
         & (F.col(rt) >= F.col(ts_col) + F.expr(f"INTERVAL {int(lower_seconds)} SECONDS"))
         & (F.col(rt) <= F.col(ts_col) + F.expr(f"INTERVAL {int(upper_seconds)} SECONDS"))
     )
-    return left.join(r, cond, "inner")
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported stream-stream interval join type: {how}")
+    return left.join(r, cond, how)
 
 
 def static_enrich(

@@ -116,3 +116,68 @@ def test_suffix_applied_only_on_collision(spark):
     # colliding names suffixed, unique right name kept as-is
     assert "user_id_r" in out.columns and "ts_r" in out.columns, out.columns
     assert "rid" in out.columns, out.columns
+
+
+def test_left_outer_flushes_unmatched_on_watermark(spark):
+    """left_outer: matches emit when both sides are present; an unmatched
+    left row emits with NULL right only after the watermark passes its
+    join horizon (forced here by far-future sentinel feeds, the catalog
+    gate's pattern). Before the sentinels the unmatched row must NOT
+    have been emitted."""
+    from storm_spark.streaming.joins import interval_join
+
+    tmp = tempfile.mkdtemp(prefix="soj_test_")
+    ld, rd = os.path.join(tmp, "l"), os.path.join(tmp, "r")
+    os.makedirs(ld)
+    os.makedirs(rd)
+    left = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{ld}/*")
+    ).withWatermark("ts", "1 second")
+    right = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{rd}/*")
+    ).withWatermark("ts", "1 second")
+    joined = interval_join(
+        left, right, "user_id", "ts", 0, 60, how="left_outer"
+    )
+    qname = "sojt_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.select("user_id", "event_id", "event_id_r")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        # 10@0 matches 20@30; 11@100 never matches
+        spark.createDataFrame(
+            [_ev(1, 0, 10), _ev(1, 100, 11)], SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(ld, "b0"))
+        spark.createDataFrame([_ev(1, 30, 20)], SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(rd, "b0"))
+        q.processAllAvailable()
+        before = {
+            (r["event_id"], r["event_id_r"]) for r in spark.table(qname).collect()
+        }
+        assert before == {(10, 20)}, before  # no premature outer emission
+        for s in (1, 2):
+            sent = [(-1, T0 + timedelta(days=s), -s)]
+            spark.createDataFrame(sent, SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(ld, f"s{s}"))
+            spark.createDataFrame(sent, SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(rd, f"s{s}"))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    after = {
+        (r["event_id"], r["event_id_r"])
+        for r in spark.table(qname).filter("user_id >= 0").collect()
+    }
+    assert after == {(10, 20), (11, None)}, after
