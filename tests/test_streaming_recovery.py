@@ -295,3 +295,92 @@ def test_stateful_topk_silent_key_emits_once(spark):
         ("b", 5, 7, 2),
         ("b", 9, 8, 1),
     ], sorted(res)
+
+
+def test_join_state_survives_restart(spark):
+    """The THIRD streaming state type after GroupState and dedup state:
+    the stream-stream join's buffered-row store. A left row buffered
+    BEFORE the crash must (a) match a right row that only arrives AFTER
+    the restart, and (b) if unmatched, still outer-flush when the
+    watermark finally passes — both require the restarted query to
+    restore the join buffer from the checkpoint, not just the offsets."""
+    from pyspark.sql.types import (
+        LongType as _L,
+        StructField as _F,
+        StructType as _S,
+        TimestampType as _T,
+    )
+
+    from storm_spark.streaming.joins import interval_join
+
+    jschema = _S(
+        [_F("user_id", _L()), _F("ts", _T()), _F("event_id", _L())]
+    )
+
+    def _jev(user, seconds, eid):
+        return (user, T0 + timedelta(seconds=seconds), eid)
+
+    tmp = tempfile.mkdtemp(prefix="sjn_rec_")
+    ld, rd, outdir, ckpt = (
+        os.path.join(tmp, d) for d in ("l", "r", "out", "ckpt")
+    )
+    os.makedirs(ld)
+    os.makedirs(rd)
+
+    def start():
+        left = (
+            spark.readStream.schema(jschema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{ld}/*")
+        ).withWatermark("ts", "1 second")
+        right = (
+            spark.readStream.schema(jschema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{rd}/*")
+        ).withWatermark("ts", "1 second")
+        joined = interval_join(
+            left, right, "user_id", "ts", 0, 60, how="left_outer"
+        ).select("user_id", "event_id", "event_id_r")
+        return (
+            joined.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .queryName("sjnrec_" + uuid.uuid4().hex[:8])
+            .start()
+        )
+
+    q = start()
+    try:
+        # left 10@0 will match only post-restart; left 11@5 never matches
+        spark.createDataFrame(
+            [_jev(1, 0, 10), _jev(1, 5, 11)], jschema
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(ld, "b1"))
+        spark.createDataFrame([_jev(9, 0, 90)], jschema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(rd, "b1"))
+        q.processAllAvailable()
+    finally:
+        q.stop()  # crash with rows 10 and 11 buffered in join state
+
+    q2 = start()
+    try:
+        # the match for 10 arrives only now (t=2s: inside 10@0's [0,60]
+        # window, OUTSIDE 11@5's [5,65]); then sentinel feeds flush
+        spark.createDataFrame([_jev(1, 2, 20)], jschema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(rd, "b2"))
+        q2.processAllAvailable()
+        for s in (1, 2):
+            sent = [(-1, T0 + timedelta(days=s), -s)]
+            for d in (ld, rd):
+                spark.createDataFrame(sent, jschema).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(d, f"s{s}"))
+            q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    rows = spark.read.parquet(outdir).filter("user_id >= 0").collect()
+    got = {(r["event_id"], r["event_id_r"]) for r in rows}
+    assert got == {(10, 20), (11, None)}, got
