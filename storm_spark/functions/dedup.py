@@ -270,6 +270,27 @@ def ngram_jaccard_pairs_prefix(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    # Candidate-generation bounds run at a RATIONAL LOWER BOUND t' of the
+    # acceptance region, in pure BIGINT arithmetic — two float hazards made
+    # the old double-ceil version subtly lossy (ADVICE r6):
+    #   1. the verify filter accepts round(J, ndigits) >= t, i.e. true
+    #      J >= t − 5·10^-(ndigits+1); bounds computed at t itself missed
+    #      pairs in that half-ulp band;
+    #   2. double ceil(t·n) can land one ABOVE the exact integer (e.g.
+    #      0.07·100 → 7.000000000000001 → 8), SHORTENING the prefix.
+    # t' = floor((t − 5·10^-(ndigits+1)) · 10^7) / 10^7 <= every accepted
+    # pair's true Jaccard, and a smaller threshold only ENLARGES prefixes /
+    # loosens the size filter — conservative, hence lossless; the handful
+    # of extra candidates die in exact verification. Division-free forms:
+    #   pos <= n − ceil(t'·n) + 1   ⟺  p·n <= q·(n − pos + 1)
+    #   min >= ceil(t'·max)         ⟺  q·min >= p·max
+    # (ceil(x) <= m ⟺ x <= m for integer m). p <= 10^7, so p·n stays
+    # far inside BIGINT for any real shingle count.
+    from fractions import Fraction
+
+    t_eff = Fraction(threshold) - Fraction(1, 2 * 10**ndigits)
+    p = max(0, (t_eff * 10**7).__floor__())
+    q = 10**7
     idx = bounded_persist(
         _shingle_index(df, id_col, text_col, n, None, toks_col),
         "dedup.jaccard_prefix.shingle_index",
@@ -286,12 +307,11 @@ def ngram_jaccard_pairs_prefix(
         .withColumn("__pos__", F.row_number().over(w))
         .withColumn("__n__", F.count(F.lit(1)).over(w_id))
     )
-    # prefix length |A| − ceil(t·|A|) + 1; F.ceil on the double product is
-    # safe here — a fractionally-early ceil only ENLARGES the prefix,
-    # which costs candidates but never correctness
+    # prefix length |A| − ceil(t'·|A|) + 1, as the integer inequality
+    # p·n <= q·(n − pos + 1) — see the t' derivation above
     prefix = ranked.filter(
-        F.col("__pos__")
-        <= F.col("__n__") - F.ceil(F.lit(float(threshold)) * F.col("__n__")) + 1
+        F.lit(p) * F.col("__n__")
+        <= F.lit(q) * (F.col("__n__") - F.col("__pos__") + 1)
     ).select("__id__", "__sh__", "__n__")
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
@@ -299,13 +319,12 @@ def ngram_jaccard_pairs_prefix(
             b,
             (F.col("a.__sh__") == F.col("b.__sh__"))
             & (F.col("a.__id__") < F.col("b.__id__"))
-            # size-compatibility: J >= t forces min(|A|,|B|) >= t·max
+            # size-compatibility: J >= t' forces min(|A|,|B|) >= t'·max,
+            # as the integer inequality q·min >= p·max
             & (
-                F.least(F.col("a.__n__"), F.col("b.__n__"))
-                >= F.ceil(
-                    F.lit(float(threshold))
-                    * F.greatest(F.col("a.__n__"), F.col("b.__n__"))
-                )
+                F.lit(q) * F.least(F.col("a.__n__"), F.col("b.__n__"))
+                >= F.lit(p)
+                * F.greatest(F.col("a.__n__"), F.col("b.__n__"))
             ),
         )
         .select(

@@ -310,7 +310,7 @@ FROM (
     SELECT {group_expr} AS grp, {cat_expr} AS cat,
            COUNT(*) AS c,
            CAST(SUM(COUNT(*)) OVER (PARTITION BY {group_expr}) AS DOUBLE) AS n_d,
-           SUM(COUNT(*)) OVER (PARTITION BY {group_expr}) AS n,
+           CAST(SUM(COUNT(*)) OVER (PARTITION BY {group_expr}) AS BIGINT) AS n,
            COUNT(*) OVER (PARTITION BY {group_expr}) AS n_cats
     FROM {table} WHERE ({cat_expr}) IS NOT NULL GROUP BY 1, 2)
   GROUP BY grp, n, n_cats)
@@ -515,8 +515,8 @@ def sql_equi_depth_bins(table: str, value_expr: str, n_bins: int = 10) -> str:
 SELECT bin, CAST(SUM(c) AS BIGINT) AS n, MIN(v) AS lo, MAX(v) AS hi
 FROM (
   SELECT v, c,
-         LEAST({int(n_bins) - 1},
-               (below * {int(n_bins)}) // n_total) AS bin
+         CAST(LEAST({int(n_bins) - 1},
+               (below * {int(n_bins)}) // n_total) AS BIGINT) AS bin
   FROM (
     SELECT v, c,
            COALESCE(SUM(c) OVER (ORDER BY v

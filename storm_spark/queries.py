@@ -18,8 +18,31 @@ Determinism rules (the driver hash-compares values against DuckDB):
 
 from __future__ import annotations
 
+import atexit
+import os as _os
 import shutil
-import tempfile
+import tempfile as _tempfile
+
+
+class _GateTmp:
+    """All gate scratch dirs (streaming feeds, checkpoints, parquet state)
+    live under ONE process-scoped root that is removed at interpreter exit
+    (ADVICE r6 / VERDICT r6 #7: per-gate mkdtemp litter was unbounded
+    across a long session). Gates whose returned DataFrame lazily reads a
+    scratch dir can't rmtree eagerly — the shared root guarantees cleanup
+    anyway. Drop-in ``tempfile`` facade: only ``mkdtemp`` is redirected."""
+
+    _root: str | None = None
+
+    @classmethod
+    def mkdtemp(cls, prefix: str = "tmp") -> str:
+        if cls._root is None or not _os.path.isdir(cls._root):
+            cls._root = _tempfile.mkdtemp(prefix="storm_spark_gates_")
+            atexit.register(shutil.rmtree, cls._root, ignore_errors=True)
+        return _tempfile.mkdtemp(prefix=prefix, dir=cls._root)
+
+
+tempfile = _GateTmp
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1006,12 +1029,129 @@ def q_streaming_recovery(spark, sf_dir):
             q2.processAllAvailable()
     finally:
         q2.stop()
-    return (
+    agg = (
         spark.read.parquet(outdir)
         .filter(F.col("user_id") >= 0)
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
     )
+    rows = agg.collect()  # bounded: one row per user; frees tmp for rmtree
+    result = spark.createDataFrame(rows, agg.schema)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
+def q_streaming_persist_recovery(spark, sf_dir):
+    """SINK-side exactly-once gate (VERDICT r6 #6): Trident's
+    ``partitionPersist`` committer under failure
+    (``PartitionPersistProcessor.java:36`` +
+    ``MasterBatchCoordinator.java:121-180`` replaying uncommitted txids),
+    run through a REAL ``writeStream`` restart — the `streaming_recovery`
+    pattern applied to the state-merge side instead of the source side.
+
+    A per-user event count flows through the engine's own streaming driver
+    (``StreamingTopologyRunner``: foreachBatch epoch = txid) into a
+    ``ParquetMapState``. After two of four quarter-files are absorbed, the
+    crash is injected at the WORST point: the newest entry of the
+    checkpoint's commit log is DELETED, simulating a driver death after
+    the epoch's state merge but BEFORE the sink WAL commit — precisely the
+    window whose txid Trident's coordinator re-emits on recovery. The
+    restarted query replays that epoch with the SAME epoch id against
+    state that already absorbed it; the opaque merge's same-txid branch
+    (curr = combine(prev, delta), ``state/parquet_state.py:203-241``)
+    makes the replay idempotent, then the remaining files feed normally.
+    The final state table must be value-identical to the batch oracle —
+    exactly-once across kill + replay, not just a clean restart."""
+    import glob
+    import os
+    import uuid
+
+    from storm_spark.streaming.driver import StreamingTopologyRunner
+
+    e = _events(spark, sf_dir).select("user_id", "event_id")
+    tmp = tempfile.mkdtemp(prefix="storm_spark_sprec_")
+    indir = os.path.join(tmp, "in")
+    ckpt = os.path.join(tmp, "ckpt")
+    statedir = os.path.join(tmp, "state")
+    os.makedirs(indir)
+
+    w = Window.orderBy("event_id")
+    parts = e.withColumn("__q__", F.ntile(4).over(w))
+    feed_schema = e.schema
+
+    topo = Topology(spark)
+    feeder = FeederSource(["user_id", "event_id"])
+    st = (
+        topo.new_stream("ev", feeder)
+        .group_by(["user_id"])
+        .persistent_aggregate(
+            ParquetMapState.factory(statedir), ["user_id"], Count(), ["n"]
+        )
+    )
+    runner = StreamingTopologyRunner(topo, feeder)
+
+    def start_query():
+        return runner.start_files(
+            f"{indir}/*",
+            feed_schema,
+            checkpoint_dir=ckpt,
+            query_name="sprec_" + uuid.uuid4().hex[:8],
+        )
+
+    q = start_query()
+    try:
+        for b in (1, 2):
+            parts.filter(F.col("__q__") == b).drop("__q__").coalesce(
+                1
+            ).write.mode("overwrite").parquet(os.path.join(indir, f"b{b}"))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # Failure injection: un-commit the newest epoch. The offset log still
+    # holds its file list, so restart replays the SAME batch under the
+    # SAME epoch id — at-least-once delivery the state must de-duplicate.
+    commits = sorted(
+        (
+            p
+            for p in glob.glob(os.path.join(ckpt, "commits", "*"))
+            if os.path.basename(p).isdigit()
+        ),
+        key=lambda p: int(os.path.basename(p)),
+    )
+    os.remove(commits[-1])
+    crc = os.path.join(  # Hadoop ChecksumFs sidecar — must go with the file
+        os.path.dirname(commits[-1]), f".{os.path.basename(commits[-1])}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    q2 = start_query()
+    try:
+        q2.processAllAvailable()  # replays the un-committed epoch (file b2)
+        for b in (3, 4):
+            parts.filter(F.col("__q__") == b).drop("__q__").coalesce(
+                1
+            ).write.mode("overwrite").parquet(os.path.join(indir, f"b{b}"))
+            q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    out = st.dataframe().select(
+        "user_id", F.col("n").cast("bigint").alias("n_events")
+    )
+    rows = out.collect()  # bounded: one row per user; frees tmp for rmtree
+    result = spark.createDataFrame(rows, out.schema)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
+ORACLE_STREAMING_PERSIST_RECOVERY = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+"""
 
 
 def q_drpc_state_lookup(spark, sf_dir):
@@ -4851,7 +4991,7 @@ ORACLE_TPCH_Q18 = f"""
 SELECT c_name, c_custkey, o_orderkey,
        epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 1000000 AS o_date_s,
        {SQL_CENTS.format(x='o_totalprice')} AS o_totalprice_c,
-       SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -6111,7 +6251,17 @@ QUERIES = {
     "q1": q1,
     "state_avg": q_state_avg,
     "ann_rescore": q_ann_rescore,
-    "series_similarity": q_series_similarity,
+    # rotation 7 (VERDICT r6 #2): the FIVE catalog entries never driver-
+    # sampled across r1-r6 get their first window slots — after this the
+    # catalog has 100% driver-touched coverage. user_entropy goes in
+    # together with its HUGEINT oracle fix (VERDICT r6 #1). Demoted to
+    # the tail: series_similarity, pit_join, lm_perplexity, trailing_corr,
+    # group_corr (all driver-green in r6, re-verified locally each round).
+    "quality_gate_approx": q_quality_gate_approx,
+    "user_entropy": q_user_entropy,
+    "k_anonymize": q_k_anonymize,
+    "tpch_q6": q_tpch_q6,
+    "streaming_trailing_zscore": q_streaming_trailing_zscore,
     # rotation 6 (VERDICT r5 #3): promote twelve of the 24 r5-new tail
     # gates that have never had a driver-green row — the 6-table tpch_q5,
     # the degree-ordered triangle_count, pit_join, lm_perplexity,
@@ -6124,13 +6274,8 @@ QUERIES = {
     "tpch_q5": q_tpch_q5,
     "tpch_q3": q_tpch_q3,
     "triangle_count": q_triangle_count,
-    "pit_join": q_pit_join,
-    "lm_perplexity": q_lm_perplexity,
-    "trailing_corr": q_trailing_corr,
     "equi_depth_bins": q_equi_depth_bins,
     "contamination_pairs": q_contamination_pairs,
-    "group_corr": q_group_corr,
-    "streaming_gap_fill": q_streaming_gap_fill,
     "streaming_dedup": q_streaming_dedup,
     "streaming_transitions": q_streaming_transitions,
     # r6-new TPC-H depth gates (VERDICT r5 #6): semi-join with non-equi
@@ -6166,6 +6311,10 @@ QUERIES = {
     # r6-new: stateful streaming under a mid-feed driver restart
     # (checkpoint-recovery proof — VERDICT r5 #4)
     "streaming_recovery": q_streaming_recovery,
+    # r7-new (VERDICT r6 #6): sink-side exactly-once under commit-log
+    # failure injection — straight into the driver window; streaming_gap_fill
+    # (driver-green r6) demoted to the tail to hold the window at 50.
+    "streaming_persist_recovery": q_streaming_persist_recovery,
     "outlier_mad_hist": q_outlier_mad_hist,
     # rotation 6b: the three late-r6 operators (frontier BFS, dedup
     # survivorship, trailing EWMA) go straight into the driver window;
@@ -6232,15 +6381,15 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "wordcount": q_wordcount,
     "rollup_continuous": q_rollup_continuous,
-    "quality_gate_approx": q_quality_gate_approx,
     "domain_stats": q_domain_stats,
-    # r5 additions still in the tail (verified locally per the coverage
-    # invariant; twelve of their siblings were promoted in rotation 6)
-    "user_entropy": q_user_entropy,
-    "k_anonymize": q_k_anonymize,
-    "tpch_q6": q_tpch_q6,
-    "streaming_trailing_zscore": q_streaming_trailing_zscore,
     "decontaminate": q_decontaminate,
+    # rotation 7 demotions (driver-green r6, re-verified locally)
+    "series_similarity": q_series_similarity,
+    "pit_join": q_pit_join,
+    "lm_perplexity": q_lm_perplexity,
+    "trailing_corr": q_trailing_corr,
+    "group_corr": q_group_corr,
+    "streaming_gap_fill": q_streaming_gap_fill,
     # rotation 6 demotions (driver-green r4/r5, re-verified locally)
     "trailing_zscore": q_trailing_zscore,
     "profile_table": q_profile_table,
@@ -6392,6 +6541,7 @@ ORACLES = {
     # the streaming twin is gated against the BATCH sessionize oracle
     "streaming_sessionize": ORACLE_SESSIONIZE,
     "streaming_recovery": ORACLE_SESSIONIZE,
+    "streaming_persist_recovery": ORACLE_STREAMING_PERSIST_RECOVERY,
     "pit_join": ORACLE_PIT_JOIN,
     "group_corr": ORACLE_GROUP_CORR,
     "user_entropy": ORACLE_USER_ENTROPY,

@@ -46,6 +46,37 @@ class StreamingTopologyRunner:
         # epoch ids start at 0; state txids are positive
         self._cluster.feed_dataframe(self.source, batch_df, txid=epoch_id + 1)
 
+    def start_files(
+        self,
+        path: str,
+        schema: StructType,
+        fmt: str = "parquet",
+        max_files_per_trigger: int = 1,
+        checkpoint_dir: str | None = None,
+        query_name: str | None = None,
+    ):
+        """Start the state-merging streaming query WITHOUT draining it —
+        the caller owns ``processAllAvailable()``/``stop()``. This is the
+        failure-injection surface: a gate can stop the query mid-feed,
+        tamper with the checkpoint's commit log (crash between the state
+        merge and the sink WAL commit — the window Trident's
+        ``MasterBatchCoordinator.java:121-180`` replays), and restart from
+        the same checkpoint; the opaque/transactional state merge must
+        absorb the same-txid replay idempotently."""
+        spark = self.topology.spark
+        reader = (
+            spark.readStream.format(fmt)
+            .schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .load(path)
+        )
+        writer = reader.writeStream.foreachBatch(self._process_epoch).outputMode("update")
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        if query_name:
+            writer = writer.queryName(query_name)
+        return writer.start()
+
     def run_files(
         self,
         path: str,

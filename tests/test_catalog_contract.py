@@ -47,6 +47,41 @@ def test_driver_window_is_oracle_dense():
     assert not weak, weak
 
 
+def test_no_wide_integer_oracle_columns():
+    """No oracle may ship a HUGEINT/DECIMAL output column. DuckDB widens
+    SUM(BIGINT) to HUGEINT; the driver harness fetches via Arrow where
+    HUGEINT becomes decimal128 and canonicalizes as a Decimal, not an
+    int — value-identical results then hash-red (r6: equi_depth_bins,
+    tpch_q18; latent: user_entropy). Every aggregate that can widen must
+    be wrapped in CAST(... AS BIGINT) in the oracle SQL. LIMIT-0 plan
+    only — runs in milliseconds per oracle."""
+    import duckdb
+
+    from storm_spark.queries import ORACLES
+
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'"
+        )
+    offenders = {}
+    for name, sql in ORACLES.items():
+        res = con.sql(f"SELECT * FROM ({sql}) _q LIMIT 0")
+        hits = [
+            (c, str(t))
+            for c, t in zip(res.columns, res.types)
+            if "HUGEINT" in str(t) or "DECIMAL" in str(t)
+        ]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, (
+        f"oracles with HUGEINT/DECIMAL output columns (driver hash hazard): {offenders}"
+    )
+
+
 def test_entry_contract_importable():
     import importlib.util
     import os

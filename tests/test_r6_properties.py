@@ -60,6 +60,70 @@ def test_prefix_jaccard_equals_bruteforce(spark, docs, threshold):
     assert got == pytest.approx(expect)
 
 
+def _jaccard_bruteforce(docs, threshold, ndigits=6):
+    shingles = [
+        {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        for toks in docs
+    ]
+    expect = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = shingles[i], shingles[j]
+            if not a or not b or not a & b:
+                continue
+            jac = round(len(a & b) / len(a | b), ndigits)
+            if jac >= threshold:
+                expect[(i, j)] = jac
+    return expect
+
+
+def test_prefix_jaccard_float_boundary_pairs(spark):
+    """Regression (ADVICE r6): two boundary classes the double-arithmetic
+    bounds silently dropped, both must now survive.
+
+    1. float-ceil overshoot: ceil(0.07·100) evaluates to 8 in doubles
+       (0.07·100 = 7.000000000000001), so a 7-shingle subset of a
+       100-shingle doc (J exactly 0.07) failed the size filter AND fell
+       outside the shortened prefix.
+    2. round-up acceptance band: with ndigits=1 and t=0.5, a subset pair
+       with J = 9/19 ≈ 0.474 is ACCEPTED by the verify filter
+       (round(0.474, 1) = 0.5) but min=9 < ceil(0.5·19) = 10 failed the
+       old size bound computed at t instead of t − 5·10^-(ndigits+1)."""
+    from storm_spark.functions import dedup
+
+    # case 1: A = w0..w101 (100 shingles), B = last 9 tokens (7 shingles ⊂ A)
+    a1 = [f"w{k}" for k in range(102)]
+    b1 = a1[-9:]
+    docs1 = [a1, b1]
+    df1 = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs1)], "doc_id long, text string"
+    )
+    got1 = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs_prefix(
+            df1, "doc_id", "text", n=3, threshold=0.07
+        ).collect()
+    }
+    assert got1 == pytest.approx(_jaccard_bruteforce(docs1, 0.07))
+    assert (0, 1) in got1  # the J = 0.07 subset pair itself
+
+    # case 2: A = v0..v20 (19 shingles), B = v10..v20 (9 shingles ⊂ A)
+    a2 = [f"v{k}" for k in range(21)]
+    b2 = a2[10:]
+    docs2 = [a2, b2]
+    df2 = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs2)], "doc_id long, text string"
+    )
+    got2 = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs_prefix(
+            df2, "doc_id", "text", n=3, threshold=0.5, ndigits=1
+        ).collect()
+    }
+    assert got2 == pytest.approx(_jaccard_bruteforce(docs2, 0.5, ndigits=1))
+    assert (0, 1) in got2  # round(9/19, 1) = 0.5 crosses the threshold
+
+
 @settings(**SETTINGS)
 @given(
     ref=st.lists(st.tuples(st.integers(0, 2), st.integers(-20, 20)), min_size=1, max_size=40),

@@ -297,6 +297,97 @@ def test_stateful_topk_silent_key_emits_once(spark):
     ], sorted(res)
 
 
+def test_uncommitted_epoch_replays_into_state_exactly_once(spark):
+    """Sink-side exactly-once (VERDICT r6 #6, the `streaming_persist_recovery`
+    gate's contract, pinned at unit scale): the engine's foreachBatch state
+    driver under a crash BETWEEN the state merge and the checkpoint's sink
+    commit — injected by deleting the newest commit-log entry (plus its
+    Hadoop CRC sidecar). The restarted query must RE-DELIVER that epoch with
+    the SAME epoch id (at-least-once, asserted via an epoch spy), and the
+    opaque state merge must absorb the duplicate (exactly-once effect:
+    counts equal the batch truth, not batch-2-counted-twice). This is
+    Trident's ``MasterBatchCoordinator.java:121-180`` uncommitted-txid
+    replay with ``PartitionPersistProcessor.java:36`` committer semantics."""
+    import glob
+
+    from storm_spark.operations import Count
+    from storm_spark.state import ParquetMapState
+    from storm_spark.streaming.driver import StreamingTopologyRunner
+    from storm_spark.topology import FeederSource, Topology
+
+    tmp = tempfile.mkdtemp(prefix="sprec_test_")
+    indir, ckpt, statedir = (os.path.join(tmp, d) for d in ("in", "ckpt", "st"))
+    os.makedirs(indir)
+
+    topo = Topology(spark)
+    feeder = FeederSource(["user_id", "ts"])
+    st = (
+        topo.new_stream("ev", feeder)
+        .group_by(["user_id"])
+        .persistent_aggregate(
+            ParquetMapState.factory(statedir), ["user_id"], Count(), ["n"]
+        )
+    )
+    runner = StreamingTopologyRunner(topo, feeder)
+    seen_epochs = []
+    inner = runner._process_epoch
+
+    def spy(batch_df, epoch_id):
+        seen_epochs.append(epoch_id)
+        inner(batch_df, epoch_id)
+
+    runner._process_epoch = spy
+
+    def start():
+        return runner.start_files(
+            f"{indir}/*", SCHEMA, checkpoint_dir=ckpt,
+            query_name="sprect_" + uuid.uuid4().hex[:8],
+        )
+
+    q = start()
+    try:
+        for b, rows in enumerate(
+            ([_mk(1, 0), _mk(2, 0)], [_mk(1, 1), _mk(3, 1)])
+        ):
+            spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(indir, f"b{b}"))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # crash window: state merged epoch 1, but its sink commit never landed
+    commits = sorted(
+        (p for p in glob.glob(os.path.join(ckpt, "commits", "*"))
+         if os.path.basename(p).isdigit()),
+        key=lambda p: int(os.path.basename(p)),
+    )
+    assert [int(os.path.basename(p)) for p in commits] == [0, 1]
+    os.remove(commits[-1])
+    crc = os.path.join(os.path.dirname(commits[-1]), ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    q2 = start()
+    try:
+        q2.processAllAvailable()  # replays epoch 1
+        spark.createDataFrame([_mk(1, 2)], SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(indir, "b2"))
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    assert seen_epochs == [0, 1, 1, 2], seen_epochs  # epoch 1 re-delivered
+    got = {
+        r["user_id"]: r["n"]
+        for r in st.dataframe().collect()
+    }
+    # batch truth: user 1 x3, user 2 x1, user 3 x1 — a non-idempotent merge
+    # would double epoch 1 into {1: 4, 3: 2}
+    assert got == {1: 3, 2: 1, 3: 1}, got
+
+
 def test_join_state_survives_restart(spark):
     """The THIRD streaming state type after GroupState and dedup state:
     the stream-stream join's buffered-row store. A left row buffered

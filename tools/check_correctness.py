@@ -103,15 +103,30 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
+            # Fetch via Arrow, NOT fetchall(): the driver's harness goes
+            # through Arrow, where DuckDB HUGEINT becomes decimal128 and
+            # canonicalizes as Decimal rather than int. fetchall() was
+            # Python-int-lenient and masked the r6 HUGEINT hash failures
+            # for a full round (VERDICT r6 directive #4).
             res = con.sql(sql)
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            atbl = res.fetch_arrow_table()
+            d_cols = atbl.column_names
+            wide = [
+                f"{f.name}:{f.type}"
+                for f in atbl.schema
+                if str(f.type).startswith("decimal")
+            ]
+            d_rows = [tuple(r[c] for c in d_cols) for r in atbl.to_pylist()]
         except Exception as e:
             print(f"FAIL  {name:20s} duckdb error: {e}")
             n_fail += 1
             continue
         t_duck = time.time() - t0
         problems = []
+        if wide:
+            # decimal128 output = driver canonicalization hazard even when
+            # values match — treat as a hard failure, same as the driver.
+            problems.append(f"oracle emits wide-decimal column(s) {wide}")
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount {len(s_rows)} vs {len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
