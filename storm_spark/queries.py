@@ -5753,6 +5753,63 @@ FROM walk GROUP BY node
 """
 
 
+def q_streaming_bfs_incremental(spark, sf_dir):
+    """Incrementally-maintained BFS under streaming edge ARRIVALS
+    (mining.IncrementalBFS — VERDICT r6 stretch: graph traversal as a
+    streaming-depth operator, frontier DELTA per epoch). The co-purchase
+    edge list is hash-split into three epochs and fed through a REAL
+    ``readStream`` + ``foreachBatch``; each epoch seeds a delta frontier
+    from only the NEW edges' endpoints and min-relaxes the affected
+    cascade over the accumulated edge state — late epochs carry shortcut
+    edges that RE-IMPROVE nodes discovered earlier (hash-split epochs
+    guarantee cross-epoch cascades at this graph's density), so the gate
+    exercises re-relaxation, not just append-only growth. Final distances
+    must equal the from-scratch batch BFS (the same recursive-CTE oracle
+    as `graph_bfs`) — incremental maintenance is invisible in the answer,
+    only in the per-epoch cost."""
+    import os
+    import uuid
+
+    from storm_spark.functions.mining import IncrementalBFS
+
+    edges = bounded_persist(
+        _copurchase_edges(spark, sf_dir), "queries.sbfs.copurchase"
+    )
+    seeds = edges.agg(F.min("src").alias("node"))
+    tmp = tempfile.mkdtemp(prefix="storm_spark_sbfs_")
+    indir = os.path.join(tmp, "in")
+    os.makedirs(indir)
+    feed_schema = edges.select("src", "dst").schema
+
+    bfs = IncrementalBFS(seeds, "node", max_hops=4)
+    stream = (
+        spark.readStream.schema(feed_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{indir}/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, epoch_id: bfs.add_edges(batch_df, "src", "dst")
+        )
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .queryName("sbfs_" + uuid.uuid4().hex[:8])
+        .start()
+    )
+    try:
+        chunk = F.pmod(F.xxhash64("src", "dst"), F.lit(3))
+        for b in range(3):
+            edges.filter(chunk == b).select("src", "dst").coalesce(
+                1
+            ).write.mode("overwrite").parquet(os.path.join(indir, f"b{b}"))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return bfs.dist().select(
+        F.col("node").cast("bigint").alias("node"), F.col("dist").cast("int")
+    )
+
+
 def q_dedup_merge(spark, sf_dir):
     """Dedup survivorship (dedup.canonicalize_clusters): the step AFTER
     clustering — per near-dup cluster (MinHash-LSH pairs → connected
@@ -6273,7 +6330,10 @@ QUERIES = {
     # in r4/r5 and re-verified locally at sf0.01 each round.
     "tpch_q5": q_tpch_q5,
     "tpch_q3": q_tpch_q3,
-    "triangle_count": q_triangle_count,
+    # r7-new: incremental BFS under streaming edge arrivals (frontier
+    # delta per epoch — VERDICT r6 stretch); triangle_count (driver-green
+    # r6) demoted to the tail to hold the window at 50.
+    "streaming_bfs_incremental": q_streaming_bfs_incremental,
     "equi_depth_bins": q_equi_depth_bins,
     "contamination_pairs": q_contamination_pairs,
     "streaming_dedup": q_streaming_dedup,
@@ -6390,6 +6450,7 @@ QUERIES = {
     "trailing_corr": q_trailing_corr,
     "group_corr": q_group_corr,
     "streaming_gap_fill": q_streaming_gap_fill,
+    "triangle_count": q_triangle_count,
     # rotation 6 demotions (driver-green r4/r5, re-verified locally)
     "trailing_zscore": q_trailing_zscore,
     "profile_table": q_profile_table,
@@ -6582,6 +6643,8 @@ ORACLES = {
     "retention": ORACLE_RETENTION,
     "ann_ivf_trained": ORACLE_ANN_IVF_TRAINED,
     "graph_bfs": ORACLE_GRAPH_BFS,
+    # incremental maintenance must be answer-invisible: same oracle
+    "streaming_bfs_incremental": ORACLE_GRAPH_BFS,
     "dedup_merge": ORACLE_DEDUP_MERGE,
     "trailing_ewma": ORACLE_TRAILING_EWMA,
     "streaming_enrich": ORACLE_STREAMING_ENRICH,

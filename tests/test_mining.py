@@ -195,3 +195,71 @@ def test_triangle_count_hub_degree_ordering(spark):
 
     df = spark.createDataFrame([(0, i) for i in range(1, 30)], "src long, dst long")
     assert mining.triangle_count(df).count() == 0
+
+
+def test_incremental_bfs_shortcut_reimproves(spark):
+    """A late shortcut edge must re-relax nodes discovered epochs earlier
+    (the cascade case a naive append-only frontier misses): path
+    0-1-2-3-4-5 lands dists 1..5 (5 capped out at max_hops=4), then
+    epoch 2's single edge (0,4) improves 4->1, which cascades 3->2, 5->2."""
+    from storm_spark.functions.mining import IncrementalBFS
+
+    seeds = spark.createDataFrame([(0,)], "node long")
+    bfs = IncrementalBFS(seeds, "node", max_hops=4)
+    path = [(i, i + 1) for i in range(5)]
+    bfs.add_edges(spark.createDataFrame(path, "src long, dst long"))
+    d1 = {r.node: r.dist for r in bfs.dist().collect()}
+    assert d1 == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}, d1  # 5 is beyond the cap
+    rounds = bfs.add_edges(spark.createDataFrame([(0, 4)], "src long, dst long"))
+    d2 = {r.node: r.dist for r in bfs.dist().collect()}
+    assert d2 == {0: 0, 1: 1, 2: 2, 3: 2, 4: 1, 5: 2}, d2
+    assert rounds >= 2, rounds  # the cascade really took multiple rounds
+
+
+def test_incremental_bfs_untouched_epoch_is_cheap(spark):
+    """An epoch whose edges touch nothing reachable changes nothing and
+    takes zero relaxation rounds (the bounded-by-delta contract)."""
+    from storm_spark.functions.mining import IncrementalBFS
+
+    seeds = spark.createDataFrame([(0,)], "node long")
+    bfs = IncrementalBFS(seeds, "node", max_hops=4)
+    bfs.add_edges(spark.createDataFrame([(0, 1)], "src long, dst long"))
+    rounds = bfs.add_edges(
+        spark.createDataFrame([(100, 101), (101, 102)], "src long, dst long")
+    )
+    assert rounds == 0
+    got = {r.node: r.dist for r in bfs.dist().collect()}
+    assert got == {0: 0, 1: 1}
+
+
+def test_incremental_bfs_matches_batch_on_random_splits(spark):
+    """Any 3-way split of any edge set must converge to the from-scratch
+    graph_bfs answer (deterministic pseudo-random graph + hash split)."""
+    import hashlib
+
+    from storm_spark.functions.mining import IncrementalBFS, graph_bfs
+
+    def h(*xs):
+        return int.from_bytes(
+            hashlib.md5("|".join(map(str, xs)).encode()).digest()[:4], "big"
+        )
+
+    edges = [
+        (u, v)
+        for u in range(25)
+        for v in range(u + 1, 25)
+        if h("e", u, v) % 7 == 0
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (13,)], "node long")
+    expect = {
+        (r.node, r.dist)
+        for r in graph_bfs(df, seeds, "src", "dst", "node", max_hops=4).collect()
+    }
+    bfs = IncrementalBFS(seeds, "node", max_hops=4)
+    for chunk in range(3):
+        part = [e for e in edges if h("c", *e) % 3 == chunk]
+        if part:
+            bfs.add_edges(spark.createDataFrame(part, "src long, dst long"))
+    got = {(r.node, r.dist) for r in bfs.dist().collect()}
+    assert got == expect
