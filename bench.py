@@ -145,6 +145,10 @@ HEADLINE = [
     "weighted_median",
     "grouping_sets",
     "user_streaks",
+    # r7 operators
+    "js_drift",
+    "merge_intervals",
+    "group_mode",
 ]
 
 

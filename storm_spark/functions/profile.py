@@ -508,6 +508,133 @@ WHERE n_ref > 0 AND n_cur > 0
 """
 
 
+def group_mode(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Most frequent value per group (the MODE aggregate Spark lacks as a
+    deterministic builtin), with a total tie-break: highest count wins,
+    equal counts resolve to the SMALLEST value — so the answer is unique
+    and engine-portable (DuckDB's ``mode()`` breaks ties arbitrarily;
+    this never does). Returns ``(group, mode, n)``.
+
+    Scale shape: one map-side-combined (group, value) partial agg — raw
+    rows collapse to the value vocabulary before the wire — then a
+    row_number window re-keyed on the group alone (vocabulary-sized
+    input). The same two-exchange shape as :func:`group_entropy`.
+    """
+    counts = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("n"), F.asc("v"))
+    return (
+        counts.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") == 1)
+        .select(
+            F.col("g").alias(group_col),
+            F.col("v").alias("mode"),
+            "n",
+        )
+    )
+
+
+def sql_group_mode(table: str, group_expr: str, value_expr: str) -> str:
+    """DuckDB twin of :func:`group_mode` — full SELECT (group, mode, n)."""
+    return f"""
+SELECT g AS {group_expr}, v AS mode, n
+FROM (
+  SELECT g, v, n,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY n DESC, v ASC) AS rk
+  FROM (
+    SELECT {group_expr} AS g, {value_expr} AS v,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM {table} WHERE ({value_expr}) IS NOT NULL GROUP BY 1, 2))
+WHERE rk = 1
+"""
+
+
+def js_drift(
+    old: DataFrame,
+    new: DataFrame,
+    value_col,
+    lo: int,
+    hi: int,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Jensen–Shannon drift report between two snapshots — the bounded,
+    symmetric sibling of :func:`psi_drift` (PSI explodes on empty bins
+    and is asymmetric; JSD is finite by construction — zero-probability
+    bins contribute 0·ln(0) = 0 — symmetric, and bounded by ln 2, so
+    thresholds transfer across features). Returns one row per bin:
+    ``(bin, n_old, n_new, p_old, p_new, js_term)``; total JSD = SUM of
+    terms (the per-bin breakdown shows WHERE the mass moved).
+
+    ``js_term = ½·p·ln(p/m) + ½·q·ln(q/m)`` with ``m = (p+q)/2``; the
+    p = 0 (or q = 0) limit is taken exactly as 0 for that half — no eps
+    flooring needed, unlike PSI.
+
+    Binning, scale shape, and determinism are identical to
+    :func:`psi_drift`: fixed equal-width integer bins over ``[lo, hi)``,
+    one map-side-combined bin-keyed agg per side, all divergence
+    arithmetic on n_bins rows, doubles rounded to 6.
+    """
+    if not (isinstance(lo, int) and isinstance(hi, int) and hi > lo):
+        raise ValueError(f"need integer lo < hi, got ({lo}, {hi})")
+
+    def _bins(df):
+        v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+            "bigint"
+        )
+        clamped = F.least(F.greatest(v, F.lit(int(lo))), F.lit(int(hi) - 1))
+        num = (clamped - F.lit(int(lo))) * F.lit(int(n_bins))
+        return (
+            df.where(v.isNotNull())
+            .select(num.alias("__num__"))
+            .select(F.expr(f"__num__ div {int(hi) - int(lo)}").alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+
+    o = _bins(old).select(F.col("bin"), F.col("n").alias("n_old"))
+    n = _bins(new).select(F.col("bin"), F.col("n").alias("n_new"))
+    spark = old.sparkSession
+    grid = spark.range(n_bins).select(F.col("id").alias("bin"))
+    j = (
+        grid.join(o, "bin", "left")
+        .join(n, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    tot = j.agg(
+        F.greatest(F.sum("n_old"), F.lit(1)).cast("double").alias("__to__"),
+        F.greatest(F.sum("n_new"), F.lit(1)).cast("double").alias("__tn__"),
+    )
+    p = F.col("n_old") / F.col("__to__")
+    q = F.col("n_new") / F.col("__tn__")
+    m = (p + q) / F.lit(2.0)
+    half = F.lit(0.5)
+    term = F.when(p > 0, half * p * F.log(p / m)).otherwise(F.lit(0.0)) + F.when(
+        q > 0, half * q * F.log(q / m)
+    ).otherwise(F.lit(0.0))
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_old",
+            "n_new",
+            F.round(p, 6).alias("p_old"),
+            F.round(q, 6).alias("p_new"),
+            F.round(term, 6).alias("js_term"),
+        )
+    )
+
+
 def sql_equi_depth_bins(table: str, value_expr: str, n_bins: int = 10) -> str:
     """DuckDB twin of :func:`equi_depth_bins` — full SELECT
     ``(bin, n, lo, hi)``."""

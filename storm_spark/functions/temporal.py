@@ -749,6 +749,56 @@ def event_paths(
     )
 
 
+def merge_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: Column | str,
+    end_col: Column | str,
+) -> DataFrame:
+    """Union of overlapping/touching intervals per key — the interval
+    twin of :func:`activity_streaks`'s gaps-and-islands: collapse a pile
+    of per-event validity/busy windows into maximal disjoint spans
+    (machine busy periods, session coverage, blackout windows, copyright
+    embargo spans in a curation pipeline). Returns one row per merged
+    span: ``(key, span_start, span_end, n_intervals)``. Touching
+    intervals (next start == previous end) merge; a strictly positive gap
+    splits.
+
+    The island trick, interval form: order by (start, end) within the
+    key; a row opens a NEW span iff its start exceeds the running
+    ``MAX(end)`` over all PRECEDING rows (not just the previous row —
+    an early long interval can swallow several short later ones); the
+    cumulative sum of those break flags is the island id.
+
+    Scale shape: ONE key-keyed exchange — both window passes (preceding
+    max, cumulative break sum) and the (key, island) rollup all run on
+    the same key partitioning (grouping on (key, island) is satisfied by
+    key-partitioning; the :func:`activity_streaks` argument). Integer /
+    timestamp comparisons only — exact on any engine.
+    """
+    s = F.col(start_col) if isinstance(start_col, str) else start_col
+    e = F.col(end_col) if isinstance(end_col, str) else end_col
+    iv = df.select(
+        F.col(key_col).alias("key"), s.alias("__s__"), e.alias("__e__")
+    )
+    w = Window.partitionBy("key").orderBy("__s__", "__e__")
+    prev_max = F.max("__e__").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = (
+        (prev_max.isNull() | (F.col("__s__") > prev_max)).cast("int")
+    )
+    islands = iv.withColumn(
+        "__island__",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy("key", "__island__").agg(
+        F.min("__s__").alias("span_start"),
+        F.max("__e__").alias("span_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+    ).drop("__island__")
+
+
 def activity_streaks(
     df: DataFrame,
     key_col: str,

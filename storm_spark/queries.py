@@ -3860,6 +3860,124 @@ FROM j CROSS JOIN t
 ORACLE_PSI_DRIFT = _oracle_psi_drift()
 
 
+def q_js_drift(spark, sf_dir):
+    """Jensen–Shannon drift report (profile.js_drift) between the same
+    even/odd-user snapshots as psi_drift — the bounded symmetric
+    divergence (≤ ln 2, zero-mass bins contribute exactly 0, no eps
+    regularization), so one alarm threshold transfers across features
+    where PSI's empty-bin explosion doesn't. Same fixed integer bins,
+    same two tiny bin-keyed aggs; ln on identical doubles both engines."""
+    from storm_spark.functions.profile import js_drift
+
+    e = _events(spark, sf_dir).withColumn("v_c", cents("value"))
+    old = e.filter(F.col("user_id") % 2 == 0)
+    new = e.filter(F.col("user_id") % 2 == 1)
+    return js_drift(old, new, "v_c", lo=0, hi=50000, n_bins=10)
+
+
+def _oracle_js_drift(lo=0, hi=50000, n_bins=10):
+    v = SQL_CENTS.format(x="value")
+    b = f"((least(greatest({v}, {lo}), {hi - 1}) - {lo}) * {n_bins}) // {hi - lo}"
+    return f"""
+WITH ob AS (
+  SELECT {b} AS bin, CAST(COUNT(*) AS BIGINT) AS n_old
+  FROM events WHERE user_id % 2 = 0 AND value IS NOT NULL GROUP BY 1),
+nb AS (
+  SELECT {b} AS bin, CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM events WHERE user_id % 2 = 1 AND value IS NOT NULL GROUP BY 1),
+grid AS (SELECT unnest(generate_series(0, {n_bins - 1})) AS bin),
+j AS (
+  SELECT g.bin, COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+  FROM grid g LEFT JOIN ob ON ob.bin = g.bin LEFT JOIN nb ON nb.bin = g.bin),
+t AS (SELECT CAST(greatest(SUM(n_old), 1) AS DOUBLE) AS to_,
+             CAST(greatest(SUM(n_new), 1) AS DOUBLE) AS tn_ FROM j)
+SELECT bin, n_old, n_new,
+       round(n_old / to_, 6) AS p_old,
+       round(n_new / tn_, 6) AS p_new,
+       round(
+         CASE WHEN n_old > 0
+              THEN 0.5 * (n_old / to_)
+                   * ln((n_old / to_) / ((n_old / to_ + n_new / tn_) / 2))
+              ELSE 0.0 END
+         + CASE WHEN n_new > 0
+              THEN 0.5 * (n_new / tn_)
+                   * ln((n_new / tn_) / ((n_old / to_ + n_new / tn_) / 2))
+              ELSE 0.0 END, 6) AS js_term
+FROM j CROSS JOIN t
+"""
+
+
+ORACLE_JS_DRIFT = _oracle_js_drift()
+
+
+def q_merge_intervals(spark, sf_dir):
+    """Overlapping-interval union (temporal.merge_intervals): each event
+    opens a 900-second busy window per user; merge the overlapping/touching
+    windows into maximal disjoint spans — the coverage/blackout question
+    (when was this user's pipeline active) that per-event sessionize
+    cumsum logic doesn't express (an early LONG interval must swallow
+    several short later ones: running MAX(end), not lag). ONE user-keyed
+    exchange: both window passes and the (user, island) rollup share the
+    key partitioning. Pure epoch-second integer arithmetic."""
+    e = _events(spark, sf_dir)
+    iv = e.select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000").alias("s_s"),
+    ).withColumn("e_s", F.col("s_s") + 900)
+    out = temporal.merge_intervals(iv, "user_id", "s_s", "e_s")
+    return out.select(
+        F.col("key").alias("user_id"),
+        F.col("span_start").alias("span_start_s"),
+        F.col("span_end").alias("span_end_s"),
+        "n_intervals",
+    )
+
+
+ORACLE_MERGE_INTERVALS = """
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS s,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 + 900 AS e
+  FROM events),
+mk AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY user_id
+                ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              s - 1)
+              THEN 1 ELSE 0 END AS brk
+  FROM iv),
+isl AS (
+  SELECT user_id, s, e,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM mk)
+SELECT user_id, MIN(s) AS span_start_s, MAX(e) AS span_end_s,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals
+FROM isl GROUP BY user_id, island
+"""
+
+
+def q_group_mode(spark, sf_dir):
+    """Per-user modal event type (profile.group_mode) — the MODE
+    aggregate with a TOTAL tie-break (highest count, then smallest value)
+    so the answer is unique on any engine (DuckDB's builtin mode() breaks
+    ties arbitrarily; both sides here rank explicitly). One vocabulary-
+    collapsing partial agg + one group-keyed row_number window."""
+    from storm_spark.functions.profile import group_mode
+
+    e = _events(spark, sf_dir)
+    return group_mode(e, "user_id", "event_type")
+
+
+def _oracle_group_mode():
+    from storm_spark.functions.profile import sql_group_mode
+
+    return sql_group_mode("events", "user_id", "event_type")
+
+
+ORACLE_GROUP_MODE = _oracle_group_mode()
+
+
 def q_centroid_classify(spark, sf_dir):
     """Nearest-centroid (Rocchio) classification eval over the labeled
     embeddings table (similarity.centroid_classify): per-label 9-digit-
@@ -6336,13 +6454,16 @@ QUERIES = {
     "streaming_bfs_incremental": q_streaming_bfs_incremental,
     "equi_depth_bins": q_equi_depth_bins,
     "contamination_pairs": q_contamination_pairs,
-    "streaming_dedup": q_streaming_dedup,
-    "streaming_transitions": q_streaming_transitions,
+    # r7-new batch trio (straight into the window; streaming_dedup,
+    # streaming_transitions, tpch_q16 — all driver-green r6 — demoted):
+    # bounded symmetric drift, interval union, deterministic mode
+    "js_drift": q_js_drift,
+    "merge_intervals": q_merge_intervals,
+    "group_mode": q_group_mode,
     # r6-new TPC-H depth gates (VERDICT r5 #6): semi-join with non-equi
     # residual (Q4), anti-join + distinct-count (Q16), HAVING-sum
     # semi-join + top-k (Q18) — straight into the driver window
     "tpch_q4": q_tpch_q4,
-    "tpch_q16": q_tpch_q16,
     "tpch_q18": q_tpch_q18,
     "tpch_q13": q_tpch_q13,
     "tpch_q22": q_tpch_q22,
@@ -6451,6 +6572,9 @@ QUERIES = {
     "group_corr": q_group_corr,
     "streaming_gap_fill": q_streaming_gap_fill,
     "triangle_count": q_triangle_count,
+    "streaming_dedup": q_streaming_dedup,
+    "streaming_transitions": q_streaming_transitions,
+    "tpch_q16": q_tpch_q16,
     # rotation 6 demotions (driver-green r4/r5, re-verified locally)
     "trailing_zscore": q_trailing_zscore,
     "profile_table": q_profile_table,
@@ -6622,6 +6746,9 @@ ORACLES = {
     "tpch_q15": ORACLE_TPCH_Q15,
     "tpch_q17": ORACLE_TPCH_Q17,
     "ks_drift": ORACLE_KS_DRIFT,
+    "js_drift": ORACLE_JS_DRIFT,
+    "merge_intervals": ORACLE_MERGE_INTERVALS,
+    "group_mode": ORACLE_GROUP_MODE,
     "streaming_interval_join": ORACLE_STREAMING_INTERVAL_JOIN,
     "dedup_jaccard_prefix": ORACLE_DEDUP_JACCARD_PREFIX,
     "equi_depth_bins": ORACLE_EQUI_DEPTH_BINS,

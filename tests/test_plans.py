@@ -164,6 +164,10 @@ _EXPRESSION_ONLY = [
     "weighted_median",
     "grouping_sets",
     "user_streaks",
+    # r7 expression-only additions
+    "js_drift",
+    "merge_intervals",
+    "group_mode",
 ]
 
 

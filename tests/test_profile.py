@@ -1,5 +1,7 @@
 """Column profiling (functions/profile.py)."""
 
+import pytest
+
 from storm_spark.functions import profile
 
 
@@ -70,3 +72,38 @@ def test_psi_drift_clamps_out_of_range_and_skips_nulls(spark):
            psi_drift(old, new, "v", lo=0, hi=10, n_bins=2).collect()}
     # -5 clamps into bin 0, 99 into bin 1, NULL dropped
     assert out == {0: (1, 1), 1: (1, 0)}
+
+
+def test_group_mode_tiebreak_is_min_value(spark):
+    from storm_spark.functions.profile import group_mode
+
+    rows = [("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "c"),
+            ("h", "z"), ("h", None)]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    got = {(r.grp, r.mode, r.n) for r in group_mode(df, "grp", "v").collect()}
+    assert got == {("g", "a", 2), ("h", "z", 1)}, got
+
+
+def test_js_drift_bounded_symmetric_zero_bins(spark):
+    """JSD properties the gate relies on: identical snapshots give total
+    0; disjoint snapshots give exactly ln 2; empty bins contribute 0
+    (no eps floor); swapping old/new mirrors p columns with the same
+    terms sum (symmetry)."""
+    import math
+
+    from storm_spark.functions.profile import js_drift
+
+    a = spark.createDataFrame([(i % 10,) for i in range(100)], "v long")
+    b = spark.createDataFrame([(50 + i % 10,) for i in range(100)], "v long")
+
+    same = js_drift(a, a, "v", lo=0, hi=100, n_bins=10).collect()
+    assert sum(r.js_term for r in same) == 0.0
+
+    disj = js_drift(a, b, "v", lo=0, hi=100, n_bins=10).collect()
+    assert sum(r.js_term for r in disj) == pytest.approx(math.log(2), abs=1e-5)
+    # bins with zero mass on both sides contribute exactly 0, never NaN
+    assert all(r.js_term == 0.0 for r in disj if r.n_old == 0 and r.n_new == 0)
+
+    fwd = sum(r.js_term for r in js_drift(a, b, "v", 0, 100, 10).collect())
+    rev = sum(r.js_term for r in js_drift(b, a, "v", 0, 100, 10).collect())
+    assert fwd == pytest.approx(rev, abs=2e-6)

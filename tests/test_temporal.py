@@ -590,3 +590,23 @@ def test_event_paths_rejects_n1(spark):
     df = spark.createDataFrame([(1, 1, "a")], "u bigint, seq bigint, t string")
     with _pytest.raises(ValueError):
         event_paths(df, "u", "t", ["seq"], n=1)
+
+
+def test_merge_intervals_long_interval_swallows(spark):
+    """An early LONG interval must swallow several short later ones —
+    the case a lag(end)-based formulation (previous row only) gets wrong:
+    [0,100] ∪ [10,20] ∪ [30,40] is ONE span even though [30,40] does not
+    touch [10,20]. Touching intervals ([100,110]) merge; a strict gap
+    ([150,160]) splits."""
+    from storm_spark.functions.temporal import merge_intervals
+
+    rows = [
+        (1, 0, 100), (1, 10, 20), (1, 30, 40), (1, 100, 110), (1, 150, 160),
+        (2, 5, 6),
+    ]
+    df = spark.createDataFrame(rows, "k long, s long, e long")
+    got = {
+        (r.key, r.span_start, r.span_end, r.n_intervals)
+        for r in merge_intervals(df, "k", "s", "e").collect()
+    }
+    assert got == {(1, 0, 110, 4), (1, 150, 160, 1), (2, 5, 6, 1)}, got
