@@ -149,6 +149,7 @@ HEADLINE = [
     "js_drift",
     "merge_intervals",
     "group_mode",
+    "bpe_train",
 ]
 
 

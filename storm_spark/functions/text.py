@@ -672,3 +672,86 @@ FROM (
     SELECT id, COUNT(*) AS n_bigrams, list(l ORDER BY pos) AS lps
     FROM lp GROUP BY id))
 """
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Learn the first ``k`` byte-pair-encoding merge rules from the
+    corpus — TOKENIZER TRAINING, the step every LLM data pipeline runs
+    before anything else tokenizes. Classic word-level BPE (Sennrich et
+    al. 2016): start from characters, repeatedly merge the most frequent
+    adjacent symbol pair (ties → lexicographically smallest pair, so the
+    answer is unique on any engine). Returns the merge table
+    ``(rank, lhs, rhs, cnt)`` — rank 1 = first merge learned, cnt = the
+    pair's corpus frequency at the time it was chosen.
+
+    Representation is the whole trick: a word's segmentation is a string
+    of PAREN-WRAPPED symbols — ``hello`` → ``(h)(e)(l)(l)(o)`` — so
+    applying a merge is ONE plain ``replace(seg, '(l)(r)', '(lr)')``:
+    left-to-right non-overlapping replacement over wrapped symbols IS
+    greedy BPE merging, exactly, in both engines (``(a)(a)(a)`` →
+    ``(aa)(a)``; a space-separated encoding gets this wrong because
+    adjacent matches share the boundary space), and the parens make
+    pattern hits unambiguous (tokens are ``[a-z0-9']`` only — a symbol
+    can never contain a paren, so ``(a)(ab)`` can't false-match inside
+    ``(ca)(b)``).
+
+    Scale shape: the corpus collapses ONCE to the word-frequency vocab
+    (one map-side-combined shuffle — the only thing that ever sees raw
+    rows; frequencies carry the corpus scale from then on). Each round is
+    a vocabulary-sized pipeline: explode adjacent pairs (≤ word-length ×
+    |vocab| rows), one pair-keyed partial agg, a 1-row argmax fetch (the
+    scalar-subquery convention), and one expression-only re-segmentation
+    pass, localCheckpointed so plans don't nest across rounds. Early-exit
+    when no pair remains. At 100 TB the vocab is ~10⁵⁻⁶ rows regardless
+    of corpus size — the rounds cost megabytes.
+
+    Reference parity: the iterative keyed-aggregate loop is Trident's
+    persistentAggregate idiom (storm/trident/Stream.java); BPE training
+    itself is the beyond-reference LLM-pipeline layer.
+    """
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    segs = words.select(
+        F.regexp_replace("w", "(.)", r"($1)").alias("seg"), "freq"
+    ).localCheckpoint()
+    pair_expr = F.expr(
+        "CASE WHEN size(__syms__) >= 2 THEN "
+        "transform(sequence(1, size(__syms__) - 1), "
+        "i -> struct(__syms__[i-1] AS l, __syms__[i] AS r)) "
+        "ELSE array() END"
+    )
+    merges: list[tuple] = []
+    for rank in range(1, k + 1):
+        syms = segs.select(
+            "freq",
+            F.split(
+                F.expr("substring(seg, 2, length(seg) - 2)"), r"\)\("
+            ).alias("__syms__"),
+        )
+        cnts = (
+            syms.select("freq", F.explode(pair_expr).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        best = cnts.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r")).limit(1).collect()
+        if not best:
+            break
+        l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        merges.append((rank, l, r, cnt))
+        segs = segs.select(
+            F.replace(  # Column args: symbols may contain quotes (')
+                F.col("seg"), F.lit(f"({l})({r})"), F.lit(f"({l}{r})")
+            ).alias("seg"),
+            "freq",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, cnt bigint"
+    )

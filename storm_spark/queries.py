@@ -3978,6 +3978,57 @@ def _oracle_group_mode():
 ORACLE_GROUP_MODE = _oracle_group_mode()
 
 
+def q_bpe_train(spark, sf_dir):
+    """BPE tokenizer training (text.bpe_train): learn the first 10 merge
+    rules from the document corpus — greedy most-frequent-adjacent-pair
+    with a lexicographic tie-break so the merge table is unique. The
+    paren-wrapped segmentation makes merge application ONE plain
+    replace() with exact greedy semantics in both engines; the oracle
+    unrolls the 10 rounds as CTE layers (pair-count → argmax → re-segment),
+    the k_core/graph_bfs convention for iterative operators. Corpus
+    collapses once to the word-frequency vocab; every round is
+    vocabulary-sized."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bpe_train(docs, "text", k=10)
+
+
+def _oracle_bpe_train(k=10):
+    toks = SQL_TOKS.format(x="text")
+    layers = [
+        f"""w0 AS (
+  SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS seg,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({toks}) AS word FROM documents)
+  GROUP BY 1)"""
+    ]
+    for i in range(1, k + 1):
+        layers.append(
+            f"""p{i} AS (
+  SELECT u[1] AS lhs, u[2] AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT freq, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS u
+    FROM (SELECT freq, string_split(seg[2:length(seg)-1], ')(') AS syms
+          FROM w{i - 1})
+    WHERE len(syms) >= 2)
+  GROUP BY 1, 2),
+b{i} AS (SELECT lhs, rhs, cnt FROM p{i} ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+w{i} AS (
+  SELECT replace(seg, '(' || lhs || ')(' || rhs || ')',
+                 '(' || lhs || rhs || ')') AS seg, freq
+  FROM w{i - 1} CROSS JOIN b{i})"""
+        )
+        # CROSS JOIN with an empty b{i} empties w{i} and every later
+        # layer — mirroring the Spark side's early exit (row counts match)
+    picks = "\nUNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS rank, lhs, rhs, cnt FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(layers) + "\n" + picks
+
+
+ORACLE_BPE_TRAIN = _oracle_bpe_train()
+
+
 def q_centroid_classify(spark, sf_dir):
     """Nearest-centroid (Rocchio) classification eval over the labeled
     embeddings table (similarity.centroid_classify): per-label 9-digit-
@@ -6460,6 +6511,9 @@ QUERIES = {
     "js_drift": q_js_drift,
     "merge_intervals": q_merge_intervals,
     "group_mode": q_group_mode,
+    # r7 flagship: BPE tokenizer training (tpch_q14, driver-green r6,
+    # demoted to hold the window at 50)
+    "bpe_train": q_bpe_train,
     # r6-new TPC-H depth gates (VERDICT r5 #6): semi-join with non-equi
     # residual (Q4), anti-join + distinct-count (Q16), HAVING-sum
     # semi-join + top-k (Q18) — straight into the driver window
@@ -6468,7 +6522,6 @@ QUERIES = {
     "tpch_q13": q_tpch_q13,
     "tpch_q22": q_tpch_q22,
     "tpch_q10": q_tpch_q10,
-    "tpch_q14": q_tpch_q14,
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
     "tpch_q15": q_tpch_q15,
@@ -6575,6 +6628,7 @@ QUERIES = {
     "streaming_dedup": q_streaming_dedup,
     "streaming_transitions": q_streaming_transitions,
     "tpch_q16": q_tpch_q16,
+    "tpch_q14": q_tpch_q14,
     # rotation 6 demotions (driver-green r4/r5, re-verified locally)
     "trailing_zscore": q_trailing_zscore,
     "profile_table": q_profile_table,
@@ -6749,6 +6803,7 @@ ORACLES = {
     "js_drift": ORACLE_JS_DRIFT,
     "merge_intervals": ORACLE_MERGE_INTERVALS,
     "group_mode": ORACLE_GROUP_MODE,
+    "bpe_train": ORACLE_BPE_TRAIN,
     "streaming_interval_join": ORACLE_STREAMING_INTERVAL_JOIN,
     "dedup_jaccard_prefix": ORACLE_DEDUP_JACCARD_PREFIX,
     "equi_depth_bins": ORACLE_EQUI_DEPTH_BINS,

@@ -477,3 +477,31 @@ def test_corpus_diff_duplicate_ids_collapse(spark):
     assert len(out) <= 1
     ids = [r.doc_id for r in out]
     assert 8 not in ids
+
+
+def test_bpe_train_greedy_and_tiebreak(spark):
+    """BPE merge learning on a corpus small enough to hand-compute:
+    'aaaa' x2 and 'ab' x3. Round 1: pairs (a,a) count 2*3=6 — 'aaaa' has
+    three (a,a) occurrences per word — vs (a,b) count 3; merge (a,a).
+    Greedy left-to-right re-segmentation: (a)(a)(a)(a) -> (aa)(aa), NOT
+    (aa)(a)(a) — the run-sharing case a space-separated replace encoding
+    gets wrong. Round 2: pairs (aa,aa) count 2 vs (a,b) count 3 ->
+    merge (a,b). Round 3: (aa,aa) -> merge. Round 4: nothing adjacent
+    remains -> early exit at 3 rows."""
+    from storm_spark.functions.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [("aaaa",), ("aaaa",), ("ab",), ("ab",), ("ab",)], "text string"
+    )
+    got = [(r.rank, r.lhs, r.rhs, r.cnt) for r in bpe_train(docs, "text", k=4).collect()]
+    assert got == [(1, "a", "a", 6), (2, "a", "b", 3), (3, "aa", "aa", 2)], got
+
+
+def test_bpe_train_lexicographic_tiebreak(spark):
+    """Equal-count pairs resolve to the lexicographically smallest
+    (lhs, rhs) — 'ba' and 'bc' both give their pair count 1; (b,a) < (b,c)."""
+    from storm_spark.functions.text import bpe_train
+
+    docs = spark.createDataFrame([("bc ba",)], "text string")
+    got = [(r.rank, r.lhs, r.rhs) for r in bpe_train(docs, "text", k=1).collect()]
+    assert got == [(1, "b", "a")], got
