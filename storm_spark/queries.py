@@ -6448,6 +6448,123 @@ FROM j GROUP BY user_id
 """
 
 
+def q_streaming_full_outer_join(spark, sf_dir):
+    """FULL OUTER stream-stream interval join end-to-end — the last
+    stream-stream join mode after inner and left-outer: matched pairs
+    emit on co-presence; unmatched rows from EITHER side flush only when
+    the watermark proves no partner can still arrive (a right-only row
+    emits with a NULL left side — the direction left_outer never
+    exercises). Same split/interval as the left-outer gate; output adds
+    the right-only count per user, keyed on the COALESCED user id since a
+    right-only row carries it in the right-side column."""
+    import os
+    import uuid
+    from datetime import timedelta
+
+    from storm_spark.streaming.joins import interval_join
+
+    e = _events(spark, sf_dir).select("user_id", "ts", "event_id")
+    max_ts = e.agg(F.max("ts")).collect()[0][0]  # 1-row driver fetch
+    tmp = tempfile.mkdtemp(prefix="storm_spark_sfoj_")
+    left_dir = os.path.join(tmp, "left")
+    right_dir = os.path.join(tmp, "right")
+    os.makedirs(left_dir)
+    os.makedirs(right_dir)
+    w = Window.orderBy("ts", "event_id")
+    parts = e.withColumn("__t__", F.ntile(3).over(w))
+    qname = "sfoj_" + uuid.uuid4().hex[:8]
+    left = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{left_dir}/*")
+    ).withWatermark("ts", "1 second")
+    right = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{right_dir}/*")
+    ).withWatermark("ts", "1 second")
+    joined = interval_join(
+        left, right, "user_id", "ts",
+        lower_seconds=0, upper_seconds=1800, how="full_outer",
+    ).select("user_id", "event_id", F.col("user_id_r"), F.col("event_id_r"))
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        for b in (1, 2, 3):
+            tb = parts.filter(F.col("__t__") == b)
+            tb.filter(F.col("event_id") % 2 == 0).select(*e.columns).coalesce(
+                1
+            ).write.mode("overwrite").parquet(os.path.join(left_dir, f"b{b}"))
+            tb.filter(F.col("event_id") % 2 == 1).select(*e.columns).coalesce(
+                1
+            ).write.mode("overwrite").parquet(os.path.join(right_dir, f"b{b}"))
+            q.processAllAvailable()
+        for s in (1, 2):
+            sent = spark.createDataFrame(
+                [(-1, max_ts + timedelta(days=s), -s)], e.schema
+            )
+            sent.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(left_dir, f"s{s}")
+            )
+            sent.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(right_dir, f"s{s}")
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+    uid = F.coalesce(F.col("user_id"), F.col("user_id_r"))
+    return (
+        spark.table(qname)
+        .filter(uid >= 0)
+        .groupBy(uid.alias("user_id"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_id").isNotNull()
+                    & F.col("event_id_r").isNotNull(),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.sum(F.when(F.col("event_id_r").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_left_only"),
+            F.sum(F.when(F.col("event_id").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_right_only"),
+        )
+    )
+
+
+ORACLE_STREAMING_FULL_OUTER_JOIN = """
+WITH l AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+           FROM events WHERE event_id % 2 = 0),
+r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events WHERE event_id % 2 = 1),
+j AS (
+  SELECT l.user_id AS ul, r.user_id AS ur,
+         l.event_id AS event_id, r.event_id AS event_id_r
+  FROM l FULL JOIN r
+    ON l.user_id = r.user_id
+   AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1800 SECONDS)
+SELECT COALESCE(ul, ur) AS user_id,
+       CAST(SUM(CASE WHEN event_id IS NOT NULL AND event_id_r IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN event_id_r IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_left_only,
+       CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_right_only
+FROM j GROUP BY 1
+"""
+
+
 # Insertion order matters: the driver's correctness gate samples the FIRST 50
 # entries. Rotated three times in round 4 so every operator with zero driver
 # rows sits inside the window: (1) the 15 queries catalog growth pushed past
@@ -6514,6 +6631,9 @@ QUERIES = {
     # r7 flagship: BPE tokenizer training (tpch_q14, driver-green r6,
     # demoted to hold the window at 50)
     "bpe_train": q_bpe_train,
+    # r7: FULL outer stream-stream interval join — the last join mode
+    # (tpch_q7, driver-green r6, demoted to hold the window at 50)
+    "streaming_full_outer_join": q_streaming_full_outer_join,
     # r6-new TPC-H depth gates (VERDICT r5 #6): semi-join with non-equi
     # residual (Q4), anti-join + distinct-count (Q16), HAVING-sum
     # semi-join + top-k (Q18) — straight into the driver window
@@ -6522,7 +6642,6 @@ QUERIES = {
     "tpch_q13": q_tpch_q13,
     "tpch_q22": q_tpch_q22,
     "tpch_q10": q_tpch_q10,
-    "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
     "tpch_q15": q_tpch_q15,
     "tpch_q17": q_tpch_q17,
@@ -6629,6 +6748,7 @@ QUERIES = {
     "streaming_transitions": q_streaming_transitions,
     "tpch_q16": q_tpch_q16,
     "tpch_q14": q_tpch_q14,
+    "tpch_q7": q_tpch_q7,
     # rotation 6 demotions (driver-green r4/r5, re-verified locally)
     "trailing_zscore": q_trailing_zscore,
     "profile_table": q_profile_table,
@@ -6804,6 +6924,7 @@ ORACLES = {
     "merge_intervals": ORACLE_MERGE_INTERVALS,
     "group_mode": ORACLE_GROUP_MODE,
     "bpe_train": ORACLE_BPE_TRAIN,
+    "streaming_full_outer_join": ORACLE_STREAMING_FULL_OUTER_JOIN,
     "streaming_interval_join": ORACLE_STREAMING_INTERVAL_JOIN,
     "dedup_jaccard_prefix": ORACLE_DEDUP_JACCARD_PREFIX,
     "equi_depth_bins": ORACLE_EQUI_DEPTH_BINS,

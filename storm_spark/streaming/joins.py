@@ -46,6 +46,12 @@ def interval_join(
     will ever come" earlier. A driver that needs every outer row flushed
     must advance the watermark past the data (feed a far-future sentinel)
     before stopping the query; same per-side state bound as inner.
+
+    ``full_outer`` symmetrizes that: unmatched rows from EITHER side
+    flush on watermark proof (a right-only row emits with NULL left
+    columns). Same state bound — both sides were already buffered for the
+    inner case; the outer variants only change what happens at eviction.
+    ``right_outer`` is the mirror of ``left_outer``.
     """
     lcols = set(left.columns)
     renames = {c: (c + suffix if c in lcols else c) for c in right.columns}
@@ -56,7 +62,7 @@ def interval_join(
         & (F.col(rt) >= F.col(ts_col) + F.expr(f"INTERVAL {int(lower_seconds)} SECONDS"))
         & (F.col(rt) <= F.col(ts_col) + F.expr(f"INTERVAL {int(upper_seconds)} SECONDS"))
     )
-    if how not in ("inner", "left_outer"):
+    if how not in ("inner", "left_outer", "right_outer", "full_outer"):
         raise ValueError(f"unsupported stream-stream interval join type: {how}")
     return left.join(r, cond, how)
 

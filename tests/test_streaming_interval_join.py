@@ -181,3 +181,61 @@ def test_left_outer_flushes_unmatched_on_watermark(spark):
         for r in spark.table(qname).filter("user_id >= 0").collect()
     }
     assert after == {(10, 20), (11, None)}, after
+
+
+def test_full_outer_flushes_both_directions(spark):
+    """full_outer's new direction vs left_outer: an unmatched RIGHT row
+    must flush with a NULL left side once the watermark proves no left
+    partner can arrive; unmatched left still flushes; matches still pair."""
+    from storm_spark.streaming.joins import interval_join
+
+    tmp = tempfile.mkdtemp(prefix="sfoj_test_")
+    ld, rd = os.path.join(tmp, "l"), os.path.join(tmp, "r")
+    os.makedirs(ld)
+    os.makedirs(rd)
+    left = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{ld}/*")
+    ).withWatermark("ts", "1 second")
+    right = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{rd}/*")
+    ).withWatermark("ts", "1 second")
+    joined = interval_join(
+        left, right, "user_id", "ts", 0, 600, how="full_outer"
+    )
+    qname = "sfojt_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.select("event_id", "event_id_r")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        # left 10 matches right 11; left 12 unmatched; right 13 unmatched
+        spark.createDataFrame(
+            [_ev(1, 100, 10), _ev(2, 100, 12)], SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(ld, "b0"))
+        spark.createDataFrame(
+            [_ev(1, 200, 11), _ev(3, 200, 13)], SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(rd, "b0"))
+        q.processAllAvailable()
+        for s in (1, 2):  # watermark past everything, then a flush batch
+            sent = [(-9, T0 + timedelta(days=s), -s)]
+            for d in (ld, rd):
+                spark.createDataFrame(sent, SCHEMA).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(d, f"s{s}"))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["event_id"], r["event_id_r"])
+        for r in spark.table(qname).collect()
+        if (r["event_id"] or 0) >= 0 and (r["event_id_r"] or 0) >= 0
+    }
+    assert got == {(10, 11), (12, None), (None, 13)}, got
