@@ -1444,6 +1444,71 @@ GROUP BY p.k
 ORACLE_CMS_HEAVY_HITTERS = _oracle_cms()
 
 
+def q_streaming_cms(spark, sf_dir):
+    """Streaming count-min sketch — the LINEAR-SKETCH merge story run
+    end-to-end: orders arrive in three epochs via a real ``readStream``;
+    each ``foreachBatch`` builds the epoch's 4×256 CMS and merges it into
+    the accumulated sketch by (d, bucket) SUM. CMS is a linear projection
+    of the count vector, so the merged sketch is BIT-IDENTICAL to the
+    batch sketch over all rows — the estimates satisfy the same oracle as
+    the batch `cms_heavy_hitters` gate, exactly, not approximately. This
+    is Trident's CombinerAggregator-into-persistent-state idiom
+    (MapCombinerAggStateUpdater.java:35-80) with a sketch as the
+    combinable value; the state is ≤ depth×width rows regardless of
+    stream volume."""
+    import os
+    import uuid
+
+    from storm_spark.functions.sketch import cms_build, cms_estimate
+
+    orders = _t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="storm_spark_scms_")
+    indir = os.path.join(tmp, "in")
+    os.makedirs(indir)
+    feed = orders.select("o_orderkey", "o_custkey")
+    state = {"sk": None}
+
+    def absorb(batch_df, epoch_id):
+        epoch_sk = cms_build(batch_df, "o_custkey", depth=4, width=256).select(
+            "d", "bucket", "cnt"
+        )
+        merged = (
+            epoch_sk
+            if state["sk"] is None
+            else state["sk"]
+            .unionByName(epoch_sk)
+            .groupBy("d", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        state["sk"] = merged.localCheckpoint()  # <= 1024 rows
+
+    q = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{indir}/*")
+        .writeStream.foreachBatch(absorb)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .queryName("scms_" + uuid.uuid4().hex[:8])
+        .start()
+    )
+    try:
+        chunk = F.pmod(F.xxhash64("o_orderkey"), F.lit(3))
+        for b in range(3):
+            feed.filter(chunk == b).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(indir, f"b{b}"))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    keys = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 50).select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return cms_estimate(state["sk"], keys, "o_custkey", depth=4, width=256).select(
+        F.col("o_custkey").alias("custkey"), "est"
+    )
+
+
 def q_range_join(spark, sf_dir):
     """Interval range join (bucketed equi-join + exact filter — never a
     nested loop): events against synthetic per-day windows [10:00, 14:00)
@@ -6634,6 +6699,9 @@ QUERIES = {
     # r7: FULL outer stream-stream interval join — the last join mode
     # (tpch_q7, driver-green r6, demoted to hold the window at 50)
     "streaming_full_outer_join": q_streaming_full_outer_join,
+    # r7: linear-sketch merge — per-epoch CMS sums to the batch sketch
+    # exactly (tpch_q8, driver-green r6, demoted)
+    "streaming_cms": q_streaming_cms,
     # r6-new TPC-H depth gates (VERDICT r5 #6): semi-join with non-equi
     # residual (Q4), anti-join + distinct-count (Q16), HAVING-sum
     # semi-join + top-k (Q18) — straight into the driver window
@@ -6642,7 +6710,6 @@ QUERIES = {
     "tpch_q13": q_tpch_q13,
     "tpch_q22": q_tpch_q22,
     "tpch_q10": q_tpch_q10,
-    "tpch_q8": q_tpch_q8,
     "tpch_q15": q_tpch_q15,
     "tpch_q17": q_tpch_q17,
     # r6-new: exact two-sample KS drift (bin-free twin of psi_drift)
@@ -6749,6 +6816,7 @@ QUERIES = {
     "tpch_q16": q_tpch_q16,
     "tpch_q14": q_tpch_q14,
     "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
     # rotation 6 demotions (driver-green r4/r5, re-verified locally)
     "trailing_zscore": q_trailing_zscore,
     "profile_table": q_profile_table,
@@ -6925,6 +6993,8 @@ ORACLES = {
     "group_mode": ORACLE_GROUP_MODE,
     "bpe_train": ORACLE_BPE_TRAIN,
     "streaming_full_outer_join": ORACLE_STREAMING_FULL_OUTER_JOIN,
+    # linearity makes the streaming twin satisfy the batch oracle exactly
+    "streaming_cms": ORACLE_CMS_HEAVY_HITTERS,
     "streaming_interval_join": ORACLE_STREAMING_INTERVAL_JOIN,
     "dedup_jaccard_prefix": ORACLE_DEDUP_JACCARD_PREFIX,
     "equi_depth_bins": ORACLE_EQUI_DEPTH_BINS,
