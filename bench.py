@@ -150,6 +150,8 @@ HEADLINE = [
     "merge_intervals",
     "group_mode",
     "bpe_train",
+    "rolling_median",
+    "seasonal_baseline",
 ]
 
 

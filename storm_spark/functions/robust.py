@@ -507,3 +507,44 @@ def weighted_percentile(
         .groupBy(*group_cols)
         .agg(F.min("__v__").alias(out_col))
     )
+
+
+def rolling_median(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    window_rows: int = 7,
+) -> DataFrame:
+    """Trailing exact MEDIAN over the last ``window_rows`` rows per key —
+    the robust twin of a trailing mean (one spike can drag a mean
+    arbitrarily; the trailing median shrugs it off until spikes are half
+    the window). Appends ``roll_med`` to every input row.
+
+    Exactness: the window's values are collected, sorted, and the middle
+    element(s) indexed — integer inputs (cents) make the even-window
+    midpoint ``(a+b)/2`` an exact binary fraction, so the result is
+    bit-identical across engines (the :func:`mad_outliers` argument).
+    ``(order_col, tiebreak_col)`` must be unique per key so the frame
+    content is deterministic.
+
+    Scale shape: ONE key-keyed exchange; the sort is per-key inside the
+    window operator. The collected frame is ``window_rows`` elements —
+    O(k log k) per row with k fixed and small; this is the
+    collect-sort-index formulation Spark's own percentile_approx avoids
+    only for UNBOUNDED frames, where a sketch is the right trade. For
+    bounded trailing frames the exact sort is both cheaper and exact.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col, tiebreak_col)
+        .rowsBetween(-(int(window_rows) - 1), 0)
+    )
+    arr = F.sort_array(F.collect_list(F.col(value_col).cast("bigint")).over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2).cast("int") + 1)
+    return df.withColumn(
+        "roll_med", ((lo + hi) / F.lit(2.0)).cast("double")
+    )

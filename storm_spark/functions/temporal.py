@@ -839,3 +839,80 @@ def activity_streaks(
         F.sum("__len__").cast("bigint").alias("n_active_days"),
         F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
     )
+
+
+def seasonal_baseline(
+    df: DataFrame,
+    key_col: str,
+    ts_col: Column | str,
+    value_col: Column | str,
+    sigma_k: int = 3,
+) -> DataFrame:
+    """Per-(key, hour-of-day) seasonal profile with an INTEGER-EXACT
+    anomaly count — the seasonality-aware screen :func:`trailing
+    zscore <storm_spark.functions.robust.trailing_zscore>` isn't: a value
+    normal for 14:00 can be a 5-sigma spike for 03:00, so the baseline
+    must be the key's OWN distribution at that hour, not its trailing
+    window. Returns ``(key, hod, n, mean_v, sd_v, n_anomalies)``.
+
+    The anomaly test |v − mean| > k·sd is evaluated WITHOUT any float:
+    squaring both sides and clearing denominators gives
+    ``(v·n − sum)² > k²·(n·sumsq − sum²)`` — pure integer arithmetic in
+    DECIMAL(38,0) (the ks_drift convention), so the flag is bit-identical
+    across engines even exactly ON the boundary; mean/sd are reported as
+    6-rounded doubles of exact integer sufficient statistics.
+
+    Scale shape: one (key, hod)-keyed partial agg for the profile (24×
+    keys rows), then one join of the events back to it — AQE decides the
+    strategy (the profile is key-cardinality-sized; no forced broadcast)
+    — and a second tiny agg. Pass integer units (cents).
+    """
+    ts = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "decimal(38,0)"
+    )
+    rows = df.select(
+        F.col(key_col).alias("key"), F.hour(ts).alias("hod"), v.alias("__v__")
+    ).where(F.col("__v__").isNotNull())
+    prof = rows.groupBy("key", "hod").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n__"),
+        F.sum("__v__").alias("__s__"),
+        F.sum(F.col("__v__") * F.col("__v__")).alias("__s2__"),
+    )
+    joined = rows.join(prof, ["key", "hod"])
+    lhs = (F.col("__v__") * F.col("__n__") - F.col("__s__"))
+    rhs = F.lit(int(sigma_k) ** 2) * (
+        F.col("__n__") * F.col("__s2__") - F.col("__s__") * F.col("__s__")
+    )
+    return (
+        joined.groupBy("key", "hod")
+        .agg(
+            F.first("__n__").cast("bigint").alias("n"),
+            F.first("__s__").alias("__s__"),
+            F.first("__s2__").alias("__s2__"),
+            F.sum(F.when(lhs * lhs > rhs, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_anomalies"),
+        )
+        .select(
+            "key",
+            "hod",
+            "n",
+            F.round(
+                F.col("__s__").cast("double") / F.col("n").cast("double"), 6
+            ).alias("mean_v"),
+            F.round(
+                F.sqrt(
+                    (
+                        F.col("n").cast("double")
+                            * F.col("__s2__").cast("double")
+                        - F.col("__s__").cast("double")
+                            * F.col("__s__").cast("double")
+                    )
+                )
+                / F.col("n").cast("double"),
+                6,
+            ).alias("sd_v"),
+            "n_anomalies",
+        )
+    )

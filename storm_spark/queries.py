@@ -4043,6 +4043,83 @@ def _oracle_group_mode():
 ORACLE_GROUP_MODE = _oracle_group_mode()
 
 
+def q_rolling_median(spark, sf_dir):
+    """Trailing 7-row exact median per user (robust.rolling_median) — the
+    robust twin of a trailing mean: one spike can't drag it. Collected
+    frame is 7 elements; integer cents make the even-window midpoint an
+    exact binary fraction, bit-identical across engines. ONE user-keyed
+    exchange."""
+    from storm_spark.functions.robust import rolling_median
+
+    e = (
+        _events(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", cents("value").alias("v_c"))
+    )
+    out = rolling_median(e, "user_id", "ts", "v_c", "event_id", window_rows=7)
+    return out.select("user_id", "event_id", "roll_med")
+
+
+ORACLE_ROLLING_MEDIAN = f"""
+WITH e AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         {SQL_CENTS.format(x='value')} AS v
+  FROM events WHERE value IS NOT NULL),
+a AS (
+  SELECT user_id, event_id,
+         list_sort(list(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+  FROM e)
+SELECT user_id, event_id,
+       CAST((arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1]) / 2.0
+            AS DOUBLE) AS roll_med
+FROM a
+"""
+
+
+def q_seasonal_baseline(spark, sf_dir):
+    """Per-(user, hour-of-day) seasonal profile + integer-exact anomaly
+    count (temporal.seasonal_baseline): a value normal at 14:00 can be a
+    5-sigma spike at 03:00, so the baseline is the key's own distribution
+    AT THAT HOUR — the seasonality trailing_zscore can't see. The
+    |v−mean| > 3·sd test is evaluated as (v·n − sum)² > 9·(n·sumsq −
+    sum²) in DECIMAL(38,0) — no float anywhere in the flag, exact even ON
+    the boundary."""
+    from storm_spark.functions.temporal import seasonal_baseline
+
+    e = _events(spark, sf_dir).withColumn("v_c", cents("value"))
+    out = seasonal_baseline(e, "user_id", "ts", "v_c", sigma_k=3)
+    return out.select(
+        F.col("key").alias("user_id"), "hod", "n", "mean_v", "sd_v", "n_anomalies"
+    )
+
+
+ORACLE_SEASONAL_BASELINE = f"""
+WITH r AS (
+  SELECT user_id,
+         EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) AS hod,
+         CAST({SQL_CENTS.format(x='value')} AS DECIMAL(38,0)) AS v
+  FROM events WHERE value IS NOT NULL),
+p AS (
+  SELECT user_id, hod,
+         CAST(COUNT(*) AS DECIMAL(38,0)) AS nn,
+         CAST(SUM(v) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(v * v) AS DECIMAL(38,0)) AS s2
+  FROM r GROUP BY 1, 2)
+SELECT r.user_id, CAST(r.hod AS INT) AS hod,
+       CAST(MIN(nn) AS BIGINT) AS n,
+       round(CAST(MIN(s) AS DOUBLE) / CAST(MIN(nn) AS DOUBLE), 6) AS mean_v,
+       round(sqrt(CAST(MIN(nn) AS DOUBLE) * CAST(MIN(s2) AS DOUBLE)
+                  - CAST(MIN(s) AS DOUBLE) * CAST(MIN(s) AS DOUBLE))
+             / CAST(MIN(nn) AS DOUBLE), 6) AS sd_v,
+       CAST(SUM(CASE WHEN (v * nn - s) * (v * nn - s)
+                          > 9 * (nn * s2 - s * s)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM r JOIN p USING (user_id, hod)
+GROUP BY 1, 2
+"""
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training (text.bpe_train): learn the first 10 merge
     rules from the document corpus — greedy most-frequent-adjacent-pair
@@ -6702,6 +6779,10 @@ QUERIES = {
     # r7: linear-sketch merge — per-epoch CMS sums to the batch sketch
     # exactly (tpch_q8, driver-green r6, demoted)
     "streaming_cms": q_streaming_cms,
+    # r7: trailing exact median + seasonal hour-of-day anomaly baseline
+    # (tpch_q15, tpch_q17 — driver-green r6 — demoted)
+    "rolling_median": q_rolling_median,
+    "seasonal_baseline": q_seasonal_baseline,
     # r6-new TPC-H depth gates (VERDICT r5 #6): semi-join with non-equi
     # residual (Q4), anti-join + distinct-count (Q16), HAVING-sum
     # semi-join + top-k (Q18) — straight into the driver window
@@ -6710,8 +6791,6 @@ QUERIES = {
     "tpch_q13": q_tpch_q13,
     "tpch_q22": q_tpch_q22,
     "tpch_q10": q_tpch_q10,
-    "tpch_q15": q_tpch_q15,
-    "tpch_q17": q_tpch_q17,
     # r6-new: exact two-sample KS drift (bin-free twin of psi_drift)
     "ks_drift": q_ks_drift,
     # r6-new: cross-batch stream-stream interval join (the correlation a
@@ -6817,6 +6896,8 @@ QUERIES = {
     "tpch_q14": q_tpch_q14,
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q17": q_tpch_q17,
     # rotation 6 demotions (driver-green r4/r5, re-verified locally)
     "trailing_zscore": q_trailing_zscore,
     "profile_table": q_profile_table,
@@ -6995,6 +7076,8 @@ ORACLES = {
     "streaming_full_outer_join": ORACLE_STREAMING_FULL_OUTER_JOIN,
     # linearity makes the streaming twin satisfy the batch oracle exactly
     "streaming_cms": ORACLE_CMS_HEAVY_HITTERS,
+    "rolling_median": ORACLE_ROLLING_MEDIAN,
+    "seasonal_baseline": ORACLE_SEASONAL_BASELINE,
     "streaming_interval_join": ORACLE_STREAMING_INTERVAL_JOIN,
     "dedup_jaccard_prefix": ORACLE_DEDUP_JACCARD_PREFIX,
     "equi_depth_bins": ORACLE_EQUI_DEPTH_BINS,

@@ -168,6 +168,8 @@ _EXPRESSION_ONLY = [
     "js_drift",
     "merge_intervals",
     "group_mode",
+    "rolling_median",
+    "seasonal_baseline",
 ]
 
 

@@ -192,3 +192,17 @@ def test_trailing_corr_tracks_local_relationship(spark):
     assert by_hour[T(2024, 1, 1, 7)] == pytest.approx(1.0)
     assert by_hour[T(2024, 1, 1, 15)] == pytest.approx(-1.0)
     assert by_hour[T(2024, 1, 2, 1)] is None  # NULL x -> NULL r
+
+
+def test_rolling_median_exact_windows(spark):
+    """Hand-computed trailing-3 medians, including the spike a trailing
+    mean would absorb: values 10, 1000, 20, 30 -> medians 10, 505, 20, 30."""
+    from storm_spark.functions.robust import rolling_median
+
+    rows = [(1, i, i, v) for i, v in enumerate([10, 1000, 20, 30])]
+    df = spark.createDataFrame(rows, "k long, t long, id long, v long")
+    got = {
+        r.id: r.roll_med
+        for r in rolling_median(df, "k", "t", "v", "id", window_rows=3).collect()
+    }
+    assert got == {0: 10.0, 1: 505.0, 2: 20.0, 3: 30.0}, got

@@ -610,3 +610,22 @@ def test_merge_intervals_long_interval_swallows(spark):
         for r in merge_intervals(df, "k", "s", "e").collect()
     }
     assert got == {(1, 0, 110, 4), (1, 150, 160, 1), (2, 5, 6, 1)}, got
+
+
+def test_seasonal_baseline_integer_exact_boundary(spark):
+    """The anomaly test is integer-exact: values 0,0,0,4 at one hour have
+    mean 1 and population sd sqrt(3) = 1.732; the deviation of v=4 is 3,
+    which exceeds 1*sd (anomaly at k=1) but not 2*sd (clean at k=2) —
+    both decided by the integer inequality, no float comparison."""
+    from datetime import datetime
+
+    from storm_spark.functions.temporal import seasonal_baseline
+
+    t = datetime(2024, 1, 1, 9, 30)
+    rows = [(1, t, v) for v in (0, 0, 0, 4)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v long")
+    r1 = seasonal_baseline(df, "k", "ts", "v", sigma_k=1).collect()[0]
+    assert (r1.n, r1.hod, r1.n_anomalies) == (4, 9, 1), r1
+    assert r1.mean_v == 1.0
+    r2 = seasonal_baseline(df, "k", "ts", "v", sigma_k=2).collect()[0]
+    assert r2.n_anomalies == 0, r2
