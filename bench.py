@@ -152,6 +152,7 @@ HEADLINE = [
     "bpe_train",
     "rolling_median",
     "seasonal_baseline",
+    "ann_pq",
 ]
 
 

@@ -906,3 +906,170 @@ def centroid_classify(
     return pred.groupBy(
         F.col("__lbl__").alias(label_col), F.col("__plbl__").alias("pred")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    ksub: int = 4,
+    n_iters: int = 1,
+) -> DataFrame:
+    """Train product-quantization codebooks: split the vector into ``m``
+    contiguous subspaces and run the deterministic spherical k-means
+    trainer (:func:`kmeans_centroids` — md5 init, cent-id tie-breaks,
+    9-digit-rounded means) INDEPENDENTLY in each, ``ksub`` centroids per
+    subspace. Returns ``(sub, cent_id, __cent__)`` for :func:`pq_topk`.
+
+    PQ's compression argument: a vector becomes ``m`` small integers
+    (codes) — 64 float32 dims shrink to 4 bytes here — so the candidate
+    scan streams codes, not vectors; the codebook is m·ksub·(dim/m) doubles
+    total, broadcast-trivial at any corpus size.
+    """
+    v = corpus.select(
+        F.col(id_col).alias(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v__"),
+    )
+    dim = len(v.select("__v__").first()[0])  # 1-row driver peek
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_len = dim // m
+    out = None
+    for s in range(m):
+        sliced = v.select(
+            F.col(id_col),
+            F.slice("__v__", s * sub_len + 1, sub_len).alias("embedding"),
+        )
+        cb = kmeans_centroids(sliced, id_col, "embedding", k=ksub, n_iters=n_iters)
+        cb = cb.withColumn("sub", F.lit(s))
+        out = cb if out is None else out.unionByName(cb)
+    return out.select("sub", "cent_id", "__cent__")
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    shortlist: int = 20,
+    scale: float = 1e9,
+) -> DataFrame:
+    """PQ/ADC approximate nearest neighbors with exact re-ranking — the
+    third ANN scale path after LSH buckets and IVF cells: encode each
+    corpus vector as ``m`` sub-centroid codes (nearest by cosine, cent-id
+    tie-break), score candidates ASYMMETRICALLY (query stays full
+    precision: approx IP = Σ_m  q_m · centroid[code_m]) via a per-query
+    distance look-up table, shortlist the best ``shortlist`` by that
+    score, then EXACT-cosine re-rank to the final ``k``. Returns
+    ``(query_id, neighbor_id, cos_sim, rank)`` — cos_sim exact, like
+    :func:`quantized_rescore_topk`.
+
+    Determinism: each LUT entry is one ``list_inner_product`` of fixed
+    operand order, scaled to an INTEGER (``round(dot·1e9)::BIGINT``)
+    BEFORE the per-candidate sum — summing m doubles would be
+    accumulation-order dependent; summing m bigints is exact — so the
+    shortlist cut is bit-stable on any engine (neighbor-id tie-break on
+    equal scores).
+
+    Scale shape: the LUT is |queries|·m·ksub rows (tiny, broadcast); the
+    ADC join streams the (n·m)-row CODE table — the 4-byte-per-vector
+    scan that is PQ's whole point — and the exact stage touches only
+    |queries|·shortlist full-precision rows by id join. The scan is
+    corpus-wide here; compose with IVF cells (:func:`ivf_topk`'s
+    assignment) to restrict it to probed cells — IVF-PQ — when even the
+    code scan needs pruning.
+    """
+    meta = codebooks.agg(
+        F.max("sub").alias("m"), F.max(F.size("__cent__")).alias("L")
+    ).first()
+    m, sub_len = int(meta["m"]) + 1, int(meta["L"])
+
+    def _subv(df, out_id):
+        parts = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice(
+                        F.col(vec_col).cast("array<double>"),
+                        s * sub_len + 1,
+                        sub_len,
+                    ).alias("sv"),
+                )
+                for s in range(m)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(out_id), F.explode(parts).alias("__x__")
+        ).select(out_id, F.col("__x__.sub").alias("sub"), F.col("__x__.sv").alias("sv"))
+
+    cb = F.broadcast(codebooks)
+    enc_w = Window.partitionBy("neighbor_id", "sub").orderBy(
+        F.col("__cc__").desc(), F.col("cent_id").asc()
+    )
+    codes = (
+        _subv(corpus, "neighbor_id")
+        .join(cb, "sub")
+        .withColumn("__cc__", _cos(F.col("sv"), F.col("__cent__")))
+        .withColumn("__r__", F.row_number().over(enc_w))
+        .filter(F.col("__r__") == 1)
+        .select("neighbor_id", "sub", F.col("cent_id").alias("code"))
+    )
+    lut = (
+        _subv(queries, "query_id")
+        .join(cb, "sub")
+        .select(
+            "query_id",
+            "sub",
+            "cent_id",
+            F.round(_dot(F.col("sv"), F.col("__cent__")) * F.lit(float(scale)))
+            .cast("bigint")
+            .alias("__ip__"),
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["sub"] == lut["sub"]) & (codes["code"] == lut["cent_id"]),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("__ip__").alias("__iscore__"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w_s = Window.partitionBy("query_id").orderBy(
+        F.col("__iscore__").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        adc.withColumn("__sr__", F.row_number().over(w_s))
+        .filter(F.col("__sr__") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv__"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv__"),
+    )
+    exact = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cos(F.col("__qv__"), F.col("__cv__")).alias("cos_sim"),
+        )
+    )
+    w_e = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w_e))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+        )
+    )

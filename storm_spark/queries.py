@@ -6003,6 +6003,101 @@ def _oracle_ann_ivf_trained(k=5, n_lists=4, n_iters=2, n_probe=2):
 ORACLE_ANN_IVF_TRAINED = _oracle_ann_ivf_trained()
 
 
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN with ADC scoring (similarity.pq_codebooks
+    → pq_topk) — the third ANN scale path after LSH buckets and IVF
+    cells: 4 subspace codebooks of 4 centroids (one deterministic Lloyd
+    iteration each — the kmeans_centroids trainer on sliced vectors), the
+    corpus encoded to 4 codes/vector, candidates scored by a per-query
+    integer look-up table (round(dot·1e9)::BIGINT — summing m bigints is
+    exact where summing m doubles is accumulation-order dependent),
+    shortlist 20, exact-cosine re-rank to top-5. The oracle unrolls
+    training, encoding, the ADC sum, and both rankings."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = similarity.pq_codebooks(emb, "vec_id", "embedding", m=4, ksub=4, n_iters=1)
+    q = emb.filter(F.col("vec_id") < 20)
+    return similarity.pq_topk(
+        emb, q, cbs, "vec_id", "embedding", k=5, shortlist=20
+    )
+
+
+def _oracle_ann_pq(k=5, m=4, ksub=4, shortlist=20, dim=64):
+    guard_cos = (
+        "(list_inner_product({a}, {b}) / "
+        "greatest(sqrt(list_inner_product({a}, {a})) * "
+        "sqrt(list_inner_product({b}, {b})), 1e-12))"
+    )
+    L = dim // m
+    sv_branches = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS sub, vv[{s * L + 1}:{s * L + L}] AS sv FROM v"
+        for s in range(m)
+    )
+    rn_init = (
+        "row_number() OVER (PARTITION BY sub "
+        "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)"
+    )
+    cos_ec = guard_cos.format(a="e.sv", b="t.cv")
+    cos_qn = guard_cos.format(a="qv.vv", b="nv.vv")
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+sv AS ({sv_branches}),
+cb0 AS (
+  SELECT sub, {rn_init} - 1 AS cent_id, sv AS cv
+  FROM sv QUALIFY {rn_init} <= {ksub}),
+a0 AS (
+  SELECT vec_id, sub, sv, cent_id FROM (
+    SELECT e.vec_id, e.sub, e.sv, t.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id, e.sub
+             ORDER BY {cos_ec} DESC, t.cent_id ASC) AS r
+    FROM sv e JOIN cb0 t ON t.sub = e.sub) WHERE r = 1),
+m0 AS (
+  SELECT sub, cent_id, list(mm ORDER BY pos) AS cv FROM (
+    SELECT sub, cent_id, pos, round(AVG(x), 9) AS mm FROM (
+      SELECT sub, cent_id, unnest(generate_series(1, len(sv))) AS pos,
+             unnest(sv) AS x
+      FROM a0)
+    GROUP BY 1, 2, 3) GROUP BY 1, 2),
+cb1 AS (
+  SELECT p.sub, p.cent_id, COALESCE(n.cv, p.cv) AS cv
+  FROM cb0 p LEFT JOIN m0 n ON p.sub = n.sub AND p.cent_id = n.cent_id),
+codes AS (
+  SELECT vec_id AS neighbor_id, sub, cent_id AS code FROM (
+    SELECT e.vec_id, e.sub, t.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id, e.sub
+             ORDER BY {cos_ec} DESC, t.cent_id ASC) AS r
+    FROM sv e JOIN cb1 t ON t.sub = e.sub) WHERE r = 1),
+lut AS (
+  SELECT e.vec_id AS query_id, e.sub, t.cent_id,
+         CAST(round(list_inner_product(e.sv, t.cv) * 1e9) AS BIGINT) AS ip
+  FROM sv e JOIN cb1 t ON t.sub = e.sub WHERE e.vec_id < 20),
+adc AS (
+  SELECT l.query_id, c.neighbor_id, SUM(l.ip) AS iscore
+  FROM codes c JOIN lut l ON l.sub = c.sub AND l.cent_id = c.code
+  WHERE l.query_id <> c.neighbor_id
+  GROUP BY 1, 2),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY iscore DESC, neighbor_id ASC) AS r
+    FROM adc) WHERE r <= {shortlist}),
+ex AS (
+  SELECT s.query_id, s.neighbor_id, {cos_qn} AS cs
+  FROM short s
+  JOIN v qv ON qv.vec_id = s.query_id
+  JOIN v nv ON nv.vec_id = s.neighbor_id)
+SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim, CAST(rank AS INT) AS rank
+FROM (SELECT query_id, neighbor_id, cs,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cs DESC, neighbor_id ASC) AS rank
+      FROM ex)
+WHERE rank <= {k}
+"""
+
+
+ORACLE_ANN_PQ = _oracle_ann_pq()
+
+
 # ---------------------------------------------------------------------------
 # late-round-6 operators: graph BFS, dedup survivorship, trailing EWMA
 # ---------------------------------------------------------------------------
@@ -6783,6 +6878,9 @@ QUERIES = {
     # (tpch_q15, tpch_q17 — driver-green r6 — demoted)
     "rolling_median": q_rolling_median,
     "seasonal_baseline": q_seasonal_baseline,
+    # r7: product-quantization ANN — the third ANN scale path
+    # (ks_drift, driver-green r6, demoted)
+    "ann_pq": q_ann_pq,
     # r6-new TPC-H depth gates (VERDICT r5 #6): semi-join with non-equi
     # residual (Q4), anti-join + distinct-count (Q16), HAVING-sum
     # semi-join + top-k (Q18) — straight into the driver window
@@ -6792,7 +6890,6 @@ QUERIES = {
     "tpch_q22": q_tpch_q22,
     "tpch_q10": q_tpch_q10,
     # r6-new: exact two-sample KS drift (bin-free twin of psi_drift)
-    "ks_drift": q_ks_drift,
     # r6-new: cross-batch stream-stream interval join (the correlation a
     # Trident per-batch join cannot express)
     "streaming_interval_join": q_streaming_interval_join,
@@ -6898,6 +6995,7 @@ QUERIES = {
     "tpch_q8": q_tpch_q8,
     "tpch_q15": q_tpch_q15,
     "tpch_q17": q_tpch_q17,
+    "ks_drift": q_ks_drift,
     # rotation 6 demotions (driver-green r4/r5, re-verified locally)
     "trailing_zscore": q_trailing_zscore,
     "profile_table": q_profile_table,
@@ -7078,6 +7176,7 @@ ORACLES = {
     "streaming_cms": ORACLE_CMS_HEAVY_HITTERS,
     "rolling_median": ORACLE_ROLLING_MEDIAN,
     "seasonal_baseline": ORACLE_SEASONAL_BASELINE,
+    "ann_pq": ORACLE_ANN_PQ,
     "streaming_interval_join": ORACLE_STREAMING_INTERVAL_JOIN,
     "dedup_jaccard_prefix": ORACLE_DEDUP_JACCARD_PREFIX,
     "equi_depth_bins": ORACLE_EQUI_DEPTH_BINS,
