@@ -6098,6 +6098,104 @@ WHERE rank <= {k}
 ORACLE_ANN_PQ = _oracle_ann_pq()
 
 
+def q_streaming_sample(spark, sf_dir):
+    """Streaming deterministic quota sample — sampling.sample_k_per_group's
+    contract maintained ACROSS micro-batches: per event type keep the 20
+    events with the smallest md5 hash rank, as O(k) GroupState (the
+    stateful_topk machinery with the NEGATED integer hash as the score:
+    top-k by -hash descending IS bottom-k by hash ascending). The
+    selection is a pure function of (salt, id), so the streaming sample
+    equals the batch quota sample over the same rows EXACTLY — no churn,
+    rows only ever leave as smaller hashes arrive; merge commutes, so no
+    time-ordered-source contract is needed. The curation move this
+    enables: a bounded per-domain sample maintained live as the crawl
+    streams in, identical to what a batch re-run would pick."""
+    import os
+    import uuid
+    from datetime import timedelta
+
+    from storm_spark.streaming.stateful import stateful_topk
+
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        "ts",
+        "event_id",
+        (
+            -F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "\x00", F.lit("squota"), F.col("event_id").cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+        ).alias("neg_hash"),
+    )
+    tmp = tempfile.mkdtemp(prefix="storm_spark_ssmp_")
+    indir = os.path.join(tmp, "in")
+    os.makedirs(indir)
+    w = Window.orderBy("ts", "event_id")
+    parts = e.withColumn("__t__", F.ntile(3).over(w))
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+    feed_schema = e.schema
+    qname = "ssmp_" + uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.schema(feed_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{indir}/*")
+    ).withWatermark("ts", "1 second")
+    out = stateful_topk(
+        stream, "event_type", "ts", "neg_hash", ["event_id"], k=20,
+        flush_at_ts=max_ts.timestamp(),
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        for b in (1, 2, 3):
+            parts.filter(F.col("__t__") == b).select(*e.columns).coalesce(
+                1
+            ).write.mode("overwrite").parquet(os.path.join(indir, f"b{b}"))
+            q.processAllAvailable()
+        for i, off in enumerate((3600, 7200)):
+            sent = spark.createDataFrame(
+                [("__s__", max_ts + timedelta(seconds=off), 0, 0)], feed_schema
+            )
+            sent.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(indir, f"s{i}")
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)  # memory sink is driver-side
+    return (
+        spark.table(qname)
+        .filter(F.col("event_type") != "__s__")
+        .select("event_type", "event_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+ORACLE_STREAMING_SAMPLE = """
+SELECT event_type, event_id,
+       CAST(row_number() OVER (
+         PARTITION BY event_type
+         ORDER BY ('0x' || substr(md5('squota' || chr(0)
+                     || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT ASC,
+                  event_id ASC) AS INT) AS rank
+FROM events
+QUALIFY rank <= 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # late-round-6 operators: graph BFS, dedup survivorship, trailing EWMA
 # ---------------------------------------------------------------------------
@@ -6881,6 +6979,9 @@ QUERIES = {
     # r7: product-quantization ANN — the third ANN scale path
     # (ks_drift, driver-green r6, demoted)
     "ann_pq": q_ann_pq,
+    # r7: live quota sample == batch quota sample, exactly
+    # (sessionize_native, driver-green r6, demoted)
+    "streaming_sample": q_streaming_sample,
     # r6-new TPC-H depth gates (VERDICT r5 #6): semi-join with non-equi
     # residual (Q4), anti-join + distinct-count (Q16), HAVING-sum
     # semi-join + top-k (Q18) — straight into the driver window
@@ -6898,7 +6999,6 @@ QUERIES = {
     # r6-new: Spark's NATIVE windowed-agg state store gated end-to-end
     "streaming_window_hourly": q_streaming_window_hourly,
     # r6-new: native session_window vs the lag+cumsum and stateful twins
-    "sessionize_native": q_sessionize_native,
     # r6-new: multiset INTERSECT/EXCEPT ALL (the remaining set-op free win)
     "set_intersect": q_set_intersect,
     "set_except": q_set_except,
@@ -6996,6 +7096,7 @@ QUERIES = {
     "tpch_q15": q_tpch_q15,
     "tpch_q17": q_tpch_q17,
     "ks_drift": q_ks_drift,
+    "sessionize_native": q_sessionize_native,
     # rotation 6 demotions (driver-green r4/r5, re-verified locally)
     "trailing_zscore": q_trailing_zscore,
     "profile_table": q_profile_table,
@@ -7177,6 +7278,7 @@ ORACLES = {
     "rolling_median": ORACLE_ROLLING_MEDIAN,
     "seasonal_baseline": ORACLE_SEASONAL_BASELINE,
     "ann_pq": ORACLE_ANN_PQ,
+    "streaming_sample": ORACLE_STREAMING_SAMPLE,
     "streaming_interval_join": ORACLE_STREAMING_INTERVAL_JOIN,
     "dedup_jaccard_prefix": ORACLE_DEDUP_JACCARD_PREFIX,
     "equi_depth_bins": ORACLE_EQUI_DEPTH_BINS,
