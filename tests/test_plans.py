@@ -669,3 +669,42 @@ def test_tpch_q18_semi_prune_and_takeordered(spark):
     assert "LeftSemi" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "Cartesian" not in plan, plan
+
+
+def test_merge_intervals_single_data_exchange(spark):
+    """The interval-union claim: both window passes and the (key, island)
+    rollup run on ONE key-keyed exchange — grouping on (key, island) is
+    satisfied by hash-partitioning on key alone, so Catalyst must not
+    insert a second data shuffle (scan-rebalance repartition excluded)."""
+    from storm_spark.queries import q_merge_intervals
+
+    plan = _plan(q_merge_intervals(spark, SF))
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 2, plan  # 1 keyed + at most the scan rebalance
+    # the operator aliases the key internally: the single keyed exchange
+    # partitions on `key` and both windows plus the rollup reuse it
+    assert plan.count("hashpartitioning(key#") == 1, plan
+
+
+def test_seasonal_baseline_no_python_and_decimal_flag(spark):
+    """The anomaly flag is expression-only DECIMAL arithmetic — no Python
+    eval nodes anywhere, and the profile join is planned (no collect)."""
+    from storm_spark.queries import q_seasonal_baseline
+
+    plan = _plan(q_seasonal_baseline(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" in plan
+
+
+def test_streaming_sample_batch_twin_uses_window_group_limit(spark):
+    """The batch side of the streaming_sample contract: the quota oracle's
+    Spark twin (sample_k_per_group) pre-trims each partition to k before
+    the exchange — WindowGroupLimit in the plan (same assertion as the
+    quota_sample gate; repeated here because streaming_sample's scale
+    story leans on the batch twin for reconciliation runs)."""
+    from storm_spark.functions.sampling import sample_k_per_group
+    from storm_spark.queries import _events
+
+    e = _events(spark, SF)
+    plan = _plan(sample_k_per_group(e, "event_type", "event_id", k=20))
+    assert "WindowGroupLimit" in plan, plan
