@@ -1006,16 +1006,28 @@ def pq_topk(
         ).select(out_id, F.col("__x__.sub").alias("sub"), F.col("__x__.sv").alias("sv"))
 
     cb = F.broadcast(codebooks)
-    enc_w = Window.partitionBy("neighbor_id", "sub").orderBy(
-        F.col("__cc__").desc(), F.col("cent_id").asc()
-    )
+    # encode via max(struct) hash agg, NOT a rank window: the argmax over
+    # ksub candidates per (vector, sub) pre-combines MAP-SIDE, so the
+    # exchange carries n·m rows instead of the window sort's n·m·ksub —
+    # a ksub× shuffle-volume cut with identical semantics (highest cosine;
+    # ties -> negated cent_id maximizes to the SMALLEST cent_id, the
+    # rank-window tie-break)
     codes = (
         _subv(corpus, "neighbor_id")
         .join(cb, "sub")
-        .withColumn("__cc__", _cos(F.col("sv"), F.col("__cent__")))
-        .withColumn("__r__", F.row_number().over(enc_w))
-        .filter(F.col("__r__") == 1)
-        .select("neighbor_id", "sub", F.col("cent_id").alias("code"))
+        .select(
+            "neighbor_id",
+            "sub",
+            F.struct(
+                _cos(F.col("sv"), F.col("__cent__")).alias("cc"),
+                (-F.col("cent_id")).alias("neg"),
+            ).alias("__cand__"),
+        )
+        .groupBy("neighbor_id", "sub")
+        .agg(F.max("__cand__").alias("__best__"))
+        .select(
+            "neighbor_id", "sub", (-F.col("__best__.neg")).alias("code")
+        )
     )
     lut = (
         _subv(queries, "query_id")
