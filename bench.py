@@ -153,6 +153,7 @@ HEADLINE = [
     "rolling_median",
     "seasonal_baseline",
     "ann_pq",
+    "hll_distinct",
 ]
 
 

@@ -6184,6 +6184,29 @@ def q_streaming_sample(spark, sf_dir):
     )
 
 
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct estimate with an EXACT oracle (sketch.
+    hll_distinct) — the graduation `approx_distinct` can't have (builtin
+    HLL++ registers are engine-internal): md5-derived registers, rho from
+    hex-string leading-zero arithmetic (no floats), the harmonic sum as
+    the exact integer Σ 2^(61−M_j) in DECIMAL(38,0), one double division
+    + the linear-counting branch per group. Distinct parts per
+    returnflag; the exact-count twin is `count_distinct`."""
+    from storm_spark.functions.sketch import hll_distinct
+
+    li = _t(spark, sf_dir, "lineitem")
+    return hll_distinct(li, "l_returnflag", "l_partkey")
+
+
+def _oracle_hll_distinct():
+    from storm_spark.functions.sketch import sql_hll_distinct
+
+    return sql_hll_distinct("lineitem", "l_returnflag", "l_partkey")
+
+
+ORACLE_HLL_DISTINCT = _oracle_hll_distinct()
+
+
 ORACLE_STREAMING_SAMPLE = """
 SELECT event_type, event_id,
        CAST(row_number() OVER (
@@ -6982,6 +7005,9 @@ QUERIES = {
     # r7: live quota sample == batch quota sample, exactly
     # (sessionize_native, driver-green r6, demoted)
     "streaming_sample": q_streaming_sample,
+    # r7: HLL with an EXACT oracle — md5 registers, dyadic-integer
+    # harmonic sum (set_intersect, driver-green r6, demoted)
+    "hll_distinct": q_hll_distinct,
     # r6-new TPC-H depth gates (VERDICT r5 #6): semi-join with non-equi
     # residual (Q4), anti-join + distinct-count (Q16), HAVING-sum
     # semi-join + top-k (Q18) — straight into the driver window
@@ -7000,7 +7026,6 @@ QUERIES = {
     "streaming_window_hourly": q_streaming_window_hourly,
     # r6-new: native session_window vs the lag+cumsum and stateful twins
     # r6-new: multiset INTERSECT/EXCEPT ALL (the remaining set-op free win)
-    "set_intersect": q_set_intersect,
     "set_except": q_set_except,
     # r6-new: streaming grouped FirstN — O(k) GroupState, watermark close-out
     "streaming_topk": q_streaming_topk,
@@ -7097,6 +7122,7 @@ QUERIES = {
     "tpch_q17": q_tpch_q17,
     "ks_drift": q_ks_drift,
     "sessionize_native": q_sessionize_native,
+    "set_intersect": q_set_intersect,
     # rotation 6 demotions (driver-green r4/r5, re-verified locally)
     "trailing_zscore": q_trailing_zscore,
     "profile_table": q_profile_table,
@@ -7279,6 +7305,7 @@ ORACLES = {
     "seasonal_baseline": ORACLE_SEASONAL_BASELINE,
     "ann_pq": ORACLE_ANN_PQ,
     "streaming_sample": ORACLE_STREAMING_SAMPLE,
+    "hll_distinct": ORACLE_HLL_DISTINCT,
     "streaming_interval_join": ORACLE_STREAMING_INTERVAL_JOIN,
     "dedup_jaccard_prefix": ORACLE_DEDUP_JACCARD_PREFIX,
     "equi_depth_bins": ORACLE_EQUI_DEPTH_BINS,

@@ -170,6 +170,7 @@ _EXPRESSION_ONLY = [
     "group_mode",
     "rolling_median",
     "seasonal_baseline",
+    "hll_distinct",
 ]
 
 

@@ -35,3 +35,45 @@ def test_cms_missing_key_estimates_near_zero(spark, skewed):
     ghost = spark.createDataFrame([("nope",)], "k string")
     est = cms_estimate(sk, ghost, "k", depth=4, width=64).collect()[0].est
     assert 0 <= est <= 100  # bounded by collision mass, usually ~0
+
+
+def test_hll_distinct_accuracy_and_small_range(spark):
+    """The oracle proves engine-parity, not accuracy — pin both HLL
+    branches against truth here: 5000 distinct keys must estimate within
+    ~3 standard errors (1.04/sqrt(512) = 4.6% -> 14%), and a 30-distinct
+    group must take the linear-counting branch and land within 15%."""
+    from storm_spark.functions.sketch import hll_distinct
+
+    rows = [("big", i) for i in range(5000)] + [("small", i) for i in range(30)]
+    df = spark.createDataFrame(rows, "g string, k long")
+    got = {r.g: (r.est, r.n_zero_regs) for r in hll_distinct(df, "g", "k").collect()}
+    big_est, _ = got["big"]
+    small_est, small_zeros = got["small"]
+    assert abs(big_est - 5000) / 5000 < 0.14, big_est
+    assert abs(small_est - 30) / 30 < 0.15, small_est
+    assert small_zeros > 0  # linear-counting branch actually taken
+
+
+def test_hll_registers_merge_by_max_is_exact(spark):
+    """HLL is max-linear: registers built on two halves and merged by MAX
+    equal the registers built on the union — the streaming-merge
+    contract (the CMS gate's linearity argument with max for sum)."""
+    from pyspark.sql import functions as F
+
+    from storm_spark.functions.sketch import hll_registers
+
+    rows = [("g", i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, k long")
+    whole = {
+        (r.g, r.reg): r.rho for r in hll_registers(df, "g", "k").collect()
+    }
+    h1 = hll_registers(df.filter("k % 2 = 0"), "g", "k")
+    h2 = hll_registers(df.filter("k % 2 = 1"), "g", "k")
+    merged = {
+        (r.g, r.reg): r.rho
+        for r in h1.unionByName(h2)
+        .groupBy("g", "reg")
+        .agg(F.max("rho").alias("rho"))
+        .collect()
+    }
+    assert merged == whole
