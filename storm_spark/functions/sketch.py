@@ -171,7 +171,16 @@ def hll_distinct(
     then a group-keyed agg of ≤ m rows. Standard error ≈ 1.04/√m ≈ 4.6%
     at m = 512.
     """
-    regs = hll_registers(df, group_col, key_col)
+    return hll_estimate(hll_registers(df, group_col, key_col), group_col, ndigits)
+
+
+def hll_estimate(
+    regs: DataFrame, group_col: str, ndigits: int = 4
+) -> DataFrame:
+    """Estimator over a ``(group, reg, rho)`` register table (built by
+    :func:`hll_registers`, possibly merged across partitions/epochs by
+    MAX) — split out so the streaming merge gate and the batch operator
+    share one estimator body. Returns ``(group, est, n_zero_regs)``."""
     # DataFrame-API shiftleft only takes a literal shift — the SQL form
     # accepts an expression
     shift = F.expr("shiftleft(CAST(1 AS BIGINT), 61 - rho)")

@@ -6207,6 +6207,66 @@ def _oracle_hll_distinct():
 ORACLE_HLL_DISTINCT = _oracle_hll_distinct()
 
 
+def q_streaming_hll(spark, sf_dir):
+    """Streaming HyperLogLog — the MAX-linear-sketch merge story:
+    lineitem arrives in three epochs via a real ``readStream``; each
+    ``foreachBatch`` builds the epoch's register table and merges it into
+    the accumulated state by (group, reg) MAX. HLL registers are
+    max-linear, so the merged table is BIT-IDENTICAL to the batch build
+    over all rows — the streaming twin satisfies `hll_distinct`'s exact
+    oracle verbatim (the streaming_cms argument with max for sum). State
+    is ≤ groups×512 rows regardless of stream volume."""
+    import os
+    import uuid
+
+    from storm_spark.functions.sketch import hll_registers
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_partkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="storm_spark_shll_")
+    indir = os.path.join(tmp, "in")
+    os.makedirs(indir)
+    state = {"regs": None}
+
+    def absorb(batch_df, epoch_id):
+        epoch = hll_registers(batch_df, "l_returnflag", "l_partkey")
+        merged = (
+            epoch
+            if state["regs"] is None
+            else state["regs"]
+            .unionByName(epoch)
+            .groupBy("l_returnflag", "reg")
+            .agg(F.max("rho").alias("rho"))
+        )
+        state["regs"] = merged.localCheckpoint()  # <= groups x 512 rows
+
+    q = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{indir}/*")
+        .writeStream.foreachBatch(absorb)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .queryName("shll_" + uuid.uuid4().hex[:8])
+        .start()
+    )
+    try:
+        chunk = F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(3))
+        for b in range(3):
+            li.filter(chunk == b).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(indir, f"b{b}")
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    # shared estimator over the merged registers — the streaming gate
+    # satisfies hll_distinct's EXACT oracle verbatim
+    from storm_spark.functions.sketch import hll_estimate
+
+    return hll_estimate(state["regs"], "l_returnflag")
+
+
 ORACLE_STREAMING_SAMPLE = """
 SELECT event_type, event_id,
        CAST(row_number() OVER (
@@ -7008,6 +7068,9 @@ QUERIES = {
     # r7: HLL with an EXACT oracle — md5 registers, dyadic-integer
     # harmonic sum (set_intersect, driver-green r6, demoted)
     "hll_distinct": q_hll_distinct,
+    # r7: max-linear register merge — streaming twin satisfies the same
+    # exact oracle (set_except, driver-green r6, demoted)
+    "streaming_hll": q_streaming_hll,
     # r6-new TPC-H depth gates (VERDICT r5 #6): semi-join with non-equi
     # residual (Q4), anti-join + distinct-count (Q16), HAVING-sum
     # semi-join + top-k (Q18) — straight into the driver window
@@ -7026,7 +7089,6 @@ QUERIES = {
     "streaming_window_hourly": q_streaming_window_hourly,
     # r6-new: native session_window vs the lag+cumsum and stateful twins
     # r6-new: multiset INTERSECT/EXCEPT ALL (the remaining set-op free win)
-    "set_except": q_set_except,
     # r6-new: streaming grouped FirstN — O(k) GroupState, watermark close-out
     "streaming_topk": q_streaming_topk,
     # r6-new: stateful streaming under a mid-feed driver restart
@@ -7123,6 +7185,7 @@ QUERIES = {
     "ks_drift": q_ks_drift,
     "sessionize_native": q_sessionize_native,
     "set_intersect": q_set_intersect,
+    "set_except": q_set_except,
     # rotation 6 demotions (driver-green r4/r5, re-verified locally)
     "trailing_zscore": q_trailing_zscore,
     "profile_table": q_profile_table,
@@ -7306,6 +7369,8 @@ ORACLES = {
     "ann_pq": ORACLE_ANN_PQ,
     "streaming_sample": ORACLE_STREAMING_SAMPLE,
     "hll_distinct": ORACLE_HLL_DISTINCT,
+    # max-linearity makes the streaming twin exact against the batch oracle
+    "streaming_hll": ORACLE_HLL_DISTINCT,
     "streaming_interval_join": ORACLE_STREAMING_INTERVAL_JOIN,
     "dedup_jaccard_prefix": ORACLE_DEDUP_JACCARD_PREFIX,
     "equi_depth_bins": ORACLE_EQUI_DEPTH_BINS,
