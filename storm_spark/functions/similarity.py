@@ -927,6 +927,7 @@ def pq_codebooks(
     scan streams codes, not vectors; the codebook is m·ksub·(dim/m) doubles
     total, broadcast-trivial at any corpus size.
     """
+    spark = corpus.sparkSession
     v = corpus.select(
         F.col(id_col).alias(id_col),
         F.col(vec_col).cast("array<double>").alias("__v__"),
@@ -935,16 +936,80 @@ def pq_codebooks(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub_len = dim // m
-    out = None
-    for s in range(m):
-        sliced = v.select(
-            F.col(id_col),
-            F.slice("__v__", s * sub_len + 1, sub_len).alias("embedding"),
+    # JOINT trainer across all m subspaces — per-sub assignments are
+    # independent, so training them in one pass is result-identical to m
+    # sequential kmeans_centroids calls (same md5-smallest init ids, same
+    # tie-breaks, same 9-digit-rounded means) while cutting driver
+    # round-trips m-fold: ONE assign+mean job and ONE (m·ksub·sub_len)-row
+    # collect per Lloyd iteration instead of m of each. Argmax is the
+    # max(struct) hash agg (map-side combine), not a rank window.
+    init = (
+        v.orderBy(F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
+        .limit(ksub)
+        .select("__v__")
+        .collect()
+    )
+    # cents[s][i] = centroid i of subspace s
+    cents = [
+        [list(r["__v__"])[s * sub_len : (s + 1) * sub_len] for r in init]
+        for s in range(m)
+    ]
+    subv = v.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice("__v__", s * sub_len + 1, sub_len).alias("sv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("__x__"),
+    ).select(id_col, F.col("__x__.sub").alias("sub"), F.col("__x__.sv").alias("sv"))
+    for _ in range(n_iters):
+        cent_df = spark.createDataFrame(
+            [(s, i, cv) for s in range(m) for i, cv in enumerate(cents[s])],
+            "sub int, cent_id bigint, __cent__ array<double>",
         )
-        cb = kmeans_centroids(sliced, id_col, "embedding", k=ksub, n_iters=n_iters)
-        cb = cb.withColumn("sub", F.lit(s))
-        out = cb if out is None else out.unionByName(cb)
-    return out.select("sub", "cent_id", "__cent__")
+        assigned = (
+            subv.join(F.broadcast(cent_df), "sub")
+            .select(
+                id_col,
+                "sub",
+                "sv",
+                F.struct(
+                    _cos(F.col("sv"), F.col("__cent__")).alias("cc"),
+                    (-F.col("cent_id")).alias("neg"),
+                ).alias("__cand__"),
+            )
+            # argmax per (vector, sub) — group on the ID, not the subvector
+            # value (duplicate subvectors must each weight the mean once)
+            .groupBy(id_col, "sub")
+            .agg(
+                F.max("__cand__").alias("__best__"),
+                F.first("sv").alias("sv"),  # constant within the group
+            )
+            .select("sub", "sv", (-F.col("__best__.neg")).alias("cent_id"))
+        )
+        means = (
+            assigned.select("sub", "cent_id", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "cent_id", "pos")
+            .agg(F.round(F.avg("x"), 9).alias("mm"))
+            .groupBy("sub", "cent_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mm"))).alias("pm"))
+            .select("sub", "cent_id", F.col("pm.mm").alias("__cent__"))
+            .collect()
+        )
+        new_cents = [list(cs) for cs in cents]  # empty cells keep previous
+        for r in means:
+            new_cents[r["sub"]][r["cent_id"]] = list(r["__cent__"])
+        cents = new_cents
+    return spark.createDataFrame(
+        [(s, i, cv) for s in range(m) for i, cv in enumerate(cents[s])],
+        "sub int, cent_id bigint, __cent__ array<double>",
+    )
 
 
 def pq_topk(
