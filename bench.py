@@ -154,6 +154,7 @@ HEADLINE = [
     "seasonal_baseline",
     "ann_pq",
     "hll_distinct",
+    "zorder_stats",
 ]
 
 

@@ -6207,6 +6207,43 @@ def _oracle_hll_distinct():
 ORACLE_HLL_DISTINCT = _oracle_hll_distinct()
 
 
+def q_zorder_stats(spark, sf_dir):
+    """Z-order layout key + the file-skipping property it buys
+    (functions/layout.py): Morton-interleave (user_id, time-of-day) and
+    report each fixed Z-prefix bucket's bounding box — at 100 TB a writer
+    splitting files on these buckets gives every parquet footer TIGHT
+    min/max stats in BOTH dimensions, so a two-sided predicate prunes
+    files a one-column sort can't. Pure bit arithmetic end-to-end (no
+    global sort — the bucket is a shift of the key); one
+    map-side-combined agg."""
+    from storm_spark.functions import layout
+
+    e = _events(spark, sf_dir)
+    # quantize both dims to 11 bits (user ids and minutes-of-day both fit
+    # 2^11) so the prefix buckets actually mix bits of BOTH dimensions —
+    # with bits far beyond the data's range the top interleaved bits are
+    # all zero and every row lands in one bucket
+    tod_min = F.pmod(
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000"), F.lit(86400)
+    ) / F.lit(60)
+    return layout.zorder_stats(
+        e, F.col("user_id"), tod_min.cast("bigint"), bits=11, prefix_bits=6
+    )
+
+
+def _oracle_zorder_stats():
+    from storm_spark.functions.layout import sql_zorder_stats
+
+    tod_min = (
+        "(((epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) % 86400 + 86400)"
+        " % 86400) // 60"
+    )
+    return sql_zorder_stats("events", "user_id", tod_min, bits=11, prefix_bits=6)
+
+
+ORACLE_ZORDER_STATS = _oracle_zorder_stats()
+
+
 def q_streaming_hll(spark, sf_dir):
     """Streaming HyperLogLog — the MAX-linear-sketch merge story:
     lineitem arrives in three epochs via a real ``readStream``; each
@@ -7071,6 +7108,9 @@ QUERIES = {
     # r7: max-linear register merge — streaming twin satisfies the same
     # exact oracle (set_except, driver-green r6, demoted)
     "streaming_hll": q_streaming_hll,
+    # r7: Z-order layout key + per-prefix-bucket bounding boxes
+    # (outlier_mad_hist, driver-green r6, demoted)
+    "zorder_stats": q_zorder_stats,
     # r6-new TPC-H depth gates (VERDICT r5 #6): semi-join with non-equi
     # residual (Q4), anti-join + distinct-count (Q16), HAVING-sum
     # semi-join + top-k (Q18) — straight into the driver window
@@ -7098,7 +7138,6 @@ QUERIES = {
     # failure injection — straight into the driver window; streaming_gap_fill
     # (driver-green r6) demoted to the tail to hold the window at 50.
     "streaming_persist_recovery": q_streaming_persist_recovery,
-    "outlier_mad_hist": q_outlier_mad_hist,
     # rotation 6b: the three late-r6 operators (frontier BFS, dedup
     # survivorship, trailing EWMA) go straight into the driver window;
     # weighted_sample / bucketed_join / partition_pruned (driver-green
@@ -7186,6 +7225,7 @@ QUERIES = {
     "sessionize_native": q_sessionize_native,
     "set_intersect": q_set_intersect,
     "set_except": q_set_except,
+    "outlier_mad_hist": q_outlier_mad_hist,
     # rotation 6 demotions (driver-green r4/r5, re-verified locally)
     "trailing_zscore": q_trailing_zscore,
     "profile_table": q_profile_table,
@@ -7371,6 +7411,7 @@ ORACLES = {
     "hll_distinct": ORACLE_HLL_DISTINCT,
     # max-linearity makes the streaming twin exact against the batch oracle
     "streaming_hll": ORACLE_HLL_DISTINCT,
+    "zorder_stats": ORACLE_ZORDER_STATS,
     "streaming_interval_join": ORACLE_STREAMING_INTERVAL_JOIN,
     "dedup_jaccard_prefix": ORACLE_DEDUP_JACCARD_PREFIX,
     "equi_depth_bins": ORACLE_EQUI_DEPTH_BINS,

@@ -171,6 +171,7 @@ _EXPRESSION_ONLY = [
     "rolling_median",
     "seasonal_baseline",
     "hll_distinct",
+    "zorder_stats",
 ]
 
 
