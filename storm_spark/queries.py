@@ -4022,6 +4022,81 @@ FROM isl GROUP BY user_id, island
 """
 
 
+def q_streaming_merge_intervals(spark, sf_dir):
+    """Streaming twin of `merge_intervals` (streaming/stateful.py
+    stateful_merge_intervals): the same 900-second busy windows fed as
+    three time-ordered terciles through real Structured Streaming; an
+    open merged span extends while arriving intervals overlap/touch it
+    (running MAX(end) — an early long interval holds the span open
+    across short later ones), closes immediately on a strictly-later
+    interval, and the last span per key closes by event-time timeout
+    once the sentinel-advanced watermark passes its end. Output must
+    equal the batch operator's oracle exactly — state is ONE open span
+    per key regardless of stream length."""
+    import os
+    import uuid
+    from datetime import timedelta
+
+    from storm_spark.streaming.stateful import stateful_merge_intervals
+
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts").alias("s_ts"),
+        (F.col("ts") + F.expr("INTERVAL 900 SECONDS")).alias("e_ts"),
+        "event_id",
+    )
+    max_ts = e.agg(F.max("s_ts")).collect()[0][0]  # 1-row driver fetch
+    tmp = tempfile.mkdtemp(prefix="storm_spark_smi_")
+    indir = os.path.join(tmp, "in")
+    os.makedirs(indir)
+    w = Window.orderBy("s_ts", "event_id")
+    parts = e.withColumn("__t__", F.ntile(3).over(w))
+    feed_cols = ["user_id", "s_ts", "e_ts"]
+    feed_schema = e.select(*feed_cols).schema
+    qname = "smi_" + uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.schema(feed_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{indir}/*")
+    ).withWatermark("s_ts", "1 second")
+    out = stateful_merge_intervals(stream, "user_id", "s_ts", "e_ts")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        for b in (1, 2, 3):
+            parts.filter(F.col("__t__") == b).select(*feed_cols).coalesce(
+                1
+            ).write.mode("overwrite").parquet(os.path.join(indir, f"b{b}"))
+            q.processAllAvailable()
+        for i, off in enumerate((3600, 7200)):
+            sent = spark.createDataFrame(
+                [(-1, max_ts + timedelta(days=1 + i), max_ts + timedelta(days=1 + i))],
+                feed_schema,
+            )
+            sent.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(indir, f"s{i}")
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)  # memory sink is driver-side
+    return (
+        spark.table(qname)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.col("span_start").cast("bigint").alias("span_start_s"),
+            F.col("span_end").cast("bigint").alias("span_end_s"),
+            "n_intervals",
+        )
+    )
+
+
 def q_group_mode(spark, sf_dir):
     """Per-user modal event type (profile.group_mode) — the MODE
     aggregate with a TOTAL tie-break (highest count, then smallest value)
@@ -7111,6 +7186,9 @@ QUERIES = {
     # r7: Z-order layout key + per-prefix-bucket bounding boxes
     # (outlier_mad_hist, driver-green r6, demoted)
     "zorder_stats": q_zorder_stats,
+    # r7: streaming interval union — O(1) span state per key
+    # (graph_bfs, driver-green r6, demoted)
+    "streaming_merge_intervals": q_streaming_merge_intervals,
     # r6-new TPC-H depth gates (VERDICT r5 #6): semi-join with non-equi
     # residual (Q4), anti-join + distinct-count (Q16), HAVING-sum
     # semi-join + top-k (Q18) — straight into the driver window
@@ -7143,7 +7221,6 @@ QUERIES = {
     # weighted_sample / bucketed_join / partition_pruned (driver-green
     # since r1-r3, re-verified locally at sf0.01 each round) demoted to
     # the tail.
-    "graph_bfs": q_graph_bfs,
     "dedup_merge": q_dedup_merge,
     "trailing_ewma": q_trailing_ewma,
     "streaming_enrich": q_streaming_enrich,
@@ -7226,6 +7303,7 @@ QUERIES = {
     "set_intersect": q_set_intersect,
     "set_except": q_set_except,
     "outlier_mad_hist": q_outlier_mad_hist,
+    "graph_bfs": q_graph_bfs,
     # rotation 6 demotions (driver-green r4/r5, re-verified locally)
     "trailing_zscore": q_trailing_zscore,
     "profile_table": q_profile_table,
@@ -7412,6 +7490,8 @@ ORACLES = {
     # max-linearity makes the streaming twin exact against the batch oracle
     "streaming_hll": ORACLE_HLL_DISTINCT,
     "zorder_stats": ORACLE_ZORDER_STATS,
+    # the streaming twin satisfies the batch interval-union oracle
+    "streaming_merge_intervals": ORACLE_MERGE_INTERVALS,
     "streaming_interval_join": ORACLE_STREAMING_INTERVAL_JOIN,
     "dedup_jaccard_prefix": ORACLE_DEDUP_JACCARD_PREFIX,
     "equi_depth_bins": ORACLE_EQUI_DEPTH_BINS,

@@ -146,6 +146,85 @@ def stateful_sessionize(
     )
 
 
+def stateful_merge_intervals(
+    stream_df: DataFrame,
+    key_col: str,
+    start_ts_col: str,
+    end_ts_col: str,
+) -> DataFrame:
+    """Streaming twin of ``functions.temporal.merge_intervals``: per key,
+    arriving ``[start, end]`` intervals extend the OPEN merged span while
+    they overlap/touch it (``start <= span_end``); a strictly-later
+    interval closes the span (immediate emit) and opens a new one; the
+    LAST span closes by event-time timeout once the watermark passes its
+    end — a future interval's start is at least the watermark, so overlap
+    is provably impossible from then on. Emits
+    ``(key, span_start, span_end, n_intervals)`` epoch-second doubles.
+
+    State is ONE open span per key (three scalars) regardless of stream
+    length. Contract: per-key interval STARTS non-decreasing across
+    batches (the sessionize twins' time-ordered-source contract; within a
+    batch, any order — rows fold sorted by (start, end)); under it the
+    output equals the batch operator exactly. Unlike sessionize's
+    gap rule, an early LONG interval holds the span open across many
+    short later ones — the running-MAX(end) semantics.
+
+    Requires ``withWatermark(start_ts_col, ...)`` upstream.
+    """
+    import pickle
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            start, end, n = pickle.loads(state.get[0])
+            state.remove()
+            yield pd.DataFrame(
+                [{key_col: key[0], "span_start": start, "span_end": end,
+                  "n_intervals": n}]
+            )
+            return
+        start, end, n = (
+            pickle.loads(state.get[0]) if state.exists else (None, None, 0)
+        )
+        ivs = sorted(
+            (s.timestamp(), e.timestamp())
+            for pdf in pdfs
+            for s, e in zip(pdf[start_ts_col], pdf[end_ts_col])
+            if not (pd.isna(s) or pd.isna(e))
+        )
+        for s, e in ivs:
+            if start is None:
+                start, end, n = s, e, 1
+            elif s <= end:
+                # overlap/touch: extend (running MAX — e may be BEHIND the
+                # open end when an early long interval swallows this one)
+                start, end, n = min(start, s), max(end, e), n + 1
+            else:
+                yield pd.DataFrame(
+                    [{key_col: key[0], "span_start": start, "span_end": end,
+                      "n_intervals": n}]
+                )
+                start, end, n = s, e, 1
+        state.update((pickle.dumps((start, end, n)),))
+        deadline = int(end * 1000)
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(deadline, wm + 1))
+        yield pd.DataFrame(
+            [], columns=[key_col, "span_start", "span_end", "n_intervals"]
+        )
+
+    ktype = stream_df.schema[key_col].dataType.simpleString()
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=(
+            f"{key_col} {ktype}, span_start double, "
+            "span_end double, n_intervals long"
+        ),
+        stateStructType="state binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def stateful_gap_fill(
     stream_df: DataFrame,
     key_col: str,

@@ -431,3 +431,82 @@ def test_stateful_trailing_zscore_null_values_match_batch_twin(spark, tmp_path):
             assert got[h] is None, h
         else:
             assert got[h] == pytest.approx(expect[h]), h
+
+
+def test_stateful_merge_intervals_long_interval_swallows(spark):
+    """Streaming twin of the merge_intervals swallow case: [0,100] must
+    hold the span open across [10,20] and [30,40] (running MAX(end), not
+    lag), touching [100,110] extends, a strict gap [150,160] opens a new
+    span, and the final span closes only on watermark timeout."""
+    import os
+    import tempfile
+    import uuid
+    from datetime import datetime, timedelta
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from storm_spark.streaming.stateful import stateful_merge_intervals
+
+    T0 = datetime(2024, 1, 1)
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("s_ts", TimestampType()),
+            StructField("e_ts", TimestampType()),
+        ]
+    )
+
+    def iv(k, s, e):
+        return (k, T0 + timedelta(seconds=s), T0 + timedelta(seconds=e))
+
+    tmp = tempfile.mkdtemp(prefix="smi_test_")
+    indir = os.path.join(tmp, "in")
+    os.makedirs(indir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{indir}/*")
+    ).withWatermark("s_ts", "1 second")
+    out = stateful_merge_intervals(stream, "k", "s_ts", "e_ts")
+    qname = "smit_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    # event-time-ordered feed (the twins' contract): key 2's early
+    # interval must ride batch 1 — in a later batch the watermark
+    # (advanced past batch 2's s=100) would drop it as late data
+    batches = [
+        [iv(1, 0, 100), iv(1, 10, 20), iv(2, 5, 6)],
+        [iv(1, 30, 40), iv(1, 100, 110)],   # swallow + touch, cross-batch
+        [iv(1, 150, 160)],                  # strict gap closes span 1
+        [iv(-9, 86400, 86400)],             # sentinel watermark advances
+        [iv(-9, 172800, 172800)],
+    ]
+    try:
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(indir, f"b{i}"))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.k, int(r.span_start), int(r.span_end), r.n_intervals)
+        for r in spark.table(qname).filter("k >= 0").collect()
+    }
+    t0 = T0.timestamp()
+    expect = {
+        (1, int(t0 + 0), int(t0 + 110), 4),
+        (1, int(t0 + 150), int(t0 + 160), 1),
+        (2, int(t0 + 5), int(t0 + 6), 1),
+    }
+    assert got == expect, got
