@@ -155,6 +155,7 @@ HEADLINE = [
     "ann_pq",
     "hll_distinct",
     "zorder_stats",
+    "bpe_segment",
 ]
 
 

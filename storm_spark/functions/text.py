@@ -755,3 +755,43 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, cnt bigint"
     )
+
+
+def bpe_segment(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Apply a LEARNED merge table (from :func:`bpe_train`, in rank
+    order) to segment the corpus vocabulary — the tokenizer's ENCODE
+    half: greedy replay of the merges over the paren-wrapped
+    segmentation, one exact ``replace`` per rule. Returns
+    ``(word, freq, n_tokens)`` — the per-word token count after
+    merging, i.e. the compression the learned vocabulary buys.
+
+    Scale shape: the merge list is k rows (driver-held by construction —
+    it came out of training); segmentation is k chained map-side
+    ``replace`` expressions over the word-frequency vocab. Nothing
+    touches raw corpus rows after the initial vocab collapse.
+    """
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    seg = F.regexp_replace("w", "(.)", r"($1)")
+    for l, r in merges:
+        seg = F.replace(seg, F.lit(f"({l})({r})"), F.lit(f"({l}{r})"))
+    segged = words.withColumn("__seg__", seg)
+    return segged.select(
+        F.col("w").alias("word"),
+        "freq",
+        F.size(
+            F.split(
+                F.expr("substring(__seg__, 2, length(__seg__) - 2)"),
+                r"\)\(",
+            )
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+    )

@@ -4209,11 +4209,14 @@ def q_bpe_train(spark, sf_dir):
     return text.bpe_train(docs, "text", k=10)
 
 
-def _oracle_bpe_train(k=10):
+def _bpe_ctes(k=10):
+    """The shared BPE CTE chain (training layers carry `word` so the
+    segment oracle can reuse them; the train oracle's final SELECT
+    ignores it and DuckDB prunes the column)."""
     toks = SQL_TOKS.format(x="text")
     layers = [
         f"""w0 AS (
-  SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS seg,
+  SELECT word, regexp_replace(word, '(.)', '(\\1)', 'g') AS seg,
          CAST(COUNT(*) AS BIGINT) AS freq
   FROM (SELECT unnest({toks}) AS word FROM documents)
   GROUP BY 1)"""
@@ -4230,20 +4233,61 @@ def _oracle_bpe_train(k=10):
   GROUP BY 1, 2),
 b{i} AS (SELECT lhs, rhs, cnt FROM p{i} ORDER BY cnt DESC, lhs, rhs LIMIT 1),
 w{i} AS (
-  SELECT replace(seg, '(' || lhs || ')(' || rhs || ')',
+  SELECT word, replace(seg, '(' || lhs || ')(' || rhs || ')',
                  '(' || lhs || rhs || ')') AS seg, freq
   FROM w{i - 1} CROSS JOIN b{i})"""
         )
         # CROSS JOIN with an empty b{i} empties w{i} and every later
         # layer — mirroring the Spark side's early exit (row counts match)
+    return layers
+
+
+def _oracle_bpe_train(k=10):
     picks = "\nUNION ALL ".join(
         f"SELECT CAST({i} AS INT) AS rank, lhs, rhs, cnt FROM b{i}"
         for i in range(1, k + 1)
     )
-    return "WITH " + ",\n".join(layers) + "\n" + picks
+    return "WITH " + ",\n".join(_bpe_ctes(k)) + "\n" + picks
 
 
 ORACLE_BPE_TRAIN = _oracle_bpe_train()
+
+
+def q_bpe_segment(spark, sf_dir):
+    """The tokenizer's ENCODE half (text.bpe_segment): replay the 10
+    learned merges over the vocabulary (greedy, rank order — k chained
+    exact replaces, map-side) and report the 200 most frequent words'
+    post-merge token counts — the compression the learned vocab buys.
+    Deterministic top-200 (freq desc, word asc). The oracle reuses the
+    training CTE chain (layers carry `word`) and segments in the same
+    replay, so train and encode are verified as ONE consistent system."""
+    docs = _t(spark, sf_dir, "documents")
+    merge_rows = text.bpe_train(docs, "text", k=10).collect()
+    merges = [(r["lhs"], r["rhs"]) for r in sorted(merge_rows, key=lambda r: r["rank"])]
+    seg = text.bpe_segment(docs, "text", merges)
+    w = Window.orderBy(F.desc("freq"), F.asc("word"))
+    return (
+        seg.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") <= 200)
+        .select("word", "freq", "n_tokens")
+    )
+
+
+def _oracle_bpe_segment(k=10, top=200):
+    return (
+        "WITH "
+        + ",\n".join(_bpe_ctes(k))
+        + f"""
+SELECT word, freq,
+       CAST(len(string_split(seg[2:length(seg)-1], ')(')) AS BIGINT)
+         AS n_tokens
+FROM w{k}
+QUALIFY row_number() OVER (ORDER BY freq DESC, word ASC) <= {top}
+"""
+    )
+
+
+ORACLE_BPE_SEGMENT = _oracle_bpe_segment()
 
 
 def q_centroid_classify(spark, sf_dir):
@@ -7189,6 +7233,9 @@ QUERIES = {
     # r7: streaming interval union — O(1) span state per key
     # (graph_bfs, driver-green r6, demoted)
     "streaming_merge_intervals": q_streaming_merge_intervals,
+    # r7: the tokenizer ENCODE half, verified against the training CTEs
+    # (dedup_merge, driver-green r6, demoted)
+    "bpe_segment": q_bpe_segment,
     # r6-new TPC-H depth gates (VERDICT r5 #6): semi-join with non-equi
     # residual (Q4), anti-join + distinct-count (Q16), HAVING-sum
     # semi-join + top-k (Q18) — straight into the driver window
@@ -7221,7 +7268,6 @@ QUERIES = {
     # weighted_sample / bucketed_join / partition_pruned (driver-green
     # since r1-r3, re-verified locally at sf0.01 each round) demoted to
     # the tail.
-    "dedup_merge": q_dedup_merge,
     "trailing_ewma": q_trailing_ewma,
     "streaming_enrich": q_streaming_enrich,
     "streaming_outer_join": q_streaming_outer_join,
@@ -7304,6 +7350,7 @@ QUERIES = {
     "set_except": q_set_except,
     "outlier_mad_hist": q_outlier_mad_hist,
     "graph_bfs": q_graph_bfs,
+    "dedup_merge": q_dedup_merge,
     # rotation 6 demotions (driver-green r4/r5, re-verified locally)
     "trailing_zscore": q_trailing_zscore,
     "profile_table": q_profile_table,
@@ -7492,6 +7539,7 @@ ORACLES = {
     "zorder_stats": ORACLE_ZORDER_STATS,
     # the streaming twin satisfies the batch interval-union oracle
     "streaming_merge_intervals": ORACLE_MERGE_INTERVALS,
+    "bpe_segment": ORACLE_BPE_SEGMENT,
     "streaming_interval_join": ORACLE_STREAMING_INTERVAL_JOIN,
     "dedup_jaccard_prefix": ORACLE_DEDUP_JACCARD_PREFIX,
     "equi_depth_bins": ORACLE_EQUI_DEPTH_BINS,

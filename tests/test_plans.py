@@ -172,6 +172,7 @@ _EXPRESSION_ONLY = [
     "seasonal_baseline",
     "hll_distinct",
     "zorder_stats",
+    "bpe_segment",
 ]
 
 
