@@ -505,3 +505,17 @@ def test_bpe_train_lexicographic_tiebreak(spark):
     docs = spark.createDataFrame([("bc ba",)], "text string")
     got = [(r.rank, r.lhs, r.rhs) for r in bpe_train(docs, "text", k=1).collect()]
     assert got == [(1, "b", "a")], got
+
+
+def test_bpe_segment_applies_merges_in_rank_order(spark):
+    """Encode replay: with merges [(a,a), (aa,aa)] the word 'aaaa'
+    segments to ONE token; 'aaa' to two (aa + a); 'ab' stays two chars
+    (no matching rule)."""
+    from storm_spark.functions.text import bpe_segment
+
+    docs = spark.createDataFrame([("aaaa aaa ab",)], "text string")
+    got = {
+        r.word: r.n_tokens
+        for r in bpe_segment(docs, "text", [("a", "a"), ("aa", "aa")]).collect()
+    }
+    assert got == {"aaaa": 1, "aaa": 2, "ab": 2}, got
