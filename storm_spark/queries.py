@@ -30,7 +30,9 @@ class _GateTmp:
     (ADVICE r6 / VERDICT r6 #7: per-gate mkdtemp litter was unbounded
     across a long session). Gates whose returned DataFrame lazily reads a
     scratch dir can't rmtree eagerly — the shared root guarantees cleanup
-    anyway. Drop-in ``tempfile`` facade: only ``mkdtemp`` is redirected."""
+    anyway. Exposed as ``gate_tmp`` (NOT bound to the name ``tempfile`` —
+    shadowing the stdlib module would break any later ``tempfile.mkstemp``
+    etc. with an AttributeError; ADVICE r7)."""
 
     _root: str | None = None
 
@@ -42,7 +44,7 @@ class _GateTmp:
         return _tempfile.mkdtemp(prefix=prefix, dir=cls._root)
 
 
-tempfile = _GateTmp
+gate_tmp = _GateTmp
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -586,7 +588,7 @@ def q_state_wordcount(spark, sf_dir):
     set-oriented opaque merges (OpaqueMap.multiUpdate port).
     """
     docs = _t(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="storm_spark_state_")
+    tmp = gate_tmp.mkdtemp(prefix="storm_spark_state_")
     topo = Topology(spark)
     feeder = FeederSource(["text"])
     tok_fn = LambdaFunction(lambda cols: [F.explode(text.tokens(cols[0]))])
@@ -640,7 +642,7 @@ def q_partition_persist(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", cents("l_quantity").alias("qty_c")
     )
-    tmp = tempfile.mkdtemp(prefix="storm_spark_pp_")
+    tmp = gate_tmp.mkdtemp(prefix="storm_spark_pp_")
     topo = Topology(spark)
     feeder = FeederSource(["l_returnflag", "qty_c"], ["string", "bigint"])
     st = topo.new_stream("li", feeder).partition_persist(
@@ -677,7 +679,7 @@ def q_state_avg(spark, sf_dir):
     )
     topo = Topology(spark)
     feeder = FeederSource(["l_returnflag", "qty_c"], ["string", "bigint"])
-    tmp = tempfile.mkdtemp(prefix="storm_spark_avg_")
+    tmp = gate_tmp.mkdtemp(prefix="storm_spark_avg_")
     st = (
         topo.new_stream("li", feeder)
         .group_by(["l_returnflag"])
@@ -843,7 +845,7 @@ def q_streaming_wordcount(spark, sf_dir):
     from storm_spark.streaming.driver import run_stream_to_state
 
     docs = _t(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="storm_spark_stream_")
+    tmp = gate_tmp.mkdtemp(prefix="storm_spark_stream_")
     indir = os.path.join(tmp, "in")
     for b in range(3):
         docs.filter(F.col("doc_id") % 3 == b).select("text").coalesce(1).write.mode(
@@ -897,7 +899,7 @@ def q_streaming_sessionize(spark, sf_dir):
     from storm_spark.streaming.stateful import stateful_sessionize
 
     e = _events(spark, sf_dir).select("user_id", "ts", "event_id")
-    tmp = tempfile.mkdtemp(prefix="storm_spark_ssess_")
+    tmp = gate_tmp.mkdtemp(prefix="storm_spark_ssess_")
     indir = os.path.join(tmp, "in")
     os.makedirs(indir)
     w = Window.orderBy("ts", "event_id")
@@ -977,7 +979,7 @@ def q_streaming_recovery(spark, sf_dir):
     from storm_spark.streaming.stateful import stateful_sessionize
 
     e = _events(spark, sf_dir).select("user_id", "ts", "event_id")
-    tmp = tempfile.mkdtemp(prefix="storm_spark_srec_")
+    tmp = gate_tmp.mkdtemp(prefix="storm_spark_srec_")
     indir = os.path.join(tmp, "in")
     outdir = os.path.join(tmp, "out")
     ckpt = os.path.join(tmp, "ckpt")
@@ -1069,14 +1071,17 @@ def q_streaming_persist_recovery(spark, sf_dir):
     from storm_spark.streaming.driver import StreamingTopologyRunner
 
     e = _events(spark, sf_dir).select("user_id", "event_id")
-    tmp = tempfile.mkdtemp(prefix="storm_spark_sprec_")
+    tmp = gate_tmp.mkdtemp(prefix="storm_spark_sprec_")
     indir = os.path.join(tmp, "in")
     ckpt = os.path.join(tmp, "ckpt")
     statedir = os.path.join(tmp, "state")
     os.makedirs(indir)
 
-    w = Window.orderBy("event_id")
-    parts = e.withColumn("__q__", F.ntile(4).over(w))
+    # Deterministic hash split, NOT ntile over a global Window.orderBy —
+    # the state op is a commutative Count, so feed order is irrelevant and
+    # a single-partition sort (WindowExec "No Partition Defined") would be
+    # pure harness overhead (VERDICT r7 nit #2).
+    parts = e.withColumn("__q__", F.pmod(F.hash("event_id"), F.lit(4)) + 1)
     feed_schema = e.schema
 
     topo = Topology(spark)
@@ -1162,7 +1167,7 @@ def q_drpc_state_lookup(spark, sf_dir):
     topo = Topology(spark)
     feeder = FeederSource(["text"])
     tok_fn = LambdaFunction(lambda cols: [F.explode(text.tokens(cols[0]))])
-    tmp = tempfile.mkdtemp(prefix="storm_spark_drpc_")
+    tmp = gate_tmp.mkdtemp(prefix="storm_spark_drpc_")
     wc = (
         topo.new_stream("docs", feeder)
         .each(["text"], tok_fn, ["word"])
@@ -1462,7 +1467,7 @@ def q_streaming_cms(spark, sf_dir):
     from storm_spark.functions.sketch import cms_build, cms_estimate
 
     orders = _t(spark, sf_dir, "orders")
-    tmp = tempfile.mkdtemp(prefix="storm_spark_scms_")
+    tmp = gate_tmp.mkdtemp(prefix="storm_spark_scms_")
     indir = os.path.join(tmp, "in")
     os.makedirs(indir)
     feed = orders.select("o_orderkey", "o_custkey")
@@ -1564,7 +1569,7 @@ def q_rollup_continuous(spark, sf_dir):
         ),
         "queries.rollup_continuous.events",
     )
-    tmp = tempfile.mkdtemp(prefix="storm_spark_rollup_")
+    tmp = gate_tmp.mkdtemp(prefix="storm_spark_rollup_")
 
     def factory(name, key_schema, value_field, value_type):
         return ParquetMapState(
@@ -2363,7 +2368,7 @@ def q_partition_pruned(spark, sf_dir):
     ev = _events(spark, sf_dir).withColumn(
         "event_date", F.to_date("ts").cast("string")
     )
-    tmp = tempfile.mkdtemp(prefix="storm_spark_part_")
+    tmp = gate_tmp.mkdtemp(prefix="storm_spark_part_")
     pe = write_partitioned(ev, tmp, ["event_date"])
     return (
         pe.filter(F.col("event_date") == "2024-01-02")
@@ -2396,7 +2401,7 @@ def q_bucketed_join(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", cents("l_quantity").alias("qty_c"))
     od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    tmp = tempfile.mkdtemp(prefix="storm_spark_bucketed_")
+    tmp = gate_tmp.mkdtemp(prefix="storm_spark_bucketed_")
     bl = write_bucketed(li, "bk_lineitem", ["l_orderkey"], 8, f"{tmp}/lineitem")
     bo = write_bucketed(od, "bk_orders", ["o_orderkey"], 8, f"{tmp}/orders")
     return (
@@ -3474,7 +3479,7 @@ def q_state_scan(spark, sf_dir):
     topo = Topology(spark)
     feeder = FeederSource(["text"])
     tok_fn = LambdaFunction(lambda cols: [F.explode(text.tokens(cols[0]))])
-    tmp = tempfile.mkdtemp(prefix="storm_spark_scan_")
+    tmp = gate_tmp.mkdtemp(prefix="storm_spark_scan_")
     wc = (
         topo.new_stream("docs", feeder)
         .each(["text"], tok_fn, ["word"])
@@ -4039,14 +4044,21 @@ def q_streaming_merge_intervals(spark, sf_dir):
 
     from storm_spark.streaming.stateful import stateful_merge_intervals
 
+    # Quantize the feed to WHOLE seconds — the batch oracle floors input ts
+    # to integer seconds before building [s, s+900] intervals, so the break
+    # decision (gap > 900s) must be made on the same integer-second grid;
+    # feeding raw sub-second ts and flooring only the OUTPUT disagrees when
+    # fractional parts straddle a boundary (ADVICE r7, observed at sf0.1).
     e = _events(spark, sf_dir).select(
         "user_id",
-        F.col("ts").alias("s_ts"),
-        (F.col("ts") + F.expr("INTERVAL 900 SECONDS")).alias("e_ts"),
+        F.date_trunc("second", F.col("ts")).alias("s_ts"),
+        (F.date_trunc("second", F.col("ts")) + F.expr("INTERVAL 900 SECONDS")).alias(
+            "e_ts"
+        ),
         "event_id",
     )
     max_ts = e.agg(F.max("s_ts")).collect()[0][0]  # 1-row driver fetch
-    tmp = tempfile.mkdtemp(prefix="storm_spark_smi_")
+    tmp = gate_tmp.mkdtemp(prefix="storm_spark_smi_")
     indir = os.path.join(tmp, "in")
     os.makedirs(indir)
     w = Window.orderBy("s_ts", "event_id")
@@ -4699,7 +4711,7 @@ def q_streaming_transitions(spark, sf_dir):
     from storm_spark.streaming.stateful import stateful_transitions
 
     e = _events(spark, sf_dir).select("user_id", "ts", "event_type", "event_id")
-    tmp = tempfile.mkdtemp(prefix="storm_spark_strans_")
+    tmp = gate_tmp.mkdtemp(prefix="storm_spark_strans_")
     indir = os.path.join(tmp, "in")
     os.makedirs(indir)
     w = Window.orderBy("ts", "event_id")
@@ -4759,7 +4771,7 @@ def q_streaming_window_hourly(spark, sf_dir):
     import uuid
 
     e = _events(spark, sf_dir).select("event_type", "ts", cents("value").alias("v_c"))
-    tmp = tempfile.mkdtemp(prefix="storm_spark_swh_")
+    tmp = gate_tmp.mkdtemp(prefix="storm_spark_swh_")
     indir = os.path.join(tmp, "in")
     os.makedirs(indir)
     w = Window.orderBy("ts", "event_type", "v_c")
@@ -4845,7 +4857,7 @@ def q_streaming_topk(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
     )
-    tmp = tempfile.mkdtemp(prefix="storm_spark_stopk_")
+    tmp = gate_tmp.mkdtemp(prefix="storm_spark_stopk_")
     indir = os.path.join(tmp, "in")
     os.makedirs(indir)
     w = Window.orderBy("ts", "l_orderkey", "l_linenumber")
@@ -4920,7 +4932,7 @@ def q_streaming_interval_join(spark, sf_dir):
     from storm_spark.streaming.joins import interval_join
 
     e = _events(spark, sf_dir).select("user_id", "ts", "event_id")
-    tmp = tempfile.mkdtemp(prefix="storm_spark_sij_")
+    tmp = gate_tmp.mkdtemp(prefix="storm_spark_sij_")
     left_dir = os.path.join(tmp, "left")
     right_dir = os.path.join(tmp, "right")
     os.makedirs(left_dir)
@@ -5010,7 +5022,7 @@ def q_streaming_gap_fill(spark, sf_dir):
         )
     )
     feed_schema = e.select("event_type", "ts", "v_c").schema
-    tmp = tempfile.mkdtemp(prefix="storm_spark_sgap_")
+    tmp = gate_tmp.mkdtemp(prefix="storm_spark_sgap_")
     indir = os.path.join(tmp, "in")
     os.makedirs(indir)
     qname = "sgap_" + uuid.uuid4().hex[:8]
@@ -5071,7 +5083,7 @@ def q_streaming_trailing_zscore(spark, sf_dir):
     w = Window.orderBy("ts", "event_id")
     parts = e.withColumn("__t__", F.ntile(3).over(w))
     feed_schema = e.select("user_id", "ts", "v_c").schema
-    tmp = tempfile.mkdtemp(prefix="storm_spark_stz_")
+    tmp = gate_tmp.mkdtemp(prefix="storm_spark_stz_")
     indir = os.path.join(tmp, "in")
     os.makedirs(indir)
     qname = "stz_" + uuid.uuid4().hex[:8]
@@ -5163,7 +5175,7 @@ def q_streaming_dedup(spark, sf_dir):
             Window.partitionBy(text.fingerprint("text")).orderBy("doc_id")
         ),
     )
-    tmp = tempfile.mkdtemp(prefix="storm_spark_sdd_")
+    tmp = gate_tmp.mkdtemp(prefix="storm_spark_sdd_")
     indir = os.path.join(tmp, "in")
     os.makedirs(indir)
     qname = "sdd_" + uuid.uuid4().hex[:8]
@@ -6255,7 +6267,7 @@ def q_streaming_sample(spark, sf_dir):
             ).cast("bigint")
         ).alias("neg_hash"),
     )
-    tmp = tempfile.mkdtemp(prefix="storm_spark_ssmp_")
+    tmp = gate_tmp.mkdtemp(prefix="storm_spark_ssmp_")
     indir = os.path.join(tmp, "in")
     os.makedirs(indir)
     w = Window.orderBy("ts", "event_id")
@@ -6380,7 +6392,7 @@ def q_streaming_hll(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_partkey"
     )
-    tmp = tempfile.mkdtemp(prefix="storm_spark_shll_")
+    tmp = gate_tmp.mkdtemp(prefix="storm_spark_shll_")
     indir = os.path.join(tmp, "in")
     os.makedirs(indir)
     state = {"regs": None}
@@ -6519,7 +6531,7 @@ def q_streaming_bfs_incremental(spark, sf_dir):
         _copurchase_edges(spark, sf_dir), "queries.sbfs.copurchase"
     )
     seeds = edges.agg(F.min("src").alias("node"))
-    tmp = tempfile.mkdtemp(prefix="storm_spark_sbfs_")
+    tmp = gate_tmp.mkdtemp(prefix="storm_spark_sbfs_")
     indir = os.path.join(tmp, "in")
     os.makedirs(indir)
     feed_schema = edges.select("src", "dst").schema
@@ -6656,7 +6668,7 @@ def q_streaming_enrich(spark, sf_dir):
             F.sum("v_c").alias("sum_u"),
         )
     )
-    tmp = tempfile.mkdtemp(prefix="storm_spark_senr_")
+    tmp = gate_tmp.mkdtemp(prefix="storm_spark_senr_")
     feed_dir = os.path.join(tmp, "feed")
     os.makedirs(feed_dir)
     w = Window.orderBy("ts", "event_id")
@@ -6935,7 +6947,7 @@ def q_streaming_outer_join(spark, sf_dir):
 
     e = _events(spark, sf_dir).select("user_id", "ts", "event_id")
     max_ts = e.agg(F.max("ts")).collect()[0][0]  # 1-row driver fetch
-    tmp = tempfile.mkdtemp(prefix="storm_spark_soj_")
+    tmp = gate_tmp.mkdtemp(prefix="storm_spark_soj_")
     left_dir = os.path.join(tmp, "left")
     right_dir = os.path.join(tmp, "right")
     os.makedirs(left_dir)
@@ -7039,7 +7051,7 @@ def q_streaming_full_outer_join(spark, sf_dir):
 
     e = _events(spark, sf_dir).select("user_id", "ts", "event_id")
     max_ts = e.agg(F.max("ts")).collect()[0][0]  # 1-row driver fetch
-    tmp = tempfile.mkdtemp(prefix="storm_spark_sfoj_")
+    tmp = gate_tmp.mkdtemp(prefix="storm_spark_sfoj_")
     left_dir = os.path.join(tmp, "left")
     right_dir = os.path.join(tmp, "right")
     os.makedirs(left_dir)

@@ -204,6 +204,14 @@ def stateful_merge_intervals(
                       "n_intervals": n}]
                 )
                 start, end, n = s, e, 1
+        if start is None:
+            # new key whose batch held only null-bounded rows: nothing to
+            # open — no state, no timeout (int(None * 1000) would raise;
+            # ADVICE r7)
+            yield pd.DataFrame(
+                [], columns=[key_col, "span_start", "span_end", "n_intervals"]
+            )
+            return
         state.update((pickle.dumps((start, end, n)),))
         deadline = int(end * 1000)
         wm = state.getCurrentWatermarkMs()
