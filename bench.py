@@ -153,6 +153,7 @@ HEADLINE = [
     "rolling_median",
     "seasonal_baseline",
     "ann_pq",
+    "ann_ivf_pq",
     "hll_distinct",
     "zorder_stats",
     "bpe_segment",

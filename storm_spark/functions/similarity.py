@@ -1150,3 +1150,195 @@ def pq_topk(
             "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
         )
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    shortlist: int = 20,
+    scale: float = 1e9,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ: the :func:`ivf_topk` cell restriction composed with the
+    :func:`pq_topk` ADC code scan — the standard billion-scale ANN layout
+    (coarse quantizer prunes WHICH codes are scanned, product quantizer
+    shrinks WHAT is scanned). Per query, only codes of corpus vectors
+    living in the ``n_probe`` nearest Voronoi cells are ADC-scored; the
+    integer-LUT shortlist is exact-cosine re-ranked to the final ``k``.
+
+    The cell is attached DURING encoding (the corpus→cell argmax output
+    feeds the subspace explode directly), so there is no second
+    corpus-sized join: one assignment pass, one code table keyed by
+    (cell, neighbor_id, sub), and the ADC stage starts from
+    ``probed ⋈ codes ON cell`` — the join that makes the code scan
+    |probed cells| instead of |corpus| (asserted by plan test).
+
+    Determinism matches both parents: deterministic centroids (smallest-id
+    default or :func:`kmeans_centroids`), md5-init PQ codebooks, integer
+    LUT entries (``round(dot·scale)::BIGINT``) summed as exact BIGINTs,
+    id tie-breaks at every rank. Scale: centroids + codebooks + LUT are
+    broadcast-tiny; the corpus shuffles once on cell; candidate volume is
+    Σ_q Σ_{probed cells} |cell| · m code rows — the IVF prune on top of
+    PQ's 4-byte-per-vector scan."""
+    cents = (
+        centroids
+        if centroids is not None
+        else corpus.orderBy(F.col(id_col).asc())
+        .limit(n_lists)
+        .select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).cast("array<double>").alias("__cent__"),
+        )
+    )
+    meta = codebooks.agg(
+        F.max("sub").alias("m"), F.max(F.size("__cent__")).alias("L")
+    ).first()
+    m, sub_len = int(meta["m"]) + 1, int(meta["L"])
+
+    # corpus → nearest cell (same argmax-by-window shape as ivf_topk; the
+    # broadcast-crossJoin form measured faster than nested HOF literals)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv__"),
+    )
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.col("__cc__").desc(), F.col("cent_id").asc()
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("__cc__", _cos(F.col("__cv__"), F.col("__cent__")))
+        .withColumn("__r__", F.row_number().over(w_assign))
+        .filter(F.col("__r__") == 1)
+        .select("neighbor_id", "__cv__", F.col("cent_id").alias("__cell__"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv__"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("__qc__").desc(), F.col("cent_id").asc()
+    )
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__qc__", _cos(F.col("__qv__"), F.col("__cent__")))
+        .withColumn("__r__", F.row_number().over(w_probe))
+        .filter(F.col("__r__") <= n_probe)
+        .select("query_id", F.col("cent_id").alias("__cell__"))
+    )
+
+    cb = F.broadcast(codebooks)
+    sub_parts = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(F.col("__cv__"), s * sub_len + 1, sub_len).alias("sv"),
+            )
+            for s in range(m)
+        ]
+    )
+    # PQ-encode straight off the assignment output so each code row carries
+    # its cell — no second corpus join; argmax via max(struct) hash agg
+    # (map-side combine), identical tie-break semantics to pq_topk
+    codes = (
+        assigned.select(
+            "neighbor_id", "__cell__", F.explode(sub_parts).alias("__x__")
+        )
+        .select(
+            "neighbor_id",
+            "__cell__",
+            F.col("__x__.sub").alias("sub"),
+            F.col("__x__.sv").alias("sv"),
+        )
+        .join(cb, "sub")
+        .select(
+            "neighbor_id",
+            "__cell__",
+            "sub",
+            F.struct(
+                _cos(F.col("sv"), F.col("__cent__")).alias("cc"),
+                (-F.col("cent_id")).alias("neg"),
+            ).alias("__cand__"),
+        )
+        .groupBy("neighbor_id", "__cell__", "sub")
+        .agg(F.max("__cand__").alias("__best__"))
+        .select(
+            "neighbor_id", "__cell__", "sub", (-F.col("__best__.neg")).alias("code")
+        )
+    )
+    q_parts = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(F.col("__qv__"), s * sub_len + 1, sub_len).alias("sv"),
+            )
+            for s in range(m)
+        ]
+    )
+    lut = (
+        q.select("query_id", F.explode(q_parts).alias("__x__"))
+        .select(
+            "query_id",
+            F.col("__x__.sub").alias("sub"),
+            F.col("__x__.sv").alias("sv"),
+        )
+        .join(cb, "sub")
+        .select(
+            F.col("query_id").alias("__lq__"),
+            F.col("sub").alias("__ls__"),
+            "cent_id",
+            F.round(_dot(F.col("sv"), F.col("__cent__")) * F.lit(float(scale)))
+            .cast("bigint")
+            .alias("__ip__"),
+        )
+    )
+    # THE composition point: restrict the code scan to probed cells FIRST,
+    # then look up the per-query integer table
+    adc = (
+        probed.join(codes, "__cell__")
+        .join(
+            F.broadcast(lut),
+            (F.col("query_id") == F.col("__lq__"))
+            & (F.col("sub") == F.col("__ls__"))
+            & (F.col("code") == F.col("cent_id")),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("__ip__").alias("__iscore__"))
+    )
+    w_s = Window.partitionBy("query_id").orderBy(
+        F.col("__iscore__").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        adc.withColumn("__sr__", F.row_number().over(w_s))
+        .filter(F.col("__sr__") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv__"),
+    )
+    exact = (
+        short.join(F.broadcast(q), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cos(F.col("__qv__"), F.col("__cv__")).alias("cos_sim"),
+        )
+    )
+    w_e = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w_e))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+        )
+    )

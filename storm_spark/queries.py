@@ -6229,6 +6229,119 @@ WHERE rank <= {k}
 ORACLE_ANN_PQ = _oracle_ann_pq()
 
 
+def q_ann_ivf_pq(spark, sf_dir):
+    """IVF-PQ composed ANN (similarity.ivf_pq_topk): the billion-scale
+    layout — IVF's Voronoi-cell prune restricts WHICH corpus codes the
+    PQ/ADC integer-LUT scan touches (probed cells only, joined on cell
+    BEFORE scoring), PQ shrinks WHAT is scanned (4 codes/vector), exact
+    cosine re-rank on the shortlist. 4 smallest-id cells probed 2-wide ×
+    the ann_pq codebooks (4 subspaces × 4 centroids, one Lloyd
+    iteration). The oracle unrolls cell assignment, PQ training/encoding,
+    the cell-restricted ADC sum, and both rankings."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = similarity.pq_codebooks(emb, "vec_id", "embedding", m=4, ksub=4, n_iters=1)
+    q = emb.filter(F.col("vec_id") < 20)
+    return similarity.ivf_pq_topk(
+        emb, q, cbs, "vec_id", "embedding",
+        k=5, n_lists=4, n_probe=2, shortlist=20,
+    )
+
+
+def _oracle_ann_ivf_pq(k=5, m=4, ksub=4, shortlist=20, dim=64, n_lists=4, n_probe=2):
+    guard_cos = (
+        "(list_inner_product({a}, {b}) / "
+        "greatest(sqrt(list_inner_product({a}, {a})) * "
+        "sqrt(list_inner_product({b}, {b})), 1e-12))"
+    )
+    L = dim // m
+    sv_branches = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS sub, vv[{s * L + 1}:{s * L + L}] AS sv FROM v"
+        for s in range(m)
+    )
+    rn_init = (
+        "row_number() OVER (PARTITION BY sub "
+        "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)"
+    )
+    cos_ec = guard_cos.format(a="e.sv", b="t.cv")
+    cos_cc = guard_cos.format(a="c.vv", b="t.vv")
+    cos_qc = guard_cos.format(a="q.vv", b="t.vv")
+    cos_qn = guard_cos.format(a="qv.vv", b="nv.vv")
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, vv FROM v ORDER BY vec_id ASC LIMIT {n_lists}),
+assigned AS (
+  SELECT vec_id AS neighbor_id, cent_id AS cell FROM (
+    SELECT c.vec_id, t.cent_id,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY {cos_cc} DESC, t.cent_id ASC) AS r
+    FROM v c CROSS JOIN cents t) WHERE r = 1),
+probed AS (
+  SELECT vec_id AS query_id, cent_id AS cell FROM (
+    SELECT q.vec_id, t.cent_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {cos_qc} DESC, t.cent_id ASC) AS r
+    FROM v q CROSS JOIN cents t WHERE q.vec_id < 20) WHERE r <= {n_probe}),
+sv AS ({sv_branches}),
+cb0 AS (
+  SELECT sub, {rn_init} - 1 AS cent_id, sv AS cv
+  FROM sv QUALIFY {rn_init} <= {ksub}),
+a0 AS (
+  SELECT vec_id, sub, sv, cent_id FROM (
+    SELECT e.vec_id, e.sub, e.sv, t.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id, e.sub
+             ORDER BY {cos_ec} DESC, t.cent_id ASC) AS r
+    FROM sv e JOIN cb0 t ON t.sub = e.sub) WHERE r = 1),
+m0 AS (
+  SELECT sub, cent_id, list(mm ORDER BY pos) AS cv FROM (
+    SELECT sub, cent_id, pos, round(AVG(x), 9) AS mm FROM (
+      SELECT sub, cent_id, unnest(generate_series(1, len(sv))) AS pos,
+             unnest(sv) AS x
+      FROM a0)
+    GROUP BY 1, 2, 3) GROUP BY 1, 2),
+cb1 AS (
+  SELECT p.sub, p.cent_id, COALESCE(n.cv, p.cv) AS cv
+  FROM cb0 p LEFT JOIN m0 n ON p.sub = n.sub AND p.cent_id = n.cent_id),
+codes AS (
+  SELECT vec_id AS neighbor_id, sub, cent_id AS code FROM (
+    SELECT e.vec_id, e.sub, t.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id, e.sub
+             ORDER BY {cos_ec} DESC, t.cent_id ASC) AS r
+    FROM sv e JOIN cb1 t ON t.sub = e.sub) WHERE r = 1),
+lut AS (
+  SELECT e.vec_id AS query_id, e.sub, t.cent_id,
+         CAST(round(list_inner_product(e.sv, t.cv) * 1e9) AS BIGINT) AS ip
+  FROM sv e JOIN cb1 t ON t.sub = e.sub WHERE e.vec_id < 20),
+adc AS (
+  SELECT l.query_id, c.neighbor_id, SUM(l.ip) AS iscore
+  FROM codes c
+  JOIN assigned a ON a.neighbor_id = c.neighbor_id
+  JOIN probed p ON p.cell = a.cell
+  JOIN lut l ON l.query_id = p.query_id AND l.sub = c.sub AND l.cent_id = c.code
+  WHERE l.query_id <> c.neighbor_id
+  GROUP BY 1, 2),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY iscore DESC, neighbor_id ASC) AS r
+    FROM adc) WHERE r <= {shortlist}),
+ex AS (
+  SELECT s.query_id, s.neighbor_id, {cos_qn} AS cs
+  FROM short s
+  JOIN v qv ON qv.vec_id = s.query_id
+  JOIN v nv ON nv.vec_id = s.neighbor_id)
+SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim, CAST(rank AS INT) AS rank
+FROM (SELECT query_id, neighbor_id, cs,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cs DESC, neighbor_id ASC) AS rank
+      FROM ex)
+WHERE rank <= {k}
+"""
+
+
+ORACLE_ANN_IVF_PQ = _oracle_ann_ivf_pq()
+
+
 def q_streaming_sample(spark, sf_dir):
     """Streaming deterministic quota sample — sampling.sample_k_per_group's
     contract maintained ACROSS micro-batches: per event type keep the 20
@@ -7230,6 +7343,8 @@ QUERIES = {
     # r7: product-quantization ANN — the third ANN scale path
     # (ks_drift, driver-green r6, demoted)
     "ann_pq": q_ann_pq,
+    # r8: IVF-PQ composition — cell-pruned ADC code scan (VERDICT r7 #3)
+    "ann_ivf_pq": q_ann_ivf_pq,
     # r7: live quota sample == batch quota sample, exactly
     # (sessionize_native, driver-green r6, demoted)
     "streaming_sample": q_streaming_sample,
@@ -7544,6 +7659,7 @@ ORACLES = {
     "rolling_median": ORACLE_ROLLING_MEDIAN,
     "seasonal_baseline": ORACLE_SEASONAL_BASELINE,
     "ann_pq": ORACLE_ANN_PQ,
+    "ann_ivf_pq": ORACLE_ANN_IVF_PQ,
     "streaming_sample": ORACLE_STREAMING_SAMPLE,
     "hll_distinct": ORACLE_HLL_DISTINCT,
     # max-linearity makes the streaming twin exact against the batch oracle
