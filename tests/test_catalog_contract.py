@@ -4,11 +4,11 @@ registered without its oracle, a bench entry pointing at a renamed query,
 or a rows-only gate sneaking in unannounced."""
 
 ROWS_ONLY = {
-    # documented rows-only by design: the HLL sketch's output is
-    # estimator-specific, and the multimodal decode is PIL-blocked
-    # (percentile graduated to exact in r6 via zero-rank-error accuracy)
+    # documented rows-only by design: the HLL++ sketch's output is
+    # estimator-specific (percentile graduated to exact in r6 via
+    # zero-rank-error accuracy; multimodal_features graduated in r8 via
+    # integer byte-tile sums over the deterministic fallback decode)
     "approx_distinct",
-    "multimodal_features",
 }
 
 

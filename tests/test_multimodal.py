@@ -106,3 +106,30 @@ def test_image_resize_upsamples_small_sources(spark):
     # 4 bytes -> side 2: 2x2 source [[97,98],[99,100]] upsampled 2x each way
     assert (r.src_h, r.src_w) == (2, 2)
     assert r.checksum == (97 + 98 + 99 + 100) * 4
+
+
+def test_image_byte_stats_matches_feature_geometry(assets):
+    """The exact-oracle projection (integer column sums) must agree with
+    the float API on geometry and, where k < side, equal feature[k]·side
+    (the mean is sum/side over whole-number pixels — exact in float32 for
+    sums < 2^24)."""
+    import numpy as np
+
+    stats = {r.doc_id: r for r in
+             multimodal.image_byte_stats(assets, "content", "doc_id").collect()}
+    feats = {r.doc_id: r for r in
+             multimodal.image_features(assets, "content", "doc_id").collect()}
+    assert set(stats) == {1, 2, 3, 4}
+    for doc_id, s in stats.items():
+        f = feats[doc_id]
+        assert (s.width, s.height) == (f.width, f.height)
+        side = s.width
+        for k in range(min(side, multimodal.IMAGE_FEATURE_DIM)):
+            assert getattr(s, f"s{k}") == round(
+                np.float32(f.feature[k]) * side
+            ), (doc_id, k)
+        # cyclic resize: s_k repeats with period side
+        for k in range(multimodal.IMAGE_FEATURE_DIM):
+            assert getattr(s, f"s{k}") == getattr(s, f"s{k % side}")
+    # empty content -> single zero pixel -> all-zero sums, 1x1
+    assert stats[4].width == 1 and stats[4].s0 == 0 and stats[4].s15 == 0
