@@ -263,3 +263,79 @@ def test_incremental_bfs_matches_batch_on_random_splits(spark):
             bfs.add_edges(spark.createDataFrame(part, "src long, dst long"))
     got = {(r.node, r.dist) for r in bfs.dist().collect()}
     assert got == expect
+
+
+def test_incremental_components_late_edge_merges_clusters(spark):
+    """The VERDICT r7 #7 pinned case: two clusters established in epoch 1
+    ({1,2,3} and {5,6}), a later single pair (3,5) MERGES them — the
+    smaller min-label (1) must cascade through the absorbed component's
+    accumulated edges, relabeling 5 and 6."""
+    from storm_spark.functions.mining import IncrementalComponents
+
+    cc = IncrementalComponents()
+    cc.add_edges(
+        spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    )
+    l1 = {r.id: r.cluster_id for r in cc.labels().collect()}
+    assert l1 == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}, l1
+    rounds = cc.add_edges(spark.createDataFrame([(3, 5)], "id_a long, id_b long"))
+    l2 = {r.id: r.cluster_id for r in cc.labels().collect()}
+    assert l2 == {1: 1, 2: 1, 3: 1, 5: 1, 6: 1}, l2
+    assert rounds >= 1, rounds  # the merge really cascaded
+
+
+def test_incremental_components_untouched_epoch_is_cheap(spark):
+    """The bounded-by-delta contract: a re-sent pair changes nothing and
+    takes ZERO cascade rounds; an epoch of brand-new nodes costs rounds
+    bounded by the DELTA's own diameter (its internal chain must still
+    cluster) while never touching existing labels."""
+    from storm_spark.functions.mining import IncrementalComponents
+
+    cc = IncrementalComponents()
+    cc.add_edges(spark.createDataFrame([(1, 2)], "id_a long, id_b long"))
+    assert (
+        cc.add_edges(spark.createDataFrame([(1, 2)], "id_a long, id_b long"))
+        == 0
+    )
+    rounds = cc.add_edges(
+        spark.createDataFrame([(100, 101), (101, 102)], "id_a long, id_b long")
+    )
+    assert rounds <= 2  # delta-diameter-bounded, independent of graph size
+    got = {r.id: r.cluster_id for r in cc.labels().collect()}
+    assert got == {1: 1, 2: 1, 100: 100, 101: 100, 102: 100}
+
+
+def test_incremental_components_matches_batch_on_random_splits(spark):
+    """Any 3-way split of any pair set must equal the from-scratch
+    near_dup_clusters answer AT EVERY EPOCH (deterministic pseudo-random
+    graph + hash split)."""
+    import hashlib
+
+    from storm_spark.functions.dedup import near_dup_clusters
+    from storm_spark.functions.mining import IncrementalComponents
+
+    def h(*xs):
+        return int.from_bytes(
+            hashlib.md5("|".join(map(str, xs)).encode()).digest()[:4], "big"
+        )
+
+    pairs = [
+        (u, v)
+        for u in range(25)
+        for v in range(u + 1, 25)
+        if h("p", u, v) % 9 == 0
+    ]
+    cc = IncrementalComponents()
+    seen = []
+    for chunk in range(3):
+        batch = [(u, v) for (u, v) in pairs if h("s", u, v) % 3 == chunk]
+        seen.extend(batch)
+        cc.add_edges(spark.createDataFrame(batch, "id_a long, id_b long"))
+        expect = {
+            (r.id, r.cluster_id)
+            for r in near_dup_clusters(
+                spark.createDataFrame(seen, "id_a long, id_b long")
+            ).collect()
+        }
+        got = {(r.id, r.cluster_id) for r in cc.labels().collect()}
+        assert got == expect, (chunk, got ^ expect)
