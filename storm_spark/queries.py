@@ -7638,6 +7638,79 @@ QUERIES = {
     "pack_chunks": q_pack_chunks,
 }
 
+# ---------------------------------------------------------------------------
+# Rotation 8 (VERDICT r7 #5): with 100% driver-touched coverage achieved in
+# r7, the window policy switches from "never-sampled first" to
+# "LEAST-RECENTLY-SAMPLED first" — the driver samples the first 50 keys, so
+# the head is recomputed each round as: this round's NEW gates (plus the
+# newly-exact multimodal_features), then every other entry ranked by (last
+# driver-sampled round, catalog position). The r8 head therefore holds all
+# 11 r1-era rows (cube, pivot, count_distinct, percentile_exact, range_join,
+# asof_join, cms_heavy_hitters, winnow_fingerprint, embedding_near_dup,
+# approx_distinct, percentile — unsampled for ~7 rounds) and the 36 earliest
+# r3-era rows; the 8 remaining r3 rows plus r4's domain_stats/rolling_active
+# lead rotation 9. The literal dict order above is the historical rotation
+# record; THIS list is the driver-facing order (policy documented in
+# SURVEY.md §8). Every head entry is exact-oracle-gated except the
+# documented rows-only approx_distinct.
+_ROTATION8_HEAD = [
+    "ann_ivf_pq",
+    "streaming_dedup_cluster",
+    "multimodal_features",
+    "cube",
+    "pivot",
+    "count_distinct",
+    "percentile_exact",
+    "range_join",
+    "asof_join",
+    "cms_heavy_hitters",
+    "winnow_fingerprint",
+    "embedding_near_dup",
+    "approx_distinct",
+    "percentile",
+    "wordcount",
+    "rollup_continuous",
+    "decontaminate",
+    "partition_persist",
+    "linear_drpc",
+    "dedup_jaccard_capped",
+    "state_wordcount",
+    "streaming_wordcount",
+    "drpc_state_lookup",
+    "window_hourly",
+    "window_sliding",
+    "groupby_sum",
+    "topk_per_group",
+    "join_inner",
+    "join_nway",
+    "first_n",
+    "project_filter",
+    "builtin_filters",
+    "each_compute",
+    "python_each",
+    "split_explode",
+    "chained_agg",
+    "custom_agg_second_max",
+    "distinct",
+    "rollup",
+    "merge",
+    "join_outer",
+    "semi_join",
+    "anti_join",
+    "state_snapshot_total",
+    "json_extract",
+    "dedup_exact",
+    "dedup_jaccard",
+    "minhash_lsh",
+    "corpus_clean",
+    "dedup_cluster",
+]
+assert len(_ROTATION8_HEAD) == 50 and len(set(_ROTATION8_HEAD)) == 50
+QUERIES = {
+    k: QUERIES[k]
+    for k in (*_ROTATION8_HEAD, *(k for k in QUERIES if k not in set(_ROTATION8_HEAD)))
+}
+
 ORACLES = {
     "q1": ORACLE_Q1,
     "project_filter": ORACLE_PROJECT_FILTER,
