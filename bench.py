@@ -154,6 +154,7 @@ HEADLINE = [
     "seasonal_baseline",
     "ann_pq",
     "ann_ivf_pq",
+    "multimodal_features",
     "hll_distinct",
     "zorder_stats",
     "bpe_segment",

@@ -69,3 +69,40 @@ def write_partitioned(
     bucket those instead (:func:`write_bucketed`)."""
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
     return df.sparkSession.read.parquet(path)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    bits: int = 21,
+    n_files: int = 32,
+    key_col: str = "z_key",
+) -> DataFrame:
+    """Write ``df`` clustered on a Z-order (Morton) key over two filter
+    columns — the writer-path half of ``functions.layout`` (the
+    ``zorder_stats`` gate measures the property; this materializes it):
+    rows are range-partitioned into ``n_files`` files by the interleaved
+    key and sorted within each, so every parquet file's min/max footer
+    stats form a TIGHT bounding box in BOTH dimensions at once. A reader's
+    two-sided predicate then skips files/row-groups the way a one-column
+    sort only could for its leading column (asserted against real footers
+    in ``tests/test_io.py``).
+
+    Inputs must already be quantized to ``[0, 2^bits)`` (the
+    :func:`storm_spark.functions.layout.zorder_key` contract). The key is
+    kept as ``key_col`` so downstream writers can re-cluster compacted
+    files without recomputing it. One range exchange total — the same
+    single-shuffle cost as any clustered write, amortized over every
+    later pruning read."""
+    from storm_spark.functions.layout import zorder_key
+
+    keyed = df.withColumn(key_col, zorder_key(x_col, y_col, bits))
+    (
+        keyed.repartitionByRange(n_files, key_col)
+        .sortWithinPartitions(key_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return df.sparkSession.read.parquet(path)

@@ -4310,10 +4310,12 @@ def q_bpe_segment(spark, sf_dir):
     merge_rows = text.bpe_train(docs, "text", k=10).collect()
     merges = [(r["lhs"], r["rhs"]) for r in sorted(merge_rows, key=lambda r: r["rank"])]
     seg = text.bpe_segment(docs, "text", merges)
-    w = Window.orderBy(F.desc("freq"), F.asc("word"))
+    # top-200 as orderBy+limit, NOT a global row_number window: compiles to
+    # TakeOrderedAndProject (per-partition heap + driver merge of 200-row
+    # heads) instead of a single-partition WindowExec over the vocabulary
     return (
-        seg.withColumn("__rk__", F.row_number().over(w))
-        .filter(F.col("__rk__") <= 200)
+        seg.orderBy(F.desc("freq"), F.asc("word"))
+        .limit(200)
         .select("word", "freq", "n_tokens")
     )
 
