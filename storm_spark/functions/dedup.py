@@ -392,6 +392,37 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _band_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_perm: int,
+    bands: int,
+) -> DataFrame:
+    """Per-doc LSH band buckets ``(__id__, __band__, __bucket__)`` — the
+    shared signature step of :func:`minhash_lsh_pairs` and the streaming
+    :class:`IncrementalLSHIndex` (factored so the two paths are
+    bit-identical by construction)."""
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must divide evenly into bands")
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket"))
+        )
+    return sig.select(
+        F.col(id_col).alias("__id__"), F.explode(F.array(*band_cols)).alias("__b__")
+    ).select(
+        "__id__",
+        F.col("__b__.band").alias("__band__"),
+        F.col("__b__.bucket").alias("__bucket__"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -407,19 +438,7 @@ def minhash_lsh_pairs(
     distinct). Verification (exact Jaccard on candidates) composes with
     :func:`ngram_jaccard_pairs` on the candidate set.
     """
-    if num_perm % bands != 0:
-        raise ValueError("num_perm must divide evenly into bands")
-    rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket"))
-        )
-    buckets = sig.select(
-        F.col(id_col).alias("__id__"), F.explode(F.array(*band_cols)).alias("__b__")
-    ).select("__id__", F.col("__b__.band").alias("__band__"), F.col("__b__.bucket").alias("__bucket__"))
+    buckets = _band_buckets(df, id_col, text_col, n, num_perm, bands)
     a, bb = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -946,3 +965,84 @@ def canonicalize_clusters(
             "cluster_size",
         )
     )
+
+
+class IncrementalLSHIndex:
+    """Streaming MinHash-LSH dedup index — the production crawl-dedup
+    shape: documents ARRIVE over epochs, each batch is signed once,
+    collided against the ACCUMULATED band-bucket index, and the newly
+    discovered near-dup pairs are emitted that epoch (feed them into
+    :class:`storm_spark.functions.mining.IncrementalComponents` to keep
+    the cluster assignment live — the full streaming dedup pipeline).
+
+    Exactness: band buckets come from the same :func:`_band_buckets` step
+    as the batch :func:`minhash_lsh_pairs`, and a pair's two docs collide
+    exactly when both are present — so every pair surfaces in exactly ONE
+    epoch (the later endpoint's), and the union of per-epoch emissions
+    over any arrival order equals the batch pair set verbatim (pinned in
+    tests and by the `streaming_dedup_pipeline` gate's batch oracle).
+
+    Contract: each doc id arrives EXACTLY once across the stream (the
+    crawl-frontier contract; re-sent ids would re-collide their buckets —
+    run the exact-dedup step upstream). Scale: per epoch ONE
+    bucket-keyed join of |Δ| signature rows against the index plus the
+    |Δ|² within-batch self-join — never index × index; the index itself
+    grows by |Δ|·bands rows per epoch (at 100 TB this state is an
+    appended bucketed-parquet log; same shape).
+    """
+
+    def __init__(
+        self,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n: int = 3,
+        num_perm: int = 12,
+        bands: int = 4,
+    ):
+        self.id_col, self.text_col = id_col, text_col
+        self.n, self.num_perm, self.bands = n, num_perm, bands
+        self._index: DataFrame | None = None
+        self._pairs: DataFrame | None = None
+
+    def add_docs(self, batch: DataFrame) -> DataFrame:
+        """Absorb one epoch of new documents; returns the epoch's newly
+        discovered ``(id_a, id_b)`` pairs (id_a < id_b), materialized."""
+        nb = _band_buckets(
+            batch, self.id_col, self.text_col, self.n, self.num_perm, self.bands
+        ).localCheckpoint()
+        a, b = nb.alias("a"), nb.alias("b")
+        within = a.join(
+            b,
+            (F.col("a.__band__") == F.col("b.__band__"))
+            & (F.col("a.__bucket__") == F.col("b.__bucket__"))
+            & (F.col("a.__id__") < F.col("b.__id__")),
+        ).select(F.col("a.__id__").alias("id_a"), F.col("b.__id__").alias("id_b"))
+        if self._index is not None:
+            o = self._index.alias("o")
+            # arrival order need not respect id order: canonicalize
+            cross = a.join(
+                o,
+                (F.col("a.__band__") == F.col("o.__band__"))
+                & (F.col("a.__bucket__") == F.col("o.__bucket__")),
+            ).select(
+                F.least(F.col("a.__id__"), F.col("o.__id__")).alias("id_a"),
+                F.greatest(F.col("a.__id__"), F.col("o.__id__")).alias("id_b"),
+            )
+            within = within.unionByName(cross)
+        new_pairs = within.distinct().localCheckpoint()
+        self._index = (
+            nb if self._index is None else self._index.unionByName(nb)
+        )
+        self._pairs = (
+            new_pairs
+            if self._pairs is None
+            else self._pairs.unionByName(new_pairs).localCheckpoint()
+        )
+        return new_pairs
+
+    def pairs(self) -> DataFrame:
+        """All pairs emitted so far — equals the batch
+        :func:`minhash_lsh_pairs` over every doc absorbed so far."""
+        if self._pairs is None:
+            raise ValueError("no documents absorbed yet")
+        return self._pairs

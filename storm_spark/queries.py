@@ -6772,6 +6772,67 @@ def q_streaming_dedup_cluster(spark, sf_dir):
     )
 
 
+def q_streaming_dedup_pipeline(spark, sf_dir):
+    """The FULL streaming dedup pipeline (r8 flagship composition):
+    documents arrive over three epochs through real ``readStream`` +
+    ``foreachBatch``; each batch is MinHash-signed ONCE and collided
+    against the accumulated LSH band-bucket index
+    (dedup.IncrementalLSHIndex — every near-dup pair surfaces in exactly
+    one epoch, the later endpoint's), and the epoch's new pairs feed
+    straight into the live connected-components state
+    (mining.IncrementalComponents) — the production crawl-dedup shape:
+    sign → collide → cluster, all incremental, no from-scratch pass
+    anywhere. Final cluster labels must equal the from-scratch batch
+    clustering (the SAME recursive-CTE oracle as `dedup_cluster`) —
+    the whole pipeline's incremental maintenance is invisible in the
+    answer. Per-epoch cost: |Δ| signature rows joined against the index
+    plus the new pairs' label cascade; never index×index, never a
+    full-graph relabel."""
+    import os
+    import uuid
+
+    from storm_spark.functions.dedup import IncrementalLSHIndex
+    from storm_spark.functions.mining import IncrementalComponents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = gate_tmp.mkdtemp(prefix="storm_spark_sdpl_")
+    indir = os.path.join(tmp, "in")
+    os.makedirs(indir)
+    feed_schema = docs.schema
+
+    idx = IncrementalLSHIndex("doc_id", "text", n=3, num_perm=12, bands=4)
+    cc = IncrementalComponents()
+
+    def absorb(batch_df, epoch_id):
+        cc.add_edges(idx.add_docs(batch_df), "id_a", "id_b")
+
+    stream = (
+        spark.readStream.schema(feed_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{indir}/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(absorb)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .queryName("sdpl_" + uuid.uuid4().hex[:8])
+        .start()
+    )
+    try:
+        chunk = F.pmod(F.hash("doc_id"), F.lit(3))
+        for b in range(3):
+            docs.filter(chunk == b).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(indir, f"b{b}"))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return cc.labels().select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+    )
+
+
 def q_dedup_merge(spark, sf_dir):
     """Dedup survivorship (dedup.canonicalize_clusters): the step AFTER
     clustering — per near-dup cluster (MinHash-LSH pairs → connected
@@ -7441,6 +7502,8 @@ QUERIES = {
     "ann_ivf_pq": q_ann_ivf_pq,
     # r8: streaming incremental connected components (VERDICT r7 #7)
     "streaming_dedup_cluster": q_streaming_dedup_cluster,
+    # r8 flagship composition: sign -> collide -> cluster, all incremental
+    "streaming_dedup_pipeline": q_streaming_dedup_pipeline,
     # r7: live quota sample == batch quota sample, exactly
     # (sessionize_native, driver-green r6, demoted)
     "streaming_sample": q_streaming_sample,
@@ -7650,14 +7713,16 @@ QUERIES = {
 # 11 r1-era rows (cube, pivot, count_distinct, percentile_exact, range_join,
 # asof_join, cms_heavy_hitters, winnow_fingerprint, embedding_near_dup,
 # approx_distinct, percentile — unsampled for ~7 rounds) and the 36 earliest
-# r3-era rows; the 8 remaining r3 rows plus r4's domain_stats/rolling_active
-# lead rotation 9. The literal dict order above is the historical rotation
+# r3-era rows; the 9 remaining r3 rows (incl. dedup_cluster, displaced by the r8
+# pipeline gate that shares its oracle) plus r4's domain_stats/
+# rolling_active lead rotation 9. The literal dict order above is the historical rotation
 # record; THIS list is the driver-facing order (policy documented in
 # SURVEY.md §8). Every head entry is exact-oracle-gated except the
 # documented rows-only approx_distinct.
 _ROTATION8_HEAD = [
     "ann_ivf_pq",
     "streaming_dedup_cluster",
+    "streaming_dedup_pipeline",
     "multimodal_features",
     "cube",
     "pivot",
@@ -7705,7 +7770,6 @@ _ROTATION8_HEAD = [
     "dedup_jaccard",
     "minhash_lsh",
     "corpus_clean",
-    "dedup_cluster",
 ]
 assert len(_ROTATION8_HEAD) == 50 and len(set(_ROTATION8_HEAD)) == 50
 QUERIES = {
@@ -7832,6 +7896,7 @@ ORACLES = {
     # deliberately the SAME oracle as dedup_cluster: incremental
     # maintenance must be invisible in the answer
     "streaming_dedup_cluster": ORACLE_DEDUP_CLUSTER,
+    "streaming_dedup_pipeline": ORACLE_DEDUP_CLUSTER,
     "streaming_sample": ORACLE_STREAMING_SAMPLE,
     "hll_distinct": ORACLE_HLL_DISTINCT,
     # max-linearity makes the streaming twin exact against the batch oracle

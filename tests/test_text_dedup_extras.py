@@ -519,3 +519,45 @@ def test_bpe_segment_applies_merges_in_rank_order(spark):
         for r in bpe_segment(docs, "text", [("a", "a"), ("aa", "aa")]).collect()
     }
     assert got == {"aaaa": 1, "aaa": 2, "ab": 2}, got
+
+
+def test_incremental_lsh_index_matches_batch_on_any_split(spark):
+    """IncrementalLSHIndex contract: over ANY arrival order, the union of
+    per-epoch emitted pairs equals the batch minhash_lsh_pairs set, each
+    pair emitted in exactly ONE epoch (the later endpoint's); ids arrive
+    non-monotonically so the least/greatest canonicalization is
+    exercised."""
+    import hashlib
+
+    from storm_spark.functions.dedup import IncrementalLSHIndex, minhash_lsh_pairs
+
+    rows = [
+        (i, f"the quick brown fox {i % 7} jumps over the lazy dog {i % 7}")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    expect = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_perm=12, bands=4).collect()
+    }
+    assert expect, "fixture must produce collisions"
+
+    def h(x):
+        return int.from_bytes(hashlib.md5(str(x).encode()).digest()[:4], "big")
+
+    idx = IncrementalLSHIndex("doc_id", "text", n=3, num_perm=12, bands=4)
+    seen_epochs = []
+    for chunk in range(3):
+        batch = [r for r in rows if h(r[0]) % 3 == chunk]
+        new = {
+            (r.id_a, r.id_b)
+            for r in idx.add_docs(
+                spark.createDataFrame(batch, "doc_id long, text string")
+            ).collect()
+        }
+        for prev in seen_epochs:
+            assert not (new & prev), "a pair was emitted in two epochs"
+        seen_epochs.append(new)
+    got = set().union(*seen_epochs)
+    assert got == expect, got ^ expect
+    assert {(r.id_a, r.id_b) for r in idx.pairs().collect()} == expect
