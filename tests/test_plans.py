@@ -746,3 +746,30 @@ def test_ann_ivf_pq_code_scan_is_cell_pruned(spark):
     ).select("query_id", "neighbor_id")
     got = df.select("query_id", "neighbor_id")
     assert got.join(ivf, ["query_id", "neighbor_id"], "left_anti").count() == 0
+
+
+def test_ann_ivf_pq_with_trained_centroids(spark):
+    """The `centroids=` composition: ivf_pq_topk accepts kmeans-trained
+    coarse cells (same plan shape as the default smallest-id cells —
+    cell-keyed join below the ADC aggregate, no Python eval) and returns
+    exactly k exact-cosine-ranked rows per query."""
+    from storm_spark.functions import similarity
+    from storm_spark.queries import _t
+
+    emb = _t(spark, SF, "embeddings")
+    cents = similarity.kmeans_centroids(emb, "vec_id", "embedding", k=4, n_iters=1)
+    cbs = similarity.pq_codebooks(emb, "vec_id", "embedding", m=4, ksub=4, n_iters=1)
+    q = emb.filter(F.col("vec_id") < 5)
+    df = similarity.ivf_pq_topk(
+        emb, q, cbs, "vec_id", "embedding",
+        k=3, n_lists=4, n_probe=2, shortlist=10, centroids=cents,
+    )
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = df.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    for qid, ranks in per_q.items():
+        assert sorted(ranks) == [1, 2, 3], (qid, ranks)
