@@ -987,8 +987,13 @@ class IncrementalLSHIndex:
     run the exact-dedup step upstream). Scale: per epoch ONE
     bucket-keyed join of |Δ| signature rows against the index plus the
     |Δ|² within-batch self-join — never index × index; the index itself
-    grows by |Δ|·bands rows per epoch (at 100 TB this state is an
-    appended bucketed-parquet log; same shape).
+    grows by |Δ|·bands rows per epoch. In the default in-memory mode the
+    index DataFrame re-shuffles into each epoch's join (fine for gates;
+    measured in SCALE.md); pass ``index_table``/``index_path`` to keep it
+    as an APPENDED BUCKETED parquet table hash-partitioned on the join
+    key — the index side then scans shuffle-free (zero Exchange,
+    plan-asserted) and per-epoch shuffle volume is |Δ| only, the 100-TB
+    shape.
     """
 
     def __init__(
@@ -998,11 +1003,42 @@ class IncrementalLSHIndex:
         n: int = 3,
         num_perm: int = 12,
         bands: int = 4,
+        index_table: str | None = None,
+        index_path: str | None = None,
+        n_buckets: int = 32,
     ):
+        if (index_table is None) != (index_path is None):
+            raise ValueError("index_table and index_path go together")
         self.id_col, self.text_col = id_col, text_col
         self.n, self.num_perm, self.bands = n, num_perm, bands
-        self._index: DataFrame | None = None
+        self.index_table, self.index_path = index_table, index_path
+        self.n_buckets = n_buckets
+        self._index: DataFrame | None = None  # in-memory mode
+        self._has_table = False  # bucketed mode
         self._pairs: DataFrame | None = None
+
+    def _stored_index(self, spark) -> DataFrame | None:
+        if self.index_table is None:
+            return self._index
+        return spark.table(self.index_table) if self._has_table else None
+
+    def _append_index(self, nb: DataFrame) -> None:
+        if self.index_table is None:
+            self._index = (
+                nb if self._index is None else self._index.unionByName(nb)
+            )
+            return
+        if not self._has_table:
+            nb.sparkSession.sql(f"DROP TABLE IF EXISTS {self.index_table}")
+        (
+            nb.write.mode("append")
+            .option("path", self.index_path)
+            .bucketBy(self.n_buckets, "__band__", "__bucket__")
+            .sortBy("__bucket__")
+            .format("parquet")
+            .saveAsTable(self.index_table)
+        )
+        self._has_table = True
 
     def add_docs(self, batch: DataFrame) -> DataFrame:
         """Absorb one epoch of new documents; returns the epoch's newly
@@ -1017,8 +1053,9 @@ class IncrementalLSHIndex:
             & (F.col("a.__bucket__") == F.col("b.__bucket__"))
             & (F.col("a.__id__") < F.col("b.__id__")),
         ).select(F.col("a.__id__").alias("id_a"), F.col("b.__id__").alias("id_b"))
-        if self._index is not None:
-            o = self._index.alias("o")
+        stored = self._stored_index(batch.sparkSession)
+        if stored is not None:
+            o = stored.alias("o")
             # arrival order need not respect id order: canonicalize
             cross = a.join(
                 o,
@@ -1030,9 +1067,7 @@ class IncrementalLSHIndex:
             )
             within = within.unionByName(cross)
         new_pairs = within.distinct().localCheckpoint()
-        self._index = (
-            nb if self._index is None else self._index.unionByName(nb)
-        )
+        self._append_index(nb)
         self._pairs = (
             new_pairs
             if self._pairs is None

@@ -561,3 +561,67 @@ def test_incremental_lsh_index_matches_batch_on_any_split(spark):
     got = set().union(*seen_epochs)
     assert got == expect, got ^ expect
     assert {(r.id_a, r.id_b) for r in idx.pairs().collect()} == expect
+
+
+def test_incremental_lsh_index_bucketed_mode(spark, tmp_path):
+    """Bucketed-index mode: same emissions as the in-memory mode on the
+    same split, and the index side of the epoch join scans SHUFFLE-FREE —
+    exactly one Exchange in the cross-join plan (the |delta| side), the
+    100-TB claim plan-asserted."""
+    from storm_spark.functions.dedup import (
+        IncrementalLSHIndex,
+        _band_buckets,
+        minhash_lsh_pairs,
+    )
+
+    rows = [
+        (i, f"the quick brown fox {i % 5} jumps over the lazy dog {i % 5}")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    expect = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_perm=12, bands=4).collect()
+    }
+    idx = IncrementalLSHIndex(
+        "doc_id", "text", n=3, num_perm=12, bands=4,
+        index_table="lsh_idx_test", index_path=str(tmp_path / "lsh_idx"),
+        n_buckets=8,
+    )
+    got = set()
+    for chunk in range(3):
+        batch = [r for r in rows if r[0] % 3 == chunk]
+        got |= {
+            (r.id_a, r.id_b)
+            for r in idx.add_docs(
+                spark.createDataFrame(batch, "doc_id long, text string")
+            ).collect()
+        }
+    assert got == expect, got ^ expect
+
+    # plan shape of the epoch cross join: bucketed index scan, one Exchange
+    delta = _band_buckets(
+        spark.createDataFrame(rows[:3], "doc_id long, text string"),
+        "doc_id", "text", 3, 12, 4,
+    )
+    # at test scale AQE broadcasts the tiny index (also shuffle-free on the
+    # index side); disable broadcast to expose the at-scale sort-merge
+    # shape the claim is about
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("lsh_idx_test").alias("o").join(
+            delta.alias("a"),
+            (F.col("a.__band__") == F.col("o.__band__"))
+            & (F.col("a.__bucket__") == F.col("o.__bucket__")),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Bucketed: true" in plan, plan
+    # the INDEX branch (join → bucketed FileScan) carries no Exchange —
+    # the delta branch keeps its own small shuffles (|delta|-sized)
+    head, _, _ = plan.partition("FileScan parquet spark_catalog.default.lsh_idx_test")
+    index_branch = head[head.index("SortMergeJoin"):]
+    assert "Exchange" not in index_branch, plan
+    spark.sql("DROP TABLE IF EXISTS lsh_idx_test")
