@@ -1015,7 +1015,7 @@ class IncrementalLSHIndex:
         self.n_buckets = n_buckets
         self._index: DataFrame | None = None  # in-memory mode
         self._has_table = False  # bucketed mode
-        self._pairs: DataFrame | None = None
+        self._pairs: list[DataFrame] = []  # checkpointed per-epoch frames
 
     def _stored_index(self, spark) -> DataFrame | None:
         if self.index_table is None:
@@ -1029,7 +1029,14 @@ class IncrementalLSHIndex:
             )
             return
         if not self._has_table:
+            # drop BOTH the metastore entry and any stale files at the
+            # path — DROP TABLE on an external table leaves its parquet
+            # behind, and mode("append") would resurrect a prior index's
+            # buckets into this one (phantom pairs)
+            import shutil as _shutil
+
             nb.sparkSession.sql(f"DROP TABLE IF EXISTS {self.index_table}")
+            _shutil.rmtree(self.index_path, ignore_errors=True)
         (
             nb.write.mode("append")
             .option("path", self.index_path)
@@ -1068,16 +1075,19 @@ class IncrementalLSHIndex:
             within = within.unionByName(cross)
         new_pairs = within.distinct().localCheckpoint()
         self._append_index(nb)
-        self._pairs = (
-            new_pairs
-            if self._pairs is None
-            else self._pairs.unionByName(new_pairs).localCheckpoint()
-        )
+        # keep the already-checkpointed per-epoch frames and union LAZILY
+        # in pairs(): re-checkpointing the accumulated union every epoch
+        # would re-materialize O(total pairs) per epoch — history-sized
+        # work the |delta|-bounded story forbids
+        self._pairs.append(new_pairs)
         return new_pairs
 
     def pairs(self) -> DataFrame:
         """All pairs emitted so far — equals the batch
         :func:`minhash_lsh_pairs` over every doc absorbed so far."""
-        if self._pairs is None:
+        if not self._pairs:
             raise ValueError("no documents absorbed yet")
-        return self._pairs
+        out = self._pairs[0]
+        for p in self._pairs[1:]:
+            out = out.unionByName(p)
+        return out

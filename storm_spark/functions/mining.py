@@ -568,6 +568,18 @@ class IncrementalComponents:
             ).select(F.col("__d__").alias("id"), "cluster_id")
             improved = self._improvements(nxt).localCheckpoint()
             rounds += 1
+        if improved.limit(1).count() > 0:
+            # LOUD, not silently wrong: unlike IncrementalBFS (whose capped
+            # tail values are still valid distances), dropping a pending
+            # min-label improvement here would leave labels() violating the
+            # equals-batch contract with no signal. Near-dup graphs are
+            # near-cliques (diameter 2-3); hitting the cap means the input
+            # is a pathological chain — refuse it.
+            raise RuntimeError(
+                f"label cascade did not converge within max_iter={self.max_iter} "
+                "rounds (graph diameter too large); raise max_iter. Instance "
+                "state is mid-cascade and must be discarded."
+            )
         return rounds
 
     def labels(self) -> DataFrame:

@@ -27,11 +27,24 @@ from pyspark.sql import functions as F
 IMAGE_FEATURE_DIM = 16
 
 
+def _byte_tile(content: bytes) -> np.ndarray:
+    """The deterministic byte-tile view of arbitrary bytes: frombuffer over
+    the first 4096 bytes, cyclic ``np.resize`` to a (side, side) tile with
+    ``side = floor(sqrt(n))`` — pure byte arithmetic, SQL-expressible
+    bit-for-bit (the `multimodal_features` oracle unrolls it)."""
+    content = content or b""  # NULL content cells decode as empty, not crash
+    arr = np.frombuffer(content[:4096], dtype=np.uint8)
+    if arr.size == 0:
+        arr = np.zeros(1, dtype=np.uint8)
+    side = max(int(np.sqrt(arr.size)), 1)
+    return np.resize(arr, (side, side)).astype(np.float32)
+
+
 def _decode_image_stub(content: bytes) -> np.ndarray:
     """Image decode: real ``PIL.Image.open`` when the codec is importable
-    AND the bytes are a decodable image; otherwise a deterministic fake
-    (pseudo-pixel array derived from the bytes) so the pipeline plumbing
-    stays testable in codec-less images."""
+    AND the bytes are a decodable image; otherwise the deterministic
+    :func:`_byte_tile` fake so the pipeline plumbing stays testable in
+    codec-less images."""
     content = content or b""  # NULL content cells decode as empty, not crash
     try:
         import io
@@ -43,11 +56,7 @@ def _decode_image_stub(content: bytes) -> np.ndarray:
     except Exception:
         # PIL absent, or bytes aren't a decodable image → deterministic fake
         pass
-    arr = np.frombuffer(content[:4096], dtype=np.uint8)
-    if arr.size == 0:
-        arr = np.zeros(1, dtype=np.uint8)
-    side = max(int(np.sqrt(arr.size)), 1)
-    return np.resize(arr, (side, side)).astype(np.float32)
+    return _byte_tile(content)
 
 
 def image_features(
@@ -171,11 +180,17 @@ def image_resize(
     id_col: str = "doc_id",
     out_h: int = 16,
     out_w: int = 16,
+    decoder: str = "auto",
 ) -> DataFrame:
     """Decode + nearest-neighbor resize to ``out_h × out_w`` — the
     normalize-before-embedding step of an image training pipeline. The
     decode goes through :func:`_decode_image_stub` (real PIL when
-    importable); the resize itself is REAL integer-index numpy
+    importable) with ``decoder="auto"``; pass ``decoder="byte-tile"`` to
+    pin the deterministic :func:`_byte_tile` view regardless of codec
+    availability — what the exact-checksum gate does, so its SQL oracle
+    can never diverge on bytes that happen to be a decodable image
+    (ASCII netpbm headers make that reachable from plain text). The
+    resize itself is REAL integer-index numpy
     (``src = (dst * src_dim) // dst_dim`` per axis, the classic
     nearest-neighbor map), so only the codec is stubbed.
 
@@ -194,11 +209,15 @@ def image_resize(
         "checksum bigint, resized binary"
     )
 
+    if decoder not in ("auto", "byte-tile"):
+        raise ValueError(f"decoder must be auto|byte-tile, got {decoder}")
+    decode = _decode_image_stub if decoder == "auto" else _byte_tile
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, shs, sws, csums, bufs = [], [], [], [], []
             for doc_id, content in zip(pdf[id_col], pdf[content_col]):
-                px = _decode_image_stub(content)
+                px = decode(content)
                 sh, sw = px.shape[0], px.shape[1]
                 rows = (np.arange(out_h) * sh) // out_h
                 cols = (np.arange(out_w) * sw) // out_w
@@ -235,16 +254,18 @@ def with_byte_budget_partitions(df: DataFrame, size_col_bytes: str, target_mb: i
 def image_byte_stats(
     df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Exact-oracle projection of :func:`image_features`: the SAME decode
-    path (PIL when importable, else the deterministic byte-tile fake) and
-    the SAME cyclic ``np.resize`` geometry, but reporting integer column
-    SUMS of the (side, side) pixel tile instead of float32 column means —
-    sum of ≤64 byte-valued pixels is an exact BIGINT on any engine, so the
-    statistic is SQL-expressible bit-for-bit where a float32 mean is not
-    (mean = sum/side loses exactness at the division). The float-array
-    feature API (:func:`image_features`) is unchanged; this is the gate/
-    audit projection. Emits ``s0..s{DIM-1}`` (column sums cyclically
-    resized to ``IMAGE_FEATURE_DIM``) plus the decoded width/height."""
+    """Exact-oracle projection over the deterministic :func:`_byte_tile`
+    view — ALWAYS the byte tile, never PIL, even when the codec is
+    importable: the SQL oracle computes the byte arithmetic, and sharing
+    the PIL-first decode would diverge on bytes that happen to be a
+    decodable image (ASCII netpbm headers make that reachable from plain
+    text). Reports integer column SUMS of the (side, side) tile instead
+    of float32 column means — sum of ≤64 byte-valued pixels is an exact
+    BIGINT on any engine, where mean = sum/side loses SQL exactness at
+    the division. The float-array feature API (:func:`image_features`,
+    PIL-first) is unchanged; this is the gate/audit projection. Emits
+    ``s0..s{DIM-1}`` (column sums cyclically resized to
+    ``IMAGE_FEATURE_DIM``) plus the tile width/height."""
     sum_cols = [f"s{k}" for k in range(IMAGE_FEATURE_DIM)]
     out_schema = (
         f"{id_col} bigint, "
@@ -256,9 +277,9 @@ def image_byte_stats(
         for pdf in batches:
             rows = []
             for doc_id, content in zip(pdf[id_col], pdf[content_col]):
-                px = _decode_image_stub(content)
-                # pixel values are whole numbers (uint8-derived) in both
-                # decode paths, so the int64 cast is lossless
+                px = _byte_tile(content)  # NEVER PIL — see docstring
+                # pixel values are whole numbers (uint8-derived), so the
+                # int64 cast is lossless
                 sums = np.resize(
                     px.astype(np.int64).sum(axis=0), IMAGE_FEATURE_DIM
                 )

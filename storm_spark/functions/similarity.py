@@ -1319,13 +1319,11 @@ def ivf_pq_topk(
         .filter(F.col("__sr__") <= shortlist)
         .select("query_id", "neighbor_id")
     )
-    cv = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("__cv__"),
-    )
+    # exact re-rank reuses `assigned` — it already carries each neighbor's
+    # cast vector; a fresh corpus scan + re-cast would duplicate that work
     exact = (
         short.join(F.broadcast(q), "query_id")
-        .join(cv, "neighbor_id")
+        .join(assigned.select("neighbor_id", "__cv__"), "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",

@@ -3194,7 +3194,9 @@ def q_multimodal_resize(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     assets = docs.select("doc_id", F.encode("text", "utf-8").alias("content"))
-    out = multimodal.image_resize(assets, "content", "doc_id", out_h=16, out_w=16)
+    out = multimodal.image_resize(
+        assets, "content", "doc_id", out_h=16, out_w=16, decoder="byte-tile"
+    )
     return out.select("doc_id", "src_h", "src_w", "checksum")
 
 
@@ -3234,9 +3236,10 @@ def q_multimodal_features(spark, sf_dir):
     cyclically resized to 16) because a float32 MEAN loses SQL exactness at
     the sum/side division; the float-array API (image_features) is
     unchanged and pytest-covered. The oracle unrolls the byte extraction
-    (hex + 0x-cast), the cyclic tiling, and the column sums. When a real
-    codec lands in the env, the PIL path takes over for decodable bytes
-    and this gate's assets remain text → fallback → still exact."""
+    (hex + 0x-cast), the cyclic tiling, and the column sums. The projection
+    pins ``decoder="byte-tile"`` semantics, so a codec landing in the env
+    can never diverge it from the oracle (ASCII netpbm headers would
+    otherwise make text PIL-decodable)."""
     from storm_spark.functions import multimodal
 
     docs = _t(spark, sf_dir, "documents")
@@ -7712,10 +7715,10 @@ QUERIES = {
 # driver-sampled round, catalog position). The r8 head therefore holds all
 # 11 r1-era rows (cube, pivot, count_distinct, percentile_exact, range_join,
 # asof_join, cms_heavy_hitters, winnow_fingerprint, embedding_near_dup,
-# approx_distinct, percentile — unsampled for ~7 rounds) and the 36 earliest
-# r3-era rows; the 9 remaining r3 rows (incl. dedup_cluster, displaced by the r8
-# pipeline gate that shares its oracle) plus r4's domain_stats/
-# rolling_active lead rotation 9. The literal dict order above is the historical rotation
+# approx_distinct, percentile — unsampled for ~7 rounds) and the 35 earliest
+# r3-era rows (4 forced + 11 + 35 = 50); the 9 remaining r3 rows (incl.
+# dedup_cluster, displaced by the r8 pipeline gate that shares its oracle)
+# plus r4's domain_stats/rolling_active lead rotation 9. The literal dict order above is the historical rotation
 # record; THIS list is the driver-facing order (policy documented in
 # SURVEY.md §8). Every head entry is exact-oracle-gated except the
 # documented rows-only approx_distinct.

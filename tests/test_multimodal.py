@@ -108,28 +108,30 @@ def test_image_resize_upsamples_small_sources(spark):
     assert r.checksum == (97 + 98 + 99 + 100) * 4
 
 
-def test_image_byte_stats_matches_feature_geometry(assets):
-    """The exact-oracle projection (integer column sums) must agree with
-    the float API on geometry and, where k < side, equal feature[k]·side
-    (the mean is sum/side over whole-number pixels — exact in float32 for
-    sums < 2^24)."""
+def test_image_byte_stats_matches_byte_tile(assets):
+    """The exact-oracle projection (integer column sums) is pinned to the
+    deterministic _byte_tile view — NEVER the PIL path, so this holds
+    whether or not a codec is installed: s_k = column sum of the (side,
+    side) cyclic tile, np.resize'd to 16."""
     import numpy as np
+
+    from storm_spark.functions.multimodal import _byte_tile
 
     stats = {r.doc_id: r for r in
              multimodal.image_byte_stats(assets, "content", "doc_id").collect()}
-    feats = {r.doc_id: r for r in
-             multimodal.image_features(assets, "content", "doc_id").collect()}
+    raw = {r.doc_id: bytes(r.content) if r.content is not None else b""
+           for r in assets.collect()}
     assert set(stats) == {1, 2, 3, 4}
     for doc_id, s in stats.items():
-        f = feats[doc_id]
-        assert (s.width, s.height) == (f.width, f.height)
-        side = s.width
-        for k in range(min(side, multimodal.IMAGE_FEATURE_DIM)):
-            assert getattr(s, f"s{k}") == round(
-                np.float32(f.feature[k]) * side
-            ), (doc_id, k)
+        px = _byte_tile(raw[doc_id])
+        assert (s.width, s.height) == (px.shape[1], px.shape[0])
+        expect = np.resize(
+            px.astype(np.int64).sum(axis=0), multimodal.IMAGE_FEATURE_DIM
+        )
+        got = [getattr(s, f"s{k}") for k in range(multimodal.IMAGE_FEATURE_DIM)]
+        assert got == expect.tolist(), (doc_id, got, expect)
         # cyclic resize: s_k repeats with period side
         for k in range(multimodal.IMAGE_FEATURE_DIM):
-            assert getattr(s, f"s{k}") == getattr(s, f"s{k % side}")
+            assert got[k] == got[k % s.width]
     # empty content -> single zero pixel -> all-zero sums, 1x1
     assert stats[4].width == 1 and stats[4].s0 == 0 and stats[4].s15 == 0

@@ -724,13 +724,32 @@ def test_ann_ivf_pq_code_scan_is_cell_pruned(spark):
     from storm_spark.functions import similarity
     from storm_spark.queries import q_ann_ivf_pq, _t
 
+    import json as _json
+
     df = q_ann_ivf_pq(spark, SF)
-    analyzed = df._jdf.queryExecution().analyzed().toString()
-    i_agg = analyzed.find("__iscore__")
-    i_cell_join = analyzed.find("__cell__", i_agg)
-    assert i_agg != -1 and i_cell_join != -1, analyzed
-    # tree prints top-down: the cell join appears below (after) the
-    # ADC aggregate that consumes it
+    # real tree walk (not a string scan): the Aggregate producing
+    # __iscore__ must contain, WITHIN ITS OWN SUBTREE, a Join whose
+    # condition involves the IVF cell — i.e. the probed ⋈ codes
+    # restriction feeds the ADC sum, it is not applied afterwards
+    nodes = _json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+
+    def subtree(i):
+        """pre-order flat list + num-children → [start, end) of node i."""
+        end, pending = i + 1, nodes[i].get("num-children", 0)
+        while pending:
+            pending -= 1
+            pending += nodes[end].get("num-children", 0)
+            end += 1
+        return range(i, end)
+
+    agg = next(
+        i for i, nd in enumerate(nodes)
+        if nd["class"].endswith(".Aggregate") and "__iscore__" in _json.dumps(nd)
+    )
+    assert any(
+        nodes[j]["class"].endswith(".Join") and "__cell__" in _json.dumps(nodes[j])
+        for j in subtree(agg)
+    ), [nodes[j]["class"] for j in subtree(agg)]
     # no Python eval anywhere — the whole composition is expression-only
     plan = _plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

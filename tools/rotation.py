@@ -16,9 +16,11 @@ from __future__ import annotations
 import argparse
 import glob
 import json
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 
 def main() -> None:
@@ -28,7 +30,7 @@ def main() -> None:
     args = ap.parse_args()
 
     last: dict[str, int] = {}
-    for f in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+    for f in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
         rnd = int("".join(c for c in f.rsplit("_r", 1)[1] if c.isdigit()))
         for k in json.load(open(f)):
             last[k] = max(last.get(k, 0), rnd)
