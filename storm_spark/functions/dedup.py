@@ -983,8 +983,10 @@ class IncrementalLSHIndex:
     tests and by the `streaming_dedup_pipeline` gate's batch oracle).
 
     Contract: each doc id arrives EXACTLY once across the stream (the
-    crawl-frontier contract; re-sent ids would re-collide their buckets —
-    run the exact-dedup step upstream). Scale: per epoch ONE
+    crawl-frontier contract). A re-sent id — e.g. a foreachBatch replay,
+    which is at-least-once — self-collides with its own prior index rows
+    and :meth:`add_docs` raises loudly rather than emitting duplicate
+    collisions; run the exact-dedup step upstream. Scale: per epoch ONE
     bucket-keyed join of |Δ| signature rows against the index plus the
     |Δ|² within-batch self-join — never index × index; the index itself
     grows by |Δ|·bands rows per epoch. In the default in-memory mode the
@@ -1006,6 +1008,7 @@ class IncrementalLSHIndex:
         index_table: str | None = None,
         index_path: str | None = None,
         n_buckets: int = 32,
+        overwrite_index: bool = False,
     ):
         if (index_table is None) != (index_path is None):
             raise ValueError("index_table and index_path go together")
@@ -1013,6 +1016,7 @@ class IncrementalLSHIndex:
         self.n, self.num_perm, self.bands = n, num_perm, bands
         self.index_table, self.index_path = index_table, index_path
         self.n_buckets = n_buckets
+        self.overwrite_index = overwrite_index
         self._index: DataFrame | None = None  # in-memory mode
         self._has_table = False  # bucketed mode
         self._pairs: list[DataFrame] = []  # checkpointed per-epoch frames
@@ -1032,9 +1036,23 @@ class IncrementalLSHIndex:
             # drop BOTH the metastore entry and any stale files at the
             # path — DROP TABLE on an external table leaves its parquet
             # behind, and mode("append") would resurrect a prior index's
-            # buckets into this one (phantom pairs)
+            # buckets into this one (phantom pairs). Refuse to clobber a
+            # non-empty path the caller didn't opt into wiping: the path
+            # could hold unrelated data, and rmtree is unrecoverable.
+            import os as _os
             import shutil as _shutil
 
+            if (
+                not self.overwrite_index
+                and _os.path.isdir(self.index_path)
+                and _os.listdir(self.index_path)
+            ):
+                raise ValueError(
+                    f"index_path {self.index_path!r} exists and is non-empty; "
+                    "a fresh IncrementalLSHIndex must start from an empty "
+                    "path (a stale index there would leak phantom pairs). "
+                    "Pass overwrite_index=True to wipe it explicitly."
+                )
             nb.sparkSession.sql(f"DROP TABLE IF EXISTS {self.index_table}")
             _shutil.rmtree(self.index_path, ignore_errors=True)
         (
@@ -1063,14 +1081,38 @@ class IncrementalLSHIndex:
         stored = self._stored_index(batch.sparkSession)
         if stored is not None:
             o = stored.alias("o")
+            cross_raw = (
+                a.join(
+                    o,
+                    (F.col("a.__band__") == F.col("o.__band__"))
+                    & (F.col("a.__bucket__") == F.col("o.__bucket__")),
+                )
+                .select(
+                    F.col("a.__id__").alias("__new__"),
+                    F.col("o.__id__").alias("__old__"),
+                )
+                .localCheckpoint()
+            )
+            # Loud exactly-once enforcement (foreachBatch is at-least-once:
+            # a replayed batch re-sends identical (id, text) rows, whose
+            # signatures land in the SAME buckets — so a re-sent id always
+            # self-collides with its prior index rows). Raise instead of
+            # silently absorbing duplicate collisions, matching
+            # IncrementalComponents' cascade-cap convention.
+            resent = cross_raw.filter(
+                F.col("__new__") == F.col("__old__")
+            ).head(1)
+            if resent:
+                raise ValueError(
+                    f"doc id {resent[0]['__new__']!r} was already indexed — "
+                    "each id must arrive exactly once (replayed batch or "
+                    "re-sent doc?); run exact dedup upstream or dedup the "
+                    "replay before add_docs"
+                )
             # arrival order need not respect id order: canonicalize
-            cross = a.join(
-                o,
-                (F.col("a.__band__") == F.col("o.__band__"))
-                & (F.col("a.__bucket__") == F.col("o.__bucket__")),
-            ).select(
-                F.least(F.col("a.__id__"), F.col("o.__id__")).alias("id_a"),
-                F.greatest(F.col("a.__id__"), F.col("o.__id__")).alias("id_b"),
+            cross = cross_raw.select(
+                F.least(F.col("__new__"), F.col("__old__")).alias("id_a"),
+                F.greatest(F.col("__new__"), F.col("__old__")).alias("id_b"),
             )
             within = within.unionByName(cross)
         new_pairs = within.distinct().localCheckpoint()

@@ -588,6 +588,17 @@ def test_incremental_lsh_index_bucketed_mode(spark, tmp_path):
         index_table="lsh_idx_test", index_path=str(tmp_path / "lsh_idx"),
         n_buckets=8,
     )
+    try:
+        _bucketed_mode_body(spark, idx, rows, expect)
+    finally:
+        # always drop — a failed assertion must not leave the global
+        # metastore entry (and its parquet) behind for later runs
+        spark.sql("DROP TABLE IF EXISTS lsh_idx_test")
+
+
+def _bucketed_mode_body(spark, idx, rows, expect):
+    from storm_spark.functions.dedup import _band_buckets
+
     got = set()
     for chunk in range(3):
         batch = [r for r in rows if r[0] % 3 == chunk]
@@ -624,4 +635,51 @@ def test_incremental_lsh_index_bucketed_mode(spark, tmp_path):
     head, _, _ = plan.partition("FileScan parquet spark_catalog.default.lsh_idx_test")
     index_branch = head[head.index("SortMergeJoin"):]
     assert "Exchange" not in index_branch, plan
-    spark.sql("DROP TABLE IF EXISTS lsh_idx_test")
+
+
+def test_incremental_lsh_index_resent_id_raises(spark):
+    """A replayed/re-sent doc id must fail LOUDLY (foreachBatch is
+    at-least-once): the re-sent doc's identical signature self-collides
+    with its prior index rows, and add_docs raises instead of silently
+    emitting duplicate collisions."""
+    from storm_spark.functions.dedup import IncrementalLSHIndex
+
+    rows = [
+        (i, f"the quick brown fox {i} jumps over the lazy dog {i}")
+        for i in range(6)
+    ]
+    idx = IncrementalLSHIndex("doc_id", "text", n=3, num_perm=12, bands=4)
+    idx.add_docs(spark.createDataFrame(rows[:4], "doc_id long, text string"))
+    with pytest.raises(ValueError, match="already indexed"):
+        # replay overlap: docs 2-3 arrive a second time
+        idx.add_docs(spark.createDataFrame(rows[2:6], "doc_id long, text string"))
+
+
+def test_incremental_lsh_index_refuses_nonempty_path(spark, tmp_path):
+    """Bucketed mode must not silently rmtree a non-empty index_path the
+    caller didn't opt into wiping — it could hold unrelated data."""
+    from storm_spark.functions.dedup import IncrementalLSHIndex
+
+    victim = tmp_path / "precious"
+    victim.mkdir()
+    (victim / "data.txt").write_text("do not delete")
+    rows = [(i, f"document text number {i}") for i in range(3)]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+
+    idx = IncrementalLSHIndex(
+        "doc_id", "text", index_table="lsh_idx_guard_test", index_path=str(victim)
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        idx.add_docs(batch)
+    assert (victim / "data.txt").read_text() == "do not delete"
+
+    # explicit opt-in wipes the path and proceeds
+    idx2 = IncrementalLSHIndex(
+        "doc_id", "text", index_table="lsh_idx_guard_test",
+        index_path=str(victim), overwrite_index=True,
+    )
+    try:
+        idx2.add_docs(batch)
+        assert not (victim / "data.txt").exists()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lsh_idx_guard_test")
