@@ -333,6 +333,118 @@ def kmeans_centroids(
     )
 
 
+def _ivf_default_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n_lists: int
+) -> DataFrame:
+    """Deterministic default coarse centroids: the ``n_lists`` smallest-id
+    corpus vectors (SQL-expressible, which the exact-oracle gates need)."""
+    return (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_lists)
+        .select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).cast("array<double>").alias("__cent__"),
+        )
+    )
+
+
+def _ivf_assign_probe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_probe: int,
+    assign_shape: str = "hashagg",
+) -> tuple[DataFrame, DataFrame]:
+    """Shared IVF coarse-quantizer step (used by :func:`ivf_topk` and
+    :func:`ivf_pq_topk`, factored so a tie-break change cannot desync the
+    oracle-pinned twins): assign each corpus vector to its single nearest
+    centroid cell, and each query to its ``n_probe`` nearest cells.
+
+    Returns ``(assigned, probed)`` with columns
+    ``assigned = (neighbor_id, __cv__, __cell__)`` and
+    ``probed = (query_id, __qv__, __cell__)``.
+
+    Corpus assignment runs as a ``max(struct)`` HASH AGGREGATE over the
+    broadcast crossJoin output (``assign_shape="hashagg"``, the same argmax
+    shape as the PQ code assignment): partial aggregation collapses the
+    ``n_lists`` candidate rows per vector to ONE map-side, so the exchange
+    carries ~|corpus| rows instead of |corpus|·n_lists — and the vector
+    payload rides inside the struct (ordered by (cos, -cent_id) first, so
+    the trailing payload field never affects the argmax), avoiding a
+    re-join for it. MEASURED r9 vs the previous ``row_number()`` window
+    shape (kept as ``assign_shape="window"`` for the harness): at 200k×64
+    corpus rows / 16 centroids the hashagg assignment runs 1.7× faster
+    (1.32 s vs 2.23 s best-of-3; 20k rows: 0.57 s vs 0.90 s), with
+    assignments verified IDENTICAL (exceptAll diff = 0 at both scales).
+    End-to-end ivf_topk moves only 4.71 → 4.56 s at 200k because pair
+    scoring dominates there — but the window's exchange carries
+    n_lists× more vector-payload rows, exactly the r8-verdict-predicted
+    scale cost, so hashagg is the keeper. (The r4-rejected alternative —
+    nested HOF argmax over centroid LITERALS, no crossJoin at all —
+    measured ~2× slower than even the window shape at the same 200k×64
+    and stays rejected: a nested transform(aggregate(zip_with)) per
+    centroid evaluates slower per row than the broadcast crossJoin's
+    single-level HOF cosine. Numbers in SCALE.md §r9.)
+
+    Tie-breaks (both shapes, pinned by oracles): highest cosine wins,
+    then smallest centroid id."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv__"),
+    )
+    cand = c.crossJoin(F.broadcast(cents)).withColumn(
+        "__cc__", _cos(F.col("__cv__"), F.col("__cent__"))
+    )
+    if assign_shape == "hashagg":
+        assigned = (
+            cand.groupBy("neighbor_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("__cc__").alias("cc"),
+                        (-F.col("cent_id")).alias("neg"),
+                        F.col("__cv__").alias("v"),
+                    )
+                ).alias("__best__")
+            )
+            .select(
+                "neighbor_id",
+                F.col("__best__.v").alias("__cv__"),
+                (-F.col("__best__.neg")).alias("__cell__"),
+            )
+        )
+    elif assign_shape == "window":
+        w_assign = Window.partitionBy("neighbor_id").orderBy(
+            F.col("__cc__").desc(), F.col("cent_id").asc()
+        )
+        assigned = (
+            cand.withColumn("__r__", F.row_number().over(w_assign))
+            .filter(F.col("__r__") == 1)
+            .select("neighbor_id", "__cv__", F.col("cent_id").alias("__cell__"))
+        )
+    else:  # pragma: no cover - guarded call sites
+        raise ValueError(f"unknown assign_shape {assign_shape!r}")
+    # query → n_probe nearest centroids: top-n per query, so the window
+    # shape is the natural one here (and |queries| is the small side)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv__"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("__qc__").desc(), F.col("cent_id").asc()
+    )
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__qc__", _cos(F.col("__qv__"), F.col("__cent__")))
+        .withColumn("__r__", F.row_number().over(w_probe))
+        .filter(F.col("__r__") <= n_probe)
+        .select("query_id", "__qv__", F.col("cent_id").alias("__cell__"))
+    )
+    return assigned, probed
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -358,48 +470,14 @@ def ivf_topk(
     cents = (
         centroids
         if centroids is not None
-        else corpus.orderBy(F.col(id_col).asc())
-        .limit(n_lists)
-        .select(
-            F.col(id_col).alias("cent_id"),
-            F.col(vec_col).cast("array<double>").alias("__cent__"),
-        )
+        else _ivf_default_centroids(corpus, id_col, vec_col, n_lists)
     )
-
-    # corpus → nearest centroid (rank 1 by cosine, centroid id tie-break).
-    # MEASURED tradeoff: a map-side argmax over centroid literals (no
-    # crossJoin, no window exchange) was tried and ran 3-4× SLOWER at sf0.1;
-    # RE-MEASURED r4 at 200k×64 rows with the single-nested-literal matrix +
-    # transform shape (the fast construction from _sig_expr): still ~2×
-    # slower (best 10.0 s vs 4.8 s, identical assignments) — a nested
-    # transform(aggregate(zip_with)) per centroid evaluates slower per row
-    # than the broadcast crossJoin's single-level HOF cosine. The exchange
-    # here carries one row per (vector, centroid) pre-AQE-coalesce; the
-    # documented rejection stands at 100× data.
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("__cv__")
-    )
-    w_assign = Window.partitionBy("neighbor_id").orderBy(
-        F.col("__cc__").desc(), F.col("cent_id").asc()
-    )
-    assigned = (
-        c.crossJoin(F.broadcast(cents))
-        .withColumn("__cc__", _cos(F.col("__cv__"), F.col("__cent__")))
-        .withColumn("__r__", F.row_number().over(w_assign))
-        .filter(F.col("__r__") == 1)
-        .select("neighbor_id", "__cv__", F.col("cent_id").alias("__cell__"))
-    )
-    # query → n_probe nearest centroids
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("__qv__")
-    )
-    w_probe = Window.partitionBy("query_id").orderBy(F.col("__qc__").desc(), F.col("cent_id").asc())
-    probed = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("__qc__", _cos(F.col("__qv__"), F.col("__cent__")))
-        .withColumn("__r__", F.row_number().over(w_probe))
-        .filter(F.col("__r__") <= n_probe)
-        .select("query_id", "__qv__", F.col("cent_id").alias("__cell__"))
+    # corpus → nearest centroid via the shared coarse-quantizer step
+    # (max(struct) hash agg — see _ivf_assign_probe for the measured
+    # shape comparison; the r4-rejected HOF-literal argmax note moved
+    # there too)
+    assigned, probed = _ivf_assign_probe(
+        corpus, queries, cents, id_col, vec_col, n_probe
     )
     pairs = probed.join(assigned, on="__cell__").filter(
         F.col("query_id") != F.col("neighbor_id")
@@ -1189,47 +1267,23 @@ def ivf_pq_topk(
     cents = (
         centroids
         if centroids is not None
-        else corpus.orderBy(F.col(id_col).asc())
-        .limit(n_lists)
-        .select(
-            F.col(id_col).alias("cent_id"),
-            F.col(vec_col).cast("array<double>").alias("__cent__"),
-        )
+        else _ivf_default_centroids(corpus, id_col, vec_col, n_lists)
     )
     meta = codebooks.agg(
         F.max("sub").alias("m"), F.max(F.size("__cent__")).alias("L")
     ).first()
     m, sub_len = int(meta["m"]) + 1, int(meta["L"])
 
-    # corpus → nearest cell (same argmax-by-window shape as ivf_topk; the
-    # broadcast-crossJoin form measured faster than nested HOF literals)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("__cv__"),
+    # corpus → nearest cell + query → probed cells: the SAME shared step
+    # as ivf_topk (tie-break changes cannot desync the twins); __qv__ is
+    # unused on the probe side here and pruned by Catalyst
+    assigned, probed_qv = _ivf_assign_probe(
+        corpus, queries, cents, id_col, vec_col, n_probe
     )
-    w_assign = Window.partitionBy("neighbor_id").orderBy(
-        F.col("__cc__").desc(), F.col("cent_id").asc()
-    )
-    assigned = (
-        c.crossJoin(F.broadcast(cents))
-        .withColumn("__cc__", _cos(F.col("__cv__"), F.col("__cent__")))
-        .withColumn("__r__", F.row_number().over(w_assign))
-        .filter(F.col("__r__") == 1)
-        .select("neighbor_id", "__cv__", F.col("cent_id").alias("__cell__"))
-    )
+    probed = probed_qv.select("query_id", "__cell__")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv__"),
-    )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.col("__qc__").desc(), F.col("cent_id").asc()
-    )
-    probed = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("__qc__", _cos(F.col("__qv__"), F.col("__cent__")))
-        .withColumn("__r__", F.row_number().over(w_probe))
-        .filter(F.col("__r__") <= n_probe)
-        .select("query_id", F.col("cent_id").alias("__cell__"))
     )
 
     cb = F.broadcast(codebooks)
