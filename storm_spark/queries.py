@@ -6836,6 +6836,75 @@ def q_streaming_dedup_pipeline(spark, sf_dir):
     )
 
 
+def q_streaming_dedup_pipeline_bucketed(spark, sf_dir):
+    """The streaming dedup pipeline in BUCKETED-INDEX mode — the 100-TB
+    shape run end-to-end under the oracle (VERDICT r8 #2): identical
+    composition to `streaming_dedup_pipeline` (sign → collide → cluster,
+    all incremental through real readStream/foreachBatch), but the
+    accumulated LSH index lives as an APPENDED BUCKETED parquet table
+    hash-partitioned on the band-bucket join key, so the index side of
+    every epoch's collision join scans shuffle-free — zero Exchange on
+    the index branch (plan-asserted in test_plans.py /
+    test_text_dedup_extras.py), per-epoch shuffle volume |Δ| regardless
+    of index size. Same from-scratch recursive-CTE oracle as
+    `dedup_cluster`: the storage mode must be invisible in the answer."""
+    import os
+    import uuid
+
+    from storm_spark.functions.dedup import IncrementalLSHIndex
+    from storm_spark.functions.mining import IncrementalComponents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = gate_tmp.mkdtemp(prefix="storm_spark_sdplb_")
+    indir = os.path.join(tmp, "in")
+    os.makedirs(indir)
+    feed_schema = docs.schema
+    table = "sdplb_idx_" + uuid.uuid4().hex[:8]
+
+    idx = IncrementalLSHIndex(
+        "doc_id",
+        "text",
+        n=3,
+        num_perm=12,
+        bands=4,
+        index_table=table,
+        index_path=os.path.join(tmp, "idx"),
+    )
+    cc = IncrementalComponents()
+
+    def absorb(batch_df, epoch_id):
+        cc.add_edges(idx.add_docs(batch_df), "id_a", "id_b")
+
+    stream = (
+        spark.readStream.schema(feed_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{indir}/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(absorb)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .queryName("sdplb_" + uuid.uuid4().hex[:8])
+        .start()
+    )
+    try:
+        chunk = F.pmod(F.hash("doc_id"), F.lit(3))
+        for b in range(3):
+            docs.filter(chunk == b).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(indir, f"b{b}"))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+        # pairs/labels are localCheckpoint-materialized, so the index
+        # table can go now — don't leak metastore entries across gates
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    return cc.labels().select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+    )
+
+
 def q_dedup_merge(spark, sf_dir):
     """Dedup survivorship (dedup.canonicalize_clusters): the step AFTER
     clustering — per near-dup cluster (MinHash-LSH pairs → connected
@@ -7507,6 +7576,9 @@ QUERIES = {
     "streaming_dedup_cluster": q_streaming_dedup_cluster,
     # r8 flagship composition: sign -> collide -> cluster, all incremental
     "streaming_dedup_pipeline": q_streaming_dedup_pipeline,
+    # r9: the same pipeline with the bucketed zero-Exchange index — the
+    # 100-TB storage shape under the same oracle (VERDICT r8 #2)
+    "streaming_dedup_pipeline_bucketed": q_streaming_dedup_pipeline_bucketed,
     # r7: live quota sample == batch quota sample, exactly
     # (sessionize_native, driver-green r6, demoted)
     "streaming_sample": q_streaming_sample,
@@ -7900,6 +7972,7 @@ ORACLES = {
     # maintenance must be invisible in the answer
     "streaming_dedup_cluster": ORACLE_DEDUP_CLUSTER,
     "streaming_dedup_pipeline": ORACLE_DEDUP_CLUSTER,
+    "streaming_dedup_pipeline_bucketed": ORACLE_DEDUP_CLUSTER,
     "streaming_sample": ORACLE_STREAMING_SAMPLE,
     "hll_distinct": ORACLE_HLL_DISTINCT,
     # max-linearity makes the streaming twin exact against the batch oracle
