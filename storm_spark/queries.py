@@ -2618,16 +2618,47 @@ FROM orders GROUP BY o_orderpriority
 
 
 def q_approx_distinct(spark, sf_dir):
-    """HyperLogLog++ distinct estimate — estimator-specific, so no SQL
-    oracle (rows-only check); the exact twin is q_count_distinct."""
+    """HyperLogLog++ distinct estimate, BOUNDED-ERROR gated (graduated
+    from rows-only in r9, the last unchecked catalog cell): the sketch's
+    registers are estimator-specific so the estimate itself can't be
+    SQL-reproduced, but its documented error CAN be asserted — each
+    group's output carries the exact distinct counts (hash-gated against
+    DuckDB's COUNT(DISTINCT)) plus ``*_ok`` flags requiring
+    ``|approx − exact| ≤ ε·exact`` with ε = 0.1 (HLL++ at the default
+    rsd 0.05 sits well inside; a broken sketch flips a flag and
+    hash-fails). The estimator twin with a fully exact oracle is
+    `hll_distinct` (engine-reimplemented registers)."""
+    eps = 0.1
+    within = lambda approx, exact: (  # noqa: E731
+        F.abs(F.col(approx) - F.col(exact)) <= eps * F.col(exact)
+    )
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.approx_count_distinct("l_partkey").alias("__ap__"),
+            F.approx_count_distinct("l_orderkey").alias("__ao__"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "exact_orders",
+            within("__ap__", "exact_parts").alias("parts_ok"),
+            within("__ao__", "exact_orders").alias("orders_ok"),
         )
     )
+
+
+ORACLE_APPROX_DISTINCT = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       TRUE AS parts_ok,
+       TRUE AS orders_ok
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 def q_percentile(spark, sf_dir):
@@ -8040,9 +8071,11 @@ ORACLES = {
     # r8: multimodal_features graduated to exact (integer byte-tile sums —
     # the gate's text-bytes assets always take the deterministic fallback)
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
-    # approx_distinct: estimator-specific HLL++ registers — the one
-    # remaining rows-only check; exact twins (count_distinct /
-    # percentile_exact / hll_distinct) are hash-gated
+    # r9: approx_distinct graduated from rows-only — exact distinct counts
+    # hash-gated + bounded-relative-error flags on the HLL++ estimates
+    # (the registers themselves stay estimator-specific; hll_distinct is
+    # the fully exact-oracle estimator twin)
+    "approx_distinct": ORACLE_APPROX_DISTINCT,
 }
 
 

@@ -4,11 +4,10 @@ registered without its oracle, a bench entry pointing at a renamed query,
 or a rows-only gate sneaking in unannounced."""
 
 ROWS_ONLY = {
-    # documented rows-only by design: the HLL++ sketch's output is
-    # estimator-specific (percentile graduated to exact in r6 via
-    # zero-rank-error accuracy; multimodal_features graduated in r8 via
-    # integer byte-tile sums over the deterministic fallback decode)
-    "approx_distinct",
+    # empty since r9: approx_distinct — the last rows-only cell —
+    # graduated via exact-hash-gated COUNT(DISTINCT) columns plus
+    # bounded-relative-error flags on the HLL++ estimates (percentile
+    # graduated r6, multimodal_features r8)
 }
 
 
