@@ -123,3 +123,40 @@ def test_quality_gate_approx_q0_keeps_all(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     kept = quality_gate(docs, "text", "lang", q=0.0, approx=True)
     assert kept.count() == docs.count()
+
+
+def test_choose_pq_params_shape_and_monotonicity():
+    """The PQ/IVF recall-target sizing rule (RECALL_r9 empirical fit):
+    sqrt-rule lists, quarter-fraction probes on clustered corpora,
+    shortlist grows with k and target, clamps hold at extremes."""
+    from storm_spark.functions.similarity import choose_pq_params
+
+    p = choose_pq_params(2000, dim=64, k=10)
+    # the exact pick measured at recall@10 = 1.000 on the clustered
+    # fixture in RECALL_r9.txt — a constant drift here invalidates the
+    # artifact, so pin it
+    assert p == {"n_lists": 45, "n_probe": 12, "m": 4, "ksub": 16, "shortlist": 201}
+
+    # monotone in corpus size (lists) and target (shortlist)
+    assert choose_pq_params(10_000_000)["n_lists"] > p["n_lists"]
+    assert (
+        choose_pq_params(2000, target_recall=0.95)["shortlist"]
+        >= p["shortlist"]
+    )
+    # clamps
+    assert choose_pq_params(1)["n_lists"] == 8
+    assert choose_pq_params(10**12)["n_lists"] == 4096
+    assert choose_pq_params(2000, dim=16)["m"] == 2  # floor
+    # shortlist never exceeds the probed volume (scanning more candidates
+    # than the probe admits is impossible)
+    big = choose_pq_params(100, k=10, target_recall=0.99)
+    assert big["shortlist"] <= max(100, 100)
+
+
+def test_choose_pq_params_uniform_mode_admits_the_scan():
+    """clustered=False: recall ~ probed fraction on structureless data
+    (measured), so the rule must size n_probe to ~target * n_lists."""
+    from storm_spark.functions.similarity import choose_pq_params
+
+    p = choose_pq_params(2000, target_recall=0.9, clustered=False)
+    assert p["n_probe"] >= 0.9 * p["n_lists"]
