@@ -1133,3 +1133,129 @@ class IncrementalLSHIndex:
         for p in self._pairs[1:]:
             out = out.unionByName(p)
         return out
+
+
+class IncrementalSurvivorship:
+    """Incrementally-maintained dedup survivorship — the stage AFTER the
+    streaming sign→collide→cluster pipeline (VERDICT r8 stretch #8):
+    keeps :func:`canonicalize_clusters`' per-cluster answer (canonical =
+    max quality, ties to smallest id, plus cluster size) live across
+    epochs, equal at EVERY epoch to the batch operator over docs-so-far.
+
+    Why the delta argument transfers: the per-cluster aggregate
+    (max-quality/min-id, additive size) is another MONOTONE MERGE —
+    combining two clusters' summaries gives the merged cluster's summary
+    with no need to revisit members. So per epoch only two kinds of
+    state rows change: (a) clusters RELABELED by this epoch's label
+    cascade — :meth:`storm_spark.functions.mining.IncrementalComponents.
+    last_fold` names them, whole-cluster-into-whole-cluster — and (b)
+    clusters touched by the epoch's new documents. Everything else
+    passes through untouched (broadcast anti-join, no shuffle); the
+    merge groupBy shuffles |touched| summary rows, never docs-so-far.
+    State is one summary row per live cluster: (cluster_id, best
+    quality, canonical id, size).
+
+    Singleton semantics match the batch operator: every absorbed doc
+    contributes (its own id as cluster when unpaired — the batch
+    left-join coalesce), so :meth:`canonical` covers all docs-so-far.
+
+    Reference parity: Trident persistentAggregate with a Combiner-style
+    monotone state merge (storm/trident/Stream.java persistentAggregate;
+    state/map/TransactionalMap.java multiUpdate) — the fold-map-driven
+    relabel is the beyond-reference piece Spark's incremental layer
+    needs because the KEY itself (the cluster's min label) evolves."""
+
+    def __init__(self, id_col: str = "doc_id", quality_col: str = "n_chars"):
+        self.id_col, self.quality_col = id_col, quality_col
+        # one row per live cluster: (cluster_id, __q__ best quality,
+        # __i__ canonical id, __n__ size) — kept in contribution shape so
+        # cluster-level rows re-merge exactly like doc-level ones
+        self._stats: DataFrame | None = None
+
+    @staticmethod
+    def _roll(contribs: DataFrame) -> DataFrame:
+        """Merge contribution rows per cluster: max quality, ties to
+        smallest id (the max(struct(q, -i)) shape), additive size."""
+        return (
+            contribs.groupBy("cluster_id")
+            .agg(
+                F.max(
+                    F.struct(F.col("__q__").alias("q"), (-F.col("__i__")).alias("neg"))
+                ).alias("__best__"),
+                F.sum("__n__").alias("__n__"),
+            )
+            .select(
+                "cluster_id",
+                F.col("__best__.q").alias("__q__"),
+                (-F.col("__best__.neg")).alias("__i__"),
+                "__n__",
+            )
+        )
+
+    def absorb(
+        self,
+        new_docs: DataFrame,
+        labels: DataFrame | None,
+        fold: DataFrame | None,
+    ) -> None:
+        """Absorb one epoch: ``new_docs`` = this epoch's documents
+        (id_col, quality_col — each doc arrives EXACTLY once across the
+        stream, the pipeline's contract), ``labels`` = the POST-cascade
+        ``(id, cluster_id)`` table from IncrementalComponents (None if no
+        pairs exist yet), ``fold`` = the same epoch's
+        :meth:`~storm_spark.functions.mining.IncrementalComponents.
+        last_fold` map (None when no cluster was relabeled)."""
+        contribs = new_docs.select(
+            F.col(self.id_col).cast("bigint").alias("__i__"),
+            F.col(self.quality_col).cast("bigint").alias("__q__"),
+            F.lit(1).cast("bigint").alias("__n__"),
+        )
+        if labels is not None:
+            lab = labels.select(
+                F.col("id").alias("__i__"), F.col("cluster_id").alias("__l__")
+            )
+            contribs = contribs.join(lab, "__i__", "left").select(
+                F.coalesce("__l__", "__i__").alias("cluster_id"),
+                "__q__",
+                "__i__",
+                "__n__",
+            )
+        else:
+            contribs = contribs.select(
+                F.col("__i__").alias("cluster_id"), "__q__", "__i__", "__n__"
+            )
+        remaining = self._stats
+        if self._stats is not None and fold is not None:
+            fm = F.broadcast(fold)
+            folded = self._stats.join(
+                fm, self._stats["cluster_id"] == fm["old_label"]
+            ).select(
+                F.col("new_label").alias("cluster_id"), "__q__", "__i__", "__n__"
+            )
+            remaining = self._stats.join(
+                fm, self._stats["cluster_id"] == fm["old_label"], "left_anti"
+            )
+            contribs = contribs.unionByName(folded)
+        if remaining is None:
+            merged = self._roll(contribs)
+            self._stats = merged.localCheckpoint()
+            return
+        # split remaining state on the |Δ|-bounded touched-key set so the
+        # merge shuffles ONLY touched clusters' summary rows
+        keys = contribs.select("cluster_id").distinct()
+        touched = remaining.join(F.broadcast(keys), "cluster_id", "semi")
+        untouched = remaining.join(F.broadcast(keys), "cluster_id", "left_anti")
+        merged = self._roll(contribs.unionByName(touched))
+        self._stats = untouched.unionByName(merged).localCheckpoint()
+
+    def canonical(self) -> DataFrame:
+        """Current survivorship table ``(cluster_id, canonical_id,
+        cluster_size)`` — equals :func:`canonicalize_clusters` over every
+        doc absorbed so far."""
+        if self._stats is None:
+            raise ValueError("no documents absorbed yet")
+        return self._stats.select(
+            F.col("cluster_id").cast("bigint"),
+            F.col("__i__").cast("bigint").alias("canonical_id"),
+            F.col("__n__").cast("bigint").alias("cluster_size"),
+        )

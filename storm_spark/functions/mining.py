@@ -494,6 +494,8 @@ class IncrementalComponents:
         self.max_iter = max_iter
         self._labels: DataFrame | None = None
         self._edges: DataFrame | None = None
+        #: per-epoch cluster fold map — see :meth:`last_fold`
+        self._last_fold: DataFrame | None = None
 
     def _merge(self, improved: DataFrame) -> None:
         self._labels = (
@@ -532,6 +534,9 @@ class IncrementalComponents:
             .distinct()
             .localCheckpoint()
         )
+        # pre-epoch label snapshot: the fold map's "old" side (ids absent
+        # here were self-labeled on arrival, so their old label is the id)
+        prev = self._labels
         # new nodes self-label BEFORE candidates, so round 0's strict-<
         # filter sees every endpoint with a label
         fresh = delta.select(F.col("__s__").alias("id")).distinct()
@@ -561,7 +566,9 @@ class IncrementalComponents:
         ).select(F.col("__d__").alias("id"), "cluster_id")
         improved = self._improvements(cands).localCheckpoint()
         rounds = 0
+        all_improved: list[DataFrame] = []
         while rounds < self.max_iter and improved.limit(1).count() > 0:
+            all_improved.append(improved)
             self._merge(improved)
             nxt = improved.join(
                 self._edges, improved["id"] == self._edges["__s__"]
@@ -580,7 +587,45 @@ class IncrementalComponents:
                 "rounds (graph diameter too large); raise max_iter. Instance "
                 "state is mid-cascade and must be discarded."
             )
+        # cluster fold map for downstream incremental maintainers
+        # (IncrementalSurvivorship): when a component's min label drops,
+        # EVERY member is relabeled (a label names one component, and the
+        # new min reaches all of it), so whole old clusters fold into
+        # whole new ones — (old_label, new_label) pairs, |touched
+        # clusters|-sized, never chained (per-id rows already carry the
+        # FINAL post-cascade label).
+        if all_improved:
+            ch = all_improved[0]
+            for f in all_improved[1:]:
+                ch = ch.unionByName(f)
+            final = ch.groupBy("id").agg(F.min("cluster_id").alias("new_label"))
+            if prev is None:
+                old = final.select("id", F.col("id").alias("old_label"))
+            else:
+                old = final.select("id").join(
+                    prev.select("id", F.col("cluster_id").alias("old_label")),
+                    "id",
+                    "left",
+                ).select("id", F.coalesce("old_label", "id").alias("old_label"))
+            self._last_fold = (
+                final.join(old, "id")
+                .filter(F.col("old_label") != F.col("new_label"))
+                .select("old_label", "new_label")
+                .distinct()
+                .localCheckpoint()
+            )
+        else:
+            self._last_fold = None
         return rounds
+
+    def last_fold(self) -> DataFrame | None:
+        """The LAST epoch's cluster fold map ``(old_label, new_label)`` —
+        which accumulated clusters were absorbed into which, or ``None``
+        when no label changed. This is the delta that lets per-cluster
+        aggregate maintainers (:class:`storm_spark.functions.dedup.
+        IncrementalSurvivorship`) merge only TOUCHED clusters' state
+        instead of re-aggregating docs-so-far."""
+        return self._last_fold
 
     def labels(self) -> DataFrame:
         """Current exact ``(id, cluster_id = min reachable id)``; only ids

@@ -683,3 +683,43 @@ def test_incremental_lsh_index_refuses_nonempty_path(spark, tmp_path):
         assert not (victim / "data.txt").exists()
     finally:
         spark.sql("DROP TABLE IF EXISTS lsh_idx_guard_test")
+
+
+def test_incremental_survivorship_equals_batch_every_epoch(spark):
+    """IncrementalSurvivorship: after EVERY epoch the live
+    (cluster_id, canonical_id, cluster_size) table equals the batch
+    canonicalize_clusters over docs-so-far — fold-map relabels, new-doc
+    merges, and singleton coverage all exercised on the real fixture."""
+    from storm_spark.functions.dedup import (
+        IncrementalLSHIndex,
+        IncrementalSurvivorship,
+        canonicalize_clusters,
+        near_dup_clusters,
+    )
+    from storm_spark.functions.mining import IncrementalComponents
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "n_chars")
+    idx = IncrementalLSHIndex("doc_id", "text", n=3, num_perm=12, bands=4)
+    cc = IncrementalComponents()
+    surv = IncrementalSurvivorship("doc_id", "n_chars")
+    chunk = F.pmod(F.hash("doc_id"), F.lit(3))
+    seen = None
+    for b in range(3):
+        batch = docs.filter(chunk == b).localCheckpoint()
+        seen = batch if seen is None else seen.unionByName(batch).localCheckpoint()
+        pairs = idx.add_docs(batch.select("doc_id", "text"))
+        cc.add_edges(pairs)
+        surv.absorb(batch, cc.labels(), cc.last_fold())
+        expect = {
+            (r.cluster_id, r.canonical_id, r.cluster_size)
+            for r in canonicalize_clusters(
+                seen, near_dup_clusters(idx.pairs()), "doc_id", "n_chars"
+            ).collect()
+        }
+        got = {
+            (r.cluster_id, r.canonical_id, r.cluster_size)
+            for r in surv.canonical().collect()
+        }
+        assert got == expect, f"epoch {b}: {sorted(got ^ expect)[:10]}"
