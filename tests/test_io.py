@@ -241,3 +241,63 @@ def test_write_zordered_footer_stats_prune(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters" in plan and "LessThanOrEqual(x,31)" in plan, plan
+
+
+def test_write_zordered_reader_side_skipping(spark, tmp_path):
+    """The READER half of the Z-order proof (VERDICT r8 stretch #9): the
+    engine itself skips when scanning the z-ordered layout, asserted from
+    the EXECUTED plan's scan metrics, not footers. Vanilla Spark lists
+    every file (`numFiles` cannot move — there is no file-stats index
+    outside table formats like Delta); the skipping happens in the parquet
+    reader at ROW-GROUP granularity, driven by the same footer min/max the
+    writer test checks. With one row group per file, decoded rows ==
+    sum(rows of files whose bounding box intersects the predicate), so
+    the scan's `numOutputRows` IS the files-read measure: the box scan
+    over the z-ordered table must decode a fraction of what the x-sorted
+    layout forces."""
+    from storm_spark.io.bucketed import write_zordered
+
+    n, bits, files = 1 << 15, 7, 32
+    base = spark.range(n).select(
+        F.expr("conv(substr(md5(concat('x', id)), 1, 8), 16, 10) % 128")
+        .cast("bigint")
+        .alias("x"),
+        F.expr("conv(substr(md5(concat('y', id)), 1, 8), 16, 10) % 128")
+        .cast("bigint")
+        .alias("y"),
+    )
+    zpath = str(tmp_path / "z")
+    xpath = str(tmp_path / "x")
+    write_zordered(base, zpath, "x", "y", bits=bits, n_files=files)
+    base.repartitionByRange(files, "x").sortWithinPartitions("x").write.mode(
+        "overwrite"
+    ).parquet(xpath)
+
+    def scan_decoded_rows(path):
+        # plain filter+project, no exchange: the executed plan is the raw
+        # FileSourceScanExec whose metrics fill on this exact collect()
+        df = (
+            spark.read.parquet(path)
+            .filter((F.col("x") <= 31) & (F.col("y") <= 31))
+            .select("x", "y")
+        )
+        df.collect()
+        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        total, n_files = 0, 0
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if "FileSourceScan" in leaf.getClass().getSimpleName():
+                total += leaf.metrics().apply("numOutputRows").value()
+                n_files += leaf.metrics().apply("numFiles").value()
+        return total, n_files
+
+    z_rows, z_files = scan_decoded_rows(zpath)
+    x_rows, x_files = scan_decoded_rows(xpath)
+    # both layouts LIST all files (vanilla Spark, no file-stats index)…
+    assert z_files == x_files == files
+    # …but the z-ordered scan DECODES at most half the x-sorted volume
+    # (measured ~3 files' worth vs ~8 on this fixture)
+    assert z_rows <= x_rows / 2, (z_rows, x_rows)
+    # and the x-sorted scan itself decodes only its x-matching quarter —
+    # i.e. pushdown is live in BOTH cases; z's win is the y dimension
+    assert x_rows < n / 2, (x_rows, n)
