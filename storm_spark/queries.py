@@ -7882,77 +7882,74 @@ QUERIES = {
 }
 
 # ---------------------------------------------------------------------------
-# Rotation 8 (VERDICT r7 #5): with 100% driver-touched coverage achieved in
-# r7, the window policy switches from "never-sampled first" to
-# "LEAST-RECENTLY-SAMPLED first" — the driver samples the first 50 keys, so
-# the head is recomputed each round as: this round's NEW gates (plus the
-# newly-exact multimodal_features), then every other entry ranked by (last
-# driver-sampled round, catalog position). The r8 head therefore holds all
-# 11 r1-era rows (cube, pivot, count_distinct, percentile_exact, range_join,
-# asof_join, cms_heavy_hitters, winnow_fingerprint, embedding_near_dup,
-# approx_distinct, percentile — unsampled for ~7 rounds) and the 35 earliest
-# r3-era rows (4 forced + 11 + 35 = 50); the 9 remaining r3 rows (incl.
-# dedup_cluster, displaced by the r8 pipeline gate that shares its oracle)
-# plus r4's domain_stats/rolling_active lead rotation 9. The literal dict order above is the historical rotation
-# record; THIS list is the driver-facing order (policy documented in
-# SURVEY.md §8). Every head entry is exact-oracle-gated except the
-# documented rows-only approx_distinct.
-_ROTATION8_HEAD = [
-    "ann_ivf_pq",
-    "streaming_dedup_cluster",
-    "streaming_dedup_pipeline",
-    "multimodal_features",
-    "cube",
-    "pivot",
-    "count_distinct",
-    "percentile_exact",
-    "range_join",
-    "asof_join",
-    "cms_heavy_hitters",
-    "winnow_fingerprint",
-    "embedding_near_dup",
-    "approx_distinct",
-    "percentile",
-    "wordcount",
-    "rollup_continuous",
-    "decontaminate",
-    "partition_persist",
-    "linear_drpc",
-    "dedup_jaccard_capped",
-    "state_wordcount",
-    "streaming_wordcount",
-    "drpc_state_lookup",
-    "window_hourly",
-    "window_sliding",
-    "groupby_sum",
-    "topk_per_group",
-    "join_inner",
-    "join_nway",
-    "first_n",
-    "project_filter",
-    "builtin_filters",
-    "each_compute",
-    "python_each",
-    "split_explode",
-    "chained_agg",
-    "custom_agg_second_max",
-    "distinct",
-    "rollup",
-    "merge",
-    "join_outer",
-    "semi_join",
-    "anti_join",
-    "state_snapshot_total",
-    "json_extract",
-    "dedup_exact",
-    "dedup_jaccard",
-    "minhash_lsh",
-    "corpus_clean",
+# Rotation 9 (policy from r8: LEAST-RECENTLY-SAMPLED first — the driver
+# samples the first 50 keys, so the head is recomputed each round via
+# tools/rotation.py as: this round's NEW gates, then every other entry
+# ranked by (last driver-sampled round, catalog position)). The r9 head =
+# the 2 new r9 gates (streaming_dedup_pipeline_bucketed,
+# streaming_dedup_merge), then the 9 r3-era rows displaced by rotation 8
+# (led by dedup_cluster, whose oracle the pipeline gates share), r4's
+# domain_stats/rolling_active, and the r4/r5-era tail up to 50. The
+# literal dict order above is the historical rotation record; THIS list
+# is the driver-facing order (policy documented in SURVEY.md §8). Every
+# head entry is exact-oracle-gated — approx_distinct graduated in r9, so
+# the catalog has NO rows-only rows anywhere.
+_ROTATION9_HEAD = [
+"streaming_dedup_pipeline_bucketed",
+    "streaming_dedup_merge",
+    "dedup_cluster",
+    "ann_lsh",
+    "ann_ivf",
+    "simhash",
+    "cosine_topk",
+    "text_profile",
+    "dataset_split",
+    "chunk_tokens",
+    "pack_chunks",
+    "domain_stats",
+    "rolling_active",
+    "multimodal_frames",
+    "multimodal_resize",
+    "salted_groupby",
+    "prototype_prune",
+    "semantic_dedup",
+    "substring_dedup",
+    "pmi_collocations",
+    "training_order",
+    "quality_gate",
+    "mixture_weights",
+    "bm25_topk",
+    "multi_reduce",
+    "repartition_verbs",
+    "metrics_observe",
+    "state_scan",
+    "funnel",
+    "retention",
+    "weighted_sample",
+    "bucketed_join",
+    "partition_pruned",
+    "redact_pii",
+    "quota_sample",
+    "bloom_join",
+    "outlier_mad",
+    "gap_fill",
+    "frequent_pairs",
+    "unigram_surprisal",
+    "quality_repetition",
+    "trailing_zscore",
+    "profile_table",
+    "sessionize",
+    "corpus_diff",
+    "event_transitions",
+    "pagerank",
+    "fuzzy_pairs",
+    "scd2",
+    "centroid_classify",
 ]
-assert len(_ROTATION8_HEAD) == 50 and len(set(_ROTATION8_HEAD)) == 50
+assert len(_ROTATION9_HEAD) == 50 and len(set(_ROTATION9_HEAD)) == 50
 QUERIES = {
     k: QUERIES[k]
-    for k in (*_ROTATION8_HEAD, *(k for k in QUERIES if k not in set(_ROTATION8_HEAD)))
+    for k in (*_ROTATION9_HEAD, *(k for k in QUERIES if k not in set(_ROTATION9_HEAD)))
 }
 
 ORACLES = {
