@@ -983,10 +983,12 @@ class IncrementalLSHIndex:
     tests and by the `streaming_dedup_pipeline` gate's batch oracle).
 
     Contract: each doc id arrives EXACTLY once across the stream (the
-    crawl-frontier contract). A re-sent id — e.g. a foreachBatch replay,
-    which is at-least-once — self-collides with its own prior index rows
-    and :meth:`add_docs` raises loudly rather than emitting duplicate
-    collisions; run the exact-dedup step upstream. Scale: per epoch ONE
+    crawl-frontier contract). :meth:`add_docs` enforces it COMPLETELY
+    and loudly: a duplicate id within the batch raises, and a re-sent id
+    — a foreachBatch replay (at-least-once), or a re-crawl with CHANGED
+    text — is caught by a band-0 id semi-join against the stored index
+    (collision-based detection alone would miss the changed-text case);
+    run the exact-dedup step upstream. Scale: per epoch ONE
     bucket-keyed join of |Δ| signature rows against the index plus the
     |Δ|² within-batch self-join — never index × index; the index itself
     grows by |Δ|·bands rows per epoch. In the default in-memory mode the
@@ -1071,6 +1073,27 @@ class IncrementalLSHIndex:
         nb = _band_buckets(
             batch, self.id_col, self.text_col, self.n, self.num_perm, self.bands
         ).localCheckpoint()
+        # Loud exactly-once enforcement (foreachBatch is at-least-once;
+        # upstream re-crawls can re-send an id with CHANGED text, which
+        # would NOT self-collide — so check ids directly, not collisions).
+        # Within-batch duplicates must be checked on the RAW batch: the
+        # signature step groupBys on id, silently blending a duplicate
+        # pair's shingles into one (wrong) signature row.
+        dup = (
+            batch.groupBy(F.col(self.id_col).alias("__id__"))
+            .count()
+            .filter(F.col("count") > 1)
+            .head(1)
+        )
+        if dup:
+            raise ValueError(
+                f"doc id {dup[0]['__id__']!r} appears more than once in this "
+                "batch — each id must arrive exactly once; run exact dedup "
+                "upstream"
+            )
+        # band-0 slice: every indexed id exactly once; the __band__=0
+        # predicate prunes the stored-index scan to 1/bands
+        b0 = nb.filter(F.col("__band__") == 0)
         a, b = nb.alias("a"), nb.alias("b")
         within = a.join(
             b,
@@ -1081,38 +1104,33 @@ class IncrementalLSHIndex:
         stored = self._stored_index(batch.sparkSession)
         if stored is not None:
             o = stored.alias("o")
-            cross_raw = (
-                a.join(
-                    o,
-                    (F.col("a.__band__") == F.col("o.__band__"))
-                    & (F.col("a.__bucket__") == F.col("o.__bucket__")),
-                )
-                .select(
-                    F.col("a.__id__").alias("__new__"),
-                    F.col("o.__id__").alias("__old__"),
-                )
-                .localCheckpoint()
-            )
-            # Loud exactly-once enforcement (foreachBatch is at-least-once:
-            # a replayed batch re-sends identical (id, text) rows, whose
-            # signatures land in the SAME buckets — so a re-sent id always
-            # self-collides with its prior index rows). Raise instead of
-            # silently absorbing duplicate collisions, matching
+            # COMPLETE re-sent-id detection: a replayed batch (same text)
+            # would self-collide, but a re-sent id with changed text lands
+            # in different buckets and would silently double-index — so
+            # semi-join batch ids against stored ids (band-0 slices on
+            # both sides: every id exactly once, index scan pruned by the
+            # pushable __band__=0 predicate). Raise loudly, matching
             # IncrementalComponents' cascade-cap convention.
-            resent = cross_raw.filter(
-                F.col("__new__") == F.col("__old__")
+            resent = b0.join(
+                stored.filter(F.col("__band__") == 0).select("__id__"),
+                "__id__",
+                "semi",
             ).head(1)
             if resent:
                 raise ValueError(
-                    f"doc id {resent[0]['__new__']!r} was already indexed — "
+                    f"doc id {resent[0]['__id__']!r} was already indexed — "
                     "each id must arrive exactly once (replayed batch or "
                     "re-sent doc?); run exact dedup upstream or dedup the "
                     "replay before add_docs"
                 )
             # arrival order need not respect id order: canonicalize
-            cross = cross_raw.select(
-                F.least(F.col("__new__"), F.col("__old__")).alias("id_a"),
-                F.greatest(F.col("__new__"), F.col("__old__")).alias("id_b"),
+            cross = a.join(
+                o,
+                (F.col("a.__band__") == F.col("o.__band__"))
+                & (F.col("a.__bucket__") == F.col("o.__bucket__")),
+            ).select(
+                F.least(F.col("a.__id__"), F.col("o.__id__")).alias("id_a"),
+                F.greatest(F.col("a.__id__"), F.col("o.__id__")).alias("id_b"),
             )
             within = within.unionByName(cross)
         new_pairs = within.distinct().localCheckpoint()
@@ -1240,6 +1258,10 @@ class IncrementalSurvivorship:
             merged = self._roll(contribs)
             self._stats = merged.localCheckpoint()
             return
+        # materialize the |Δ|-sized contribution set ONCE — its lineage
+        # (new-docs⋈labels plus the fold join) would otherwise re-run
+        # three times below (touched semi, untouched anti, merge)
+        contribs = contribs.localCheckpoint()
         # split remaining state on the |Δ|-bounded touched-key set so the
         # merge shuffles ONLY touched clusters' summary rows
         keys = contribs.select("cluster_id").distinct()

@@ -374,7 +374,9 @@ def _ivf_assign_probe(
     payload rides inside the struct (ordered by (cos, -cent_id) first, so
     the trailing payload field never affects the argmax), avoiding a
     re-join for it. MEASURED r9 vs the previous ``row_number()`` window
-    shape (kept as ``assign_shape="window"`` for the harness): at 200k×64
+    shape (kept as ``assign_shape="window"`` solely for the committed
+    harness ``tools/ivf_assign_check.py``, which re-runs the comparison
+    and asserts identical assignments): at 200k×64
     corpus rows / 16 centroids the hashagg assignment runs 1.7× faster
     (1.32 s vs 2.23 s best-of-3; 20k rows: 0.57 s vs 0.90 s), with
     assignments verified IDENTICAL (exceptAll diff = 0 at both scales).
@@ -691,7 +693,7 @@ def choose_pq_params(
 
     The harness verifies the combined pick end-to-end: the default
     target lands recall@10 = **1.000 on the clustered fixture** at
-    n=2000 (and an honestly-reported 0.594 on the structureless uniform
+    n=2000 (and an honestly-reported 0.592 on the structureless uniform
     floor, where only exhaustive scans do better — RECALL_r9.txt)."""
     import math
 
@@ -701,7 +703,13 @@ def choose_pq_params(
     else:
         n_probe = max(2, math.ceil(min(1.0, target_recall) * n_lists))
     probed_volume = math.ceil(n_probe / n_lists * max(n_corpus, 1))
-    shortlist = max(10 * k, math.ceil(2 * k / max(1e-9, 1.0 - min(target_recall, 0.99))))
+    # round to 9 digits before ceil: 2·10/(1−0.9) is mathematically 200
+    # but floats make it 200.0000…3, and ceil would emit 201 — the rule
+    # must produce the documented design values
+    shortlist = max(
+        10 * k,
+        math.ceil(round(2 * k / max(1e-9, 1.0 - min(target_recall, 0.99)), 9)),
+    )
     shortlist = min(shortlist, max(probed_volume, 10 * k))
     return {
         "n_lists": n_lists,

@@ -130,6 +130,20 @@ def _time_chunked(df: DataFrame, ts_col: str, n: int = 3) -> DataFrame:
     cuts = df.select(
         F.unix_micros(F.col(ts_col)).alias("__m__")
     ).approxQuantile("__m__", [i / n for i in range(1, n)], 0.0)
+    if not cuts:
+        raise ValueError(
+            f"_time_chunked: no rows to chunk on {ts_col!r} — a streaming "
+            "gate fed an empty table (fixture problem, fail loudly)"
+        )
+    if len(set(cuts)) < len(cuts):
+        # heavier ties than rows-per-chunk: some chunks would be EMPTY and
+        # the gate's per-epoch semantics (e.g. a recovery leg) could pass
+        # vacuously — refuse instead of silently degrading the feed
+        raise ValueError(
+            f"_time_chunked: duplicate ts cut points {cuts} on {ts_col!r} — "
+            "timestamp ties exceed a chunk's width; use fewer chunks or a "
+            "finer-grained ts"
+        )
     m = F.unix_micros(F.col(ts_col))
     tag = F.lit(n)
     for b in range(n - 1, 0, -1):
@@ -2644,9 +2658,11 @@ def q_approx_distinct(spark, sf_dir):
     SQL-reproduced, but its documented error CAN be asserted — each
     group's output carries the exact distinct counts (hash-gated against
     DuckDB's COUNT(DISTINCT)) plus ``*_ok`` flags requiring
-    ``|approx − exact| ≤ ε·exact`` with ε = 0.1 (HLL++ at the default
-    rsd 0.05 sits well inside; a broken sketch flips a flag and
-    hash-fails). The estimator twin with a fully exact oracle is
+    ``|approx − exact| ≤ ε·exact`` with ε = 0.1 against a sketch pinned
+    to rsd = 0.02 — a 5σ margin (the default rsd 0.05 would leave ε at
+    only 2σ, close enough for a healthy sketch to deterministically trip
+    at an untested scale factor), while a broken sketch still flips a
+    flag and hash-fails. The estimator twin with a fully exact oracle is
     `hll_distinct` (engine-reimplemented registers)."""
     eps = 0.1
     within = lambda approx, exact: (  # noqa: E731
@@ -2656,8 +2672,8 @@ def q_approx_distinct(spark, sf_dir):
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("__ap__"),
-            F.approx_count_distinct("l_orderkey").alias("__ao__"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("__ap__"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("__ao__"),
             F.countDistinct("l_partkey").alias("exact_parts"),
             F.countDistinct("l_orderkey").alias("exact_orders"),
         )
@@ -6760,6 +6776,49 @@ def q_streaming_bfs_incremental(spark, sf_dir):
     )
 
 
+def _drive_stream_epochs(spark, feed, absorb, prefix, chunk_expr=None, cleanup=None):
+    """Shared scaffold for the incremental-dedup streaming gates (factored
+    in r9 — four gates carried near-verbatim copies): write ``feed`` in
+    three deterministic hash epochs into a fresh directory consumed by a
+    REAL ``readStream`` + ``foreachBatch`` stream, calling
+    ``absorb(batch_df, epoch_id)`` once per epoch (write-then-drain pins
+    the trigger order; maxFilesPerTrigger=1 keeps one epoch per batch).
+    ``chunk_expr`` defaults to ``pmod(hash(doc_id), 3)``; ``cleanup``
+    runs in the finally block after the stream stops (e.g. DROP TABLE
+    for the bucketed index)."""
+    import os
+    import uuid
+
+    tmp = gate_tmp.mkdtemp(prefix=prefix)
+    indir = os.path.join(tmp, "in")
+    os.makedirs(indir)
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{indir}/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(absorb)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .queryName(prefix + uuid.uuid4().hex[:8])
+        .start()
+    )
+    try:
+        chunk = (
+            chunk_expr if chunk_expr is not None else F.pmod(F.hash("doc_id"), F.lit(3))
+        )
+        for b in range(3):
+            feed.filter(chunk == b).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(indir, f"b{b}")
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+        if cleanup is not None:
+            cleanup()
+
+
 def q_streaming_dedup_cluster(spark, sf_dir):
     """Incrementally-maintained near-dup clustering under streaming pair
     ARRIVALS (mining.IncrementalComponents — VERDICT r7 stretch #7): the
@@ -6774,9 +6833,6 @@ def q_streaming_dedup_cluster(spark, sf_dir):
     from-scratch batch clustering (the SAME recursive-CTE oracle as
     `dedup_cluster`) — incremental maintenance is invisible in the
     answer, only in the per-epoch cost."""
-    import os
-    import uuid
-
     from storm_spark.functions.mining import IncrementalComponents
 
     docs = _t(spark, sf_dir, "documents")
@@ -6784,35 +6840,14 @@ def q_streaming_dedup_cluster(spark, sf_dir):
         dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_perm=12, bands=4),
         "queries.sdcl.pairs",
     )
-    tmp = gate_tmp.mkdtemp(prefix="storm_spark_sdcl_")
-    indir = os.path.join(tmp, "in")
-    os.makedirs(indir)
-    feed_schema = pairs.select("id_a", "id_b").schema
-
     cc = IncrementalComponents()
-    stream = (
-        spark.readStream.schema(feed_schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(f"{indir}/*")
+    _drive_stream_epochs(
+        spark,
+        pairs.select("id_a", "id_b"),
+        lambda batch_df, epoch_id: cc.add_edges(batch_df, "id_a", "id_b"),
+        "storm_spark_sdcl_",
+        chunk_expr=F.pmod(F.xxhash64("id_a", "id_b"), F.lit(3)),
     )
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda batch_df, epoch_id: cc.add_edges(batch_df, "id_a", "id_b")
-        )
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .queryName("sdcl_" + uuid.uuid4().hex[:8])
-        .start()
-    )
-    try:
-        chunk = F.pmod(F.xxhash64("id_a", "id_b"), F.lit(3))
-        for b in range(3):
-            pairs.filter(chunk == b).select("id_a", "id_b").coalesce(
-                1
-            ).write.mode("overwrite").parquet(os.path.join(indir, f"b{b}"))
-            q.processAllAvailable()
-    finally:
-        q.stop()
     return cc.labels().select(
         F.col("id").cast("bigint").alias("doc_id"),
         F.col("cluster_id").cast("bigint").alias("cluster_id"),
@@ -6835,45 +6870,18 @@ def q_streaming_dedup_pipeline(spark, sf_dir):
     answer. Per-epoch cost: |Δ| signature rows joined against the index
     plus the new pairs' label cascade; never index×index, never a
     full-graph relabel."""
-    import os
-    import uuid
-
     from storm_spark.functions.dedup import IncrementalLSHIndex
     from storm_spark.functions.mining import IncrementalComponents
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    tmp = gate_tmp.mkdtemp(prefix="storm_spark_sdpl_")
-    indir = os.path.join(tmp, "in")
-    os.makedirs(indir)
-    feed_schema = docs.schema
-
     idx = IncrementalLSHIndex("doc_id", "text", n=3, num_perm=12, bands=4)
     cc = IncrementalComponents()
-
-    def absorb(batch_df, epoch_id):
-        cc.add_edges(idx.add_docs(batch_df), "id_a", "id_b")
-
-    stream = (
-        spark.readStream.schema(feed_schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(f"{indir}/*")
+    _drive_stream_epochs(
+        spark,
+        docs,
+        lambda batch_df, epoch_id: cc.add_edges(idx.add_docs(batch_df), "id_a", "id_b"),
+        "storm_spark_sdpl_",
     )
-    q = (
-        stream.writeStream.foreachBatch(absorb)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .queryName("sdpl_" + uuid.uuid4().hex[:8])
-        .start()
-    )
-    try:
-        chunk = F.pmod(F.hash("doc_id"), F.lit(3))
-        for b in range(3):
-            docs.filter(chunk == b).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(indir, f"b{b}"))
-            q.processAllAvailable()
-    finally:
-        q.stop()
     return cc.labels().select(
         F.col("id").cast("bigint").alias("doc_id"),
         F.col("cluster_id").cast("bigint").alias("cluster_id"),
@@ -6899,12 +6907,7 @@ def q_streaming_dedup_pipeline_bucketed(spark, sf_dir):
     from storm_spark.functions.mining import IncrementalComponents
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    tmp = gate_tmp.mkdtemp(prefix="storm_spark_sdplb_")
-    indir = os.path.join(tmp, "in")
-    os.makedirs(indir)
-    feed_schema = docs.schema
     table = "sdplb_idx_" + uuid.uuid4().hex[:8]
-
     idx = IncrementalLSHIndex(
         "doc_id",
         "text",
@@ -6912,37 +6915,21 @@ def q_streaming_dedup_pipeline_bucketed(spark, sf_dir):
         num_perm=12,
         bands=4,
         index_table=table,
-        index_path=os.path.join(tmp, "idx"),
+        index_path=os.path.join(
+            gate_tmp.mkdtemp(prefix="storm_spark_sdplb_idx_"), "idx"
+        ),
     )
     cc = IncrementalComponents()
-
-    def absorb(batch_df, epoch_id):
-        cc.add_edges(idx.add_docs(batch_df), "id_a", "id_b")
-
-    stream = (
-        spark.readStream.schema(feed_schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(f"{indir}/*")
-    )
-    q = (
-        stream.writeStream.foreachBatch(absorb)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .queryName("sdplb_" + uuid.uuid4().hex[:8])
-        .start()
-    )
-    try:
-        chunk = F.pmod(F.hash("doc_id"), F.lit(3))
-        for b in range(3):
-            docs.filter(chunk == b).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(indir, f"b{b}"))
-            q.processAllAvailable()
-    finally:
-        q.stop()
+    _drive_stream_epochs(
+        spark,
+        docs,
+        lambda batch_df, epoch_id: cc.add_edges(idx.add_docs(batch_df), "id_a", "id_b"),
+        "storm_spark_sdplb_",
         # pairs/labels are localCheckpoint-materialized, so the index
-        # table can go now — don't leak metastore entries across gates
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        # table can go as soon as the stream stops — don't leak
+        # metastore entries across gates
+        cleanup=lambda: spark.sql(f"DROP TABLE IF EXISTS {table}"),
+    )
     return cc.labels().select(
         F.col("id").cast("bigint").alias("doc_id"),
         F.col("cluster_id").cast("bigint").alias("cluster_id"),
@@ -6960,9 +6947,6 @@ def q_streaming_dedup_merge(spark, sf_dir):
     summary rows move — never a re-aggregation of docs-so-far. Final
     table must equal the batch `dedup_merge` (canonicalize_clusters
     over all docs) — the SAME oracle."""
-    import os
-    import uuid
-
     from storm_spark.functions.dedup import (
         IncrementalLSHIndex,
         IncrementalSurvivorship,
@@ -6970,11 +6954,6 @@ def q_streaming_dedup_merge(spark, sf_dir):
     from storm_spark.functions.mining import IncrementalComponents
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
-    tmp = gate_tmp.mkdtemp(prefix="storm_spark_sdm_")
-    indir = os.path.join(tmp, "in")
-    os.makedirs(indir)
-    feed_schema = docs.schema
-
     idx = IncrementalLSHIndex("doc_id", "text", n=3, num_perm=12, bands=4)
     cc = IncrementalComponents()
     surv = IncrementalSurvivorship("doc_id", "n_chars")
@@ -6984,27 +6963,7 @@ def q_streaming_dedup_merge(spark, sf_dir):
         cc.add_edges(pairs, "id_a", "id_b")
         surv.absorb(batch_df, cc.labels(), cc.last_fold())
 
-    stream = (
-        spark.readStream.schema(feed_schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(f"{indir}/*")
-    )
-    q = (
-        stream.writeStream.foreachBatch(absorb)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .queryName("sdm_" + uuid.uuid4().hex[:8])
-        .start()
-    )
-    try:
-        chunk = F.pmod(F.hash("doc_id"), F.lit(3))
-        for b in range(3):
-            docs.filter(chunk == b).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(indir, f"b{b}"))
-            q.processAllAvailable()
-    finally:
-        q.stop()
+    _drive_stream_epochs(spark, docs, absorb, "storm_spark_sdm_")
     return surv.canonical()
 
 

