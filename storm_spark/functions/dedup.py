@@ -997,7 +997,10 @@ class IncrementalLSHIndex:
     as an APPENDED BUCKETED parquet table hash-partitioned on the join
     key — the index side then scans shuffle-free (zero Exchange,
     plan-asserted) and per-epoch shuffle volume is |Δ| only, the 100-TB
-    shape.
+    shape. Bucketed mode is also RESTARTABLE: pass ``resume=True`` in a
+    new driver incarnation to attach to the persisted table and keep
+    absorbing — the exactly-once id contract is enforced ACROSS the
+    restart by the same stored-index id semi-join.
     """
 
     def __init__(
@@ -1011,17 +1014,45 @@ class IncrementalLSHIndex:
         index_path: str | None = None,
         n_buckets: int = 32,
         overwrite_index: bool = False,
+        resume: bool = False,
     ):
         if (index_table is None) != (index_path is None):
             raise ValueError("index_table and index_path go together")
+        if resume and index_table is None:
+            raise ValueError(
+                "resume=True requires the bucketed mode (index_table/"
+                "index_path) — the in-memory index dies with the driver"
+            )
         self.id_col, self.text_col = id_col, text_col
         self.n, self.num_perm, self.bands = n, num_perm, bands
         self.index_table, self.index_path = index_table, index_path
         self.n_buckets = n_buckets
         self.overwrite_index = overwrite_index
+        self.resume = resume
         self._index: DataFrame | None = None  # in-memory mode
         self._has_table = False  # bucketed mode
+        self._resume_checked = False
         self._pairs: list[DataFrame] = []  # checkpointed per-epoch frames
+
+    def _attach_if_resuming(self, spark) -> None:
+        """Driver-restart support (r9): with ``resume=True`` the first
+        call attaches to the already-persisted bucketed index table —
+        the crawl-dedup job restarts, the index survives as parquet, and
+        absorption continues where it left off. The exactly-once id
+        contract survives the restart too: the band-0 id semi-join in
+        :meth:`add_docs` checks arriving ids against everything the
+        PREVIOUS incarnation indexed. Pairs are emitted going forward
+        only (the prior incarnation already emitted — and downstream
+        consumed — its epochs' pairs)."""
+        if not self.resume or self._resume_checked:
+            return
+        self._resume_checked = True
+        if not spark.catalog.tableExists(self.index_table):
+            raise ValueError(
+                f"resume=True but index table {self.index_table!r} does not "
+                "exist — nothing to resume; start a fresh index instead"
+            )
+        self._has_table = True
 
     def _stored_index(self, spark) -> DataFrame | None:
         if self.index_table is None:
@@ -1070,6 +1101,7 @@ class IncrementalLSHIndex:
     def add_docs(self, batch: DataFrame) -> DataFrame:
         """Absorb one epoch of new documents; returns the epoch's newly
         discovered ``(id_a, id_b)`` pairs (id_a < id_b), materialized."""
+        self._attach_if_resuming(batch.sparkSession)
         nb = _band_buckets(
             batch, self.id_col, self.text_col, self.n, self.num_perm, self.bands
         ).localCheckpoint()

@@ -744,3 +744,60 @@ def test_incremental_survivorship_equals_batch_every_epoch(spark):
             for r in surv.canonical().collect()
         }
         assert got == expect, f"epoch {b}: {sorted(got ^ expect)[:10]}"
+
+
+def test_incremental_lsh_index_resume_after_restart(spark, tmp_path):
+    """Bucketed mode survives a driver restart (r9): a NEW instance with
+    resume=True attaches to the persisted index table and keeps
+    absorbing — pairs from before + after the restart union to the batch
+    answer, and a re-sent id from a PRE-restart epoch still raises (the
+    contract is enforced by the stored table, not driver memory)."""
+    from storm_spark.functions.dedup import IncrementalLSHIndex, minhash_lsh_pairs
+
+    rows = [
+        (i, f"the quick brown fox {i % 5} jumps over the lazy dog {i % 5}")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    expect = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_perm=12, bands=4
+        ).collect()
+    }
+    path = str(tmp_path / "resume_idx")
+    kw = dict(n=3, num_perm=12, bands=4, index_table="lsh_resume_test", index_path=path)
+    got = set()
+    try:
+        idx1 = IncrementalLSHIndex("doc_id", "text", **kw)
+        for b in (0, 1):
+            batch = [r for r in rows if r[0] % 3 == b]
+            got |= {
+                (r.id_a, r.id_b)
+                for r in idx1.add_docs(
+                    spark.createDataFrame(batch, "doc_id long, text string")
+                ).collect()
+            }
+        # --- driver "restart": fresh instance, no shared python state ---
+        idx2 = IncrementalLSHIndex("doc_id", "text", resume=True, **kw)
+        batch = [r for r in rows if r[0] % 3 == 2]
+        got |= {
+            (r.id_a, r.id_b)
+            for r in idx2.add_docs(
+                spark.createDataFrame(batch, "doc_id long, text string")
+            ).collect()
+        }
+        assert got == expect, got ^ expect
+        # contract survives the restart: a pre-restart id re-arrives
+        with pytest.raises(ValueError, match="already indexed"):
+            idx2.add_docs(
+                spark.createDataFrame(rows[:1], "doc_id long, text string")
+            )
+        # resume against a missing table fails loudly
+        with pytest.raises(ValueError, match="does not exist"):
+            IncrementalLSHIndex(
+                "doc_id", "text", n=3, num_perm=12, bands=4,
+                index_table="lsh_no_such_table", index_path=path, resume=True,
+            ).add_docs(docs.limit(1))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lsh_resume_test")
