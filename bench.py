@@ -158,6 +158,8 @@ HEADLINE = [
     "hll_distinct",
     "zorder_stats",
     "bpe_segment",
+    # r9: cluster-keyed train/eval split (per-doc membership gate)
+    "leakage_safe_split",
 ]
 
 

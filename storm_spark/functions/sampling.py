@@ -72,6 +72,42 @@ def deterministic_split(
     return df.withColumn(out_col, expr)
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Near-dup-aware train/val/test assignment (r9): hash the NEAR-DUP
+    CLUSTER id instead of the doc id, so no near-duplicate pair ever
+    straddles a split boundary — the classic eval-leakage bug (a
+    paraphrase of a test document sitting in train) that a plain per-doc
+    hash split cannot prevent, and the reason dedup and split belong in
+    one pipeline. ``clusters`` is the ``(id, cluster_id)`` table from
+    :func:`storm_spark.functions.dedup.near_dup_clusters` (or the live
+    ``IncrementalComponents.labels()``); docs absent from it are
+    singletons and key on their own id — the same left-join-coalesce
+    convention as ``canonicalize_clusters``.
+
+    Scale: ONE join against the assignment table (cluster assignments
+    are a tiny fraction of the corpus — broadcast-able or
+    bucket-co-located) and then the same pure hash arithmetic as
+    :func:`deterministic_split`: no RNG, no shuffle for the split
+    itself. Membership is stable across runs; a new near-dup of an
+    existing cluster lands in that cluster's split as long as the
+    cluster's min-id key is unchanged (reference parity:
+    Trident stateQuery + each composition, storm/trident/Stream.java)."""
+    lab = clusters.select(
+        F.col("id").alias(id_col), F.col("cluster_id").alias("__cl__")
+    )
+    keyed = docs.join(lab, id_col, "left").withColumn(
+        "__cl__", F.coalesce("__cl__", F.col(id_col))
+    )
+    return deterministic_split(keyed, "__cl__", weights, salt, out_col).drop("__cl__")
+
+
 def sql_split_expr(
     id_expr: str, weights: dict[str, float] | None = None, salt: str = "split"
 ) -> str:

@@ -7004,6 +7004,39 @@ FROM r WHERE rn = 1
 ORACLE_DEDUP_MERGE = _oracle_dedup_merge()
 
 
+def q_leakage_safe_split(spark, sf_dir):
+    """Near-dup-aware train/eval split (sampling.leakage_safe_split, r9):
+    the split key is the doc's NEAR-DUP CLUSTER id (MinHash-LSH pairs →
+    connected components, same parameters as `dedup_cluster`; singletons
+    key on their own id), so a paraphrase can never land in eval while
+    its twin sits in train — the leakage bug a per-doc hash split
+    (`dataset_split`) cannot prevent. Pure hash arithmetic after one
+    assignment join; per-doc output so the oracle pins every membership,
+    not just the counts."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_perm=12, bands=4)
+    clusters = dedup.near_dup_clusters(pairs)
+    out = sampling.leakage_safe_split(
+        docs, clusters, "doc_id", {"train": 0.9, "eval": 0.1}
+    )
+    return out.select("doc_id", "split")
+
+
+def _oracle_leakage_safe_split():
+    assign = _oracle_dedup_cluster().strip()
+    expr = sampling.sql_split_expr("cl", {"train": 0.9, "eval": 0.1})
+    return f"""
+WITH assign AS ({assign}),
+j AS (
+  SELECT d.doc_id, COALESCE(a.cluster_id, d.doc_id) AS cl
+  FROM documents d LEFT JOIN assign a USING (doc_id))
+SELECT doc_id, {expr} AS split FROM j
+"""
+
+
+ORACLE_LEAKAGE_SAFE_SPLIT = _oracle_leakage_safe_split()
+
+
 def q_trailing_ewma(spark, sf_dir):
     """Trailing exponential smoothing (robust.trailing_ewma): each event's
     value (cents) blended over the user's last 8 rows with half-decay
@@ -7641,6 +7674,9 @@ QUERIES = {
     # r9 stretch: pipeline + incremental survivorship (fold-map-driven
     # monotone cluster-summary merge), same oracle as batch dedup_merge
     "streaming_dedup_merge": q_streaming_dedup_merge,
+    # r9: near-dup-cluster-keyed train/eval split — no paraphrase pair
+    # ever straddles the split boundary (per-doc membership oracle)
+    "leakage_safe_split": q_leakage_safe_split,
     # r7: live quota sample == batch quota sample, exactly
     # (sessionize_native, driver-green r6, demoted)
     "streaming_sample": q_streaming_sample,
@@ -7845,8 +7881,8 @@ QUERIES = {
 # samples the first 50 keys, so the head is recomputed each round via
 # tools/rotation.py as: this round's NEW gates, then every other entry
 # ranked by (last driver-sampled round, catalog position)). The r9 head =
-# the 2 new r9 gates (streaming_dedup_pipeline_bucketed,
-# streaming_dedup_merge), then the 9 r3-era rows displaced by rotation 8
+# the 3 new r9 gates (streaming_dedup_pipeline_bucketed,
+# streaming_dedup_merge, leakage_safe_split), then the 9 r3-era rows displaced by rotation 8
 # (led by dedup_cluster, whose oracle the pipeline gates share), r4's
 # domain_stats/rolling_active, and the r4/r5-era tail up to 50. The
 # literal dict order above is the historical rotation record; THIS list
@@ -7856,6 +7892,7 @@ QUERIES = {
 _ROTATION9_HEAD = [
 "streaming_dedup_pipeline_bucketed",
     "streaming_dedup_merge",
+    "leakage_safe_split",
     "dedup_cluster",
     "ann_lsh",
     "ann_ivf",
@@ -7903,7 +7940,6 @@ _ROTATION9_HEAD = [
     "pagerank",
     "fuzzy_pairs",
     "scd2",
-    "centroid_classify",
 ]
 assert len(_ROTATION9_HEAD) == 50 and len(set(_ROTATION9_HEAD)) == 50
 QUERIES = {
@@ -8033,6 +8069,7 @@ ORACLES = {
     "streaming_dedup_pipeline": ORACLE_DEDUP_CLUSTER,
     "streaming_dedup_pipeline_bucketed": ORACLE_DEDUP_CLUSTER,
     "streaming_dedup_merge": ORACLE_DEDUP_MERGE,
+    "leakage_safe_split": ORACLE_LEAKAGE_SAFE_SPLIT,
     "streaming_sample": ORACLE_STREAMING_SAMPLE,
     "hll_distinct": ORACLE_HLL_DISTINCT,
     # max-linearity makes the streaming twin exact against the batch oracle

@@ -339,3 +339,45 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     kept = sorted(r.doc_id for r in weighted_sample_k_per_group(
         df, "grp", "doc_id", "w", k=4).collect())
     assert kept == [1, 5]  # only the positive-weight rows are eligible
+
+
+def test_leakage_safe_split_no_pair_straddles(spark):
+    """The property the operator exists for: every near-dup pair lands in
+    ONE split, singletons still split ~by weight, and membership is pure
+    hash arithmetic (re-running gives identical labels)."""
+    from pyspark.sql import functions as F
+
+    from storm_spark.functions import dedup, sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_perm=12, bands=4)
+    pairs = pairs.localCheckpoint()
+    clusters = dedup.near_dup_clusters(pairs)
+    out = sampling.leakage_safe_split(
+        docs, clusters, "doc_id", {"train": 0.9, "eval": 0.1}
+    ).select("doc_id", "split")
+    lab = {r.doc_id: r.split for r in out.collect()}
+    # no near-dup pair straddles the boundary
+    for r in pairs.collect():
+        assert lab[r.id_a] == lab[r.id_b], (r.id_a, r.id_b)
+    # both splits populated, roughly by weight
+    n = len(lab)
+    n_eval = sum(1 for s in lab.values() if s == "eval")
+    assert 0.03 * n < n_eval < 0.25 * n, (n_eval, n)
+    # deterministic: a second run is identical
+    lab2 = {
+        r.doc_id: r.split
+        for r in sampling.leakage_safe_split(
+            docs, clusters, "doc_id", {"train": 0.9, "eval": 0.1}
+        ).select("doc_id", "split").collect()
+    }
+    assert lab == lab2
+    # contrast: the per-doc split DOES leak on this fixture (the reason
+    # this operator exists) — at least one near-dup pair straddles
+    plain = {
+        r.doc_id: r.split
+        for r in sampling.deterministic_split(
+            docs, "doc_id", {"train": 0.9, "eval": 0.1}
+        ).select("doc_id", "split").collect()
+    }
+    assert any(plain[r.id_a] != plain[r.id_b] for r in pairs.collect())
