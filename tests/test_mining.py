@@ -339,3 +339,38 @@ def test_incremental_components_matches_batch_on_random_splits(spark):
         }
         got = {(r.id, r.cluster_id) for r in cc.labels().collect()}
         assert got == expect, (chunk, got ^ expect)
+
+
+def test_incremental_components_last_fold_names_absorbed_clusters(spark):
+    """last_fold() (r9, drives IncrementalSurvivorship): after a merge
+    epoch the fold map names exactly the ABSORBED old clusters and their
+    new labels — whole-cluster-into-whole-cluster, no chains, no rows
+    for untouched clusters; None when nothing changed."""
+    from storm_spark.functions.mining import IncrementalComponents
+
+    cc = IncrementalComponents()
+    # epoch 1: three separate clusters {1,2}, {5,6,7}, {10,11}
+    cc.add_edges(
+        spark.createDataFrame(
+            [(1, 2), (5, 6), (6, 7), (10, 11)], "id_a long, id_b long"
+        )
+    )
+    # every node was new: fold maps each self-label to its component min
+    fold1 = {
+        (r.old_label, r.new_label) for r in cc.last_fold().collect()
+    }
+    assert fold1 == {(2, 1), (6, 5), (7, 5), (11, 10)}
+
+    # epoch 2: one late edge merges {5,6,7} into {1,2}; {10,11} untouched
+    cc.add_edges(spark.createDataFrame([(2, 5)], "id_a long, id_b long"))
+    fold2 = {
+        (r.old_label, r.new_label) for r in cc.last_fold().collect()
+    }
+    assert fold2 == {(5, 1)}, fold2  # ONE whole-cluster fold, nothing else
+
+    # epoch 3: a redundant edge inside an existing cluster changes nothing
+    cc.add_edges(spark.createDataFrame([(1, 5)], "id_a long, id_b long"))
+    assert cc.last_fold() is None
+
+    labels = {r.id: r.cluster_id for r in cc.labels().collect()}
+    assert labels == {1: 1, 2: 1, 5: 1, 6: 1, 7: 1, 10: 10, 11: 10}
