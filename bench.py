@@ -239,6 +239,23 @@ def main() -> None:
     except OSError as exc:
         print(f"# bench_out write failed: {exc}", file=sys.stderr)
     print(line)
+    # The full line above outgrows the driver's stdout tail capture (every
+    # BENCH_r0N.json so far has "parsed": null) — so the LAST stdout line is
+    # a compact totals-only summary that always fits: per-query detail lives
+    # in bench_out.json / the long line above.
+    slowest = sorted(times.items(), key=lambda kv: -kv[1])[:5]
+    compact = {
+        "metric": "headline_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf),
+        "n_queries": len(times),
+        "n_errors": len(errors),
+        "cold_total_sec": round(sum(cold.values()), 3),
+        "slowest5": {k: v for k, v in slowest},
+        "queries_detail": "bench_out.json",
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -127,22 +127,27 @@ def _time_chunked(df: DataFrame, ts_col: str, n: int = 3) -> DataFrame:
     non-overlapping (equal-ts rows co-locate, chunk b covers
     cuts[b-1] < ts ≤ cuts[b]), which is what the watermark-semantics
     arguments in the gate docstrings need — a hash split would not be."""
-    cuts = df.select(
+    qs = df.select(
         F.unix_micros(F.col(ts_col)).alias("__m__")
-    ).approxQuantile("__m__", [i / n for i in range(1, n)], 0.0)
-    if not cuts:
+    ).approxQuantile("__m__", [i / n for i in range(1, n)] + [1.0], 0.0)
+    if not qs:
         raise ValueError(
             f"_time_chunked: no rows to chunk on {ts_col!r} — a streaming "
             "gate fed an empty table (fixture problem, fail loudly)"
         )
-    if len(set(cuts)) < len(cuts):
+    cuts, ts_max = qs[:-1], qs[-1]
+    if len(set(cuts)) < len(cuts) or cuts[-1] == ts_max:
         # heavier ties than rows-per-chunk: some chunks would be EMPTY and
         # the gate's per-epoch semantics (e.g. a recovery leg) could pass
-        # vacuously — refuse instead of silently degrading the feed
+        # vacuously — refuse instead of silently degrading the feed. The
+        # cuts[-1] == max case (ties massed at the maximum ts, e.g.
+        # [1,2,2] with n=3 gives distinct cuts [1,2]) empties the FINAL
+        # chunk, so check it alongside duplicate interior cuts; the 1.0
+        # quantile rides the same GK sketch, no extra job.
         raise ValueError(
-            f"_time_chunked: duplicate ts cut points {cuts} on {ts_col!r} — "
-            "timestamp ties exceed a chunk's width; use fewer chunks or a "
-            "finer-grained ts"
+            f"_time_chunked: degenerate ts cut points {cuts} (max {ts_max}) "
+            f"on {ts_col!r} — timestamp ties exceed a chunk's width; use "
+            "fewer chunks or a finer-grained ts"
         )
     m = F.unix_micros(F.col(ts_col))
     tag = F.lit(n)
@@ -5095,12 +5100,15 @@ def q_streaming_gap_fill(spark, sf_dir):
     """stateful_gap_fill run END-TO-END through Structured Streaming and
     gated against the BATCH gap_fill oracle: hourly value totals per
     event_type with forward-filled gaps, fed as 3 time-ordered batches.
-    Batches split on BUCKET boundaries (dense_rank over the hour bucket →
-    tercile), never mid-bucket — an emitted bucket is immutable, so a
-    bucket straddling two triggers would lose its later events while the
-    batch twin counts them. Union of per-trigger emissions must equal the
-    batch grid exactly (every bucket exactly once, same fills, same
-    gaps)."""
+    Batches split on BUCKET boundaries (:func:`_time_chunked` on the hour
+    bucket — equal bucket values co-locate by its contract), never
+    mid-bucket — an emitted bucket is immutable, so a bucket straddling
+    two triggers would lose its later events while the batch twin counts
+    them. Formerly a ``dense_rank().over(Window.orderBy(__b__))`` tercile
+    — the 13th global one-partition window feed splitter (VERDICT r9
+    wrong #1; it survived the r9 ntile sweep because it wasn't ntile).
+    Union of per-trigger emissions must equal the batch grid exactly
+    (every bucket exactly once, same fills, same gaps)."""
     import os
     import uuid
 
@@ -5111,15 +5119,8 @@ def q_streaming_gap_fill(spark, sf_dir):
     )
     secs = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000")
     e = e.withColumn("__b__", (secs - F.pmod(secs, F.lit(3600))))
-    wb = Window.orderBy("__b__")
-    wall = Window.partitionBy()
-    parts = (
-        e.withColumn("__dr__", F.dense_rank().over(wb))
-        .withColumn("__nb__", F.max("__dr__").over(wall))
-        .withColumn(
-            "__t__",
-            F.least(F.lit(3), F.ceil(F.col("__dr__") * 3 / F.col("__nb__")).cast("int")),
-        )
+    parts = _time_chunked(
+        e.withColumn("__bts__", F.timestamp_seconds(F.col("__b__"))), "__bts__"
     )
     feed_schema = e.select("event_type", "ts", "v_c").schema
     tmp = gate_tmp.mkdtemp(prefix="storm_spark_sgap_")
