@@ -452,6 +452,45 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_edges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Connectivity-equivalent STAR EDGES from MinHash-LSH band buckets —
+    the linear-cost sibling of :func:`minhash_lsh_pairs` for pipelines
+    whose next stage is CLUSTERING, not pairwise verification (VERDICT r9
+    #1, the last quadratic corner in the 100-TB dedup path).
+
+    Per ``(band, bucket)``, every member gets one edge to the bucket's
+    MINIMUM id instead of one pair per member combination: a degenerate
+    bucket of m docs (a boilerplate page duplicated m times — guaranteed
+    at crawl scale) costs O(m) edges here vs O(m²) pairs there, while the
+    union over buckets has exactly the same connected components — within
+    a bucket the star reaches everything the clique does, and cross-bucket
+    reachability only ever flowed through shared membership. Feed into
+    :func:`near_dup_clusters` / ``IncrementalComponents`` interchangeably
+    with the pair form (same ``dedup_cluster`` oracle); use
+    :func:`minhash_lsh_pairs` when the caller verifies candidates
+    pairwise (exact-Jaccard composition needs the actual pairs).
+
+    Output ``(id_a, id_b)`` distinct with ``id_a < id_b`` (``id_a`` is
+    the bucket min). Plan: ONE exchange — the per-bucket min is a window
+    over ``partitionBy(band, bucket)`` so the bucket key is hashed once,
+    with no second shuffle for a join-back."""
+    buckets = _band_buckets(df, id_col, text_col, n, num_perm, bands)
+    w = Window.partitionBy("__band__", "__bucket__")
+    return (
+        buckets.withColumn("__root__", F.min("__id__").over(w))
+        .filter(F.col("__id__") != F.col("__root__"))
+        .select(F.col("__root__").alias("id_a"), F.col("__id__").alias("id_b"))
+        .distinct()
+    )
+
+
 def near_dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -984,24 +1023,42 @@ class IncrementalLSHIndex:
 
     Contract: each doc id arrives EXACTLY once across the stream (the
     crawl-frontier contract). :meth:`add_docs` enforces it COMPLETELY
-    and loudly: a duplicate id within the batch raises, and a re-sent id
-    — a foreachBatch replay (at-least-once), or a re-crawl with CHANGED
-    text — is caught by a band-0 id semi-join against the stored index
+    and loudly (skip with ``enforce_unique=False`` for a trusted feed):
+    a duplicate id within the batch raises, and a re-sent id — a
+    foreachBatch replay (at-least-once), or a re-crawl with CHANGED
+    text — is caught by an id semi-join against the stored ids
     (collision-based detection alone would miss the changed-text case);
     run the exact-dedup step upstream. Scale: per epoch ONE
     bucket-keyed join of |Δ| signature rows against the index plus the
-    |Δ|² within-batch self-join — never index × index; the index itself
-    grows by |Δ|·bands rows per epoch. In the default in-memory mode the
-    index DataFrame re-shuffles into each epoch's join (fine for gates;
-    measured in SCALE.md); pass ``index_table``/``index_path`` to keep it
-    as an APPENDED BUCKETED parquet table hash-partitioned on the join
-    key — the index side then scans shuffle-free (zero Exchange,
-    plan-asserted) and per-epoch shuffle volume is |Δ| only, the 100-TB
-    shape. Bucketed mode is also RESTARTABLE: pass ``resume=True`` in a
-    new driver incarnation to attach to the persisted table and keep
-    absorbing — the exactly-once id contract is enforced ACROSS the
-    restart by the same stored-index id semi-join.
+    within-batch bucket self-collision — never index × index; the index
+    itself grows by |Δ|·bands rows per epoch. ``emit="pairs"`` (default)
+    materializes every intra-bucket pair — O(m²) in a hot bucket's m
+    members, what pairwise verifiers need; ``emit="edges"`` returns
+    connectivity-equivalent STAR EDGES instead (see
+    :func:`minhash_lsh_edges`) — O(|Δ|) within-batch rows plus ONE edge
+    per touched bucket, the shape to feed straight into
+    ``IncrementalComponents`` at crawl scale where boilerplate buckets
+    make pair fan-out THE dominant cost (VERDICT r9 #1). In the default
+    in-memory mode the index DataFrame re-shuffles into each epoch's
+    join (fine for gates; measured in SCALE.md); pass
+    ``index_table``/``index_path`` to keep it as an APPENDED BUCKETED
+    parquet table hash-partitioned on the join key — the index side then
+    scans shuffle-free (zero Exchange, plan-asserted), per-epoch shuffle
+    volume is |Δ| only, and a compact sibling id table (bucketed on id)
+    serves the exactly-once check at 1/bands of the index rows — the
+    100-TB shape. Bucketed mode is also RESTARTABLE: pass ``resume=True``
+    in a new driver incarnation to attach to the persisted table and
+    keep absorbing — the structural LSH parameters are validated against
+    the persisted ``_lsh_meta.json`` sidecar (a silent mismatch would mix
+    incompatible band buckets), and the exactly-once id contract is
+    enforced ACROSS the restart by the same stored-id semi-join.
     """
+
+    #: structural LSH parameters persisted beside a bucketed index and
+    #: verified on ``resume=True`` — a restart with a different value for
+    #: any of these would silently mix incompatible band buckets (wrong /
+    #: missed pairs) or break the table's bucket layout on append
+    _META_KEYS = ("n", "num_perm", "bands", "n_buckets")
 
     def __init__(
         self,
@@ -1015,6 +1072,9 @@ class IncrementalLSHIndex:
         n_buckets: int = 32,
         overwrite_index: bool = False,
         resume: bool = False,
+        emit: str = "pairs",
+        enforce_unique: bool = True,
+        compact_every: int = 16,
     ):
         if (index_table is None) != (index_path is None):
             raise ValueError("index_table and index_path go together")
@@ -1023,16 +1083,48 @@ class IncrementalLSHIndex:
                 "resume=True requires the bucketed mode (index_table/"
                 "index_path) — the in-memory index dies with the driver"
             )
+        if emit not in ("pairs", "edges"):
+            raise ValueError(f"emit must be 'pairs' or 'edges', got {emit!r}")
+        if compact_every < 2:
+            raise ValueError("compact_every must be >= 2")
         self.id_col, self.text_col = id_col, text_col
         self.n, self.num_perm, self.bands = n, num_perm, bands
         self.index_table, self.index_path = index_table, index_path
         self.n_buckets = n_buckets
         self.overwrite_index = overwrite_index
         self.resume = resume
+        self.emit = emit
+        self.enforce_unique = enforce_unique
+        self.compact_every = compact_every
         self._index: DataFrame | None = None  # in-memory mode
         self._has_table = False  # bucketed mode
         self._resume_checked = False
         self._pairs: list[DataFrame] = []  # checkpointed per-epoch frames
+
+    @property
+    def _ids_table(self) -> str | None:
+        """Compact one-row-per-doc id table beside the bucketed index —
+        the re-sent-id semi-join scans THIS (|docs| narrow rows, bucketed
+        on ``__id__`` so the stored side joins exchange-free) instead of
+        the full band-bucket table, whose (band, bucket) bucketing gives
+        a ``__band__ = 0`` predicate nothing to prune (ADVICE r9 #3: row
+        groups span all bands there)."""
+        return None if self.index_table is None else f"{self.index_table}__ids"
+
+    @property
+    def _ids_path(self) -> str | None:
+        return None if self.index_path is None else f"{self.index_path}__ids"
+
+    @property
+    def _meta_path(self) -> str | None:
+        # underscore-prefixed so Spark's parquet reader ignores it
+        import os as _os
+
+        return (
+            None
+            if self.index_path is None
+            else _os.path.join(self.index_path, "_lsh_meta.json")
+        )
 
     def _attach_if_resuming(self, spark) -> None:
         """Driver-restart support (r9): with ``resume=True`` the first
@@ -1051,6 +1143,36 @@ class IncrementalLSHIndex:
             raise ValueError(
                 f"resume=True but index table {self.index_table!r} does not "
                 "exist — nothing to resume; start a fresh index instead"
+            )
+        # Loud parameter validation (ADVICE r9 medium): attaching with a
+        # different n/num_perm/bands silently mixes incompatible band
+        # buckets (wrong or missed pairs); a different n_buckets corrupts
+        # the table's bucket layout on append. The writing incarnation
+        # persisted its parameters beside the table — refuse any mismatch.
+        import json as _json
+        import os as _os
+
+        if not _os.path.isfile(self._meta_path):
+            raise ValueError(
+                f"resume=True but {self._meta_path!r} is missing — the index "
+                "was written by an incompatible (pre-meta) incarnation; "
+                "rebuild it or restore the sidecar"
+            )
+        with open(self._meta_path) as fh:
+            meta = _json.load(fh)
+        mismatches = {
+            k: (meta.get(k), getattr(self, k))
+            for k in self._META_KEYS
+            if meta.get(k) != getattr(self, k)
+        }
+        if mismatches:
+            raise ValueError(
+                f"resume=True with LSH parameters that do not match the "
+                f"persisted index {self.index_table!r}: "
+                + ", ".join(
+                    f"{k}: stored {s!r} != requested {r!r}"
+                    for k, (s, r) in sorted(mismatches.items())
+                )
             )
         self._has_table = True
 
@@ -1087,7 +1209,9 @@ class IncrementalLSHIndex:
                     "Pass overwrite_index=True to wipe it explicitly."
                 )
             nb.sparkSession.sql(f"DROP TABLE IF EXISTS {self.index_table}")
+            nb.sparkSession.sql(f"DROP TABLE IF EXISTS {self._ids_table}")
             _shutil.rmtree(self.index_path, ignore_errors=True)
+            _shutil.rmtree(self._ids_path, ignore_errors=True)
         (
             nb.write.mode("append")
             .option("path", self.index_path)
@@ -1096,21 +1220,33 @@ class IncrementalLSHIndex:
             .format("parquet")
             .saveAsTable(self.index_table)
         )
+        # compact sibling id table (one narrow row per doc, bucketed on id)
+        # — what the re-sent-id semi-join scans; see _ids_table
+        (
+            nb.filter(F.col("__band__") == 0)
+            .select("__id__")
+            .write.mode("append")
+            .option("path", self._ids_path)
+            .bucketBy(self.n_buckets, "__id__")
+            .format("parquet")
+            .saveAsTable(self._ids_table)
+        )
+        if not self._has_table:
+            import json as _json
+
+            with open(self._meta_path, "w") as fh:
+                _json.dump({k: getattr(self, k) for k in self._META_KEYS}, fh)
         self._has_table = True
 
-    def add_docs(self, batch: DataFrame) -> DataFrame:
-        """Absorb one epoch of new documents; returns the epoch's newly
-        discovered ``(id_a, id_b)`` pairs (id_a < id_b), materialized."""
-        self._attach_if_resuming(batch.sparkSession)
-        nb = _band_buckets(
-            batch, self.id_col, self.text_col, self.n, self.num_perm, self.bands
-        ).localCheckpoint()
-        # Loud exactly-once enforcement (foreachBatch is at-least-once;
-        # upstream re-crawls can re-send an id with CHANGED text, which
-        # would NOT self-collide — so check ids directly, not collisions).
-        # Within-batch duplicates must be checked on the RAW batch: the
-        # signature step groupBys on id, silently blending a duplicate
-        # pair's shingles into one (wrong) signature row.
+    def _check_exactly_once(self, batch: DataFrame, nb: DataFrame) -> None:
+        """Loud exactly-once enforcement (foreachBatch is at-least-once;
+        upstream re-crawls can re-send an id with CHANGED text, which
+        would NOT self-collide — so check ids directly, not collisions).
+        Within-batch duplicates must be checked on the RAW batch: the
+        signature step groupBys on id, silently blending a duplicate
+        pair's shingles into one (wrong) signature row. Skipped entirely
+        under ``enforce_unique=False`` (a trusted exactly-once feed —
+        saves the two blocking driver jobs per epoch)."""
         dup = (
             batch.groupBy(F.col(self.id_col).alias("__id__"))
             .count()
@@ -1123,60 +1259,125 @@ class IncrementalLSHIndex:
                 "batch — each id must arrive exactly once; run exact dedup "
                 "upstream"
             )
-        # band-0 slice: every indexed id exactly once; the __band__=0
-        # predicate prunes the stored-index scan to 1/bands
-        b0 = nb.filter(F.col("__band__") == 0)
-        a, b = nb.alias("a"), nb.alias("b")
-        within = a.join(
-            b,
-            (F.col("a.__band__") == F.col("b.__band__"))
-            & (F.col("a.__bucket__") == F.col("b.__bucket__"))
-            & (F.col("a.__id__") < F.col("b.__id__")),
-        ).select(F.col("a.__id__").alias("id_a"), F.col("b.__id__").alias("id_b"))
-        stored = self._stored_index(batch.sparkSession)
-        if stored is not None:
-            o = stored.alias("o")
-            # COMPLETE re-sent-id detection: a replayed batch (same text)
-            # would self-collide, but a re-sent id with changed text lands
-            # in different buckets and would silently double-index — so
-            # semi-join batch ids against stored ids (band-0 slices on
-            # both sides: every id exactly once, index scan pruned by the
-            # pushable __band__=0 predicate). Raise loudly, matching
-            # IncrementalComponents' cascade-cap convention.
-            resent = b0.join(
-                stored.filter(F.col("__band__") == 0).select("__id__"),
-                "__id__",
-                "semi",
-            ).head(1)
-            if resent:
-                raise ValueError(
-                    f"doc id {resent[0]['__id__']!r} was already indexed — "
-                    "each id must arrive exactly once (replayed batch or "
-                    "re-sent doc?); run exact dedup upstream or dedup the "
-                    "replay before add_docs"
-                )
-            # arrival order need not respect id order: canonicalize
-            cross = a.join(
-                o,
-                (F.col("a.__band__") == F.col("o.__band__"))
-                & (F.col("a.__bucket__") == F.col("o.__bucket__")),
-            ).select(
-                F.least(F.col("a.__id__"), F.col("o.__id__")).alias("id_a"),
-                F.greatest(F.col("a.__id__"), F.col("o.__id__")).alias("id_b"),
+        # COMPLETE re-sent-id detection: a replayed batch (same text)
+        # would self-collide, but a re-sent id with changed text lands
+        # in different buckets and would silently double-index — so
+        # semi-join batch ids against stored ids. Band-0 slice of the
+        # batch = every id exactly once. Stored side: the bucketed mode
+        # scans the compact SIBLING id table (one narrow row per doc —
+        # 1/bands of the index rows, and bucketed on __id__ so the
+        # stored side of the semi-join needs no Exchange); the in-memory
+        # mode filters its checkpointed frame to band 0 (same row count,
+        # no pruning to be had in RAM). Raise loudly, matching
+        # IncrementalComponents' cascade-cap convention.
+        spark = batch.sparkSession
+        if self.index_table is not None:
+            if not self._has_table:
+                return
+            stored_ids = spark.table(self._ids_table)
+        elif self._index is not None:
+            stored_ids = self._index.filter(F.col("__band__") == 0).select("__id__")
+        else:
+            return
+        b0 = nb.filter(F.col("__band__") == 0).select("__id__")
+        resent = b0.join(stored_ids, "__id__", "semi").head(1)
+        if resent:
+            raise ValueError(
+                f"doc id {resent[0]['__id__']!r} was already indexed — "
+                "each id must arrive exactly once (replayed batch or "
+                "re-sent doc?); run exact dedup upstream or dedup the "
+                "replay before add_docs"
             )
-            within = within.unionByName(cross)
+
+    def add_docs(self, batch: DataFrame) -> DataFrame:
+        """Absorb one epoch of new documents; returns the epoch's newly
+        discovered ``(id_a, id_b)`` rows (id_a < id_b), materialized —
+        near-dup PAIRS under ``emit="pairs"``, connectivity-equivalent
+        STAR EDGES under ``emit="edges"`` (see :func:`minhash_lsh_edges`;
+        a hot band bucket then costs O(members) per epoch instead of
+        O(members²), the 100-TB crawl shape — VERDICT r9 #1)."""
+        self._attach_if_resuming(batch.sparkSession)
+        nb = _band_buckets(
+            batch, self.id_col, self.text_col, self.n, self.num_perm, self.bands
+        ).localCheckpoint()
+        if self.enforce_unique:
+            self._check_exactly_once(batch, nb)
+        stored = self._stored_index(batch.sparkSession)
+        if self.emit == "pairs":
+            a, b = nb.alias("a"), nb.alias("b")
+            within = a.join(
+                b,
+                (F.col("a.__band__") == F.col("b.__band__"))
+                & (F.col("a.__bucket__") == F.col("b.__bucket__"))
+                & (F.col("a.__id__") < F.col("b.__id__")),
+            ).select(F.col("a.__id__").alias("id_a"), F.col("b.__id__").alias("id_b"))
+            if stored is not None:
+                # arrival order need not respect id order: canonicalize
+                cross = a.join(
+                    stored.alias("o"),
+                    (F.col("a.__band__") == F.col("o.__band__"))
+                    & (F.col("a.__bucket__") == F.col("o.__bucket__")),
+                ).select(
+                    F.least(F.col("a.__id__"), F.col("o.__id__")).alias("id_a"),
+                    F.greatest(F.col("a.__id__"), F.col("o.__id__")).alias("id_b"),
+                )
+                within = within.unionByName(cross)
+        else:
+            # STAR EDGES: within the batch, every bucket member points at
+            # the bucket's batch-minimum id (one window over the bucket
+            # key — O(|Δ|) edges); across epochs, ONE edge per touched
+            # bucket links the batch minimum to the stored bucket minimum.
+            # Connectivity is identical to the pair clique by induction
+            # over epochs: every doc stored in bucket B is already
+            # connected to B's stored minimum, so the single link rejoins
+            # the components the clique would have fused — while a
+            # boilerplate bucket re-hit by every crawl epoch emits O(|Δ|)
+            # rows instead of O(|Δ|·stored-members) pairs.
+            w = Window.partitionBy("__band__", "__bucket__")
+            nbr = nb.withColumn("__root__", F.min("__id__").over(w))
+            within = nbr.filter(F.col("__id__") != F.col("__root__")).select(
+                F.col("__root__").alias("id_a"), F.col("__id__").alias("id_b")
+            )
+            if stored is not None:
+                roots = nbr.select("__band__", "__bucket__", "__root__").distinct()
+                cross = (
+                    roots.join(stored, ["__band__", "__bucket__"])
+                    .groupBy("__band__", "__bucket__", "__root__")
+                    .agg(F.min("__id__").alias("__smin__"))
+                    .select(
+                        F.least(F.col("__root__"), F.col("__smin__")).alias("id_a"),
+                        F.greatest(F.col("__root__"), F.col("__smin__")).alias("id_b"),
+                    )
+                )
+                within = within.unionByName(cross)
         new_pairs = within.distinct().localCheckpoint()
         self._append_index(nb)
         # keep the already-checkpointed per-epoch frames and union LAZILY
         # in pairs(): re-checkpointing the accumulated union every epoch
         # would re-materialize O(total pairs) per epoch — history-sized
-        # work the |delta|-bounded story forbids
+        # work the |delta|-bounded story forbids. To keep the pairs() plan
+        # O(1) in stream length (VERDICT r9 #7 — a months-long job is
+        # thousands of epochs), fold the list into ONE checkpointed frame
+        # whenever it reaches compact_every: amortized O(|pairs-so-far| /
+        # compact_every) re-materialization per epoch, plan never deeper
+        # than compact_every union nodes. Epoch emissions are disjoint
+        # (every pair/edge involves that epoch's new ids), so the fold
+        # needs no distinct.
         self._pairs.append(new_pairs)
+        if len(self._pairs) >= self.compact_every:
+            folded = self._pairs[0]
+            for p in self._pairs[1:]:
+                folded = folded.unionByName(p)
+            self._pairs = [folded.localCheckpoint()]
         return new_pairs
 
     def pairs(self) -> DataFrame:
-        """All pairs emitted so far — equals the batch
-        :func:`minhash_lsh_pairs` over every doc absorbed so far."""
+        """All rows emitted so far — under ``emit="pairs"`` equals the
+        batch :func:`minhash_lsh_pairs` over every doc absorbed so far;
+        under ``emit="edges"`` a connectivity-equivalent star-edge set
+        (same connected components, not the same rows). Plan depth stays
+        bounded by ``compact_every`` regardless of stream length (the
+        per-epoch list folds into one checkpointed frame when it fills)."""
         if not self._pairs:
             raise ValueError("no documents absorbed yet")
         out = self._pairs[0]
@@ -1255,9 +1456,31 @@ class IncrementalSurvivorship:
         pairs exist yet), ``fold`` = the same epoch's
         :meth:`~storm_spark.functions.mining.IncrementalComponents.
         last_fold` map (None when no cluster was relabeled)."""
+        from pyspark.sql.types import IntegralType, NumericType
+
+        fields = {f.name: f.dataType for f in new_docs.schema.fields}
+        # quality keeps its NATIVE numeric type through the max(struct)
+        # argmax (works for doubles too) — casting to bigint truncated
+        # fractional scores and could pick a different canonical_id than
+        # the batch canonicalize_clusters this class must equal (ADVICE
+        # r9 #4). Ids must be integral: the tie-break negates them, and
+        # the batch twin's output contract casts them to bigint.
+        if not isinstance(fields[self.quality_col], NumericType):
+            raise ValueError(
+                f"quality column {self.quality_col!r} must be numeric, got "
+                f"{fields[self.quality_col].simpleString()} — a non-numeric "
+                "quality has no max(struct) argmax matching the batch "
+                "canonicalize_clusters ordering"
+            )
+        if not isinstance(fields[self.id_col], IntegralType):
+            raise ValueError(
+                f"id column {self.id_col!r} must be an integral type, got "
+                f"{fields[self.id_col].simpleString()} — tie-breaks negate "
+                "the id and the canonical_id contract is bigint"
+            )
         contribs = new_docs.select(
             F.col(self.id_col).cast("bigint").alias("__i__"),
-            F.col(self.quality_col).cast("bigint").alias("__q__"),
+            F.col(self.quality_col).alias("__q__"),
             F.lit(1).cast("bigint").alias("__n__"),
         )
         if labels is not None:

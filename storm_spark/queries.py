@@ -6929,7 +6929,60 @@ def q_streaming_dedup_pipeline_bucketed(spark, sf_dir):
         # pairs/labels are localCheckpoint-materialized, so the index
         # table can go as soon as the stream stops — don't leak
         # metastore entries across gates
-        cleanup=lambda: spark.sql(f"DROP TABLE IF EXISTS {table}"),
+        cleanup=lambda: [
+            spark.sql(f"DROP TABLE IF EXISTS {table}"),
+            spark.sql(f"DROP TABLE IF EXISTS {table}__ids"),
+        ],
+    )
+    return cc.labels().select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+    )
+
+
+def q_streaming_dedup_pipeline_stars(spark, sf_dir):
+    """The streaming dedup pipeline with STAR-EDGE emission — the fully
+    linear 100-TB shape (VERDICT r9 #1, the last quadratic corner):
+    identical composition to `streaming_dedup_pipeline_bucketed` (sign →
+    collide → cluster, all incremental through real readStream /
+    foreachBatch, bucketed zero-Exchange index), but each epoch's
+    collision output is CONNECTIVITY star edges — every batch bucket
+    member points at its bucket's batch minimum, plus ONE edge per
+    touched bucket to the stored bucket minimum — O(|Δ|) rows per epoch
+    where the pair form is O(|Δ|·bucket-members) on a hot boilerplate
+    bucket. Connected components are provably identical, so the SAME
+    from-scratch recursive-CTE oracle as `dedup_cluster` gates it: the
+    emission shape must be invisible in the answer."""
+    import os
+    import uuid
+
+    from storm_spark.functions.dedup import IncrementalLSHIndex
+    from storm_spark.functions.mining import IncrementalComponents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    table = "sdpls_idx_" + uuid.uuid4().hex[:8]
+    idx = IncrementalLSHIndex(
+        "doc_id",
+        "text",
+        n=3,
+        num_perm=12,
+        bands=4,
+        index_table=table,
+        index_path=os.path.join(
+            gate_tmp.mkdtemp(prefix="storm_spark_sdpls_idx_"), "idx"
+        ),
+        emit="edges",
+    )
+    cc = IncrementalComponents()
+    _drive_stream_epochs(
+        spark,
+        docs,
+        lambda batch_df, epoch_id: cc.add_edges(idx.add_docs(batch_df), "id_a", "id_b"),
+        "storm_spark_sdpls_",
+        cleanup=lambda: [
+            spark.sql(f"DROP TABLE IF EXISTS {table}"),
+            spark.sql(f"DROP TABLE IF EXISTS {table}__ids"),
+        ],
     )
     return cc.labels().select(
         F.col("id").cast("bigint").alias("doc_id"),
@@ -7672,6 +7725,10 @@ QUERIES = {
     # r9: the same pipeline with the bucketed zero-Exchange index — the
     # 100-TB storage shape under the same oracle (VERDICT r8 #2)
     "streaming_dedup_pipeline_bucketed": q_streaming_dedup_pipeline_bucketed,
+    # r10: the same pipeline emitting star EDGES instead of pairs — the
+    # hot-bucket quadratic closed, O(|delta|) collision output per epoch
+    # (VERDICT r9 #1), same recursive-CTE oracle
+    "streaming_dedup_pipeline_stars": q_streaming_dedup_pipeline_stars,
     # r9 stretch: pipeline + incremental survivorship (fold-map-driven
     # monotone cluster-summary merge), same oracle as batch dedup_merge
     "streaming_dedup_merge": q_streaming_dedup_merge,
@@ -8069,6 +8126,7 @@ ORACLES = {
     "streaming_dedup_cluster": ORACLE_DEDUP_CLUSTER,
     "streaming_dedup_pipeline": ORACLE_DEDUP_CLUSTER,
     "streaming_dedup_pipeline_bucketed": ORACLE_DEDUP_CLUSTER,
+    "streaming_dedup_pipeline_stars": ORACLE_DEDUP_CLUSTER,
     "streaming_dedup_merge": ORACLE_DEDUP_MERGE,
     "leakage_safe_split": ORACLE_LEAKAGE_SAFE_SPLIT,
     "streaming_sample": ORACLE_STREAMING_SAMPLE,
