@@ -7091,6 +7091,44 @@ SELECT doc_id, {expr} AS split FROM j
 ORACLE_LEAKAGE_SAFE_SPLIT = _oracle_leakage_safe_split()
 
 
+def q_streaming_leakage_split(spark, sf_dir):
+    """Leakage-safe split on LIVE clusters (r10 stretch, VERDICT r9 #8):
+    documents arrive over three epochs through real readStream /
+    foreachBatch, the near-dup clustering is maintained incrementally
+    (star-edge LSH collisions → IncrementalComponents), and the
+    train/eval assignment is derived from the LIVE labels — so the split
+    stays leakage-safe at EVERY point in the stream, not just after a
+    batch re-run. Fold semantics (pinned in test_sampling.py): when an
+    epoch's pairs merge two established clusters, membership MOVES with
+    the fold — every member re-keys to the merged cluster's min id and
+    the whole merged cluster shares one split label; assignments are
+    sticky only while the cluster key is unchanged, exactly the
+    leakage_safe_split docstring contract. Final per-doc memberships
+    must equal the batch `leakage_safe_split` over all docs — the SAME
+    oracle."""
+    from storm_spark.functions.dedup import IncrementalLSHIndex
+    from storm_spark.functions.mining import IncrementalComponents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = IncrementalLSHIndex("doc_id", "text", n=3, num_perm=12, bands=4, emit="edges")
+    cc = IncrementalComponents()
+    seen: list[DataFrame] = []
+
+    def absorb(batch_df, epoch_id):
+        b = batch_df.localCheckpoint()
+        seen.append(b)
+        cc.add_edges(idx.add_docs(b), "id_a", "id_b")
+
+    _drive_stream_epochs(spark, docs, absorb, "storm_spark_slsp_")
+    all_docs = seen[0]
+    for s in seen[1:]:
+        all_docs = all_docs.unionByName(s)
+    out = sampling.leakage_safe_split(
+        all_docs.select("doc_id"), cc.labels(), "doc_id", {"train": 0.9, "eval": 0.1}
+    )
+    return out.select("doc_id", "split")
+
+
 def q_trailing_ewma(spark, sf_dir):
     """Trailing exponential smoothing (robust.trailing_ewma): each event's
     value (cents) blended over the user's last 8 rows with half-decay
@@ -7735,6 +7773,9 @@ QUERIES = {
     # r9: near-dup-cluster-keyed train/eval split — no paraphrase pair
     # ever straddles the split boundary (per-doc membership oracle)
     "leakage_safe_split": q_leakage_safe_split,
+    # r10 stretch: the same membership answer derived from LIVE incremental
+    # clusters inside the stream (star-edge collisions), same oracle
+    "streaming_leakage_split": q_streaming_leakage_split,
     # r7: live quota sample == batch quota sample, exactly
     # (sessionize_native, driver-green r6, demoted)
     "streaming_sample": q_streaming_sample,
@@ -8129,6 +8170,7 @@ ORACLES = {
     "streaming_dedup_pipeline_stars": ORACLE_DEDUP_CLUSTER,
     "streaming_dedup_merge": ORACLE_DEDUP_MERGE,
     "leakage_safe_split": ORACLE_LEAKAGE_SAFE_SPLIT,
+    "streaming_leakage_split": ORACLE_LEAKAGE_SAFE_SPLIT,
     "streaming_sample": ORACLE_STREAMING_SAMPLE,
     "hll_distinct": ORACLE_HLL_DISTINCT,
     # max-linearity makes the streaming twin exact against the batch oracle
