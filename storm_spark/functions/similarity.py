@@ -1400,6 +1400,31 @@ def ivf_pq_topk(
         F.col(vec_col).cast("array<double>").alias("__qv__"),
     )
 
+    codes = _pq_encode_cells(assigned, codebooks, m, sub_len)
+    # exact re-rank reuses `assigned` — it already carries each neighbor's
+    # cast vector; a fresh corpus scan + re-cast would duplicate that work
+    return _ivf_pq_search(
+        q,
+        probed,
+        codes,
+        assigned.select("neighbor_id", "__cv__"),
+        codebooks,
+        k,
+        shortlist,
+        scale,
+        m,
+        sub_len,
+    )
+
+
+def _pq_encode_cells(
+    assigned: DataFrame, codebooks: DataFrame, m: int, sub_len: int
+) -> DataFrame:
+    """PQ-encode straight off the cell-assignment output so each code row
+    carries its cell — no second corpus join; argmax via max(struct) hash
+    agg (map-side combine), identical tie-break semantics to
+    :func:`pq_topk`. Shared by :func:`ivf_pq_topk` (in-flight) and
+    :class:`IVFPQIndex` (persisted) so the two cannot desync."""
     cb = F.broadcast(codebooks)
     sub_parts = F.array(
         *[
@@ -1410,10 +1435,7 @@ def ivf_pq_topk(
             for s in range(m)
         ]
     )
-    # PQ-encode straight off the assignment output so each code row carries
-    # its cell — no second corpus join; argmax via max(struct) hash agg
-    # (map-side combine), identical tie-break semantics to pq_topk
-    codes = (
+    return (
         assigned.select(
             "neighbor_id", "__cell__", F.explode(sub_parts).alias("__x__")
         )
@@ -1439,6 +1461,28 @@ def ivf_pq_topk(
             "neighbor_id", "__cell__", "sub", (-F.col("__best__.neg")).alias("code")
         )
     )
+
+
+def _ivf_pq_search(
+    q: DataFrame,
+    probed: DataFrame,
+    codes: DataFrame,
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    k: int,
+    shortlist: int,
+    scale: float,
+    m: int,
+    sub_len: int,
+) -> DataFrame:
+    """The IVF-PQ query side — per-query integer LUT, cell-restricted ADC
+    scan, shortlist, exact-cosine re-rank — over ALREADY-ENCODED state:
+    ``q`` = (query_id, __qv__), ``probed`` = (query_id, __cell__),
+    ``codes`` = (neighbor_id, __cell__, sub, code), ``vectors`` =
+    (neighbor_id, __cv__). Shared verbatim by :func:`ivf_pq_topk` and
+    :class:`IVFPQIndex.search`, so persisted-index serving is
+    bit-identical to the in-flight composition."""
+    cb = F.broadcast(codebooks)
     q_parts = F.array(
         *[
             F.struct(
@@ -1487,11 +1531,12 @@ def ivf_pq_topk(
         .filter(F.col("__sr__") <= shortlist)
         .select("query_id", "neighbor_id")
     )
-    # exact re-rank reuses `assigned` — it already carries each neighbor's
-    # cast vector; a fresh corpus scan + re-cast would duplicate that work
+    # exact re-rank over `vectors` — the caller passes assigned's cast
+    # vectors (in-flight) or the persisted vector table (IVFPQIndex);
+    # either way only |queries|·shortlist rows survive the id join
     exact = (
         short.join(F.broadcast(q), "query_id")
-        .join(assigned.select("neighbor_id", "__cv__"), "neighbor_id")
+        .join(vectors, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -1508,3 +1553,178 @@ def ivf_pq_topk(
             "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
         )
     )
+
+
+class IVFPQIndex:
+    """Persisted IVF-PQ ANN index — the train-once / probe-many SERVING
+    shape for a real 100-TB corpus (VERDICT r9 stretch #9): every prior
+    ANN path retrains centroids and codebooks per call, which is the
+    right shape for a gate and the wrong one for production, where the
+    index is built once and probed by every downstream job.
+
+    :meth:`build` trains the coarse quantizer + PQ codebooks, assigns and
+    encodes the corpus, and writes four parquet artifacts plus a
+    ``_ann_meta.json`` sidecar under ``path``:
+
+    - ``centroids/`` — (cent_id, __cent__), broadcast-tiny
+    - ``codebooks/`` — (sub, cent_id, __cent__), broadcast-tiny
+    - ``codes/`` — (neighbor_id, sub, code) PARTITIONED BY ``__cell__``,
+      so a probe's cell restriction becomes PARTITION PRUNING at the file
+      level: a search reads only the probed cells' directories, never the
+      full code table
+    - ``vectors/`` — (neighbor_id, __cv__) for the exact shortlist
+      re-rank
+
+    :meth:`load` re-attaches in a fresh driver/session (the restart
+    story, mirroring ``IncrementalLSHIndex(resume=True)``), validating
+    the sidecar exists. :meth:`search` runs the identical query side as
+    :func:`ivf_pq_topk` (shared :func:`_ivf_pq_search`, shared probe
+    shape, shared tie-breaks) — a persisted index answers bit-identically
+    to the in-flight composition, which the ``ann_index_persist`` gate
+    pins against the same DuckDB oracle as ``ann_ivf_pq``.
+
+    Reference parity: Trident's persistent ``State`` split between a
+    preparing (build) and a querying (stateQuery) topology —
+    storm/trident/state/State.java, TridentTopology.newStaticState —
+    re-expressed as immutable parquet artifacts + a stateless searcher.
+    """
+
+    _META_KEYS = ("m", "ksub", "n_lists", "sub_len", "id_col", "vec_col")
+
+    def __init__(self, path: str, id_col: str = "vec_id", vec_col: str = "embedding"):
+        self.path = path
+        self.id_col, self.vec_col = id_col, vec_col
+        self.m = self.ksub = self.n_lists = self.sub_len = None
+        self._spark = None
+
+    def _meta_file(self) -> str:
+        import os as _os
+
+        return _os.path.join(self.path, "_ann_meta.json")
+
+    def build(
+        self,
+        corpus: DataFrame,
+        m: int = 4,
+        ksub: int = 4,
+        n_lists: int = 16,
+        n_iters: int = 1,
+        centroids: DataFrame | None = None,
+        overwrite: bool = False,
+    ) -> "IVFPQIndex":
+        """Train + encode + persist. ``centroids=None`` uses the
+        smallest-id default (SQL-expressible, what the oracle gates
+        need); pass :func:`kmeans_centroids` output for trained cells.
+        Refuses a non-empty ``path`` unless ``overwrite=True`` (same
+        guard as the LSH index — rmtree is unrecoverable)."""
+        import json as _json
+        import os as _os
+        import shutil as _shutil
+
+        if not overwrite and _os.path.isdir(self.path) and _os.listdir(self.path):
+            raise ValueError(
+                f"index path {self.path!r} exists and is non-empty; pass "
+                "overwrite=True to replace it"
+            )
+        _shutil.rmtree(self.path, ignore_errors=True)
+        spark = corpus.sparkSession
+        cbs = pq_codebooks(corpus, self.id_col, self.vec_col, m, ksub, n_iters)
+        cents = (
+            centroids
+            if centroids is not None
+            else _ivf_default_centroids(corpus, self.id_col, self.vec_col, n_lists)
+        )
+        meta_row = cbs.agg(
+            F.max("sub").alias("m"), F.max(F.size("__cent__")).alias("L")
+        ).first()
+        sub_len = int(meta_row["L"])
+        # corpus → cell via the SHARED assign step (probe side unused and
+        # never executed — it stays a lazy plan on an empty frame)
+        assigned, _ = _ivf_assign_probe(
+            corpus, corpus.limit(0), cents, self.id_col, self.vec_col, 1
+        )
+        codes = _pq_encode_cells(assigned, cbs, m, sub_len)
+        _os.makedirs(self.path, exist_ok=True)
+        cents.write.mode("overwrite").parquet(_os.path.join(self.path, "centroids"))
+        cbs.write.mode("overwrite").parquet(_os.path.join(self.path, "codebooks"))
+        (
+            codes.write.mode("overwrite")
+            .partitionBy("__cell__")
+            .parquet(_os.path.join(self.path, "codes"))
+        )
+        (
+            assigned.select("neighbor_id", "__cv__")
+            .write.mode("overwrite")
+            .parquet(_os.path.join(self.path, "vectors"))
+        )
+        self.m, self.ksub, self.n_lists, self.sub_len = m, ksub, n_lists, sub_len
+        with open(self._meta_file(), "w") as fh:
+            _json.dump({k: getattr(self, k) for k in self._META_KEYS}, fh)
+        self._spark = spark
+        return self
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IVFPQIndex":
+        """Attach to a persisted index in a (possibly fresh) session —
+        fails loudly when the sidecar is missing (not an index, or a
+        pre-meta incarnation)."""
+        import json as _json
+        import os as _os
+
+        meta_file = _os.path.join(path, "_ann_meta.json")
+        if not _os.path.isfile(meta_file):
+            raise ValueError(
+                f"{meta_file!r} is missing — {path!r} does not hold a "
+                "persisted IVFPQIndex"
+            )
+        with open(meta_file) as fh:
+            meta = _json.load(fh)
+        idx = cls(path, meta["id_col"], meta["vec_col"])
+        for k in ("m", "ksub", "n_lists", "sub_len"):
+            setattr(idx, k, meta[k])
+        idx._spark = spark
+        return idx
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        n_probe: int = 4,
+        shortlist: int = 20,
+        scale: float = 1e9,
+    ) -> DataFrame:
+        """Probe the persisted index: identical output contract (and
+        tie-breaks) to :func:`ivf_pq_topk` over the same corpus/params —
+        ``(query_id, neighbor_id, cos_sim, rank)``. The probed cells
+        reach the code scan as a partition filter, so the read touches
+        only n_probe directories per query set."""
+        import os as _os
+
+        if self.m is None:
+            raise ValueError("index not built or loaded")
+        spark = queries.sparkSession
+        cents = spark.read.parquet(_os.path.join(self.path, "centroids"))
+        codebooks = spark.read.parquet(_os.path.join(self.path, "codebooks"))
+        codes = spark.read.parquet(_os.path.join(self.path, "codes")).select(
+            "neighbor_id", "__cell__", "sub", "code"
+        )
+        vectors = spark.read.parquet(_os.path.join(self.path, "vectors"))
+        q = queries.select(
+            F.col(self.id_col).alias("query_id"),
+            F.col(self.vec_col).cast("array<double>").alias("__qv__"),
+        )
+        # same probe shape as _ivf_assign_probe's query side
+        w_probe = Window.partitionBy("query_id").orderBy(
+            F.col("__qc__").desc(), F.col("cent_id").asc()
+        )
+        probed = (
+            q.crossJoin(F.broadcast(cents))
+            .withColumn("__qc__", _cos(F.col("__qv__"), F.col("__cent__")))
+            .withColumn("__r__", F.row_number().over(w_probe))
+            .filter(F.col("__r__") <= n_probe)
+            .select("query_id", F.col("cent_id").alias("__cell__"))
+        )
+        return _ivf_pq_search(
+            q, probed, codes, vectors, codebooks, k, shortlist, scale,
+            self.m, self.sub_len,
+        )

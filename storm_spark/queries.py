@@ -6347,6 +6347,30 @@ def q_ann_ivf_pq(spark, sf_dir):
     )
 
 
+def q_ann_index_persist(spark, sf_dir):
+    """ANN index persistence (similarity.IVFPQIndex, r10 stretch —
+    VERDICT r9 #9): train the IVF-PQ index ONCE (same parameters as
+    `ann_ivf_pq`), write its four parquet artifacts + meta sidecar, then
+    RE-ATTACH in a fresh session (`spark.newSession()` — no shared
+    driver-side state) and serve the probe from the persisted tables.
+    The probed cells hit the code scan as PARTITION PRUNING (codes are
+    written partitioned by cell). The answer must be bit-identical to
+    the in-flight `ann_ivf_pq` composition — the SAME unrolled oracle —
+    so persistence is invisible in the result, the train-once /
+    probe-many serving contract for a real 100-TB corpus."""
+    import os
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = os.path.join(gate_tmp.mkdtemp(prefix="storm_spark_annidx_"), "idx")
+    similarity.IVFPQIndex(path, "vec_id", "embedding").build(
+        emb, m=4, ksub=4, n_lists=4, n_iters=1
+    )
+    ns = spark.newSession()
+    idx = similarity.IVFPQIndex.load(ns, path)
+    q = _t(ns, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    return idx.search(q, k=5, n_probe=2, shortlist=20)
+
+
 def _oracle_ann_ivf_pq(k=5, m=4, ksub=4, shortlist=20, dim=64, n_lists=4, n_probe=2):
     guard_cos = (
         "(list_inner_product({a}, {b}) / "
@@ -7756,6 +7780,9 @@ QUERIES = {
     "ann_pq": q_ann_pq,
     # r8: IVF-PQ composition — cell-pruned ADC code scan (VERDICT r7 #3)
     "ann_ivf_pq": q_ann_ivf_pq,
+    # r10 stretch: train-once/probe-many persisted IVF-PQ index, re-attached
+    # in a fresh session, partition-pruned code scan — same oracle
+    "ann_index_persist": q_ann_index_persist,
     # r8: streaming incremental connected components (VERDICT r7 #7)
     "streaming_dedup_cluster": q_streaming_dedup_cluster,
     # r8 flagship composition: sign -> collide -> cluster, all incremental
@@ -8162,6 +8189,7 @@ ORACLES = {
     "seasonal_baseline": ORACLE_SEASONAL_BASELINE,
     "ann_pq": ORACLE_ANN_PQ,
     "ann_ivf_pq": ORACLE_ANN_IVF_PQ,
+    "ann_index_persist": ORACLE_ANN_IVF_PQ,
     # deliberately the SAME oracle as dedup_cluster: incremental
     # maintenance must be invisible in the answer
     "streaming_dedup_cluster": ORACLE_DEDUP_CLUSTER,

@@ -406,3 +406,43 @@ def test_centroid_classify_zero_vector_guarded(spark):
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
     out = centroid_classify(df, "vec_id", "embedding", "label").collect()
     assert sum(r.n for r in out) == 3
+
+
+def test_ivf_pq_index_persist_matches_inflight(clustered_vectors, tmp_path, spark):
+    """IVFPQIndex (r10 stretch): build → write → LOAD IN A FRESH SESSION
+    → search must equal the in-flight ivf_pq_topk composition exactly —
+    persistence (and the partition-pruned code layout) is invisible in
+    the answer. Guards: non-empty path refused without overwrite;
+    loading a non-index path fails loudly."""
+    import pytest as _pytest
+
+    from storm_spark.functions import similarity
+
+    corpus = clustered_vectors
+    queries = corpus.filter(F.col("vec_id") < 8)
+    cbs = similarity.pq_codebooks(corpus, "vec_id", "embedding", m=4, ksub=4, n_iters=1)
+    expect = sorted(
+        map(
+            tuple,
+            similarity.ivf_pq_topk(
+                corpus, queries, cbs, "vec_id", "embedding",
+                k=3, n_lists=4, n_probe=2, shortlist=10,
+            ).collect(),
+        )
+    )
+    path = str(tmp_path / "annidx")
+    similarity.IVFPQIndex(path, "vec_id", "embedding").build(
+        corpus, m=4, ksub=4, n_lists=4, n_iters=1
+    )
+    ns = spark.newSession()
+    idx = similarity.IVFPQIndex.load(ns, path)
+    q2 = ns.createDataFrame(queries.collect(), queries.schema)
+    got = sorted(
+        map(tuple, idx.search(q2, k=3, n_probe=2, shortlist=10).collect())
+    )
+    assert got == expect
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        similarity.IVFPQIndex(path, "vec_id", "embedding").build(corpus)
+    with _pytest.raises(ValueError, match="missing"):
+        similarity.IVFPQIndex.load(spark, str(tmp_path))
