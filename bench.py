@@ -160,6 +160,10 @@ HEADLINE = [
     "bpe_segment",
     # r9: cluster-keyed train/eval split (per-doc membership gate)
     "leakage_safe_split",
+    # r10: star-edge clustering (O(m) hot buckets) and the persisted
+    # train-once/probe-many IVF-PQ index (streaming gates stay exempt)
+    "dedup_cluster_stars",
+    "ann_index_persist",
 ]
 
 
