@@ -1212,16 +1212,15 @@ class IncrementalLSHIndex:
             nb.sparkSession.sql(f"DROP TABLE IF EXISTS {self._ids_table}")
             _shutil.rmtree(self.index_path, ignore_errors=True)
             _shutil.rmtree(self._ids_path, ignore_errors=True)
-        (
-            nb.write.mode("append")
-            .option("path", self.index_path)
-            .bucketBy(self.n_buckets, "__band__", "__bucket__")
-            .sortBy("__bucket__")
-            .format("parquet")
-            .saveAsTable(self.index_table)
-        )
         # compact sibling id table (one narrow row per doc, bucketed on id)
-        # — what the re-sent-id semi-join scans; see _ids_table
+        # — what the re-sent-id semi-join scans; see _ids_table. Written
+        # BEFORE the index append on purpose: the two writes cannot be
+        # atomic, and the failure modes differ — ids-first means a crash
+        # between them makes the batch's REPLAY raise "already indexed"
+        # (loud, operator-visible, matching the class convention), while
+        # index-first would let the replay pass the id check and silently
+        # DOUBLE-INDEX the batch (duplicate signature rows → self-pairs
+        # and phantom duplicates downstream, the worst possible failure).
         (
             nb.filter(F.col("__band__") == 0)
             .select("__id__")
@@ -1230,6 +1229,14 @@ class IncrementalLSHIndex:
             .bucketBy(self.n_buckets, "__id__")
             .format("parquet")
             .saveAsTable(self._ids_table)
+        )
+        (
+            nb.write.mode("append")
+            .option("path", self.index_path)
+            .bucketBy(self.n_buckets, "__band__", "__bucket__")
+            .sortBy("__bucket__")
+            .format("parquet")
+            .saveAsTable(self.index_table)
         )
         if not self._has_table:
             import json as _json

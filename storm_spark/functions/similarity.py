@@ -309,6 +309,11 @@ def kmeans_centroids(
         .collect()
     )
     cents = [list(r["__cv__"]) for r in init]
+    if not cents:
+        raise ValueError(
+            "kmeans_centroids: empty corpus — nothing to train on (fail "
+            "loudly rather than hand an empty centroid table downstream)"
+        )
 
     spark = corpus.sparkSession
     for _ in range(n_iters):
@@ -1595,7 +1600,6 @@ class IVFPQIndex:
         self.path = path
         self.id_col, self.vec_col = id_col, vec_col
         self.m = self.ksub = self.n_lists = self.sub_len = None
-        self._spark = None
 
     def _meta_file(self) -> str:
         import os as _os
@@ -1627,22 +1631,23 @@ class IVFPQIndex:
                 "overwrite=True to replace it"
             )
         _shutil.rmtree(self.path, ignore_errors=True)
-        spark = corpus.sparkSession
         cbs = pq_codebooks(corpus, self.id_col, self.vec_col, m, ksub, n_iters)
         cents = (
             centroids
             if centroids is not None
             else _ivf_default_centroids(corpus, self.id_col, self.vec_col, n_lists)
         )
-        meta_row = cbs.agg(
-            F.max("sub").alias("m"), F.max(F.size("__cent__")).alias("L")
-        ).first()
-        sub_len = int(meta_row["L"])
+        sub_len = int(cbs.agg(F.max(F.size("__cent__")).alias("L")).first()["L"])
         # corpus → cell via the SHARED assign step (probe side unused and
-        # never executed — it stays a lazy plan on an empty frame)
+        # never executed — it stays a lazy plan on an empty frame).
+        # localCheckpoint: assigned feeds BOTH the codes write and the
+        # vectors write — unmaterialized, the full corpus crossJoin+argmax
+        # (the build's most expensive stage) would run twice (r10 self
+        # review #5).
         assigned, _ = _ivf_assign_probe(
             corpus, corpus.limit(0), cents, self.id_col, self.vec_col, 1
         )
+        assigned = assigned.localCheckpoint()
         codes = _pq_encode_cells(assigned, cbs, m, sub_len)
         _os.makedirs(self.path, exist_ok=True)
         cents.write.mode("overwrite").parquet(_os.path.join(self.path, "centroids"))
@@ -1660,14 +1665,15 @@ class IVFPQIndex:
         self.m, self.ksub, self.n_lists, self.sub_len = m, ksub, n_lists, sub_len
         with open(self._meta_file(), "w") as fh:
             _json.dump({k: getattr(self, k) for k in self._META_KEYS}, fh)
-        self._spark = spark
         return self
 
     @classmethod
-    def load(cls, spark, path: str) -> "IVFPQIndex":
-        """Attach to a persisted index in a (possibly fresh) session —
-        fails loudly when the sidecar is missing (not an index, or a
-        pre-meta incarnation)."""
+    def load(cls, path: str) -> "IVFPQIndex":
+        """Attach to a persisted index — pure metadata (the parquet
+        artifacts are read lazily by :meth:`search` through the queries
+        frame's session, so a fresh driver just calls load(path) and
+        searches). Fails loudly when the sidecar is missing (not an
+        index, or a pre-meta incarnation)."""
         import json as _json
         import os as _os
 
@@ -1682,7 +1688,6 @@ class IVFPQIndex:
         idx = cls(path, meta["id_col"], meta["vec_col"])
         for k in ("m", "ksub", "n_lists", "sub_len"):
             setattr(idx, k, meta[k])
-        idx._spark = spark
         return idx
 
     def search(
@@ -1702,6 +1707,11 @@ class IVFPQIndex:
 
         if self.m is None:
             raise ValueError("index not built or loaded")
+        # artifacts are read through the QUERIES frame's session — every
+        # frame in the search plan must come from one session to be
+        # joinable, and the queries frame fixes which one (r10 self
+        # review #7: a separately-stored session would be dead weight or,
+        # worse, a cross-session join error)
         spark = queries.sparkSession
         cents = spark.read.parquet(_os.path.join(self.path, "centroids"))
         codebooks = spark.read.parquet(_os.path.join(self.path, "codebooks"))

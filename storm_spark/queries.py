@@ -115,7 +115,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rebalance_scan(df)
 
 
-def _time_chunked(df: DataFrame, ts_col: str, n: int = 3) -> DataFrame:
+def _time_chunked(
+    df: DataFrame, ts_col: str, n: int = 3, distinct_values: bool = False
+) -> DataFrame:
     """Tag each row with a 1-based time-contiguous chunk id ``__t__`` —
     the streaming gates' epoch splitter. Replaces the former
     ``ntile(n).over(Window.orderBy(ts, ...))`` (a global ONE-PARTITION
@@ -126,17 +128,25 @@ def _time_chunked(df: DataFrame, ts_col: str, n: int = 3) -> DataFrame:
     "No Partition Defined" warning. Chunks stay TIME-CONTIGUOUS and
     non-overlapping (equal-ts rows co-locate, chunk b covers
     cuts[b-1] < ts ≤ cuts[b]), which is what the watermark-semantics
-    arguments in the gate docstrings need — a hash split would not be."""
-    qs = df.select(
-        F.unix_micros(F.col(ts_col)).alias("__m__")
-    ).approxQuantile("__m__", [i / n for i in range(1, n)] + [1.0], 0.0)
+    arguments in the gate docstrings need — a hash split would not be.
+
+    ``distinct_values=True`` computes the cuts over the column's DISTINCT
+    values instead of rows — the bucket-boundary splitter shape (r10 self
+    review): a feed whose ts is a coarse BUCKET (one hour value covering
+    a third of all rows) would collide row-quantile cuts, but splits fine
+    by distinct bucket terciles, matching the dense_rank-over-buckets
+    semantics this replaced."""
+    src = df.select(F.unix_micros(F.col(ts_col)).alias("__m__"))
+    if distinct_values:
+        src = src.distinct()
+    qs = src.approxQuantile("__m__", [i / n for i in range(1, n)] + [1.0], 0.0)
     if not qs:
         raise ValueError(
             f"_time_chunked: no rows to chunk on {ts_col!r} — a streaming "
             "gate fed an empty table (fixture problem, fail loudly)"
         )
     cuts, ts_max = qs[:-1], qs[-1]
-    if len(set(cuts)) < len(cuts) or cuts[-1] == ts_max:
+    if cuts and (len(set(cuts)) < len(cuts) or cuts[-1] == ts_max):
         # heavier ties than rows-per-chunk: some chunks would be EMPTY and
         # the gate's per-epoch semantics (e.g. a recovery leg) could pass
         # vacuously — refuse instead of silently degrading the feed. The
@@ -5134,8 +5144,13 @@ def q_streaming_gap_fill(spark, sf_dir):
     )
     secs = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000")
     e = e.withColumn("__b__", (secs - F.pmod(secs, F.lit(3600))))
+    # distinct_values: terciles of DISTINCT hour buckets, not rows — a
+    # monster bucket holding a third of the events must not collide the
+    # cuts (the dense_rank-tercile semantics this splitter replaced)
     parts = _time_chunked(
-        e.withColumn("__bts__", F.timestamp_seconds(F.col("__b__"))), "__bts__"
+        e.withColumn("__bts__", F.timestamp_seconds(F.col("__b__"))),
+        "__bts__",
+        distinct_values=True,
     )
     feed_schema = e.select("event_type", "ts", "v_c").schema
     tmp = gate_tmp.mkdtemp(prefix="storm_spark_sgap_")
@@ -6381,7 +6396,7 @@ def q_ann_index_persist(spark, sf_dir):
         emb, m=4, ksub=4, n_lists=4, n_iters=1
     )
     ns = spark.newSession()
-    idx = similarity.IVFPQIndex.load(ns, path)
+    idx = similarity.IVFPQIndex.load(path)
     q = _t(ns, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
     return idx.search(q, k=5, n_probe=2, shortlist=20)
 

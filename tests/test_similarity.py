@@ -435,7 +435,7 @@ def test_ivf_pq_index_persist_matches_inflight(clustered_vectors, tmp_path, spar
         corpus, m=4, ksub=4, n_lists=4, n_iters=1
     )
     ns = spark.newSession()
-    idx = similarity.IVFPQIndex.load(ns, path)
+    idx = similarity.IVFPQIndex.load(path)
     q2 = ns.createDataFrame(queries.collect(), queries.schema)
     got = sorted(
         map(tuple, idx.search(q2, k=3, n_probe=2, shortlist=10).collect())
@@ -445,4 +445,4 @@ def test_ivf_pq_index_persist_matches_inflight(clustered_vectors, tmp_path, spar
     with _pytest.raises(ValueError, match="non-empty"):
         similarity.IVFPQIndex(path, "vec_id", "embedding").build(corpus)
     with _pytest.raises(ValueError, match="missing"):
-        similarity.IVFPQIndex.load(spark, str(tmp_path))
+        similarity.IVFPQIndex.load(str(tmp_path))
