@@ -1186,6 +1186,14 @@ class IncrementalLSHIndex:
             self._index = (
                 nb if self._index is None else self._index.unionByName(nb)
             )
+            # same plan-depth bound as pairs()/IncrementalComponents: the
+            # index joins into EVERY epoch's collision, so fold the lazy
+            # union every compact_every epochs (in-memory mode only — the
+            # bucketed table has no plan to grow)
+            self._index_epochs = getattr(self, "_index_epochs", 0) + 1
+            if self._index_epochs >= self.compact_every:
+                self._index = self._index.localCheckpoint()
+                self._index_epochs = 0
             return
         if not self._has_table:
             # drop BOTH the metastore entry and any stale files at the

@@ -490,10 +490,14 @@ class IncrementalComponents:
     beyond-reference streaming-depth layer.
     """
 
-    def __init__(self, max_iter: int = 50):
+    def __init__(self, max_iter: int = 50, compact_every: int = 16):
+        if compact_every < 2:
+            raise ValueError("compact_every must be >= 2")
         self.max_iter = max_iter
+        self.compact_every = compact_every
         self._labels: DataFrame | None = None
         self._edges: DataFrame | None = None
+        self._edge_epochs = 0  # unions since the last edge-state compaction
         #: per-epoch cluster fold map — see :meth:`last_fold`
         self._last_fold: DataFrame | None = None
 
@@ -555,10 +559,20 @@ class IncrementalComponents:
         # accumulate WITHOUT a global distinct (the IncrementalBFS
         # convention): a re-sent pair only adds a redundant candidate row,
         # folded by the groupBy-min; re-distincting would shuffle O(|E|)
-        # rows every epoch.
+        # rows every epoch. The lazy union is FOLDED into one checkpointed
+        # frame every compact_every epochs (r10, the pairs() fix's twin —
+        # VERDICT r9 #7): the cascade joins _edges every round, so an
+        # unbounded union would put an O(epochs)-leaf plan under every
+        # join of a months-long stream; the fold costs amortized
+        # O(|E|/compact_every) re-materialization per epoch and keeps the
+        # plan no deeper than compact_every union nodes.
         self._edges = (
             delta if self._edges is None else self._edges.unionByName(delta)
         )
+        self._edge_epochs += 1
+        if self._edge_epochs >= self.compact_every:
+            self._edges = self._edges.localCheckpoint()
+            self._edge_epochs = 0
         # delta frontier: labels crossing only the NEW edges — the only
         # places an added edge can change any label
         cands = delta.join(

@@ -974,3 +974,23 @@ def test_incremental_survivorship_fractional_quality(spark):
             None,
             None,
         )
+
+
+def test_incremental_components_edge_plan_bounded(spark):
+    """IncrementalComponents' accumulated edge state folds every
+    compact_every epochs (r10 — the pairs() plan-depth fix's twin): the
+    cascade joins _edges every round, so a long stream must not put an
+    O(epochs)-leaf union plan under every join. Labels stay exact."""
+    from storm_spark.functions.dedup import near_dup_clusters
+    from storm_spark.functions.mining import IncrementalComponents
+
+    edges = [(i, i + 1) for i in range(0, 40, 2)]  # 20 disjoint pairs
+    cc = IncrementalComponents(compact_every=4)
+    for e in edges:  # 20 single-edge epochs
+        cc.add_edges(spark.createDataFrame([e], "id_a long, id_b long"))
+    plan = cc._edges._jdf.queryExecution().logical().toString()
+    assert plan.count("Union") <= 4, plan
+    batch = near_dup_clusters(spark.createDataFrame(edges, "id_a long, id_b long"))
+    assert {(r.id, r.cluster_id) for r in cc.labels().collect()} == {
+        (r.id, r.cluster_id) for r in batch.collect()
+    }
