@@ -164,6 +164,7 @@ HEADLINE = [
     # train-once/probe-many IVF-PQ index (streaming gates stay exempt)
     "dedup_cluster_stars",
     "ann_index_persist",
+    "ann_index_update",
 ]
 
 

@@ -1614,11 +1614,14 @@ class IVFPQIndex:
         n_lists: int = 16,
         n_iters: int = 1,
         centroids: DataFrame | None = None,
+        codebooks: DataFrame | None = None,
         overwrite: bool = False,
     ) -> "IVFPQIndex":
         """Train + encode + persist. ``centroids=None`` uses the
         smallest-id default (SQL-expressible, what the oracle gates
-        need); pass :func:`kmeans_centroids` output for trained cells.
+        need); pass :func:`kmeans_centroids` output for trained cells,
+        and/or pre-trained ``codebooks`` (e.g. trained on a larger corpus
+        than the initial build — the :meth:`add_vectors` composition).
         Refuses a non-empty ``path`` unless ``overwrite=True`` (same
         guard as the LSH index — rmtree is unrecoverable)."""
         import json as _json
@@ -1631,7 +1634,11 @@ class IVFPQIndex:
                 "overwrite=True to replace it"
             )
         _shutil.rmtree(self.path, ignore_errors=True)
-        cbs = pq_codebooks(corpus, self.id_col, self.vec_col, m, ksub, n_iters)
+        cbs = (
+            codebooks
+            if codebooks is not None
+            else pq_codebooks(corpus, self.id_col, self.vec_col, m, ksub, n_iters)
+        )
         cents = (
             centroids
             if centroids is not None
@@ -1689,6 +1696,44 @@ class IVFPQIndex:
         for k in ("m", "ksub", "n_lists", "sub_len"):
             setattr(idx, k, meta[k])
         return idx
+
+    def add_vectors(self, corpus: DataFrame) -> "IVFPQIndex":
+        """Absorb NEW corpus vectors into the persisted index — the
+        serving lifecycle's growth step (corpus keeps arriving; the
+        index absorbs deltas instead of retraining): each new vector is
+        assigned to its cell and PQ-encoded against the STORED centroids
+        and codebooks (quantizers are frozen after build — the standard
+        IVF-PQ serving contract), then appended to the cell-partitioned
+        codes and the vectors table. Exactly equal to having built the
+        index over the union with the same quantizers (pinned in test
+        and by the ``ann_index_update`` gate, whose split-build+add must
+        match the full-build oracle verbatim). Delta-sized work: one
+        broadcast-argmax pass over |Δ| vectors, appends touch only the
+        delta's cell partitions. Ids must be new — run exact dedup
+        upstream (same contract as ``IncrementalLSHIndex``)."""
+        import os as _os
+
+        if self.m is None:
+            raise ValueError("index not built or loaded")
+        spark = corpus.sparkSession
+        cents = spark.read.parquet(_os.path.join(self.path, "centroids"))
+        cbs = spark.read.parquet(_os.path.join(self.path, "codebooks"))
+        assigned, _ = _ivf_assign_probe(
+            corpus, corpus.limit(0), cents, self.id_col, self.vec_col, 1
+        )
+        assigned = assigned.localCheckpoint()  # feeds both appends once
+        codes = _pq_encode_cells(assigned, cbs, self.m, self.sub_len)
+        (
+            codes.write.mode("append")
+            .partitionBy("__cell__")
+            .parquet(_os.path.join(self.path, "codes"))
+        )
+        (
+            assigned.select("neighbor_id", "__cv__")
+            .write.mode("append")
+            .parquet(_os.path.join(self.path, "vectors"))
+        )
+        return self
 
     def search(
         self,

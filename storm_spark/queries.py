@@ -6401,6 +6401,33 @@ def q_ann_index_persist(spark, sf_dir):
     return idx.search(q, k=5, n_probe=2, shortlist=20)
 
 
+def q_ann_index_update(spark, sf_dir):
+    """Incremental growth of the persisted ANN index
+    (similarity.IVFPQIndex.add_vectors, r10): build the index over HALF
+    the corpus, then absorb the other half as a delta — each new vector
+    assigned and PQ-encoded against the STORED (frozen) quantizers,
+    appended to the cell-partitioned codes. Quantizers are trained on
+    the full corpus up front and passed in (the serving contract: train
+    once, freeze, absorb deltas), so split-build+add is EXACTLY
+    full-build — and the answer must match the same unrolled full-corpus
+    `ann_ivf_pq` oracle verbatim. Delta-sized work per absorb: one
+    broadcast-argmax over |Δ| plus appends to the touched cell
+    partitions."""
+    import os
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = similarity.pq_codebooks(emb, "vec_id", "embedding", m=4, ksub=4, n_iters=1)
+    cents = similarity._ivf_default_centroids(emb, "vec_id", "embedding", 4)
+    path = os.path.join(gate_tmp.mkdtemp(prefix="storm_spark_annupd_"), "idx")
+    half = F.pmod(F.col("vec_id"), F.lit(2))
+    idx = similarity.IVFPQIndex(path, "vec_id", "embedding").build(
+        emb.filter(half == 0), m=4, ksub=4, n_lists=4, centroids=cents, codebooks=cbs
+    )
+    idx.add_vectors(emb.filter(half == 1))
+    q = emb.filter(F.col("vec_id") < 20)
+    return idx.search(q, k=5, n_probe=2, shortlist=20)
+
+
 def _oracle_ann_ivf_pq(k=5, m=4, ksub=4, shortlist=20, dim=64, n_lists=4, n_probe=2):
     guard_cos = (
         "(list_inner_product({a}, {b}) / "
@@ -7813,6 +7840,9 @@ QUERIES = {
     # r10 stretch: train-once/probe-many persisted IVF-PQ index, re-attached
     # in a fresh session, partition-pruned code scan — same oracle
     "ann_index_persist": q_ann_index_persist,
+    # r10: delta absorption into the persisted index (frozen quantizers) —
+    # split-build+add must equal the full-build oracle verbatim
+    "ann_index_update": q_ann_index_update,
     # r8: streaming incremental connected components (VERDICT r7 #7)
     "streaming_dedup_cluster": q_streaming_dedup_cluster,
     # r8 flagship composition: sign -> collide -> cluster, all incremental
@@ -8039,8 +8069,9 @@ QUERIES = {
 # samples the first 50 keys, so the head is recomputed each round via
 # tools/rotation.py as: this round's NEW gates, then every other entry
 # ranked by (last driver-sampled round, catalog position)). The r10 head =
-# the 4 new r10 gates (streaming_dedup_pipeline_stars,
-# streaming_leakage_split, ann_index_persist, dedup_cluster_stars), then
+# the 5 new r10 gates (streaming_dedup_pipeline_stars,
+# streaming_leakage_split, ann_index_persist, ann_index_update,
+# dedup_cluster_stars), then
 # approx_distinct FORCED per VERDICT r9 #3 (its r9 oracle graduation is
 # judge-verified but the driver last sampled it as r8 no_oracle — this
 # lands the confirming driver row), then the r5/r6-era tail by staleness.
@@ -8050,6 +8081,7 @@ _ROTATION10_HEAD = [
     "streaming_dedup_pipeline_stars",
     "streaming_leakage_split",
     "ann_index_persist",
+    "ann_index_update",
     "dedup_cluster_stars",
     "approx_distinct",
     "centroid_classify",
@@ -8096,7 +8128,6 @@ _ROTATION10_HEAD = [
     "contamination_pairs",
     "js_drift",
     "merge_intervals",
-    "group_mode",
 ]
 assert len(_ROTATION10_HEAD) == 50 and len(set(_ROTATION10_HEAD)) == 50
 QUERIES = {
@@ -8222,6 +8253,7 @@ ORACLES = {
     "ann_pq": ORACLE_ANN_PQ,
     "ann_ivf_pq": ORACLE_ANN_IVF_PQ,
     "ann_index_persist": ORACLE_ANN_IVF_PQ,
+    "ann_index_update": ORACLE_ANN_IVF_PQ,
     # deliberately the SAME oracle as dedup_cluster: incremental
     # maintenance must be invisible in the answer
     "streaming_dedup_cluster": ORACLE_DEDUP_CLUSTER,

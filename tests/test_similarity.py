@@ -446,3 +446,33 @@ def test_ivf_pq_index_persist_matches_inflight(clustered_vectors, tmp_path, spar
         similarity.IVFPQIndex(path, "vec_id", "embedding").build(corpus)
     with _pytest.raises(ValueError, match="missing"):
         similarity.IVFPQIndex.load(str(tmp_path))
+
+
+def test_ivf_pq_index_add_vectors_equals_full_build(clustered_vectors, tmp_path, spark):
+    """add_vectors parity: build on half the corpus, absorb the other
+    half against the FROZEN stored quantizers — search must equal the
+    index built over the full corpus with the same quantizers."""
+    import pytest as _pytest
+
+    from storm_spark.functions import similarity
+
+    corpus = clustered_vectors
+    queries = corpus.filter(F.col("vec_id") < 8)
+    cbs = similarity.pq_codebooks(corpus, "vec_id", "embedding", m=4, ksub=4, n_iters=1)
+    cents = similarity._ivf_default_centroids(corpus, "vec_id", "embedding", 4)
+    kw = dict(m=4, ksub=4, n_lists=4, centroids=cents, codebooks=cbs)
+    full = similarity.IVFPQIndex(str(tmp_path / "full"), "vec_id", "embedding").build(
+        corpus, **kw
+    )
+    half = F.pmod(F.col("vec_id"), F.lit(2))
+    grown = similarity.IVFPQIndex(str(tmp_path / "grown"), "vec_id", "embedding").build(
+        corpus.filter(half == 0), **kw
+    )
+    grown.add_vectors(corpus.filter(half == 1))
+    args = dict(k=3, n_probe=2, shortlist=10)
+    a = sorted(map(tuple, full.search(queries, **args).collect()))
+    b = sorted(map(tuple, grown.search(queries, **args).collect()))
+    assert a == b
+
+    with _pytest.raises(ValueError, match="not built"):
+        similarity.IVFPQIndex(str(tmp_path / "x")).add_vectors(corpus)
