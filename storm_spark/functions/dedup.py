@@ -1097,6 +1097,7 @@ class IncrementalLSHIndex:
         self.enforce_unique = enforce_unique
         self.compact_every = compact_every
         self._index: DataFrame | None = None  # in-memory mode
+        self._index_epochs = 0  # unions since the last in-memory fold
         self._has_table = False  # bucketed mode
         self._resume_checked = False
         self._pairs: list[DataFrame] = []  # checkpointed per-epoch frames
@@ -1190,7 +1191,7 @@ class IncrementalLSHIndex:
             # index joins into EVERY epoch's collision, so fold the lazy
             # union every compact_every epochs (in-memory mode only — the
             # bucketed table has no plan to grow)
-            self._index_epochs = getattr(self, "_index_epochs", 0) + 1
+            self._index_epochs += 1
             if self._index_epochs >= self.compact_every:
                 self._index = self._index.localCheckpoint()
                 self._index_epochs = 0

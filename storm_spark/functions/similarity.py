@@ -1639,40 +1639,75 @@ class IVFPQIndex:
             if codebooks is not None
             else pq_codebooks(corpus, self.id_col, self.vec_col, m, ksub, n_iters)
         )
+        if codebooks is not None:
+            # pre-trained codebooks must describe the SAME (m, ksub) being
+            # persisted to the sidecar — a mismatch would slice the wrong
+            # subspaces and record metadata that misdescribes the index
+            # (r10 self review; the LSH resume path refuses the analogous
+            # parameter drift)
+            shape = cbs.agg(
+                F.max("sub").alias("s"),
+                F.max("cent_id").alias("c"),
+                F.count(F.lit(1)).alias("n"),
+            ).first()
+            if int(shape["s"]) + 1 != m or int(shape["c"]) + 1 != ksub or int(
+                shape["n"]
+            ) != m * ksub:
+                raise ValueError(
+                    f"codebooks shape (subs={int(shape['s']) + 1}, "
+                    f"ksub={int(shape['c']) + 1}, rows={int(shape['n'])}) does "
+                    f"not match build(m={m}, ksub={ksub})"
+                )
         cents = (
             centroids
             if centroids is not None
             else _ivf_default_centroids(corpus, self.id_col, self.vec_col, n_lists)
         )
         sub_len = int(cbs.agg(F.max(F.size("__cent__")).alias("L")).first()["L"])
-        # corpus → cell via the SHARED assign step (probe side unused and
-        # never executed — it stays a lazy plan on an empty frame).
-        # localCheckpoint: assigned feeds BOTH the codes write and the
-        # vectors write — unmaterialized, the full corpus crossJoin+argmax
-        # (the build's most expensive stage) would run twice (r10 self
-        # review #5).
+        self.m, self.ksub, self.n_lists, self.sub_len = m, ksub, n_lists, sub_len
+        _os.makedirs(self.path, exist_ok=True)
+        cents.write.mode("overwrite").parquet(_os.path.join(self.path, "centroids"))
+        cbs.write.mode("overwrite").parquet(_os.path.join(self.path, "codebooks"))
+        self._encode_and_write(corpus, cents, cbs, "overwrite")
+        with open(self._meta_file(), "w") as fh:
+            _json.dump({k: getattr(self, k) for k in self._META_KEYS}, fh)
+        return self
+
+    def _encode_and_write(
+        self, corpus: DataFrame, cents: DataFrame, cbs: DataFrame, mode: str
+    ) -> None:
+        """Shared assign → encode → persist step of :meth:`build`
+        (overwrite) and :meth:`add_vectors` (append) — one body so a
+        tie-break or schema change cannot desync the two (the same
+        argument as :func:`_pq_encode_cells` itself). The corpus → cell
+        assignment runs via the SHARED assign step (probe side unused and
+        never executed — a lazy plan on an empty frame) and is
+        localCheckpoint'ed because it feeds BOTH writes — unmaterialized,
+        the crossJoin+argmax (the most expensive stage) would run twice.
+        VECTORS are written BEFORE codes: the two appends cannot be
+        atomic, and vectors-first means a crash between them leaves ids
+        that the duplicate check sees — the interrupted batch's REPLAY
+        raises loudly instead of silently double-scoring (the
+        ids-before-index ordering of ``IncrementalLSHIndex``); an id in
+        vectors without codes is simply absent from the ADC scan, never
+        a wrong answer."""
+        import os as _os
+
         assigned, _ = _ivf_assign_probe(
             corpus, corpus.limit(0), cents, self.id_col, self.vec_col, 1
         )
         assigned = assigned.localCheckpoint()
-        codes = _pq_encode_cells(assigned, cbs, m, sub_len)
-        _os.makedirs(self.path, exist_ok=True)
-        cents.write.mode("overwrite").parquet(_os.path.join(self.path, "centroids"))
-        cbs.write.mode("overwrite").parquet(_os.path.join(self.path, "codebooks"))
+        codes = _pq_encode_cells(assigned, cbs, self.m, self.sub_len)
         (
-            codes.write.mode("overwrite")
+            assigned.select("neighbor_id", "__cv__")
+            .write.mode(mode)
+            .parquet(_os.path.join(self.path, "vectors"))
+        )
+        (
+            codes.write.mode(mode)
             .partitionBy("__cell__")
             .parquet(_os.path.join(self.path, "codes"))
         )
-        (
-            assigned.select("neighbor_id", "__cv__")
-            .write.mode("overwrite")
-            .parquet(_os.path.join(self.path, "vectors"))
-        )
-        self.m, self.ksub, self.n_lists, self.sub_len = m, ksub, n_lists, sub_len
-        with open(self._meta_file(), "w") as fh:
-            _json.dump({k: getattr(self, k) for k in self._META_KEYS}, fh)
-        return self
 
     @classmethod
     def load(cls, path: str) -> "IVFPQIndex":
@@ -1697,42 +1732,55 @@ class IVFPQIndex:
             setattr(idx, k, meta[k])
         return idx
 
-    def add_vectors(self, corpus: DataFrame) -> "IVFPQIndex":
+    def add_vectors(
+        self, corpus: DataFrame, enforce_unique: bool = True
+    ) -> "IVFPQIndex":
         """Absorb NEW corpus vectors into the persisted index — the
         serving lifecycle's growth step (corpus keeps arriving; the
         index absorbs deltas instead of retraining): each new vector is
         assigned to its cell and PQ-encoded against the STORED centroids
         and codebooks (quantizers are frozen after build — the standard
-        IVF-PQ serving contract), then appended to the cell-partitioned
-        codes and the vectors table. Exactly equal to having built the
+        IVF-PQ serving contract), then appended to the vectors table and
+        the cell-partitioned codes. Exactly equal to having built the
         index over the union with the same quantizers (pinned in test
         and by the ``ann_index_update`` gate, whose split-build+add must
         match the full-build oracle verbatim). Delta-sized work: one
         broadcast-argmax pass over |Δ| vectors, appends touch only the
-        delta's cell partitions. Ids must be new — run exact dedup
-        upstream (same contract as ``IncrementalLSHIndex``)."""
+        delta's cell partitions.
+
+        Exactly-once ids, enforced LOUDLY like ``IncrementalLSHIndex``:
+        a duplicate id within the batch or vs the stored index raises —
+        a silently re-appended id would double its ADC score (the
+        integer LUT SUMS per (query, neighbor)) and emit duplicate
+        neighbors from the exact re-rank. ``enforce_unique=False`` skips
+        the two blocking checks for trusted exactly-once feeds."""
         import os as _os
 
         if self.m is None:
             raise ValueError("index not built or loaded")
         spark = corpus.sparkSession
+        if enforce_unique:
+            ids = corpus.select(F.col(self.id_col).alias("neighbor_id"))
+            dup = ids.groupBy("neighbor_id").count().filter(F.col("count") > 1).head(1)
+            if dup:
+                raise ValueError(
+                    f"id {dup[0]['neighbor_id']!r} appears more than once in "
+                    "this batch — each id must arrive exactly once; run exact "
+                    "dedup upstream"
+                )
+            stored = spark.read.parquet(_os.path.join(self.path, "vectors")).select(
+                "neighbor_id"
+            )
+            resent = ids.join(stored, "neighbor_id", "semi").head(1)
+            if resent:
+                raise ValueError(
+                    f"id {resent[0]['neighbor_id']!r} is already indexed — "
+                    "each id must arrive exactly once (replayed batch?); a "
+                    "re-append would double its ADC score"
+                )
         cents = spark.read.parquet(_os.path.join(self.path, "centroids"))
         cbs = spark.read.parquet(_os.path.join(self.path, "codebooks"))
-        assigned, _ = _ivf_assign_probe(
-            corpus, corpus.limit(0), cents, self.id_col, self.vec_col, 1
-        )
-        assigned = assigned.localCheckpoint()  # feeds both appends once
-        codes = _pq_encode_cells(assigned, cbs, self.m, self.sub_len)
-        (
-            codes.write.mode("append")
-            .partitionBy("__cell__")
-            .parquet(_os.path.join(self.path, "codes"))
-        )
-        (
-            assigned.select("neighbor_id", "__cv__")
-            .write.mode("append")
-            .parquet(_os.path.join(self.path, "vectors"))
-        )
+        self._encode_and_write(corpus, cents, cbs, "append")
         return self
 
     def search(

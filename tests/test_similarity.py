@@ -476,3 +476,29 @@ def test_ivf_pq_index_add_vectors_equals_full_build(clustered_vectors, tmp_path,
 
     with _pytest.raises(ValueError, match="not built"):
         similarity.IVFPQIndex(str(tmp_path / "x")).add_vectors(corpus)
+
+
+def test_ivf_pq_index_add_vectors_guards(clustered_vectors, tmp_path, spark):
+    """add_vectors enforces exactly-once ids loudly (a silent re-append
+    would double the re-sent id's summed ADC score), and build() refuses
+    pre-trained codebooks whose shape contradicts (m, ksub)."""
+    import pytest as _pytest
+
+    from storm_spark.functions import similarity
+
+    corpus = clustered_vectors
+    idx = similarity.IVFPQIndex(str(tmp_path / "g"), "vec_id", "embedding").build(
+        corpus.filter(F.col("vec_id") < 40), m=4, ksub=4, n_lists=4
+    )
+    with _pytest.raises(ValueError, match="already indexed"):
+        idx.add_vectors(corpus.filter(F.col("vec_id") < 10))
+    dup = corpus.filter(F.col("vec_id").isin(50, 51)).unionByName(
+        corpus.filter(F.col("vec_id") == 50)
+    )
+    with _pytest.raises(ValueError, match="more than once"):
+        idx.add_vectors(dup)
+    cbs8 = similarity.pq_codebooks(corpus, "vec_id", "embedding", m=8, ksub=4, n_iters=1)
+    with _pytest.raises(ValueError, match="does not match"):
+        similarity.IVFPQIndex(str(tmp_path / "bad"), "vec_id", "embedding").build(
+            corpus, m=4, ksub=4, codebooks=cbs8
+        )
