@@ -1387,6 +1387,60 @@ class IncrementalLSHIndex:
             self._pairs = [folded.localCheckpoint()]
         return new_pairs
 
+    def compact_index(self) -> None:
+        """Table-maintenance pass for the bucketed mode: every epoch's
+        append adds up to ``n_buckets`` new parquet files, so a
+        months-long stream accretes ``epochs × n_buckets`` small files —
+        the classic streaming-table ailment; the collision join's cost
+        then carries a per-file open/footer overhead that dwarfs the
+        data. Rewrites the index (and the ids sidecar) in place as ONE
+        generation of full buckets. Call between epochs (never
+        concurrently with :meth:`add_docs`).
+
+        Durability: the rewrite is staged — current content is first
+        written DURABLY to ``{path}__compact_tmp`` (plain parquet), only
+        then is the table dropped and re-created from the staging copy,
+        which is removed last. NOT crash-atomic: a crash between drop
+        and re-create leaves the table missing (resume fails LOUDLY with
+        "does not exist") with the full content recoverable from the
+        staging directory — never a silently wrong index."""
+        if self.index_table is None:
+            raise ValueError("compact_index is for the bucketed mode only")
+        if not self._has_table:
+            raise ValueError("no index table to compact yet")
+        import shutil as _shutil
+
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+        for tbl, path, bucket_cols, sort_cols in (
+            (self.index_table, self.index_path, ["__band__", "__bucket__"], ["__bucket__"]),
+            (self._ids_table, self._ids_path, ["__id__"], None),
+        ):
+            staging = f"{path}__compact_tmp"
+            cur = spark.table(tbl)
+            # one coalesced task per write → one file per bucket in the
+            # rewritten generation (an append writes files per task×bucket)
+            cur.coalesce(1).write.mode("overwrite").parquet(staging)
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            _shutil.rmtree(path, ignore_errors=True)
+            w = (
+                spark.read.parquet(staging)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .option("path", path)
+                .bucketBy(self.n_buckets, *bucket_cols)
+            )
+            if sort_cols:
+                w = w.sortBy(*sort_cols)
+            w.format("parquet").saveAsTable(tbl)
+            _shutil.rmtree(staging, ignore_errors=True)
+        # the meta sidecar lives inside index_path and was wiped with it
+        import json as _json
+
+        with open(self._meta_path, "w") as fh:
+            _json.dump({k: getattr(self, k) for k in self._META_KEYS}, fh)
+
     def pairs(self) -> DataFrame:
         """All rows emitted so far — under ``emit="pairs"`` equals the
         batch :func:`minhash_lsh_pairs` over every doc absorbed so far;

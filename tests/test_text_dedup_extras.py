@@ -994,3 +994,56 @@ def test_incremental_components_edge_plan_bounded(spark):
     assert {(r.id, r.cluster_id) for r in cc.labels().collect()} == {
         (r.id, r.cluster_id) for r in batch.collect()
     }
+
+
+def test_incremental_lsh_index_compact(spark, tmp_path):
+    """compact_index rewrites the appended bucketed index (epochs x
+    n_buckets small files) into one generation of full buckets: far
+    fewer files, identical emissions afterwards, exactly-once contract
+    intact, resume still attaches."""
+    import glob
+    import os
+
+    from storm_spark.functions.dedup import IncrementalLSHIndex, minhash_lsh_pairs
+
+    rows = [
+        (i, f"the quick brown fox {i % 5} jumps over the lazy dog {i % 5}")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    expect = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_perm=12, bands=4).collect()
+    }
+    path = str(tmp_path / "cidx")
+    kw = dict(n=3, num_perm=12, bands=4, n_buckets=8,
+              index_table="lsh_compact_test", index_path=path)
+    got = set()
+    try:
+        idx = IncrementalLSHIndex("doc_id", "text", **kw)
+        for b in (0, 1, 2):
+            batch = [r for r in rows if r[0] % 4 == b]
+            got |= {(r.id_a, r.id_b) for r in idx.add_docs(
+                spark.createDataFrame(batch, "doc_id long, text string")).collect()}
+        before = len(glob.glob(os.path.join(path, "*.parquet")))
+        idx.compact_index()
+        after = len(glob.glob(os.path.join(path, "*.parquet")))
+        assert after < before and after <= 8, (before, after)
+        # absorption continues correctly on the compacted generation
+        batch = [r for r in rows if r[0] % 4 == 3]
+        got |= {(r.id_a, r.id_b) for r in idx.add_docs(
+            spark.createDataFrame(batch, "doc_id long, text string")).collect()}
+        assert got == expect, got ^ expect
+        # exactly-once survives compaction (ids sidecar rewritten too)
+        with pytest.raises(ValueError, match="already indexed"):
+            idx.add_docs(spark.createDataFrame(rows[:1], "doc_id long, text string"))
+        # resume attaches to the compacted generation (meta rewritten)
+        idx2 = IncrementalLSHIndex("doc_id", "text", resume=True, **kw)
+        with pytest.raises(ValueError, match="already indexed"):
+            idx2.add_docs(spark.createDataFrame(rows[:1], "doc_id long, text string"))
+        # in-memory mode refuses
+        with pytest.raises(ValueError, match="bucketed mode"):
+            IncrementalLSHIndex("doc_id", "text").compact_index()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lsh_compact_test")
+        spark.sql("DROP TABLE IF EXISTS lsh_compact_test__ids")
