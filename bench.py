@@ -165,6 +165,7 @@ HEADLINE = [
     "dedup_cluster_stars",
     "ann_index_persist",
     "ann_index_update",
+    "ann_index_delete",
 ]
 
 

@@ -1579,6 +1579,8 @@ class IVFPQIndex:
       full code table
     - ``vectors/`` — (neighbor_id, __cv__) for the exact shortlist
       re-rank
+    - ``tombstones/`` — (neighbor_id,) deleted ids awaiting
+      :meth:`compact` (absent until the first :meth:`remove_vectors`)
 
     :meth:`load` re-attaches in a fresh driver/session (the restart
     story, mirroring ``IncrementalLSHIndex(resume=True)``), validating
@@ -1783,6 +1785,130 @@ class IVFPQIndex:
         self._encode_and_write(corpus, cents, cbs, "append")
         return self
 
+    def remove_vectors(self, ids: DataFrame) -> "IVFPQIndex":
+        """Delete indexed vectors — the other half of the serving
+        lifecycle (takedowns, re-crawled pages, license withdrawals: a
+        100-TB corpus sheds documents as surely as it gains them).
+        Deletes are TOMBSTONES: the ids land in a ``tombstones/`` sidecar
+        table and :meth:`search` anti-joins them out of the code scan, so
+        a delete is O(|Δ|) and never rewrites the cell partitions;
+        :meth:`compact` later drops the rows physically. Search results
+        are exactly those of an index that never contained the ids (the
+        ``ann_index_delete`` gate pins this against the unrolled oracle
+        over the surviving corpus, quantizers unchanged — frozen at
+        build, the standard serving contract).
+
+        Loud-failure contract (the ``IncrementalLSHIndex`` convention):
+        a duplicate id within the batch, an id never indexed, or an id
+        already tombstoned each raise — all three indicate a confused
+        caller whose silent acceptance would hide an upstream bug. A
+        tombstoned id stays RESERVED (``add_vectors`` still refuses it)
+        until :meth:`compact` physically drops it, after which the id may
+        be indexed again."""
+        import os as _os
+
+        if self.m is None:
+            raise ValueError("index not built or loaded")
+        spark = ids.sparkSession
+        first = ids.columns[0] if "neighbor_id" not in ids.columns else "neighbor_id"
+        col = self.id_col if self.id_col in ids.columns else first
+        dele = ids.select(F.col(col).cast("bigint").alias("neighbor_id"))
+        dup = dele.groupBy("neighbor_id").count().filter(F.col("count") > 1).head(1)
+        if dup:
+            raise ValueError(
+                f"id {dup[0]['neighbor_id']!r} appears more than once in this "
+                "delete batch — each id may be deleted at most once"
+            )
+        stored = spark.read.parquet(_os.path.join(self.path, "vectors")).select(
+            "neighbor_id"
+        )
+        missing = dele.join(stored, "neighbor_id", "anti").head(1)
+        if missing:
+            raise ValueError(
+                f"id {missing[0]['neighbor_id']!r} is not indexed — deleting "
+                "an unknown id indicates a confused caller"
+            )
+        tomb_path = _os.path.join(self.path, "tombstones")
+        if _os.path.isdir(tomb_path):
+            prior = spark.read.parquet(tomb_path)
+            twice = dele.join(prior, "neighbor_id", "semi").head(1)
+            if twice:
+                raise ValueError(
+                    f"id {twice[0]['neighbor_id']!r} is already tombstoned — "
+                    "deleting it twice indicates a confused caller"
+                )
+        dele.write.mode("append").parquet(tomb_path)
+        return self
+
+    def _tombstones(self, spark) -> DataFrame | None:
+        import os as _os
+
+        tomb_path = _os.path.join(self.path, "tombstones")
+        if not _os.path.isdir(tomb_path):
+            return None
+        return spark.read.parquet(tomb_path)
+
+    def compact(self, n_files: int = 1) -> "IVFPQIndex":
+        """Table-maintenance pass: physically drop tombstoned rows and
+        collapse the small files accreted by :meth:`add_vectors` (every
+        absorb appends files to ``vectors/`` and to each touched cell
+        partition of ``codes/`` — a long-lived index accretes
+        deltas × cells small files, the classic streaming-table ailment;
+        the twin of ``IncrementalLSHIndex.compact_index``). The rewritten
+        generation holds ``n_files`` files for ``vectors/`` (size for
+        the real corpus; 1 is right at gate scale) and ONE file per cell
+        partition for ``codes/``. Clears the tombstone sidecar, so
+        previously-deleted ids become indexable again. Call between
+        serving turns (never concurrently with add/search).
+
+        Durability (the LSH-compact convention): surviving content is
+        first staged DURABLY under ``{path}__compact_tmp``, only then are
+        the live tables overwritten, and the staging directory is removed
+        last. NOT crash-atomic: a crash mid-rewrite fails LOUDLY on the
+        next read with the full content recoverable from staging — never
+        a silently wrong index. A crash after the rewrites but before the
+        tombstone clear is harmless: the anti-join then removes ids that
+        are already gone."""
+        import os as _os
+        import shutil as _shutil
+
+        from pyspark.sql import SparkSession
+
+        if self.m is None:
+            raise ValueError("index not built or loaded")
+        spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+        tomb = self._tombstones(spark)
+        staging = f"{self.path}__compact_tmp"
+        vec_path = _os.path.join(self.path, "vectors")
+        codes_path = _os.path.join(self.path, "codes")
+        vectors = spark.read.parquet(vec_path)
+        codes = spark.read.parquet(codes_path)
+        if tomb is not None:
+            tomb = F.broadcast(tomb)
+            vectors = vectors.join(tomb, "neighbor_id", "anti")
+            codes = codes.join(tomb, "neighbor_id", "anti")
+        vectors.coalesce(n_files).write.mode("overwrite").parquet(
+            _os.path.join(staging, "vectors")
+        )
+        codes.coalesce(n_files).write.mode("overwrite").parquet(
+            _os.path.join(staging, "codes")
+        )
+        spark.read.parquet(_os.path.join(staging, "vectors")).coalesce(
+            n_files
+        ).write.mode("overwrite").parquet(vec_path)
+        # repartition ON the cell column → every cell lands in exactly one
+        # task → one file per cell partition in the rewritten generation
+        (
+            spark.read.parquet(_os.path.join(staging, "codes"))
+            .repartition("__cell__")
+            .write.mode("overwrite")
+            .partitionBy("__cell__")
+            .parquet(codes_path)
+        )
+        _shutil.rmtree(_os.path.join(self.path, "tombstones"), ignore_errors=True)
+        _shutil.rmtree(staging, ignore_errors=True)
+        return self
+
     def search(
         self,
         queries: DataFrame,
@@ -1812,6 +1938,13 @@ class IVFPQIndex:
             "neighbor_id", "__cell__", "sub", "code"
         )
         vectors = spark.read.parquet(_os.path.join(self.path, "vectors"))
+        # tombstoned ids leave the scan here — the shortlist and the exact
+        # re-rank only ever see neighbors that survive the ADC stage, so
+        # filtering codes alone yields exactly the never-indexed answer;
+        # the tombstone set is delta-sized between compactions (broadcast)
+        tomb = self._tombstones(spark)
+        if tomb is not None:
+            codes = codes.join(F.broadcast(tomb), "neighbor_id", "anti")
         q = queries.select(
             F.col(self.id_col).alias("query_id"),
             F.col(self.vec_col).cast("array<double>").alias("__qv__"),

@@ -4063,6 +4063,73 @@ FROM j CROSS JOIN t
 ORACLE_PSI_DRIFT = _oracle_psi_drift()
 
 
+def q_streaming_psi(spark, sf_dir):
+    """Streaming drift monitor — profile.psi_drift run against a LIVE
+    stream: the reference histogram is frozen up front from the even-user
+    snapshot (the training-time distribution); the current-side (odd-user)
+    events arrive in three epochs via a real ``readStream``, and each
+    ``foreachBatch`` folds its epoch's fixed-grid histogram
+    (profile.psi_bin_counts) into the accumulated current-side counts by
+    bin SUM. Histograms are LINEAR sketches (the streaming_cms argument),
+    so the accumulated counts are BIT-IDENTICAL to the batch histogram
+    over all rows — the final report satisfies the SAME oracle as the
+    batch psi_drift gate, exactly. State is ≤ n_bins rows regardless of
+    stream volume; a live monitor reads the PSI trajectory after every
+    epoch (pinned per-epoch against batch prefixes in pytest). This is
+    the production shape for corpus-drift alerting: freeze bins at
+    training time, fold each ingest batch, alert on the running PSI."""
+    import os
+    import uuid
+
+    from storm_spark.functions.profile import psi_bin_counts, psi_from_histograms
+
+    e = _events(spark, sf_dir).withColumn("v_c", cents("value"))
+    ref = psi_bin_counts(
+        e.filter(F.col("user_id") % 2 == 0), "v_c", lo=0, hi=50000, n_bins=10
+    ).select("bin", F.col("n").alias("n_old"))
+    ref = ref.localCheckpoint()  # frozen at "training time" (≤ 10 rows)
+
+    tmp = gate_tmp.mkdtemp(prefix="storm_spark_spsi_")
+    indir = os.path.join(tmp, "in")
+    os.makedirs(indir)
+    feed = e.filter(F.col("user_id") % 2 == 1).select("event_id", "v_c")
+    state = {"hist": None}
+
+    def absorb(batch_df, epoch_id):
+        epoch_hist = psi_bin_counts(batch_df, "v_c", lo=0, hi=50000, n_bins=10)
+        merged = (
+            epoch_hist
+            if state["hist"] is None
+            else state["hist"]
+            .unionByName(epoch_hist)
+            .groupBy("bin")
+            .agg(F.sum("n").cast("bigint").alias("n"))
+        )
+        state["hist"] = merged.localCheckpoint()  # <= 10 rows
+
+    q = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{indir}/*")
+        .writeStream.foreachBatch(absorb)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .queryName("spsi_" + uuid.uuid4().hex[:8])
+        .start()
+    )
+    try:
+        chunk = F.pmod(F.xxhash64("event_id"), F.lit(3))
+        for b in range(3):
+            feed.filter(chunk == b).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(indir, f"b{b}")
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    cur = state["hist"].select("bin", F.col("n").alias("n_new"))
+    return psi_from_histograms(ref, cur, spark, n_bins=10)
+
+
 def q_js_drift(spark, sf_dir):
     """Jensen–Shannon drift report (profile.js_drift) between the same
     even/odd-user snapshots as psi_drift — the bounded symmetric
@@ -6428,7 +6495,36 @@ def q_ann_index_update(spark, sf_dir):
     return idx.search(q, k=5, n_probe=2, shortlist=20)
 
 
-def _oracle_ann_ivf_pq(k=5, m=4, ksub=4, shortlist=20, dim=64, n_lists=4, n_probe=2):
+def q_ann_index_delete(spark, sf_dir):
+    """Deletion + compaction of the persisted ANN index
+    (similarity.IVFPQIndex.remove_vectors / .compact, r10): build over
+    the full corpus, tombstone every vec_id ≡ 3 (mod 7), then COMPACT —
+    the staged rewrite physically drops the tombstoned rows and
+    collapses the codes to one file per cell partition — and serve the
+    probe from the rewritten generation. The answer must equal an index
+    that never contained the deleted ids with quantizers unchanged
+    (frozen at build — the serving contract): the same unrolled
+    `ann_ivf_pq` oracle with the deleted neighbors excluded from the
+    ADC scan. The tombstone-path answer (search BEFORE compact) is
+    pinned equal in pytest."""
+    import os
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = os.path.join(gate_tmp.mkdtemp(prefix="storm_spark_anndel_"), "idx")
+    idx = similarity.IVFPQIndex(path, "vec_id", "embedding").build(
+        emb, m=4, ksub=4, n_lists=4, n_iters=1
+    )
+    idx.remove_vectors(
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(7)) == 3).select("vec_id")
+    )
+    idx.compact()
+    q = emb.filter(F.col("vec_id") < 20)
+    return idx.search(q, k=5, n_probe=2, shortlist=20)
+
+
+def _oracle_ann_ivf_pq(
+    k=5, m=4, ksub=4, shortlist=20, dim=64, n_lists=4, n_probe=2, delete_where=None
+):
     guard_cos = (
         "(list_inner_product({a}, {b}) / "
         "greatest(sqrt(list_inner_product({a}, {a})) * "
@@ -6498,7 +6594,9 @@ adc AS (
   JOIN assigned a ON a.neighbor_id = c.neighbor_id
   JOIN probed p ON p.cell = a.cell
   JOIN lut l ON l.query_id = p.query_id AND l.sub = c.sub AND l.cent_id = c.code
-  WHERE l.query_id <> c.neighbor_id
+  WHERE l.query_id <> c.neighbor_id{
+    f" AND NOT ({delete_where})" if delete_where else ""
+  }
   GROUP BY 1, 2),
 short AS (
   SELECT query_id, neighbor_id FROM (
@@ -6521,6 +6619,7 @@ WHERE rank <= {k}
 
 
 ORACLE_ANN_IVF_PQ = _oracle_ann_ivf_pq()
+ORACLE_ANN_IVF_PQ_DELETE = _oracle_ann_ivf_pq(delete_where="c.neighbor_id % 7 = 3")
 
 
 def q_streaming_sample(spark, sf_dir):
@@ -7828,6 +7927,7 @@ QUERIES = {
     # r7: linear-sketch merge — per-epoch CMS sums to the batch sketch
     # exactly (tpch_q8, driver-green r6, demoted)
     "streaming_cms": q_streaming_cms,
+    "streaming_psi": q_streaming_psi,
     # r7: trailing exact median + seasonal hour-of-day anomaly baseline
     # (tpch_q15, tpch_q17 — driver-green r6 — demoted)
     "rolling_median": q_rolling_median,
@@ -7843,6 +7943,7 @@ QUERIES = {
     # r10: delta absorption into the persisted index (frozen quantizers) —
     # split-build+add must equal the full-build oracle verbatim
     "ann_index_update": q_ann_index_update,
+    "ann_index_delete": q_ann_index_delete,
     # r8: streaming incremental connected components (VERDICT r7 #7)
     "streaming_dedup_cluster": q_streaming_dedup_cluster,
     # r8 flagship composition: sign -> collide -> cluster, all incremental
@@ -8069,9 +8170,9 @@ QUERIES = {
 # samples the first 50 keys, so the head is recomputed each round via
 # tools/rotation.py as: this round's NEW gates, then every other entry
 # ranked by (last driver-sampled round, catalog position)). The r10 head =
-# the 5 new r10 gates (streaming_dedup_pipeline_stars,
+# the 6 new r10 gates (streaming_dedup_pipeline_stars,
 # streaming_leakage_split, ann_index_persist, ann_index_update,
-# dedup_cluster_stars), then
+# ann_index_delete, dedup_cluster_stars), then
 # approx_distinct FORCED per VERDICT r9 #3 (its r9 oracle graduation is
 # judge-verified but the driver last sampled it as r8 no_oracle — this
 # lands the confirming driver row), then the r5/r6-era tail by staleness.
@@ -8082,6 +8183,8 @@ _ROTATION10_HEAD = [
     "streaming_leakage_split",
     "ann_index_persist",
     "ann_index_update",
+    "ann_index_delete",
+    "streaming_psi",
     "dedup_cluster_stars",
     "approx_distinct",
     "centroid_classify",
@@ -8126,8 +8229,6 @@ _ROTATION10_HEAD = [
     "streaming_bfs_incremental",
     "equi_depth_bins",
     "contamination_pairs",
-    "js_drift",
-    "merge_intervals",
 ]
 assert len(_ROTATION10_HEAD) == 50 and len(set(_ROTATION10_HEAD)) == 50
 QUERIES = {
@@ -8254,6 +8355,7 @@ ORACLES = {
     "ann_ivf_pq": ORACLE_ANN_IVF_PQ,
     "ann_index_persist": ORACLE_ANN_IVF_PQ,
     "ann_index_update": ORACLE_ANN_IVF_PQ,
+    "ann_index_delete": ORACLE_ANN_IVF_PQ_DELETE,
     # deliberately the SAME oracle as dedup_cluster: incremental
     # maintenance must be invisible in the answer
     "streaming_dedup_cluster": ORACLE_DEDUP_CLUSTER,
@@ -8320,6 +8422,7 @@ ORACLES = {
     "scd2": ORACLE_SCD2,
     "centroid_classify": ORACLE_CENTROID_CLASSIFY,
     "psi_drift": ORACLE_PSI_DRIFT,
+    "streaming_psi": ORACLE_PSI_DRIFT,
     "fuzzy_pairs_two_pass": ORACLE_FUZZY_PAIRS_TWO_PASS,
     "event_paths": ORACLE_EVENT_PATHS,
     "ann_rescore": ORACLE_ANN_RESCORE,

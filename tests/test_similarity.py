@@ -502,3 +502,103 @@ def test_ivf_pq_index_add_vectors_guards(clustered_vectors, tmp_path, spark):
         similarity.IVFPQIndex(str(tmp_path / "bad"), "vec_id", "embedding").build(
             corpus, m=4, ksub=4, codebooks=cbs8
         )
+
+
+def test_ivf_pq_index_remove_vectors_and_compact(clustered_vectors, tmp_path, spark):
+    """Deletion lifecycle: remove_vectors tombstones ids (search answers
+    as if they were never indexed — the filtered full-build is the
+    oracle), compact() physically drops them and collapses add_vectors'
+    small-file accretion to one file per cell partition, and the
+    POST-compact answer equals the PRE-compact (tombstone-path) answer.
+    After compact the freed ids become indexable again."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    from storm_spark.functions import similarity
+
+    corpus = clustered_vectors
+    queries = corpus.filter(F.col("vec_id") < 8)
+    dele = corpus.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    cbs = similarity.pq_codebooks(corpus, "vec_id", "embedding", m=4, ksub=4, n_iters=1)
+    cents = similarity._ivf_default_centroids(corpus, "vec_id", "embedding", 4)
+    kw = dict(m=4, ksub=4, n_lists=4, centroids=cents, codebooks=cbs)
+    args = dict(k=3, n_probe=2, shortlist=10)
+
+    # oracle: an index BUILT without the deleted ids, same frozen quantizers
+    never = similarity.IVFPQIndex(str(tmp_path / "never"), "vec_id", "embedding").build(
+        corpus.join(dele, "vec_id", "anti"), **kw
+    )
+    expect = sorted(map(tuple, never.search(queries, **args).collect()))
+
+    # grown in 3 deltas so compact() has small files to collapse
+    path = str(tmp_path / "live")
+    idx = similarity.IVFPQIndex(path, "vec_id", "embedding").build(
+        corpus.filter(F.col("vec_id") % 3 == 0), **kw
+    )
+    idx.add_vectors(corpus.filter(F.col("vec_id") % 3 == 1))
+    idx.add_vectors(corpus.filter(F.col("vec_id") % 3 == 2))
+    idx.remove_vectors(dele)
+
+    pre = sorted(map(tuple, idx.search(queries, **args).collect()))
+    assert pre == expect  # tombstone path
+
+    files_before = len(glob.glob(os.path.join(path, "codes", "**", "*.parquet"),
+                                 recursive=True))
+    idx.compact()
+    post = sorted(map(tuple, idx.search(queries, **args).collect()))
+    assert post == expect  # rewritten generation
+    files_after = len(glob.glob(os.path.join(path, "codes", "**", "*.parquet"),
+                                recursive=True))
+    cells = len(glob.glob(os.path.join(path, "codes", "__cell__=*")))
+    assert files_after == cells < files_before
+    assert not os.path.isdir(os.path.join(path, "tombstones"))
+    # tombstoned rows are physically gone
+    vec_ids = {
+        r.neighbor_id
+        for r in spark.read.parquet(os.path.join(path, "vectors")).collect()
+    }
+    gone = {r.vec_id for r in dele.collect()}
+    assert not (vec_ids & gone)
+    # the freed ids are indexable again after compact
+    idx.add_vectors(corpus.join(dele, "vec_id", "semi"))
+    assert sorted(
+        map(tuple, idx.search(queries, **args).collect())
+    ) == sorted(
+        map(
+            tuple,
+            similarity.IVFPQIndex(str(tmp_path / "full"), "vec_id", "embedding")
+            .build(corpus, **kw)
+            .search(queries, **args)
+            .collect(),
+        )
+    )
+
+
+def test_ivf_pq_index_remove_vectors_guards(clustered_vectors, tmp_path):
+    """Loud-failure contract: deleting an unknown id, the same id twice
+    (in one batch or across batches), or from an unbuilt index raises;
+    a tombstoned id stays reserved against add_vectors until compact."""
+    import pytest as _pytest
+
+    from storm_spark.functions import similarity
+
+    corpus = clustered_vectors
+    idx = similarity.IVFPQIndex(str(tmp_path / "g"), "vec_id", "embedding").build(
+        corpus.filter(F.col("vec_id") < 40), m=4, ksub=4, n_lists=4
+    )
+    spark = corpus.sparkSession
+    one = spark.createDataFrame([(5,)], "vec_id bigint")
+    with _pytest.raises(ValueError, match="not built"):
+        similarity.IVFPQIndex(str(tmp_path / "x")).remove_vectors(one)
+    with _pytest.raises(ValueError, match="not indexed"):
+        idx.remove_vectors(spark.createDataFrame([(999,)], "vec_id bigint"))
+    with _pytest.raises(ValueError, match="more than once"):
+        idx.remove_vectors(spark.createDataFrame([(5,), (5,)], "vec_id bigint"))
+    idx.remove_vectors(one)
+    with _pytest.raises(ValueError, match="already tombstoned"):
+        idx.remove_vectors(one)
+    # reserved until compact: re-adding the tombstoned id still raises
+    with _pytest.raises(ValueError, match="already indexed"):
+        idx.add_vectors(corpus.filter(F.col("vec_id") == 5))
