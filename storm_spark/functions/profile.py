@@ -95,29 +95,48 @@ def psi_drift(
     BIGINTs); ``ln`` evaluates on identical doubles both engines —
     psi_term rounds to 6, far above any libm last-ulp wiggle.
     """
+    o = psi_bin_counts(old, value_col, lo, hi, n_bins).select(
+        F.col("bin"), F.col("n").alias("n_old")
+    )
+    n = psi_bin_counts(new, value_col, lo, hi, n_bins).select(
+        F.col("bin"), F.col("n").alias("n_new")
+    )
+    return psi_from_histograms(o, n, old.sparkSession, n_bins, eps)
+
+
+def psi_bin_counts(
+    df: DataFrame, value_col, lo: int, hi: int, n_bins: int = 10
+) -> DataFrame:
+    """Fixed equal-width integer histogram over ``[lo, hi)`` —
+    :func:`psi_drift`'s binning step, public because the counts are a
+    LINEAR sketch: histograms of disjoint row sets SUM to the histogram
+    of their union, which is what lets a streaming monitor
+    (``streaming_psi``) fold per-epoch histograms into state that is
+    bit-identical to the batch histogram over all rows. Returns
+    ``(bin, n)`` for non-empty bins only (≤ n_bins rows)."""
     if not (isinstance(lo, int) and isinstance(hi, int) and hi > lo):
         raise ValueError(f"need integer lo < hi, got ({lo}, {hi})")
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast("bigint")
+    clamped = F.least(F.greatest(v, F.lit(int(lo))), F.lit(int(hi) - 1))
+    # exact BIGINT floor-div (operands non-negative after the clamp) —
+    # no double division anywhere in the bucketing
+    num = (clamped - F.lit(int(lo))) * F.lit(int(n_bins))
+    return (
+        df.where(v.isNotNull())
+        .select(num.alias("__num__"))
+        .select(F.expr(f"__num__ div {int(hi) - int(lo)}").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
 
-    def _bins(df):
-        v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
-            "bigint"
-        )
-        clamped = F.least(F.greatest(v, F.lit(int(lo))), F.lit(int(hi) - 1))
-        # exact BIGINT floor-div (operands non-negative after the clamp) —
-        # no double division anywhere in the bucketing
-        num = (clamped - F.lit(int(lo))) * F.lit(int(n_bins))
-        return (
-            df.where(v.isNotNull())
-            .select(num.alias("__num__"))
-            .select(F.expr(f"__num__ div {int(hi) - int(lo)}").alias("bin"))
-            .groupBy("bin")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        )
 
-    o = _bins(old).select(F.col("bin"), F.col("n").alias("n_old"))
-    n = _bins(new).select(F.col("bin"), F.col("n").alias("n_new"))
-    # all n_bins rows must exist even when one side has an empty bin
-    spark = old.sparkSession
+def psi_from_histograms(
+    o: DataFrame, n: DataFrame, spark, n_bins: int = 10, eps: float = 1e-6
+) -> DataFrame:
+    """:func:`psi_drift`'s report step over ALREADY-BINNED counts —
+    ``o`` = (bin, n_old), ``n`` = (bin, n_new). Shared by the batch
+    operator and the streaming monitor (which maintains ``n`` as
+    accumulated per-epoch histogram state), so the two cannot desync."""
     grid = spark.range(n_bins).select(F.col("id").alias("bin"))
     j = (
         grid.join(o, "bin", "left")

@@ -107,3 +107,51 @@ def test_js_drift_bounded_symmetric_zero_bins(spark):
     fwd = sum(r.js_term for r in js_drift(a, b, "v", 0, 100, 10).collect())
     rev = sum(r.js_term for r in js_drift(b, a, "v", 0, 100, 10).collect())
     assert fwd == pytest.approx(rev, abs=2e-6)
+
+
+def test_psi_streaming_trajectory_equals_batch_prefixes(spark):
+    """The streaming_psi monitor's claim, pinned per epoch: folding each
+    epoch's psi_bin_counts histogram into state by bin SUM yields — after
+    EVERY epoch, not just the last — exactly psi_drift(ref, rows-so-far)
+    (histograms are linear sketches; psi_from_histograms is the shared
+    report step, so the trajectory a live monitor alerts on is the batch
+    answer at each prefix)."""
+    from pyspark.sql import functions as F
+
+    from storm_spark.functions.profile import (
+        psi_bin_counts,
+        psi_drift,
+        psi_from_histograms,
+    )
+
+    ref_rows = [(i % 80,) for i in range(200)]
+    cur_rows = [(20 + (i * 7) % 80,) for i in range(150)]
+    ref_df = spark.createDataFrame(ref_rows, "v long")
+    cur_df = spark.createDataFrame(cur_rows, "v long")
+    kw = dict(lo=0, hi=100, n_bins=10)
+
+    ref = psi_bin_counts(ref_df, "v", **kw).select("bin", F.col("n").alias("n_old"))
+    state = None
+    for epoch in range(3):
+        chunk = cur_df.filter(F.pmod(F.xxhash64("v"), F.lit(3)) == epoch)
+        eh = psi_bin_counts(chunk, "v", **kw)
+        state = (
+            eh
+            if state is None
+            else state.unionByName(eh).groupBy("bin").agg(
+                F.sum("n").cast("bigint").alias("n")
+            )
+        )
+        sofar = cur_df.filter(F.pmod(F.xxhash64("v"), F.lit(3)) <= epoch)
+        got = sorted(
+            map(
+                tuple,
+                psi_from_histograms(
+                    ref, state.select("bin", F.col("n").alias("n_new")), spark
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(tuple, psi_drift(ref_df, sofar, "v", **kw).collect())
+        )
+        assert got == want, f"epoch {epoch} trajectory diverged"

@@ -200,3 +200,40 @@ def test_interval_join_batch_semantics(spark, left, right):
     out = interval_join(ldf, rdf, "user_id", "ts", lo, hi)
     got = sorted((r.user_id, r.sec, r.sec_r) for r in out.collect())
     assert got == expect
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(WORDS), min_size=3, max_size=10),
+        min_size=2,
+        max_size=12,
+    ),
+    bands=st.sampled_from([2, 4]),
+)
+def test_star_edges_same_components_as_pair_clique(spark, docs, bands):
+    """minhash_lsh_edges' connectivity claim, property-tested: on ANY
+    corpus (hypothesis draws include exact duplicates, which land whole
+    groups in one band bucket — the hot-bucket case the star emission
+    exists for) the connected components of the O(m)-per-bucket star
+    edges equal those of the O(m²) pair clique."""
+    from storm_spark.functions import dedup
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    kw = dict(n=3, num_perm=12, bands=bands)
+    via_pairs = {
+        (r.id, r.cluster_id)
+        for r in dedup.near_dup_clusters(
+            dedup.minhash_lsh_pairs(df, "doc_id", "text", **kw)
+        ).collect()
+    }
+    via_stars = {
+        (r.id, r.cluster_id)
+        for r in dedup.near_dup_clusters(
+            dedup.minhash_lsh_edges(df, "doc_id", "text", **kw)
+        ).collect()
+    }
+    assert via_stars == via_pairs
