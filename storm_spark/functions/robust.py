@@ -548,3 +548,65 @@ def rolling_median(
     return df.withColumn(
         "roll_med", ((lo + hi) / F.lit(2.0)).cast("double")
     )
+
+
+def percentiles_from_counts(
+    hist: DataFrame,
+    group_cols: list[str],
+    value_col: str = "v",
+    cnt_col: str = "n",
+    ps: list[float] | None = None,
+) -> DataFrame:
+    """Exact interpolated percentiles per group from a ``(value, count)``
+    histogram — Spark ``percentile`` / DuckDB ``quantile_cont`` semantics
+    (``pos = p·(n−1)``, linear interpolation between the two bracketing
+    order statistics) RECONSTRUCTED from pre-aggregated counts instead of
+    raw rows. Two callers need this shape: a single monster group whose
+    raw sort would land on one reducer (pre-aggregate to the histogram —
+    its size is the value domain, not the row count), and a STREAMING
+    monitor whose state is the histogram (counts are a linear sketch —
+    fold each epoch's counts by value SUM and the reconstruction equals
+    the batch percentile over all rows exactly; the ``streaming_percentile``
+    gate pins this against the batch oracle verbatim).
+
+    Output: one row per group with ``p_<i>`` double columns in ``ps``
+    order (callers alias/round). Exactness: the bracketing values are the
+    SAME doubles the raw-row formulation sees and the interpolation uses
+    the same ``lower + (pos − floor(pos))·(higher − lower)`` form, so the
+    reconstruction is bit-identical, not approximately equal. NULL values
+    must be filtered upstream (a histogram has no NULL bucket).
+
+    Scale shape: ONE group-keyed exchange — the cumulative count rides a
+    ties-safe ordered window over the histogram (histogram rows are
+    unique per value, so ROWS==RANGE here), the group total is a
+    whole-partition window on the same key, and the bracketing lookup is
+    |ps| conditional aggregates in one final groupBy on the partitioning
+    key (no second shuffle). Per-group cost is O(distinct values), never
+    O(rows).
+    """
+    ps = ps if ps is not None else [0.5]
+    v = F.col(value_col).cast("bigint")
+    cnt = F.col(cnt_col).cast("bigint")
+    base = hist.select(*group_cols, v.alias("__v__"), cnt.alias("__c__"))
+    wcum = Window.partitionBy(*group_cols).orderBy("__v__")
+    wall = Window.partitionBy(*group_cols)
+    rows = (
+        base.withColumn("__cum__", F.sum("__c__").over(wcum))
+        .withColumn("__n__", F.sum("__c__").over(wall))
+        .withColumn("__lo__", F.col("__cum__") - F.col("__c__"))
+    )
+    aggs = []
+    for i, p in enumerate(ps):
+        # pos in double exactly as the raw formulation computes it
+        pos = F.lit(float(p)) * (F.col("__n__") - 1).cast("double")
+        fl = F.floor(pos).cast("bigint")
+        ce = F.ceil(pos).cast("bigint")
+        in_fl = (F.col("__lo__") <= fl) & (fl < F.col("__cum__"))
+        in_ce = (F.col("__lo__") <= ce) & (ce < F.col("__cum__"))
+        lower = F.min(F.when(in_fl, F.col("__v__").cast("double")))
+        higher = F.min(F.when(in_ce, F.col("__v__").cast("double")))
+        frac = F.min(F.when(in_fl, pos - fl.cast("double")))
+        aggs.append(
+            (lower + frac * (higher - lower)).alias(f"p_{i}")
+        )
+    return rows.groupBy(*group_cols).agg(*aggs)

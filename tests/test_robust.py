@@ -206,3 +206,35 @@ def test_rolling_median_exact_windows(spark):
         for r in rolling_median(df, "k", "t", "v", "id", window_rows=3).collect()
     }
     assert got == {0: 10.0, 1: 505.0, 2: 20.0, 3: 30.0}, got
+
+
+def test_percentiles_from_counts_bit_identical_to_raw(spark):
+    """The histogram reconstruction must equal F.percentile on the raw
+    rows EXACTLY (same bracketing doubles, same interpolation form) —
+    the claim streaming_percentile's oracle equality rests on. Includes
+    ties, singleton groups, and p hitting exact integer positions."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from storm_spark.functions.robust import percentiles_from_counts
+
+    rng = random.Random(7)
+    rows = [
+        (g, rng.randint(0, 30))
+        for g in ("a", "b", "c")
+        for _ in range(rng.randint(1, 200))
+    ] + [("solo", 7)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    ps = [0.0, 0.25, 0.5, 0.95, 0.99, 1.0]
+    hist = df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("n"))
+    got = {
+        r.g: tuple(r[f"p_{i}"] for i in range(len(ps)))
+        for r in percentiles_from_counts(hist, ["g"], "v", "n", ps).collect()
+    }
+    want = {
+        r.g: tuple(r.p)
+        for r in df.groupBy("g").agg(F.percentile("v", ps).alias("p")).collect()
+    }
+    assert got == want
+    assert got["solo"] == (7.0,) * len(ps)
