@@ -166,6 +166,7 @@ HEADLINE = [
     "ann_index_persist",
     "ann_index_update",
     "ann_index_delete",
+    "dsir_sample",
 ]
 
 

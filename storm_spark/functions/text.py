@@ -795,3 +795,75 @@ def bpe_segment(
         .cast("bigint")
         .alias("n_tokens"),
     )
+
+
+def dsir_scores(
+    df: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: float = 1e9,
+) -> DataFrame:
+    """DSIR-style importance scores for training-data selection (Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): score every NON-target document by how much more likely
+    its bag of tokens is under a unigram model of the TARGET domain than
+    under a model of the raw pool — ``Σ_tokens [ln p_target(w) −
+    ln p_raw(w)]`` with add-one smoothing over the joint vocabulary. High
+    scores = raw documents that LOOK like the target domain; resampling
+    by this score is the published recipe for tilting a crawl toward a
+    domain without hand-written rules.
+
+    Determinism (the BM25 convention): each term's log-ratio is computed
+    once on identical doubles (BIGINT-count ratios), scaled to integer
+    nano-units, and SUMMED AS BIGINT — no float accumulation order
+    anywhere, so the score is bit-identical across engines and an exact
+    DuckDB oracle holds. Returns ``(id, n_tokens, dsir_n)`` for raw
+    (non-target) docs; callers rank/threshold.
+
+    Scale shape: the corpus tokenizes ONCE (persisted explode); both
+    unigram models collapse into one vocabulary-sized table (single
+    map-side-combined agg with conditional sums); totals ride a broadcast
+    1-row aggregate; scoring is one join of raw tokens against the
+    vocab-sized model table plus one doc-keyed agg. Nothing is ever
+    collected; nothing is quadratic."""
+    toks = bounded_persist(
+        df.select(
+            F.col(id_col),
+            target_pred.alias("__t__"),
+            F.explode(tokens(text_col)).alias("term"),
+        ),
+        "text.dsir.toks",
+    )
+    model = bounded_persist(
+        toks.groupBy("term").agg(
+            F.sum(F.col("__t__").cast("bigint")).cast("bigint").alias("ct"),
+            F.sum((~F.col("__t__")).cast("bigint")).cast("bigint").alias("cr"),
+        ),
+        "text.dsir.model",
+    )
+    tot = model.agg(
+        F.sum("ct").cast("bigint").alias("nt"),
+        F.sum("cr").cast("bigint").alias("nr"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    p_t = (F.col("ct") + 1).cast("double") / (F.col("nt") + F.col("v")).cast("double")
+    p_r = (F.col("cr") + 1).cast("double") / (F.col("nr") + F.col("v")).cast("double")
+    scored_terms = (
+        model.crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            F.round((F.log(p_t) - F.log(p_r)) * F.lit(float(scale)))
+            .cast("bigint")
+            .alias("__lr__"),
+        )
+    )
+    return (
+        toks.filter(~F.col("__t__"))
+        .join(scored_terms, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("__lr__").cast("bigint").alias("dsir_n"),
+        )
+    )

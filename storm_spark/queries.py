@@ -1999,6 +1999,48 @@ GROUP BY doc_id
 """
 
 
+def q_dsir_sample(spark, sf_dir):
+    """Training-data selection via importance resampling (text.dsir_scores
+    — DSIR, Xie et al. 2023): unigram models of the TARGET domain (the
+    'en'-tagged docs) and the raw pool (everything else), each raw doc
+    scored by its summed per-token log-likelihood ratio in integer
+    nano-units (BIGINT sums — no float accumulation order), top 50 kept.
+    The distributed top-k is orderBy().limit() (TakeOrderedAndProject —
+    per-partition partial top-k, no global sort shuffle and no
+    one-partition window anywhere; membership is deterministic via the
+    (score desc, id asc) tie-break, so no rank column is needed)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = text.dsir_scores(docs, F.col("lang") == "en", "doc_id", "text")
+    return scored.orderBy(F.col("dsir_n").desc(), F.col("doc_id").asc()).limit(50)
+
+
+ORACLE_DSIR_SAMPLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS t, unnest({SQL_TOKS.format(x='text')}) AS term
+  FROM documents),
+model AS (
+  SELECT term,
+         SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN t THEN 0 ELSE 1 END) AS cr
+  FROM toks GROUP BY term),
+tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr,
+               CAST(COUNT(*) AS BIGINT) AS v FROM model),
+lr AS (
+  SELECT term,
+         CAST(round((ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE))
+                   - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + v AS DOUBLE))) * 1e9)
+              AS BIGINT) AS lrn
+  FROM model CROSS JOIN tot),
+scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(lrn) AS BIGINT) AS dsir_n
+  FROM toks JOIN lr USING (term) WHERE NOT t GROUP BY doc_id)
+SELECT doc_id, n_tokens, dsir_n
+FROM scored
+QUALIFY row_number() OVER (ORDER BY dsir_n DESC, doc_id ASC) <= 50
+"""
+
+
 # ---------------------------------------------------------------------------
 # 8. deduplication (training-data ops)
 # ---------------------------------------------------------------------------
@@ -8198,6 +8240,7 @@ QUERIES = {
     "gap_fill": q_gap_fill,
     "frequent_pairs": q_frequent_pairs,
     "unigram_surprisal": q_unigram_surprisal,
+    "dsir_sample": q_dsir_sample,
     "quality_repetition": q_quality_repetition,
     "embedding_near_dup": q_embedding_near_dup,
     "wordcount": q_wordcount,
@@ -8317,6 +8360,7 @@ _ROTATION10_HEAD = [
     "streaming_ann_ingest",
     "streaming_psi",
     "streaming_percentile",
+    "dsir_sample",
     "dedup_cluster_stars",
     "approx_distinct",
     "centroid_classify",
@@ -8358,7 +8402,6 @@ _ROTATION10_HEAD = [
     "streaming_trailing_zscore",
     "tpch_q5",
     "tpch_q3",
-    "streaming_bfs_incremental",
 ]
 assert len(_ROTATION10_HEAD) == 50 and len(set(_ROTATION10_HEAD)) == 50
 QUERIES = {
@@ -8429,6 +8472,7 @@ ORACLES = {
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "rolling_active": ORACLE_ROLLING_ACTIVE,
     "unigram_surprisal": ORACLE_UNIGRAM_SURPRISAL,
+    "dsir_sample": ORACLE_DSIR_SAMPLE,
     "quota_sample": ORACLE_QUOTA_SAMPLE,
     "quality_repetition": ORACLE_QUALITY_REPETITION,
     "winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,

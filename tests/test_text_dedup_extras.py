@@ -1047,3 +1047,45 @@ def test_incremental_lsh_index_compact(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS lsh_compact_test")
         spark.sql("DROP TABLE IF EXISTS lsh_compact_test__ids")
+
+
+def test_dsir_scores_rank_target_like_docs_higher(spark):
+    """DSIR importance scoring: raw docs made of target-domain tokens must
+    outscore raw docs made of off-domain tokens; target docs themselves are
+    excluded from the output; empty raw docs are absent; and the BIGINT
+    nano-unit score is exactly the sum of per-term log-ratios (no float
+    accumulation surprises)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from storm_spark.functions.text import dsir_scores
+
+    rows = [
+        (1, "apple banana apple banana", True),
+        (2, "apple apple banana", True),
+        (10, "apple banana apple", False),   # target-like raw doc
+        (11, "rock metal rock metal", False),  # off-domain raw doc
+        (12, "", False),                      # empty raw doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    out = {
+        r.doc_id: (r.n_tokens, r.dsir_n)
+        for r in dsir_scores(df, F.col("is_t"), "doc_id", "text").collect()
+    }
+    assert set(out) == {10, 11}  # targets and the empty doc excluded
+    assert out[10][1] > out[11][1]
+
+    # exact nano-unit reconstruction: vocab = {apple, banana, rock, metal}
+    ct = {"apple": 4, "banana": 3, "rock": 0, "metal": 0}
+    cr = {"apple": 2, "banana": 1, "rock": 2, "metal": 2}
+    nt, nr, v = sum(ct.values()), sum(cr.values()), 4
+    lr = {
+        t: round(
+            (math.log((ct[t] + 1) / (nt + v)) - math.log((cr[t] + 1) / (nr + v)))
+            * 1e9
+        )
+        for t in ct
+    }
+    assert out[10] == (3, 2 * lr["apple"] + lr["banana"])
+    assert out[11] == (4, 2 * lr["rock"] + 2 * lr["metal"])
