@@ -1920,8 +1920,15 @@ class IVFPQIndex:
         """Probe the persisted index: identical output contract (and
         tie-breaks) to :func:`ivf_pq_topk` over the same corpus/params —
         ``(query_id, neighbor_id, cos_sim, rank)``. The probed cells
-        reach the code scan as a partition filter, so the read touches
-        only n_probe directories per query set."""
+        reach the code scan as a STATIC partition filter: the distinct
+        probed-cell set is ≤ n_lists values (a documented bounded fetch,
+        the touched-bucket-list convention), collected and pushed as an
+        ``IN`` predicate so the scan provably reads only those cells'
+        directories — rather than hoping dynamic partition pruning's
+        benefit heuristic fires on the join (at micro scale it plans
+        ``dynamicpruningexpression(true)``, i.e. declines; plan-pinned in
+        ``test_ivf_pq_index_search_prunes_code_partitions``). The
+        per-(query, cell) restriction itself is still the join."""
         import os as _os
 
         if self.m is None:
@@ -1960,6 +1967,11 @@ class IVFPQIndex:
             .filter(F.col("__r__") <= n_probe)
             .select("query_id", F.col("cent_id").alias("__cell__"))
         )
+        # probed feeds the cell-list collect AND the per-query join —
+        # materialize once so the crossJoin+window probe isn't run twice
+        probed = probed.localCheckpoint()
+        cells = [r["__cell__"] for r in probed.select("__cell__").distinct().collect()]
+        codes = codes.filter(F.col("__cell__").isin(cells))
         return _ivf_pq_search(
             q, probed, codes, vectors, codebooks, k, shortlist, scale,
             self.m, self.sub_len,

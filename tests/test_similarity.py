@@ -602,3 +602,42 @@ def test_ivf_pq_index_remove_vectors_guards(clustered_vectors, tmp_path):
     # reserved until compact: re-adding the tombstoned id still raises
     with _pytest.raises(ValueError, match="already indexed"):
         idx.add_vectors(corpus.filter(F.col("vec_id") == 5))
+
+
+def test_ivf_pq_index_search_prunes_code_partitions(spark, tmp_path):
+    """The persisted index's serving claim, plan-pinned: the codes table
+    is written PARTITIONED BY cell and search() pushes the distinct
+    probed-cell set (<= n_lists values, a bounded fetch) as a STATIC
+    partition IN-filter — so the scan PROVABLY reads only the probed
+    cells' directories (dynamic partition pruning's benefit heuristic
+    declines at small scale with dynamicpruningexpression(true); the
+    static filter does not depend on it)."""
+    import glob
+    import random
+
+    from storm_spark.functions import similarity
+
+    rng = random.Random(3)
+    rows = [
+        (i, [float(rng.uniform(-1, 1)) for _ in range(8)]) for i in range(1500)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    path = str(tmp_path / "dpp")
+    idx = similarity.IVFPQIndex(path, "vec_id", "embedding").build(
+        corpus, m=4, ksub=4, n_lists=16, n_iters=1
+    )
+    res = idx.search(corpus.filter(F.col("vec_id") < 4), k=3, n_probe=2, shortlist=10)
+    got = res.collect()
+    assert got
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    pf = [
+        m
+        for m in __import__("re").findall(r"PartitionFilters: \[[^\]]*\]", plan)
+        if "__cell__" in m and " IN " in m
+    ]
+    assert pf, plan[:2000]
+    # the filter is real: probed cells < n_lists, so some partition dirs
+    # must NOT appear in the filter's value list
+    n_dirs = len(glob.glob(f"{path}/codes/__cell__=*"))
+    listed = max(m.count(",") + 1 for m in pf)
+    assert listed < n_dirs
