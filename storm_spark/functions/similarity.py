@@ -1780,6 +1780,19 @@ class IVFPQIndex:
                     "each id must arrive exactly once (replayed batch?); a "
                     "re-append would double its ADC score"
                 )
+            # a TOMBSTONED id is also refused: post-compact it vanishes
+            # from vectors, and if a crash (or failed clear) left the
+            # tombstone behind, silently accepting the re-add would index
+            # a vector the stale tombstone then hides from every search —
+            # fail loudly and point at compact() instead
+            tomb = self._tombstones(spark)
+            if tomb is not None:
+                dead = ids.join(tomb, "neighbor_id", "semi").head(1)
+                if dead:
+                    raise ValueError(
+                        f"id {dead[0]['neighbor_id']!r} is tombstoned — run "
+                        "compact() to clear deletes before re-indexing the id"
+                    )
         cents = spark.read.parquet(_os.path.join(self.path, "centroids"))
         cbs = spark.read.parquet(_os.path.join(self.path, "codebooks"))
         self._encode_and_write(corpus, cents, cbs, "append")
@@ -1837,6 +1850,19 @@ class IVFPQIndex:
                     f"id {twice[0]['neighbor_id']!r} is already tombstoned — "
                     "deleting it twice indicates a confused caller"
                 )
+        # refuse to tombstone the ENTIRE index: the compacted result would
+        # be an empty partitioned table (unreadable parquet), and a fully
+        # emptied index is a rebuild, not a maintenance operation
+        live = stored
+        if _os.path.isdir(tomb_path):
+            live = stored.join(
+                spark.read.parquet(tomb_path), "neighbor_id", "anti"
+            )
+        if live.join(dele, "neighbor_id", "anti").isEmpty():
+            raise ValueError(
+                "this delete would tombstone every remaining indexed vector "
+                "— rebuild the index instead of emptying it"
+            )
         dele.write.mode("append").parquet(tomb_path)
         return self
 
@@ -1866,9 +1892,12 @@ class IVFPQIndex:
         the live tables overwritten, and the staging directory is removed
         last. NOT crash-atomic: a crash mid-rewrite fails LOUDLY on the
         next read with the full content recoverable from staging — never
-        a silently wrong index. A crash after the rewrites but before the
-        tombstone clear is harmless: the anti-join then removes ids that
-        are already gone."""
+        a silently wrong index. A crash (or failed clear) between the
+        rewrites and the tombstone clear leaves STALE tombstones: search
+        anti-joins ids that are already gone (harmless), and re-adding
+        such an id is refused loudly by ``add_vectors``'s tombstone check
+        until a re-run of compact() clears the sidecar — stale state can
+        delay a re-add, never silently hide one."""
         import os as _os
         import shutil as _shutil
 
@@ -1905,7 +1934,12 @@ class IVFPQIndex:
             .partitionBy("__cell__")
             .parquet(codes_path)
         )
-        _shutil.rmtree(_os.path.join(self.path, "tombstones"), ignore_errors=True)
+        # the tombstone clear must NOT swallow errors: a silently failed
+        # clear leaves stale tombstones in force (see docstring) — raise
+        # so the caller knows to re-run compact()
+        tomb_dir = _os.path.join(self.path, "tombstones")
+        if _os.path.isdir(tomb_dir):
+            _shutil.rmtree(tomb_dir)
         _shutil.rmtree(staging, ignore_errors=True)
         return self
 

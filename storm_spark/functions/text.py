@@ -827,10 +827,14 @@ def dsir_scores(
     1-row aggregate; scoring is one join of raw tokens against the
     vocab-sized model table plus one doc-keyed agg. Nothing is ever
     collected; nothing is quadratic."""
+    # NULL predicate counts as RAW (CASE WHEN semantics — what the SQL
+    # oracle's CASE WHEN t THEN .. ELSE .. does); without the coalesce a
+    # NULL would drop the row from BOTH models (F.sum skips NULLs and
+    # ~NULL is NULL), silently diverging from the oracle
     toks = bounded_persist(
         df.select(
             F.col(id_col),
-            target_pred.alias("__t__"),
+            F.coalesce(target_pred, F.lit(False)).alias("__t__"),
             F.explode(tokens(text_col)).alias("term"),
         ),
         "text.dsir.toks",

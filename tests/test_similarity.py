@@ -514,8 +514,6 @@ def test_ivf_pq_index_remove_vectors_and_compact(clustered_vectors, tmp_path, sp
     import glob
     import os
 
-    import pytest as _pytest
-
     from storm_spark.functions import similarity
 
     corpus = clustered_vectors
@@ -641,3 +639,38 @@ def test_ivf_pq_index_search_prunes_code_partitions(spark, tmp_path):
     n_dirs = len(glob.glob(f"{path}/codes/__cell__=*"))
     listed = max(m.count(",") + 1 for m in pf)
     assert listed < n_dirs
+
+
+def test_ivf_pq_index_tombstone_recovery_contract(clustered_vectors, tmp_path):
+    """Crash-window semantics: a stale tombstone (clear failed or crashed
+    after the rewrites) may DELAY a re-add — add_vectors refuses the id
+    loudly and points at compact() — but can never silently hide a newly
+    indexed vector. Also: tombstoning every remaining vector is refused
+    (the emptied index would be a rebuild, not maintenance)."""
+    import os
+
+    import pytest as _pytest
+
+    from storm_spark.functions import similarity
+
+    corpus = clustered_vectors.filter(F.col("vec_id") < 20)
+    spark = corpus.sparkSession
+    idx = similarity.IVFPQIndex(str(tmp_path / "t"), "vec_id", "embedding").build(
+        corpus, m=4, ksub=4, n_lists=4
+    )
+    with _pytest.raises(ValueError, match="every remaining"):
+        idx.remove_vectors(corpus.select("vec_id"))
+    idx.remove_vectors(
+        corpus.filter(F.col("vec_id").isin(5, 7)).select("vec_id")
+    )
+    idx.compact()  # ids 5 and 7 physically gone, tombstones cleared
+    # simulate the crash window: rewrites done, tombstone clear lost —
+    # id 7's tombstone survives although the row is already gone
+    spark.createDataFrame([(7,)], "neighbor_id bigint").write.parquet(
+        os.path.join(idx.path, "tombstones")
+    )
+    with _pytest.raises(ValueError, match="tombstoned"):
+        idx.add_vectors(clustered_vectors.filter(F.col("vec_id") == 7))
+    # re-running compact clears the stale state; the id is indexable again
+    idx.compact()
+    idx.add_vectors(clustered_vectors.filter(F.col("vec_id").isin(5, 7)))

@@ -1089,3 +1089,26 @@ def test_dsir_scores_rank_target_like_docs_higher(spark):
     }
     assert out[10] == (3, 2 * lr["apple"] + lr["banana"])
     assert out[11] == (4, 2 * lr["rock"] + 2 * lr["metal"])
+
+
+def test_dsir_scores_null_predicate_counts_as_raw(spark):
+    """A NULL target predicate (e.g. lang IS NULL under lang = 'en') must
+    count the doc as RAW — CASE WHEN semantics, matching the SQL oracle —
+    not silently drop it from both unigram models."""
+    from pyspark.sql import functions as F
+
+    from storm_spark.functions.text import dsir_scores
+
+    rows = [
+        (1, "apple apple", "en"),
+        (10, "apple banana", "de"),
+        (11, "apple banana", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r.doc_id: r.dsir_n
+        for r in dsir_scores(df, F.col("lang") == "en", "doc_id", "text").collect()
+    }
+    # the NULL-lang doc is scored as raw, and identically to the 'de' twin
+    assert set(out) == {10, 11}
+    assert out[10] == out[11]

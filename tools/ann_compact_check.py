@@ -57,8 +57,8 @@ def main():
             return time.time() - t0, sorted(map(tuple, rows))
 
         probe()  # warmup
-        pre_times = [probe()[0] for _ in range(3)]
-        _, pre_rows = probe()
+        pre_runs = [probe() for _ in range(3)]
+        pre_times, pre_rows = [t for t, _ in pre_runs], pre_runs[-1][1]
         pre_files = count_files(path)
 
         t0 = time.time()
@@ -66,8 +66,8 @@ def main():
         t_compact = time.time() - t0
 
         probe()  # warmup on the rewritten generation
-        post_times = [probe()[0] for _ in range(3)]
-        _, post_rows = probe()
+        post_runs = [probe() for _ in range(3)]
+        post_times, post_rows = [t for t, _ in post_runs], post_runs[-1][1]
         post_files = count_files(path)
 
         assert pre_rows == post_rows, "compact changed the answer"
