@@ -71,19 +71,47 @@ def bm25_topk(
     tf = (
         slim.select("__id__", F.explode("__m__").alias("__term__"))
         .groupBy("__id__", "__term__")
-        .agg(F.count(F.lit(1)).cast("double").alias("__tf__"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__tf__"))
     )
-    df_ = tf.groupBy("__term__").agg(F.count(F.lit(1)).cast("double").alias("__df__"))
+    return bm25_rank_from_index(
+        tf, slim.select("__id__", "__dl__"), corpus, id_col, k, k1, b
+    )
+
+
+def bm25_rank_from_index(
+    tf: DataFrame,
+    doclens: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """:func:`bm25_topk`'s scoring tail over ALREADY-BUILT index state —
+    ``tf`` = (__id__, __term__, __tf__ bigint) postings for query-matched
+    terms, ``doclens`` = (__id__, __dl__) for matched docs, ``corpus`` =
+    one row (__n__, __avgdl__) over ALL docs. Public because the index is
+    a LINEAR structure: per-epoch postings fold by (doc, term) SUM,
+    doc-length rows append (each doc arrives once), and (n, Σdl) are two
+    counters — so a streaming index maintained across micro-batches feeds
+    this same tail and must rank identically to the batch build
+    (``streaming_bm25``'s oracle equality). df(t) derives from the folded
+    postings (distinct docs per term), never folded separately — one less
+    thing to desync."""
+    df_ = tf.groupBy("__term__").agg(
+        F.count(F.lit(1)).cast("double").alias("__df__")
+    )
     scored = (
-        tf.join(df_, on="__term__")
-        .join(slim.select("__id__", "__dl__"), on="__id__")
+        tf.withColumn("__tfd__", F.col("__tf__").cast("double"))
+        .join(df_, on="__term__")
+        .join(doclens, on="__id__")
         .crossJoin(F.broadcast(corpus))
     )
     idf = F.log(
         F.lit(1.0) + (F.col("__n__") - F.col("__df__") + 0.5) / (F.col("__df__") + 0.5)
     )
-    tf_norm = (F.col("__tf__") * (k1 + 1)) / (
-        F.col("__tf__")
+    tf_norm = (F.col("__tfd__") * (k1 + 1)) / (
+        F.col("__tfd__")
         + k1 * (1 - b + b * F.col("__dl__") / F.col("__avgdl__"))
     )
     contrib_e9 = F.round(idf * tf_norm * 1e9).cast("bigint")

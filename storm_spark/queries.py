@@ -3644,6 +3644,98 @@ FROM agg ORDER BY score_e9 DESC, doc_id LIMIT {k}
 ORACLE_BM25_TOPK = _oracle_bm25()
 
 
+def q_streaming_bm25(spark, sf_dir):
+    """Live search-index maintenance — the BM25 inverted index kept up
+    with an arriving corpus (search.bm25_rank_from_index): documents
+    stream in three epochs via a real ``readStream``; each
+    ``foreachBatch`` tokenizes ONLY its batch and folds three linear
+    structures — query-matched postings by (doc, term) SUM, matched-doc
+    lengths by append (each doc arrives once), and the (n_docs, Σdl)
+    corpus counters — then the shared scoring tail ranks from the folded
+    state. Equal by construction to the batch index over all docs, so
+    the final top-20 satisfies the batch `bm25_topk` oracle VERBATIM.
+    This is Trident's persistentAggregate-then-stateQuery idiom with an
+    inverted index as the state; per-epoch work is O(batch tokens), the
+    postings state is O(matched docs × query terms)."""
+    import os
+    import uuid
+
+    from storm_spark.functions.search import bm25_rank_from_index
+    from storm_spark.functions.text import tokens as _tokens
+
+    terms = ["join", "spark", "table", "window"]
+    terms_lit = F.array(*[F.lit(t) for t in sorted(set(terms))])
+    docs = _t(spark, sf_dir, "documents")
+    tmp = gate_tmp.mkdtemp(prefix="storm_spark_sbm_")
+    indir = os.path.join(tmp, "in")
+    os.makedirs(indir)
+    feed = docs.select("doc_id", "text")
+    state = {"tf": None, "dl": None, "n": 0, "sumdl": 0}
+
+    def absorb(batch_df, epoch_id):
+        toks = batch_df.select(
+            F.col("doc_id").alias("__id__"), _tokens("text").alias("__toks__")
+        )
+        slim = toks.select(
+            "__id__",
+            F.size("__toks__").cast("bigint").alias("__dl__"),
+            F.filter(
+                F.col("__toks__"), lambda t: F.array_contains(terms_lit, t)
+            ).alias("__m__"),
+        ).localCheckpoint()  # feeds counters + postings + lengths once
+        row = slim.agg(
+            F.count(F.lit(1)).alias("c"), F.sum("__dl__").alias("s")
+        ).first()
+        state["n"] += int(row["c"])
+        state["sumdl"] += int(row["s"] or 0)
+        etf = (
+            slim.select("__id__", F.explode("__m__").alias("__term__"))
+            .groupBy("__id__", "__term__")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("__tf__"))
+        )
+        state["tf"] = (
+            etf
+            if state["tf"] is None
+            else state["tf"]
+            .unionByName(etf)
+            .groupBy("__id__", "__term__")
+            .agg(F.sum("__tf__").cast("bigint").alias("__tf__"))
+        ).localCheckpoint()
+        edl = slim.filter(F.size("__m__") > 0).select("__id__", "__dl__")
+        state["dl"] = (
+            edl if state["dl"] is None else state["dl"].unionByName(edl)
+        ).localCheckpoint()
+
+    q = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{indir}/*")
+        .writeStream.foreachBatch(absorb)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .queryName("sbm_" + uuid.uuid4().hex[:8])
+        .start()
+    )
+    try:
+        chunk = F.pmod(F.xxhash64("doc_id"), F.lit(3))
+        for bch in range(3):
+            feed.filter(chunk == bch).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(indir, f"b{bch}")
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    # (n, avgdl) from the folded counters — bigint/bigint division is the
+    # same double as F.avg's sum/count, so the tail sees identical inputs
+    corpus = spark.range(1).select(
+        F.lit(state["n"]).cast("bigint").alias("__n__"),
+        (F.lit(state["sumdl"]).cast("bigint") / F.lit(state["n"]).cast("bigint")).alias(
+            "__avgdl__"
+        ),
+    )
+    return bm25_rank_from_index(state["tf"], state["dl"], corpus, "doc_id", k=20)
+
+
 class _CountPerStream:
     """GroupedMultiReducer for the multi_reduce gate: per-key tuple count of
     each input stream — the counting skeleton of the reference's
@@ -8210,6 +8302,7 @@ QUERIES = {
     "quality_gate": q_quality_gate,
     "mixture_weights": q_mixture_weights,
     "bm25_topk": q_bm25_topk,
+    "streaming_bm25": q_streaming_bm25,
     "multi_reduce": q_multi_reduce,
     "repartition_verbs": q_repartition_verbs,
     "metrics_observe": q_metrics_observe,
@@ -8360,6 +8453,7 @@ _ROTATION10_HEAD = [
     "streaming_ann_ingest",
     "streaming_psi",
     "streaming_percentile",
+    "streaming_bm25",
     "dsir_sample",
     "dedup_cluster_stars",
     "approx_distinct",
@@ -8401,7 +8495,6 @@ _ROTATION10_HEAD = [
     "tpch_q6",
     "streaming_trailing_zscore",
     "tpch_q5",
-    "tpch_q3",
 ]
 assert len(_ROTATION10_HEAD) == 50 and len(set(_ROTATION10_HEAD)) == 50
 QUERIES = {
@@ -8562,6 +8655,7 @@ ORACLES = {
     "streaming_dedup": ORACLE_STREAMING_DEDUP,
     "mixture_weights": ORACLE_MIXTURE_WEIGHTS,
     "bm25_topk": ORACLE_BM25_TOPK,
+    "streaming_bm25": ORACLE_BM25_TOPK,
     "multi_reduce": ORACLE_MULTI_REDUCE,
     "repartition_verbs": ORACLE_REPARTITION_VERBS,
     "metrics_observe": ORACLE_METRICS_OBSERVE,
