@@ -167,6 +167,7 @@ HEADLINE = [
     "ann_index_update",
     "ann_index_delete",
     "dsir_sample",
+    "gopher_quality",
 ]
 
 

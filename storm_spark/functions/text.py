@@ -871,3 +871,87 @@ def dsir_scores(
             F.sum("__lr__").cast("bigint").alias("dsir_n"),
         )
     )
+
+
+GOPHER_STOPWORDS = ["and", "be", "have", "of", "that", "the", "to", "with"]
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ndigits: int = 6,
+) -> DataFrame:
+    """The published rule-based quality filter suite — Gopher rules (Rae
+    et al. 2021, §A1.1) with C4's line heuristics (Raffel et al. 2020):
+    per document, the named signals web-corpus pipelines gate on, plus
+    the combined ``passes`` verdict at the Gopher thresholds:
+
+    - ``n_words`` in [50, 100 000]
+    - ``mean_word_len`` in [3, 10]
+    - ``symbol_ratio`` (# characters + ``...`` occurrences per word) < 0.1
+    - ``bullet_frac`` (lines starting with a bullet) < 0.9
+    - ``ellipsis_frac`` (lines ending with an ellipsis) < 0.3
+    - ``alpha_frac`` (words containing a letter) > 0.8
+    - ``stop_hits`` (distinct marker stopwords present) ≥ 2
+
+    Everything is a per-row expression — no shuffle, no UDF,
+    embarrassingly parallel at any scale; ratios round to ``ndigits`` on
+    exact integer counts so the DuckDB oracle matches bit-for-bit. Empty
+    documents report zero ratios and fail. This is the ABSOLUTE-rule
+    complement to :func:`quality_gate`'s per-group RELATIVE percentile
+    cut — production pipelines run both (rules first, then the
+    distributional trim)."""
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens(text_col)
+    n_words = F.size(toks).cast("bigint")
+    nz = F.greatest(n_words, F.lit(1)).cast("double")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    hash_cnt = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    ell_cnt = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    lines = F.split(text, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    is_bullet = lambda ln: F.ltrim(ln).rlike("^[-*•]")
+    is_ell = lambda ln: F.rtrim(ln).rlike("(\\.\\.\\.|…)$")
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    mean_word_len = F.round(sum_len.cast("double") / nz, ndigits)
+    symbol_ratio = F.round((hash_cnt + ell_cnt).cast("double") / nz, ndigits)
+    bullet_frac = F.round(
+        F.size(F.filter(lines, is_bullet)).cast("double") / n_lines, ndigits
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, is_ell)).cast("double") / n_lines, ndigits
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / nz,
+        ndigits,
+    )
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), stops)).cast(
+        "bigint"
+    )
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    passes = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_ratio") < 0.1)
+        & (F.col("bullet_frac") < 0.9)
+        & (F.col("ellipsis_frac") < 0.3)
+        & (F.col("alpha_frac") > 0.8)
+        & (F.col("stop_hits") >= 2)
+    )
+    return out.withColumn("passes", passes)

@@ -1999,6 +1999,69 @@ GROUP BY doc_id
 """
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Rule-based quality filtering (text.gopher_quality_flags): the
+    published Gopher rules (Rae et al. 2021 §A1.1) + C4 line heuristics
+    as named per-document signals — word count, mean word length,
+    symbol ratio, bullet/ellipsis line fractions, alphabetic-word
+    fraction, marker-stopword hits — and the combined `passes` verdict
+    at the Gopher thresholds. Pure per-row expressions (no shuffle, no
+    UDF); ratios are exact integer counts rounded at 6, so the oracle
+    matches bit-for-bit. The absolute-rule complement to quality_gate's
+    per-group relative percentile cut."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.gopher_quality_flags(docs, "doc_id", "text")
+
+
+def _oracle_gopher_quality():
+    from storm_spark.functions.text import GOPHER_STOPWORDS
+
+    toks = SQL_TOKS.format(x="text")
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {toks} AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(greatest(len(toks), 1) AS DOUBLE) AS nz,
+         CAST(COALESCE(list_aggregate(list_transform(toks, t -> len(t)), 'sum'), 0)
+              AS DOUBLE) AS sum_len,
+         CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE)
+           + CAST(len(text) - len(replace(text, '...', '')) AS DOUBLE) / 3 AS sym_cnt,
+         CAST(greatest(len(lines), 1) AS DOUBLE) AS n_lines,
+         CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]')))
+              AS DOUBLE) AS n_bullet,
+         CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+              AS DOUBLE) AS n_ell,
+         CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+              AS DOUBLE) AS n_alpha,
+         CAST(len(list_intersect(list_distinct(toks), [{stops}])) AS BIGINT)
+           AS stop_hits
+  FROM base),
+r AS (
+  SELECT doc_id, n_words,
+         round(sum_len / nz, 6) AS mean_word_len,
+         round(sym_cnt / nz, 6) AS symbol_ratio,
+         round(n_bullet / n_lines, 6) AS bullet_frac,
+         round(n_ell / n_lines, 6) AS ellipsis_frac,
+         round(n_alpha / nz, 6) AS alpha_frac,
+         stop_hits
+  FROM m)
+SELECT *,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3 AND mean_word_len <= 10
+        AND symbol_ratio < 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
+        AND alpha_frac > 0.8 AND stop_hits >= 2) AS passes
+FROM r
+"""
+
+
+ORACLE_GOPHER_QUALITY = _oracle_gopher_quality()
+
+
 def q_dsir_sample(spark, sf_dir):
     """Training-data selection via importance resampling (text.dsir_scores
     — DSIR, Xie et al. 2023): unigram models of the TARGET domain (the
@@ -8334,6 +8397,7 @@ QUERIES = {
     "frequent_pairs": q_frequent_pairs,
     "unigram_surprisal": q_unigram_surprisal,
     "dsir_sample": q_dsir_sample,
+    "gopher_quality": q_gopher_quality,
     "quality_repetition": q_quality_repetition,
     "embedding_near_dup": q_embedding_near_dup,
     "wordcount": q_wordcount,
@@ -8455,6 +8519,7 @@ _ROTATION10_HEAD = [
     "streaming_percentile",
     "streaming_bm25",
     "dsir_sample",
+    "gopher_quality",
     "dedup_cluster_stars",
     "approx_distinct",
     "centroid_classify",
@@ -8494,7 +8559,6 @@ _ROTATION10_HEAD = [
     "k_anonymize",
     "tpch_q6",
     "streaming_trailing_zscore",
-    "tpch_q5",
 ]
 assert len(_ROTATION10_HEAD) == 50 and len(set(_ROTATION10_HEAD)) == 50
 QUERIES = {
@@ -8566,6 +8630,7 @@ ORACLES = {
     "rolling_active": ORACLE_ROLLING_ACTIVE,
     "unigram_surprisal": ORACLE_UNIGRAM_SURPRISAL,
     "dsir_sample": ORACLE_DSIR_SAMPLE,
+    "gopher_quality": ORACLE_GOPHER_QUALITY,
     "quota_sample": ORACLE_QUOTA_SAMPLE,
     "quality_repetition": ORACLE_QUALITY_REPETITION,
     "winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,

@@ -1112,3 +1112,36 @@ def test_dsir_scores_null_predicate_counts_as_raw(spark):
     # the NULL-lang doc is scored as raw, and identically to the 'de' twin
     assert set(out) == {10, 11}
     assert out[10] == out[11]
+
+
+def test_gopher_quality_flags_named_rules(spark):
+    """The Gopher/C4 rule suite on crafted documents: a clean long doc
+    passes; short, symbol-heavy, bullet-dominated, ellipsis-heavy,
+    non-alphabetic, and stopword-free docs each fail on THEIR named rule
+    with the expected signal values."""
+    from storm_spark.functions.text import gopher_quality_flags
+
+    clean = " ".join(
+        ["the quick brown fox jumps over that lazy dog with zeal of be have to"]
+        * 6
+    )
+    bullets = "\n".join(["- item one of the list"] * 9 + ["the end of it"])
+    ells = "\n".join(["the line trails off..."] * 2 + ["the solid line here"] * 3)
+    rows = [
+        (1, clean),
+        (2, "too short to pass the fifty word rule"),
+        (3, clean + " " + "#" * 200),
+        (4, bullets),
+        (5, ells),
+        (6, " ".join(["12345 67890"] * 40)),
+        (7, " ".join(["zebra quark bongo"] * 30)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_quality_flags(df, "doc_id", "text").collect()}
+    assert out[1].passes
+    assert not out[2].passes and out[2].n_words < 50
+    assert not out[3].passes and out[3].symbol_ratio >= 0.1
+    assert out[4].bullet_frac == 0.9 and not out[4].passes
+    assert out[5].ellipsis_frac == 0.4 and not out[5].passes
+    assert not out[6].passes and out[6].alpha_frac == 0.0
+    assert not out[7].passes and out[7].stop_hits == 0
