@@ -572,7 +572,9 @@ def percentiles_from_counts(
     Output: one row per group with ``p_<i>`` double columns in ``ps``
     order (callers alias/round). Exactness: the bracketing values are the
     SAME doubles the raw-row formulation sees and the interpolation uses
-    the same ``lower + (pos − floor(pos))·(higher − lower)`` form, so the
+    Spark's exact form ``lower·(1−d) + higher·d`` (NOT the algebraically
+    equal ``lower + d·(higher−lower)``, which differs in the last ulp —
+    a hypothesis-found counterexample: values [0×7, −3] at p=0.1), so the
     reconstruction is bit-identical, not approximately equal. NULL values
     must be filtered upstream (a histogram has no NULL bucket).
 
@@ -607,6 +609,6 @@ def percentiles_from_counts(
         higher = F.min(F.when(in_ce, F.col("__v__").cast("double")))
         frac = F.min(F.when(in_fl, pos - fl.cast("double")))
         aggs.append(
-            (lower + frac * (higher - lower)).alias(f"p_{i}")
+            (lower * (F.lit(1.0) - frac) + higher * frac).alias(f"p_{i}")
         )
     return rows.groupBy(*group_cols).agg(*aggs)

@@ -237,3 +237,28 @@ def test_star_edges_same_components_as_pair_clique(spark, docs, bands):
         ).collect()
     }
     assert via_stars == via_pairs
+
+
+@settings(**SETTINGS)
+@given(
+    values=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=120),
+    ps=st.lists(
+        st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99, 1.0]),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+)
+def test_percentiles_from_counts_property(spark, values, ps):
+    """streaming_percentile's foundation, property-tested: for ANY integer
+    multiset and ANY p-list, the histogram reconstruction equals
+    F.percentile on the raw rows exactly (same doubles, not approx)."""
+    from pyspark.sql import functions as F
+
+    from storm_spark.functions.robust import percentiles_from_counts
+
+    df = spark.createDataFrame([("g", v) for v in values], "g string, v long")
+    hist = df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("n"))
+    got = percentiles_from_counts(hist, ["g"], "v", "n", ps).collect()[0]
+    want = df.groupBy("g").agg(F.percentile("v", ps).alias("p")).collect()[0]
+    assert [got[f"p_{i}"] for i in range(len(ps))] == list(want.p)
