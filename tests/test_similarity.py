@@ -674,3 +674,39 @@ def test_ivf_pq_index_tombstone_recovery_contract(clustered_vectors, tmp_path):
     # re-running compact clears the stale state; the id is indexable again
     idx.compact()
     idx.add_vectors(clustered_vectors.filter(F.col("vec_id").isin(5, 7)))
+
+
+def test_ivf_pq_index_add_crash_between_writes_is_safe(clustered_vectors, tmp_path):
+    """_encode_and_write's ordering claim, simulated: vectors are written
+    BEFORE codes, so a crash between the two appends leaves an id in
+    vectors/ without codes — (a) search results are UNCHANGED (the id is
+    simply absent from the ADC scan, never a wrong answer) and (b) the
+    interrupted batch's REPLAY raises loudly on the duplicate id instead
+    of silently double-indexing."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F2
+
+    from storm_spark.functions import similarity
+
+    corpus = clustered_vectors.filter(F.col("vec_id") < 40)
+    late = clustered_vectors.filter(F.col("vec_id") == 77)
+    idx = similarity.IVFPQIndex(str(tmp_path / "cw"), "vec_id", "embedding").build(
+        corpus, m=4, ksub=4, n_lists=4
+    )
+    queries = corpus.filter(F.col("vec_id") < 4)
+    args = dict(k=3, n_probe=2, shortlist=10)
+    before = sorted(map(tuple, idx.search(queries, **args).collect()))
+
+    # simulate the crash: the vectors append landed, the codes append didn't
+    late.select(
+        F2.col("vec_id").alias("neighbor_id"),
+        F2.col("embedding").cast("array<double>").alias("__cv__"),
+    ).write.mode("append").parquet(os.path.join(idx.path, "vectors"))
+
+    after = sorted(map(tuple, idx.search(queries, **args).collect()))
+    assert after == before  # dangling vector row is invisible, never wrong
+
+    with _pytest.raises(ValueError, match="already indexed"):
+        idx.add_vectors(late)  # the replay fails loudly
