@@ -168,6 +168,7 @@ HEADLINE = [
     "ann_index_delete",
     "dsir_sample",
     "gopher_quality",
+    "schema_evolution",
 ]
 
 

@@ -1999,6 +1999,55 @@ GROUP BY doc_id
 """
 
 
+def q_schema_evolution(spark, sf_dir):
+    """Schema evolution on an append-only table — the data-lake reality a
+    long-lived pipeline hits (a new column appears mid-stream; old files
+    lack it): generation 1 of the orders table is written WITHOUT
+    `o_orderpriority`, generation 2 WITH it; the unified read uses
+    parquet `mergeSchema`, under which the old generation's missing
+    column reads as NULL (never a wrong value, never a failed read). The
+    gate aggregates across both generations with the NULL bucket made
+    explicit. The oracle reproduces the semantic outcome over the fixed
+    orders table (old-generation rows ⇒ NULL priority) — so what is
+    actually checked is that Spark's merged-schema read yields exactly
+    the missing-column-is-NULL semantics at full fidelity."""
+    import os
+
+    orders = _t(spark, sf_dir, "orders")
+    tmp = gate_tmp.mkdtemp(prefix="storm_spark_schevo_")
+    gen = F.pmod(F.col("o_orderkey"), F.lit(2))
+    orders.filter(gen == 0).select("o_orderkey", "o_totalprice").write.parquet(
+        os.path.join(tmp, "gen=1")
+    )
+    orders.filter(gen == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.parquet(os.path.join(tmp, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(tmp, "gen=1"), os.path.join(tmp, "gen=2")
+    )
+    return (
+        merged.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("(pre-evolution)")).alias(
+                "priority"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(cents("o_totalprice")).cast("bigint").alias("sum_price_c"),
+        )
+    )
+
+
+ORACLE_SCHEMA_EVOLUTION = f"""
+SELECT COALESCE(CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderpriority END,
+                '(pre-evolution)') AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM({SQL_CENTS.format(x='o_totalprice')}) AS BIGINT) AS sum_price_c
+FROM orders
+GROUP BY 1
+"""
+
+
 def q_gopher_quality(spark, sf_dir):
     """Rule-based quality filtering (text.gopher_quality_flags): the
     published Gopher rules (Rae et al. 2021 §A1.1) + C4 line heuristics
@@ -8398,6 +8447,7 @@ QUERIES = {
     "unigram_surprisal": q_unigram_surprisal,
     "dsir_sample": q_dsir_sample,
     "gopher_quality": q_gopher_quality,
+    "schema_evolution": q_schema_evolution,
     "quality_repetition": q_quality_repetition,
     "embedding_near_dup": q_embedding_near_dup,
     "wordcount": q_wordcount,
@@ -8520,6 +8570,7 @@ _ROTATION10_HEAD = [
     "streaming_bm25",
     "dsir_sample",
     "gopher_quality",
+    "schema_evolution",
     "dedup_cluster_stars",
     "approx_distinct",
     "centroid_classify",
@@ -8558,7 +8609,6 @@ _ROTATION10_HEAD = [
     "user_entropy",
     "k_anonymize",
     "tpch_q6",
-    "streaming_trailing_zscore",
 ]
 assert len(_ROTATION10_HEAD) == 50 and len(set(_ROTATION10_HEAD)) == 50
 QUERIES = {
@@ -8631,6 +8681,7 @@ ORACLES = {
     "unigram_surprisal": ORACLE_UNIGRAM_SURPRISAL,
     "dsir_sample": ORACLE_DSIR_SAMPLE,
     "gopher_quality": ORACLE_GOPHER_QUALITY,
+    "schema_evolution": ORACLE_SCHEMA_EVOLUTION,
     "quota_sample": ORACLE_QUOTA_SAMPLE,
     "quality_repetition": ORACLE_QUALITY_REPETITION,
     "winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,
