@@ -1755,14 +1755,19 @@ class IVFPQIndex:
         a silently re-appended id would double its ADC score (the
         integer LUT SUMS per (query, neighbor)) and emit duplicate
         neighbors from the exact re-rank. ``enforce_unique=False`` skips
-        the two blocking checks for trusted exactly-once feeds."""
+        the two duplicate-id checks for trusted exactly-once feeds; the
+        tombstone-reservation check ALWAYS runs — a tombstoned id's
+        re-add would be silently anti-joined out of every search and
+        physically deleted by the next :meth:`compact` (data loss, not a
+        dedup question), and the tombstone sidecar is delta-sized so the
+        semi-join costs O(|Δ| + |tombstones|)."""
         import os as _os
 
         if self.m is None:
             raise ValueError("index not built or loaded")
         spark = corpus.sparkSession
+        ids = corpus.select(F.col(self.id_col).alias("neighbor_id"))
         if enforce_unique:
-            ids = corpus.select(F.col(self.id_col).alias("neighbor_id"))
             dup = ids.groupBy("neighbor_id").count().filter(F.col("count") > 1).head(1)
             if dup:
                 raise ValueError(
@@ -1780,19 +1785,20 @@ class IVFPQIndex:
                     "each id must arrive exactly once (replayed batch?); a "
                     "re-append would double its ADC score"
                 )
-            # a TOMBSTONED id is also refused: post-compact it vanishes
-            # from vectors, and if a crash (or failed clear) left the
-            # tombstone behind, silently accepting the re-add would index
-            # a vector the stale tombstone then hides from every search —
-            # fail loudly and point at compact() instead
-            tomb = self._tombstones(spark)
-            if tomb is not None:
-                dead = ids.join(tomb, "neighbor_id", "semi").head(1)
-                if dead:
-                    raise ValueError(
-                        f"id {dead[0]['neighbor_id']!r} is tombstoned — run "
-                        "compact() to clear deletes before re-indexing the id"
-                    )
+        # a TOMBSTONED id is refused UNCONDITIONALLY (even with
+        # enforce_unique=False): post-compact it vanishes from vectors,
+        # and if a crash (or failed clear) left the tombstone behind,
+        # silently accepting the re-add would index a vector the stale
+        # tombstone then hides from every search AND the next compact()
+        # physically deletes — fail loudly and point at compact() instead
+        tomb = self._tombstones(spark)
+        if tomb is not None:
+            dead = ids.join(tomb, "neighbor_id", "semi").head(1)
+            if dead:
+                raise ValueError(
+                    f"id {dead[0]['neighbor_id']!r} is tombstoned — run "
+                    "compact() to clear deletes before re-indexing the id"
+                )
         cents = spark.read.parquet(_os.path.join(self.path, "centroids"))
         cbs = spark.read.parquet(_os.path.join(self.path, "codebooks"))
         self._encode_and_write(corpus, cents, cbs, "append")
@@ -2005,6 +2011,17 @@ class IVFPQIndex:
         # materialize once so the crossJoin+window probe isn't run twice
         probed = probed.localCheckpoint()
         cells = [r["__cell__"] for r in probed.select("__cell__").distinct().collect()]
+        if not cells:
+            # empty query set ⇒ no probed cells. The composed plan would
+            # be correct by vacuity (isin([]) filters everything) but
+            # degenerate — four joins over a provably-empty scan. Return
+            # an explicitly empty frame with the exact output schema (the
+            # lazy plan's schema; no job runs to derive it).
+            shape = _ivf_pq_search(
+                q, probed, codes, vectors, codebooks, k, shortlist, scale,
+                self.m, self.sub_len,
+            ).schema
+            return spark.createDataFrame([], shape)
         codes = codes.filter(F.col("__cell__").isin(cells))
         return _ivf_pq_search(
             q, probed, codes, vectors, codebooks, k, shortlist, scale,

@@ -827,10 +827,13 @@ def dsir_scores(
     1-row aggregate; scoring is one join of raw tokens against the
     vocab-sized model table plus one doc-keyed agg. Nothing is ever
     collected; nothing is quadratic."""
-    # NULL predicate counts as RAW (CASE WHEN semantics — what the SQL
-    # oracle's CASE WHEN t THEN .. ELSE .. does); without the coalesce a
-    # NULL would drop the row from BOTH models (F.sum skips NULLs and
-    # ~NULL is NULL), silently diverging from the oracle
+    # NULL predicate counts as RAW everywhere: the coalesce makes the
+    # model counts (CASE WHEN t semantics) AND the scoring filter agree —
+    # the oracle mirrors this with CASE WHEN for the counts and
+    # `t IS DISTINCT FROM TRUE` for the scoring filter (plain NOT t would
+    # drop NULL-predicate docs from scoring). Without the coalesce a NULL
+    # would drop the row from BOTH models (F.sum skips NULLs and ~NULL is
+    # NULL), silently diverging from the oracle
     toks = bounded_persist(
         df.select(
             F.col(id_col),

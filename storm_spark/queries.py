@@ -2146,7 +2146,10 @@ lr AS (
 scored AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
          CAST(SUM(lrn) AS BIGINT) AS dsir_n
-  FROM toks JOIN lr USING (term) WHERE NOT t GROUP BY doc_id)
+  -- t IS DISTINCT FROM TRUE, not NOT t: a NULL target predicate (e.g.
+  -- lang IS NULL under lang = 'en') must score the doc as RAW, matching
+  -- dsir_scores' coalesce(target, False) — plain NOT t drops NULL rows
+  FROM toks JOIN lr USING (term) WHERE t IS DISTINCT FROM TRUE GROUP BY doc_id)
 SELECT doc_id, n_tokens, dsir_n
 FROM scored
 QUALIFY row_number() OVER (ORDER BY dsir_n DESC, doc_id ASC) <= 50

@@ -710,3 +710,50 @@ def test_ivf_pq_index_add_crash_between_writes_is_safe(clustered_vectors, tmp_pa
 
     with _pytest.raises(ValueError, match="already indexed"):
         idx.add_vectors(late)  # the replay fails loudly
+
+
+def test_ivf_pq_index_tombstone_check_runs_without_enforce_unique(
+    clustered_vectors, tmp_path
+):
+    """The tombstone-reservation check is UNCONDITIONAL (r10 ADVICE):
+    even a trusted exactly-once feed (enforce_unique=False) must not
+    re-add a tombstoned id — the re-added rows would be anti-joined out
+    of every search and then physically deleted by the next compact(),
+    i.e. silent data loss, not a dedup question."""
+    import pytest as _pytest
+
+    from storm_spark.functions import similarity
+
+    corpus = clustered_vectors.filter(F.col("vec_id") < 20)
+    idx = similarity.IVFPQIndex(str(tmp_path / "tu"), "vec_id", "embedding").build(
+        corpus, m=4, ksub=4, n_lists=4
+    )
+    idx.remove_vectors(corpus.filter(F.col("vec_id") == 5).select("vec_id"))
+    with _pytest.raises(ValueError, match="tombstoned"):
+        idx.add_vectors(
+            clustered_vectors.filter(F.col("vec_id") == 5), enforce_unique=False
+        )
+    # the trusted path still skips the duplicate-id scans: a brand-new id
+    # lands without touching the stored id column
+    idx.add_vectors(
+        clustered_vectors.filter(F.col("vec_id") == 77), enforce_unique=False
+    )
+
+
+def test_ivf_pq_index_search_empty_queries_short_circuits(
+    clustered_vectors, tmp_path
+):
+    """An empty query set returns an explicitly empty frame with the
+    exact output schema (query_id, neighbor_id, cos_sim, rank) — the
+    degenerate isin([]) pipeline is short-circuited (r10 ADVICE)."""
+    from storm_spark.functions import similarity
+
+    corpus = clustered_vectors.filter(F.col("vec_id") < 20)
+    idx = similarity.IVFPQIndex(str(tmp_path / "eq"), "vec_id", "embedding").build(
+        corpus, m=4, ksub=4, n_lists=4
+    )
+    out = idx.search(corpus.filter(F.col("vec_id") < 0), k=3)
+    assert out.columns == ["query_id", "neighbor_id", "cos_sim", "rank"]
+    assert out.count() == 0
+    nonempty = idx.search(corpus.filter(F.col("vec_id") < 2), k=3)
+    assert out.schema == nonempty.schema

@@ -1113,6 +1113,25 @@ def test_dsir_scores_null_predicate_counts_as_raw(spark):
     assert set(out) == {10, 11}
     assert out[10] == out[11]
 
+    # cross-check the DuckDB oracle ON THIS NULL-bearing corpus: its
+    # scoring filter must be `t IS DISTINCT FROM TRUE` (plain NOT t drops
+    # the NULL-lang doc and the gate would go red on real data)
+    import duckdb
+
+    from storm_spark.queries import ORACLE_DSIR_SAMPLE
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    oracle = {
+        r[0]: (r[1], r[2]) for r in con.sql(ORACLE_DSIR_SAMPLE).fetchall()
+    }
+    spark_rows = {
+        r.doc_id: (r.n_tokens, r.dsir_n)
+        for r in dsir_scores(df, F.col("lang") == "en", "doc_id", "text").collect()
+    }
+    assert oracle == spark_rows
+
 
 def test_gopher_quality_flags_named_rules(spark):
     """The Gopher/C4 rule suite on crafted documents: a clean long doc
