@@ -1052,6 +1052,16 @@ class IncrementalLSHIndex:
     the persisted ``_lsh_meta.json`` sidecar (a silent mismatch would mix
     incompatible band buckets), and the exactly-once id contract is
     enforced ACROSS the restart by the same stored-id semi-join.
+
+    Deletion (r11 — the lifecycle :class:`similarity.IVFPQIndex` got in
+    r10): :meth:`remove_docs` tombstones ids in O(|Δ|) (sidecar append;
+    pairs()/collision joins anti-join them out, edges mode emits repair
+    stars over the touched buckets' survivors), and
+    :meth:`compact_index` physically drops the rows and frees the ids —
+    takedowns, re-crawls, and license withdrawals never leave dead ids
+    gluing clusters together. Reference parity: Trident state is mutable
+    through StateUpdater (storm-core/src/jvm/storm/trident/state/
+    StateUpdater.java) — deletion is an update.
     """
 
     #: structural LSH parameters persisted beside a bucketed index and
@@ -1101,6 +1111,13 @@ class IncrementalLSHIndex:
         self._has_table = False  # bucketed mode
         self._resume_checked = False
         self._pairs: list[DataFrame] = []  # checkpointed per-epoch frames
+        self._tombs: DataFrame | None = None  # in-memory pending tombstones
+        # cumulative removed ids for the pairs() view — survives compact
+        # (which clears the PENDING sidecar) because historical pair
+        # frames still reference the dropped ids; pruned when a freed id
+        # is legitimately re-indexed after compact
+        self._removed_ids: DataFrame | None = None
+        self._repaired = False  # any edges-mode repair frame emitted
 
     @property
     def _ids_table(self) -> str | None:
@@ -1115,6 +1132,13 @@ class IncrementalLSHIndex:
     @property
     def _ids_path(self) -> str | None:
         return None if self.index_path is None else f"{self.index_path}__ids"
+
+    @property
+    def _tomb_path(self) -> str | None:
+        """Pending-tombstone sidecar beside the bucketed index — plain
+        appended parquet (one ``__id__`` per removed doc), delta-sized
+        between compactions; :meth:`compact_index` clears it LAST."""
+        return None if self.index_path is None else f"{self.index_path}__tombstones"
 
     @property
     def _meta_path(self) -> str | None:
@@ -1221,6 +1245,9 @@ class IncrementalLSHIndex:
             nb.sparkSession.sql(f"DROP TABLE IF EXISTS {self._ids_table}")
             _shutil.rmtree(self.index_path, ignore_errors=True)
             _shutil.rmtree(self._ids_path, ignore_errors=True)
+            # a prior index's leftover tombstones would haunt the fresh
+            # one (refusing ids it never contained)
+            _shutil.rmtree(self._tomb_path, ignore_errors=True)
         # compact sibling id table (one narrow row per doc, bucketed on id)
         # — what the re-sent-id semi-join scans; see _ids_table. Written
         # BEFORE the index append on purpose: the two writes cannot be
@@ -1305,6 +1332,144 @@ class IncrementalLSHIndex:
                 "replay before add_docs"
             )
 
+    def _tombstones(self, spark) -> DataFrame | None:
+        """PENDING tombstoned ids (``__id__`` rows) awaiting physical
+        drop, or None when no removal is outstanding — delta-sized
+        between compactions, so every use site broadcasts it. The
+        no-delete path costs nothing (one isdir check)."""
+        if self.index_table is None:
+            return self._tombs
+        import os as _os
+
+        if self._tomb_path and _os.path.isdir(self._tomb_path):
+            return spark.read.parquet(self._tomb_path)
+        return None
+
+    def remove_docs(self, ids: DataFrame) -> DataFrame:
+        """Delete indexed documents — the other half of the crawl-dedup
+        lifecycle (takedowns, re-crawled pages, license withdrawals: a
+        100-TB corpus sheds documents as surely as it gains them; VERDICT
+        r10 #1). Deletes are TOMBSTONES, mirroring
+        :meth:`similarity.IVFPQIndex.remove_vectors`: the ids land in a
+        delta-sized sidecar (``{index_path}__tombstones`` in bucketed
+        mode), so a delete is O(|Δ|) and never rewrites the index;
+        :meth:`compact_index` later drops the band-bucket rows (and the
+        ids-sidecar rows) physically and frees the ids for re-indexing.
+        After a removal, :meth:`pairs` answers as if the docs were never
+        indexed, and subsequent epochs' cross-collisions skip them.
+
+        Under ``emit="edges"`` removal must also REPAIR connectivity:
+        a removed doc may have been a star root, and merely dropping its
+        edges would disconnect surviving docs that still share a bucket.
+        So this method returns repair star edges over the SURVIVING
+        members of every touched bucket — O(touched-bucket members)
+        rows, bounded by the removed docs' bucket fan-out, never
+        index-sized — which are also folded into :meth:`pairs`. Feed
+        them downstream like an epoch's emission; note that connected
+        components are NOT decremental — after a removal epoch, rebuild
+        cluster labels from :meth:`pairs` (the ``dedup_index_delete``
+        gate's shape) rather than patching a live
+        ``IncrementalComponents``. Under ``emit="pairs"`` the anti-join
+        alone is exact (a surviving pair's endpoints both survive) and
+        the returned frame is empty.
+
+        Loud-failure contract (the class convention): a duplicate id
+        within the batch, an id never indexed, or an id already
+        tombstoned each raise; tombstoning every remaining doc is
+        refused (an emptied index is a rebuild, not maintenance). A
+        tombstoned id stays RESERVED — :meth:`add_docs` refuses it even
+        with ``enforce_unique=False`` — until :meth:`compact_index`
+        physically drops it."""
+        spark = ids.sparkSession
+        self._attach_if_resuming(spark)
+        col = self.id_col if self.id_col in ids.columns else ids.columns[0]
+        dele = ids.select(F.col(col).alias("__id__"))
+        dup = dele.groupBy("__id__").count().filter(F.col("count") > 1).head(1)
+        if dup:
+            raise ValueError(
+                f"doc id {dup[0]['__id__']!r} appears more than once in this "
+                "delete batch — each id may be deleted at most once"
+            )
+        if self.index_table is not None:
+            if not self._has_table:
+                raise ValueError("no documents indexed yet")
+            stored_ids = spark.table(self._ids_table)
+        elif self._index is not None:
+            stored_ids = self._index.filter(F.col("__band__") == 0).select("__id__")
+        else:
+            raise ValueError("no documents indexed yet")
+        missing = dele.join(stored_ids, "__id__", "anti").head(1)
+        if missing:
+            raise ValueError(
+                f"doc id {missing[0]['__id__']!r} is not indexed — deleting "
+                "an unknown id indicates a confused caller"
+            )
+        prior = self._tombstones(spark)
+        if prior is not None:
+            twice = dele.join(F.broadcast(prior), "__id__", "semi").head(1)
+            if twice:
+                raise ValueError(
+                    f"doc id {twice[0]['__id__']!r} is already tombstoned — "
+                    "deleting it twice indicates a confused caller"
+                )
+        live = stored_ids
+        if prior is not None:
+            live = stored_ids.join(F.broadcast(prior), "__id__", "anti")
+        if live.join(dele, "__id__", "anti").isEmpty():
+            raise ValueError(
+                "this delete would tombstone every remaining indexed doc — "
+                "rebuild the index instead of emptying it"
+            )
+        # repair edges computed BEFORE the durable tombstone append (the
+        # index rows are untouched by it, and a crash before the append
+        # means the removal simply never happened — no half-state)
+        if self.emit == "edges":
+            index = self._stored_index(spark)
+            all_tombs = dele if prior is None else dele.unionByName(prior)
+            dead_buckets = (
+                index.join(F.broadcast(dele), "__id__", "semi")
+                .select("__band__", "__bucket__")
+                .distinct()
+            )
+            survivors = index.join(
+                F.broadcast(dead_buckets), ["__band__", "__bucket__"], "semi"
+            ).join(F.broadcast(all_tombs), "__id__", "anti")
+            w = Window.partitionBy("__band__", "__bucket__")
+            repaired = (
+                survivors.withColumn("__root__", F.min("__id__").over(w))
+                .filter(F.col("__id__") != F.col("__root__"))
+                .select(
+                    F.col("__root__").alias("id_a"), F.col("__id__").alias("id_b")
+                )
+                .distinct()
+            )
+        else:
+            repaired = self._pairs[0].limit(0) if self._pairs else None
+            if repaired is None:
+                raise AssertionError("indexed docs imply at least one epoch")
+        repaired = repaired.localCheckpoint()
+        dele = dele.localCheckpoint()
+        if self.index_table is not None:
+            dele.write.mode("append").parquet(self._tomb_path)
+        else:
+            self._tombs = (
+                dele
+                if self._tombs is None
+                else self._tombs.unionByName(dele).localCheckpoint()
+            )
+        self._removed_ids = (
+            dele
+            if self._removed_ids is None
+            else self._removed_ids.unionByName(dele).localCheckpoint()
+        )
+        if self.emit == "edges":
+            # repair edges may re-state already-emitted edges (e.g. the
+            # surviving root's old spokes) — pairs() distincts when any
+            # repair frame exists, keeping its set contract
+            self._pairs.append(repaired)
+            self._repaired = True
+        return repaired
+
     def add_docs(self, batch: DataFrame) -> DataFrame:
         """Absorb one epoch of new documents; returns the epoch's newly
         discovered ``(id_a, id_b)`` rows (id_a < id_b), materialized —
@@ -1318,7 +1483,37 @@ class IncrementalLSHIndex:
         ).localCheckpoint()
         if self.enforce_unique:
             self._check_exactly_once(batch, nb)
+        # tombstone-reservation check runs UNCONDITIONALLY (even with
+        # enforce_unique=False — the IVFPQIndex convention): a re-added
+        # tombstoned id's rows would be anti-joined out of pairs() and
+        # physically deleted by the next compact_index() — silent data
+        # loss, not a dedup question. The pending sidecar is delta-sized,
+        # so the semi-join costs O(|Δ| + |tombstones|).
+        spark = batch.sparkSession
+        tomb = self._tombstones(spark)
+        if tomb is not None:
+            b0 = nb.filter(F.col("__band__") == 0).select("__id__")
+            dead = b0.join(F.broadcast(tomb), "__id__", "semi").head(1)
+            if dead:
+                raise ValueError(
+                    f"doc id {dead[0]['__id__']!r} is tombstoned — run "
+                    "compact_index() to clear deletes before re-indexing the "
+                    "id (in-memory mode has no compaction: a removed id "
+                    "cannot be re-indexed there)"
+                )
+        if self._removed_ids is not None:
+            # a freed id (removed, compacted, re-indexed) must NOT stay on
+            # the pairs() anti-join list — its new pairs are legitimate
+            b0 = nb.filter(F.col("__band__") == 0).select("__id__")
+            self._removed_ids = self._removed_ids.join(
+                b0, "__id__", "anti"
+            ).localCheckpoint()
         stored = self._stored_index(batch.sparkSession)
+        if stored is not None and tomb is not None:
+            # pending-tombstoned rows are still physically present until
+            # compact_index(); the collision join must answer as if they
+            # were never indexed (broadcast anti-join — no extra shuffle)
+            stored = stored.join(F.broadcast(tomb), "__id__", "anti")
         if self.emit == "pairs":
             a, b = nb.alias("a"), nb.alias("b")
             within = a.join(
@@ -1403,7 +1598,16 @@ class IncrementalLSHIndex:
         which is removed last. NOT crash-atomic: a crash between drop
         and re-create leaves the table missing (resume fails LOUDLY with
         "does not exist") with the full content recoverable from the
-        staging directory — never a silently wrong index."""
+        staging directory — never a silently wrong index.
+
+        Also the PHYSICAL-DROP half of the delete lifecycle (r11,
+        mirroring :meth:`similarity.IVFPQIndex.compact`): rows whose id
+        is tombstoned by :meth:`remove_docs` are anti-joined out of both
+        rewrites, and the tombstone sidecar is cleared LAST — a crash
+        after the rewrites but before the clear leaves stale tombstones
+        that only DELAY re-adds loudly (add_docs refuses, points here);
+        re-running compact clears them. The freed ids become indexable
+        again."""
         if self.index_table is None:
             raise ValueError("compact_index is for the bucketed mode only")
         if not self._has_table:
@@ -1413,12 +1617,18 @@ class IncrementalLSHIndex:
         from pyspark.sql import SparkSession
 
         spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+        tomb = self._tombstones(spark)
+        if tomb is not None:
+            # the sidecar directory is wiped below — materialize first
+            tomb = tomb.localCheckpoint()
         for tbl, path, bucket_cols, sort_cols in (
             (self.index_table, self.index_path, ["__band__", "__bucket__"], ["__bucket__"]),
             (self._ids_table, self._ids_path, ["__id__"], None),
         ):
             staging = f"{path}__compact_tmp"
             cur = spark.table(tbl)
+            if tomb is not None:
+                cur = cur.join(F.broadcast(tomb), "__id__", "anti")
             # one coalesced task per write → one file per bucket in the
             # rewritten generation (an append writes files per task×bucket)
             cur.coalesce(1).write.mode("overwrite").parquet(staging)
@@ -1440,6 +1650,10 @@ class IncrementalLSHIndex:
 
         with open(self._meta_path, "w") as fh:
             _json.dump({k: getattr(self, k) for k in self._META_KEYS}, fh)
+        # clear the pending tombstones LAST (see docstring: a lost clear
+        # is loud-safe, never silently wrong)
+        if tomb is not None:
+            _shutil.rmtree(self._tomb_path, ignore_errors=True)
 
     def pairs(self) -> DataFrame:
         """All rows emitted so far — under ``emit="pairs"`` equals the
@@ -1447,12 +1661,33 @@ class IncrementalLSHIndex:
         under ``emit="edges"`` a connectivity-equivalent star-edge set
         (same connected components, not the same rows). Plan depth stays
         bounded by ``compact_every`` regardless of stream length (the
-        per-epoch list folds into one checkpointed frame when it fills)."""
+        per-epoch list folds into one checkpointed frame when it fills).
+
+        After :meth:`remove_docs`, rows touching a removed id are
+        anti-joined out (against the CUMULATIVE removed set, which
+        outlives compaction — historical frames still reference dropped
+        ids — and is pruned when a freed id is re-indexed), so the view
+        answers over the surviving docs exactly: verbatim the batch pair
+        set over survivors under ``emit="pairs"``, connectivity-equal to
+        it under ``emit="edges"`` (the repair edges restore any star
+        spokes the removal severed)."""
         if not self._pairs:
             raise ValueError("no documents absorbed yet")
         out = self._pairs[0]
         for p in self._pairs[1:]:
             out = out.unionByName(p)
+        if self._removed_ids is not None:
+            gone = F.broadcast(self._removed_ids)
+            out = (
+                out.join(gone.withColumnRenamed("__id__", "id_a"), "id_a", "anti")
+                .join(gone.withColumnRenamed("__id__", "id_b"), "id_b", "anti")
+                .select("id_a", "id_b")  # USING joins front the key column
+            )
+        if self._repaired:
+            # repair frames may re-state edges already emitted — restore
+            # the set contract (one shuffle over the view, only on the
+            # post-removal path)
+            out = out.distinct()
         return out
 
 

@@ -2243,12 +2243,13 @@ def q_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_perm=12, bands=4)
 
 
-def _oracle_minhash(n=3, num_perm=12, bands=4):
+def _oracle_minhash(n=3, num_perm=12, bands=4, where=None):
     nm1 = n - 1
     rows = num_perm // bands
     sh = SQL_SHINGLES.format(t="toks", nm1=nm1)
+    src = f"documents WHERE {where}" if where else "documents"
     return f"""
-WITH tk AS (SELECT doc_id, {SQL_TOKS.format(x='text')} AS toks FROM documents),
+WITH tk AS (SELECT doc_id, {SQL_TOKS.format(x='text')} AS toks FROM {src}),
 sh AS (SELECT DISTINCT doc_id, unnest({sh}) AS s FROM tk),
 perms AS (SELECT unnest(generate_series(0, {num_perm - 1})) AS p),
 minh AS (
@@ -2279,9 +2280,9 @@ def q_dedup_cluster(spark, sf_dir):
     )
 
 
-def _oracle_dedup_cluster(n=3, num_perm=12, bands=4):
+def _oracle_dedup_cluster(n=3, num_perm=12, bands=4, where=None):
     """Recursive-CTE twin: min reachable id over the same pair graph."""
-    base = _oracle_minhash(n, num_perm, bands).strip().rstrip()
+    base = _oracle_minhash(n, num_perm, bands, where=where).strip().rstrip()
     return f"""
 WITH RECURSIVE pairs AS ({base}),
 e AS (SELECT id_a AS src, id_b AS dst FROM pairs
@@ -2311,6 +2312,63 @@ def q_dedup_cluster_stars(spark, sf_dir):
         F.col("id").cast("bigint").alias("doc_id"),
         F.col("cluster_id").cast("bigint").alias("cluster_id"),
     )
+
+
+def q_dedup_index_delete(spark, sf_dir):
+    """Deletion lifecycle of the incremental LSH dedup index
+    (dedup.IncrementalLSHIndex.remove_docs / .compact_index, r11 —
+    VERDICT r10 #1, mirroring the ANN index's r10 lifecycle): absorb the
+    corpus over two epochs into a BUCKETED star-edge index (the 100-TB
+    crawl shape), tombstone every doc_id ≡ 3 (mod 7) — takedowns /
+    re-crawls / license withdrawals — then COMPACT (staged rewrite
+    physically drops the tombstoned band-bucket and id rows and clears
+    the sidecar) and cluster from pairs(). The final labels must equal
+    the from-scratch batch clustering over the SURVIVING documents (the
+    same recursive-CTE oracle filtered to survivors): a removed doc's
+    edges vanish, the repair stars keep surviving collisions connected,
+    and dead ids never glue clusters together. Pre-compact
+    tombstone-path equality and the loud-failure guards are pinned in
+    pytest (test_text_dedup_extras.py)."""
+    import os
+    import uuid
+
+    from storm_spark.functions.dedup import IncrementalLSHIndex
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    table = "dixdel_idx_" + uuid.uuid4().hex[:8]
+    idx = IncrementalLSHIndex(
+        "doc_id",
+        "text",
+        n=3,
+        num_perm=12,
+        bands=4,
+        index_table=table,
+        index_path=os.path.join(
+            gate_tmp.mkdtemp(prefix="storm_spark_dixdel_"), "idx"
+        ),
+        emit="edges",
+    )
+    half = F.pmod(F.col("doc_id"), F.lit(2))
+    idx.add_docs(docs.filter(half == 0))
+    idx.add_docs(docs.filter(half == 1))
+    idx.remove_docs(
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(7)) == 3).select("doc_id")
+    )
+    idx.compact_index()
+    out = dedup.near_dup_clusters(idx.pairs()).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+    )
+    # labels are localCheckpoint-materialized per round — the tables can go
+    out = out.localCheckpoint()
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}__ids")
+    return out
+
+
+# survivors = docs the gate did NOT tombstone; `% 7` is safe here (doc_id
+# is non-negative) and pmod on the Spark side matches it
+ORACLE_DEDUP_INDEX_DELETE = _oracle_dedup_cluster(where="doc_id % 7 <> 3")
 
 
 def q_simhash(spark, sf_dir):
@@ -8538,6 +8596,8 @@ QUERIES = {
     "dedup_cluster": q_dedup_cluster,
     # r10: same clustering from O(m)-per-bucket star edges, same oracle
     "dedup_cluster_stars": q_dedup_cluster_stars,
+    # r11: LSH index delete lifecycle (tombstone → compact → recluster)
+    "dedup_index_delete": q_dedup_index_delete,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "simhash": q_simhash,
@@ -8665,6 +8725,7 @@ ORACLES = {
     "minhash_lsh": ORACLE_MINHASH_LSH,
     "dedup_cluster": ORACLE_DEDUP_CLUSTER,
     "dedup_cluster_stars": ORACLE_DEDUP_CLUSTER,
+    "dedup_index_delete": ORACLE_DEDUP_INDEX_DELETE,
     "simhash": ORACLE_SIMHASH,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "ann_lsh": ORACLE_ANN_LSH,

@@ -262,3 +262,54 @@ def test_percentiles_from_counts_property(spark, values, ps):
     got = percentiles_from_counts(hist, ["g"], "v", "n", ps).collect()[0]
     want = df.groupBy("g").agg(F.percentile("v", ps).alias("p")).collect()[0]
     assert [got[f"p_{i}"] for i in range(len(ps))] == list(want.p)
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(WORDS), min_size=3, max_size=10),
+        min_size=3,
+        max_size=12,
+    ),
+    bands=st.sampled_from([2, 4]),
+    emit=st.sampled_from(["pairs", "edges"]),
+    kill=st.integers(min_value=0, max_value=10),
+)
+def test_lsh_index_removal_equals_batch_over_survivors(spark, docs, bands, emit, kill):
+    """IncrementalLSHIndex.remove_docs' semantic claim, property-tested
+    (r11 delete lifecycle): on ANY corpus absorbed over two epochs, after
+    removing an arbitrary doc the post-removal pairs() view clusters
+    EXACTLY like the from-scratch batch pipeline over the surviving docs
+    — in both emission modes (pairs: verbatim row set; edges: repair
+    stars restore any severed connectivity)."""
+    from storm_spark.functions import dedup
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    kw = dict(n=3, num_perm=12, bands=bands)
+    dead = kill % len(docs)
+    if len(docs) < 2:
+        return
+    idx = dedup.IncrementalLSHIndex("doc_id", "text", emit=emit, **kw)
+    idx.add_docs(df.filter(f"doc_id % 2 = 0"))
+    idx.add_docs(df.filter(f"doc_id % 2 = 1"))
+    idx.remove_docs(df.filter(f"doc_id = {dead}").select("doc_id"))
+    surv = df.filter(f"doc_id <> {dead}")
+    want = {
+        (r.id, r.cluster_id)
+        for r in dedup.near_dup_clusters(
+            dedup.minhash_lsh_pairs(surv, "doc_id", "text", **kw)
+        ).collect()
+    }
+    got = {
+        (r.id, r.cluster_id)
+        for r in dedup.near_dup_clusters(idx.pairs()).collect()
+    }
+    assert got == want
+    if emit == "pairs":
+        exact = {
+            (r.id_a, r.id_b)
+            for r in dedup.minhash_lsh_pairs(surv, "doc_id", "text", **kw).collect()
+        }
+        assert {(r.id_a, r.id_b) for r in idx.pairs().collect()} == exact

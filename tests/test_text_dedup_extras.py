@@ -1164,3 +1164,202 @@ def test_gopher_quality_flags_named_rules(spark):
     assert out[5].ellipsis_frac == 0.4 and not out[5].passes
     assert not out[6].passes and out[6].alpha_frac == 0.0
     assert not out[7].passes and out[7].stop_hits == 0
+
+
+def _lsh_del_docs(spark, n=40, mod=7):
+    rows = [
+        (i, f"the quick brown fox {i % mod} jumps over the lazy dog {i % mod}")
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_index_remove_docs_pairs_mode_exact(spark):
+    """remove_docs under emit='pairs' (r11 delete lifecycle): pairs() is
+    VERBATIM the batch pair set over the surviving docs — the anti-join
+    alone is exact because a surviving pair's endpoints both survive —
+    and the epoch after a removal collides only against survivors."""
+    from pyspark.sql import functions as F
+
+    from storm_spark.functions.dedup import IncrementalLSHIndex, minhash_lsh_pairs
+
+    docs = _lsh_del_docs(spark)
+    idx = IncrementalLSHIndex("doc_id", "text", n=3, num_perm=12, bands=4)
+    idx.add_docs(docs.filter(F.col("doc_id") < 20))
+    idx.add_docs(docs.filter(F.col("doc_id") >= 20))
+    dele = docs.filter(F.col("doc_id") % 5 == 2).select("doc_id")
+    rep = idx.remove_docs(dele)
+    assert rep.count() == 0  # pairs mode needs no repair
+    surv = docs.filter(F.col("doc_id") % 5 != 2)
+    want = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            surv, "doc_id", "text", n=3, num_perm=12, bands=4
+        ).collect()
+    }
+    assert {(r.id_a, r.id_b) for r in idx.pairs().collect()} == want
+    # post-removal absorb: the new doc must NOT pair with removed docs
+    extra = spark.createDataFrame(
+        [(100, "the quick brown fox 2 jumps over the lazy dog 2")],
+        "doc_id long, text string",
+    )
+    idx.add_docs(extra)
+    want2 = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            surv.unionByName(extra), "doc_id", "text", n=3, num_perm=12, bands=4
+        ).collect()
+    }
+    assert {(r.id_a, r.id_b) for r in idx.pairs().collect()} == want2
+
+
+def test_lsh_index_remove_docs_edges_mode_star_root_repair(spark):
+    """The repair-edge necessity case: remove a doc that was a STAR ROOT.
+    Docs {1, 2, 3} share a bucket (edges (1,2), (1,3)); removing 1 must
+    not disconnect 2 and 3, which still collide — the repair star over
+    the touched bucket's survivors keeps them one cluster."""
+    from storm_spark.functions.dedup import IncrementalLSHIndex, near_dup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text shared by every doc") for i in (1, 2, 3)],
+        "doc_id long, text string",
+    )
+    idx = IncrementalLSHIndex("doc_id", "text", n=3, num_perm=12, bands=4, emit="edges")
+    idx.add_docs(docs)
+    rep = idx.remove_docs(docs.filter("doc_id = 1").select("doc_id"))
+    assert {(r.id_a, r.id_b) for r in rep.collect()} == {(2, 3)}
+    labels = {(r.id, r.cluster_id) for r in near_dup_clusters(idx.pairs()).collect()}
+    assert labels == {(2, 2), (3, 2)}
+
+
+def test_lsh_index_remove_docs_bucketed_compact_lifecycle(spark, tmp_path):
+    """The full bucketed delete lifecycle (the dedup_index_delete gate's
+    pytest twin, plus what the oracle can't see): pre-compact clusters
+    (tombstone path) == post-compact clusters == batch over survivors;
+    compact physically drops the tombstoned rows from BOTH tables and
+    clears the sidecar; the freed id is indexable again and its NEW
+    pairs are not filtered from the view."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from storm_spark.functions.dedup import (
+        IncrementalLSHIndex,
+        minhash_lsh_pairs,
+        near_dup_clusters,
+    )
+
+    docs = _lsh_del_docs(spark)
+    idx = IncrementalLSHIndex(
+        "doc_id", "text", n=3, num_perm=12, bands=4,
+        index_table="lsh_del_test", index_path=str(tmp_path / "idx"),
+        n_buckets=8, emit="edges",
+    )
+    try:
+        idx.add_docs(docs.filter(F.col("doc_id") < 20))
+        idx.add_docs(docs.filter(F.col("doc_id") >= 20))
+        dele = docs.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+        idx.remove_docs(dele)
+        surv = docs.filter(F.col("doc_id") % 7 != 3)
+        want = sorted(
+            map(
+                tuple,
+                near_dup_clusters(
+                    minhash_lsh_pairs(surv, "doc_id", "text", n=3, num_perm=12, bands=4)
+                ).collect(),
+            )
+        )
+        pre = sorted(map(tuple, near_dup_clusters(idx.pairs()).collect()))
+        assert pre == want  # tombstone path, before any physical drop
+        idx.compact_index()
+        assert not os.path.isdir(idx._tomb_path)  # sidecar cleared LAST
+        for tbl in ("lsh_del_test", "lsh_del_test__ids"):
+            left = (
+                spark.table(tbl)
+                .join(dele, F.col("__id__") == F.col("doc_id"), "semi")
+                .count()
+            )
+            assert left == 0, f"{tbl} still holds tombstoned rows"
+        post = sorted(map(tuple, near_dup_clusters(idx.pairs()).collect()))
+        assert post == want
+        # freed ids are indexable again; their new pairs survive the view
+        readd = docs.filter(F.col("doc_id").isin(3, 10))
+        idx.add_docs(readd)
+        want2 = sorted(
+            map(
+                tuple,
+                near_dup_clusters(
+                    minhash_lsh_pairs(
+                        surv.unionByName(readd),
+                        "doc_id", "text", n=3, num_perm=12, bands=4,
+                    )
+                ).collect(),
+            )
+        )
+        got2 = sorted(map(tuple, near_dup_clusters(idx.pairs()).collect()))
+        assert got2 == want2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lsh_del_test")
+        spark.sql("DROP TABLE IF EXISTS lsh_del_test__ids")
+
+
+def test_lsh_index_remove_docs_guards(spark):
+    """remove_docs loud-failure contract: duplicate id in the delete
+    batch, never-indexed id, double delete, emptying the index, and
+    removing before any absorb each raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from storm_spark.functions.dedup import IncrementalLSHIndex
+
+    docs = _lsh_del_docs(spark, n=10)
+    idx = IncrementalLSHIndex("doc_id", "text", n=3, num_perm=12, bands=4)
+    with _pytest.raises(ValueError, match="no documents indexed"):
+        idx.remove_docs(docs.select("doc_id"))
+    idx.add_docs(docs)
+    dup = docs.filter("doc_id in (1, 2)").unionByName(docs.filter("doc_id = 1"))
+    with _pytest.raises(ValueError, match="more than once"):
+        idx.remove_docs(dup.select("doc_id"))
+    with _pytest.raises(ValueError, match="not indexed"):
+        idx.remove_docs(spark.createDataFrame([(999,)], "doc_id long"))
+    idx.remove_docs(docs.filter("doc_id = 1").select("doc_id"))
+    with _pytest.raises(ValueError, match="already tombstoned"):
+        idx.remove_docs(docs.filter("doc_id = 1").select("doc_id"))
+    with _pytest.raises(ValueError, match="every remaining"):
+        idx.remove_docs(docs.filter("doc_id <> 1").select("doc_id"))
+
+
+def test_lsh_index_tombstone_readd_refused_even_trusted(spark, tmp_path):
+    """The tombstone-reservation check runs UNCONDITIONALLY (the r11
+    IVFPQIndex-parity contract): even enforce_unique=False refuses a
+    tombstoned id — its rows would be anti-joined out of pairs() and
+    physically dropped by the next compact (silent data loss). Also the
+    crash window: a stale tombstone left by a lost clear only DELAYS the
+    re-add loudly; re-running compact_index frees the id."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from storm_spark.functions.dedup import IncrementalLSHIndex
+
+    docs = _lsh_del_docs(spark, n=12)
+    idx = IncrementalLSHIndex(
+        "doc_id", "text", n=3, num_perm=12, bands=4,
+        index_table="lsh_tomb_test", index_path=str(tmp_path / "idx"),
+        n_buckets=8, enforce_unique=False,
+    )
+    try:
+        idx.add_docs(docs.filter(F.col("doc_id") < 10))
+        idx.remove_docs(docs.filter("doc_id = 4").select("doc_id"))
+        with _pytest.raises(ValueError, match="tombstoned"):
+            idx.add_docs(docs.filter("doc_id = 4"))
+        idx.compact_index()
+        # simulate the crash window: rewrites landed, the clear was lost —
+        # id 4's tombstone survives although its rows are already gone
+        spark.createDataFrame([(4,)], "__id__ long").write.parquet(idx._tomb_path)
+        with _pytest.raises(ValueError, match="tombstoned"):
+            idx.add_docs(docs.filter("doc_id = 4"))
+        idx.compact_index()  # clears the stale sidecar
+        idx.add_docs(docs.filter("doc_id = 4"))  # freed id re-indexable
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lsh_tomb_test")
+        spark.sql("DROP TABLE IF EXISTS lsh_tomb_test__ids")
