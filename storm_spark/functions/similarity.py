@@ -1601,7 +1601,10 @@ class IVFPQIndex:
     re-expressed as immutable parquet artifacts + a stateless searcher.
     """
 
-    _META_KEYS = ("m", "ksub", "n_lists", "sub_len", "id_col", "vec_col", "id_buckets")
+    _META_KEYS = (
+        "m", "ksub", "n_lists", "sub_len", "id_col", "vec_col",
+        "id_buckets", "generation",
+    )
 
     def __init__(self, path: str, id_col: str = "vec_id", vec_col: str = "embedding"):
         self.path = path
@@ -1611,11 +1614,25 @@ class IVFPQIndex:
         # exactly-once checks, VERDICT r10 #3); None on a loaded
         # pre-sidecar index, which falls back to the vectors scan
         self.id_buckets = 64
+        # generation subdirectory (r11 retrain lifecycle): None = the
+        # legacy root layout (artifacts directly under path); "gN" after
+        # a retrain(). The meta sidecar is the POINTER — readers resolve
+        # every artifact through it, so the retrain swap is one atomic
+        # os.replace of the meta file.
+        self.generation: str | None = None
 
     def _meta_file(self) -> str:
         import os as _os
 
         return _os.path.join(self.path, "_ann_meta.json")
+
+    def _art(self, name: str) -> str:
+        """Path of artifact ``name`` in the CURRENT generation."""
+        import os as _os
+
+        if self.generation:
+            return _os.path.join(self.path, self.generation, name)
+        return _os.path.join(self.path, name)
 
     def build(
         self,
@@ -1677,8 +1694,8 @@ class IVFPQIndex:
         sub_len = int(cbs.agg(F.max(F.size("__cent__")).alias("L")).first()["L"])
         self.m, self.ksub, self.n_lists, self.sub_len = m, ksub, n_lists, sub_len
         _os.makedirs(self.path, exist_ok=True)
-        cents.write.mode("overwrite").parquet(_os.path.join(self.path, "centroids"))
-        cbs.write.mode("overwrite").parquet(_os.path.join(self.path, "codebooks"))
+        cents.write.mode("overwrite").parquet(self._art("centroids"))
+        cbs.write.mode("overwrite").parquet(self._art("codebooks"))
         self._encode_and_write(corpus, cents, cbs, "overwrite")
         with open(self._meta_file(), "w") as fh:
             _json.dump({k: getattr(self, k) for k in self._META_KEYS}, fh)
@@ -1727,17 +1744,17 @@ class IVFPQIndex:
                 )
                 .write.mode(mode)
                 .partitionBy("__idb__")
-                .parquet(_os.path.join(self.path, "ids"))
+                .parquet(self._art("ids"))
             )
         (
             assigned.select("neighbor_id", "__cv__")
             .write.mode(mode)
-            .parquet(_os.path.join(self.path, "vectors"))
+            .parquet(self._art("vectors"))
         )
         (
             codes.write.mode(mode)
             .partitionBy("__cell__")
-            .parquet(_os.path.join(self.path, "codes"))
+            .parquet(self._art("codes"))
         )
 
     @classmethod
@@ -1766,6 +1783,8 @@ class IVFPQIndex:
         # partial sidecar writes (a sidecar missing the legacy corpus'
         # ids would silently MISS resent ids — worse than the full scan)
         idx.id_buckets = meta.get("id_buckets")
+        # pre-retrain indexes (and fresh builds) use the root layout
+        idx.generation = meta.get("generation")
         return idx
 
     def add_vectors(
@@ -1831,8 +1850,8 @@ class IVFPQIndex:
                     f"id {dead[0]['neighbor_id']!r} is tombstoned — run "
                     "compact() to clear deletes before re-indexing the id"
                 )
-        cents = spark.read.parquet(_os.path.join(self.path, "centroids"))
-        cbs = spark.read.parquet(_os.path.join(self.path, "codebooks"))
+        cents = spark.read.parquet(self._art("centroids"))
+        cbs = spark.read.parquet(self._art("codebooks"))
         self._encode_and_write(corpus, cents, cbs, "append")
         return self
 
@@ -1880,7 +1899,7 @@ class IVFPQIndex:
                 f"id {missing[0]['neighbor_id']!r} is not indexed — deleting "
                 "an unknown id indicates a confused caller"
             )
-        tomb_path = _os.path.join(self.path, "tombstones")
+        tomb_path = self._art("tombstones")
         if _os.path.isdir(tomb_path):
             prior = spark.read.parquet(tomb_path)
             twice = dele.join(prior, "neighbor_id", "semi").head(1)
@@ -1911,7 +1930,7 @@ class IVFPQIndex:
     def _tombstones(self, spark) -> DataFrame | None:
         import os as _os
 
-        tomb_path = _os.path.join(self.path, "tombstones")
+        tomb_path = self._art("tombstones")
         if not _os.path.isdir(tomb_path):
             return None
         return spark.read.parquet(tomb_path)
@@ -1928,7 +1947,7 @@ class IVFPQIndex:
         the vectors projection (columnar-pruned, index-sized)."""
         import os as _os
 
-        ids_path = _os.path.join(self.path, "ids")
+        ids_path = self._art("ids")
         if self.id_buckets and _os.path.isdir(ids_path):
             stored = spark.read.parquet(ids_path)
             if probe_ids is not None:
@@ -1944,7 +1963,7 @@ class IVFPQIndex:
                 ]
                 stored = stored.filter(F.col("__idb__").isin(touched))
             return stored.select("neighbor_id")
-        return spark.read.parquet(_os.path.join(self.path, "vectors")).select(
+        return spark.read.parquet(self._art("vectors")).select(
             "neighbor_id"
         )
 
@@ -1982,8 +2001,8 @@ class IVFPQIndex:
         spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
         tomb = self._tombstones(spark)
         staging = f"{self.path}__compact_tmp"
-        vec_path = _os.path.join(self.path, "vectors")
-        codes_path = _os.path.join(self.path, "codes")
+        vec_path = self._art("vectors")
+        codes_path = self._art("codes")
         vectors = spark.read.parquet(vec_path)
         codes = spark.read.parquet(codes_path)
         if tomb is not None:
@@ -2027,15 +2046,150 @@ class IVFPQIndex:
                 .repartition("__idb__")
                 .write.mode("overwrite")
                 .partitionBy("__idb__")
-                .parquet(_os.path.join(self.path, "ids"))
+                .parquet(self._art("ids"))
             )
         # the tombstone clear must NOT swallow errors: a silently failed
         # clear leaves stale tombstones in force (see docstring) — raise
         # so the caller knows to re-run compact()
-        tomb_dir = _os.path.join(self.path, "tombstones")
+        tomb_dir = self._art("tombstones")
         if _os.path.isdir(tomb_dir):
             _shutil.rmtree(tomb_dir)
         _shutil.rmtree(staging, ignore_errors=True)
+        return self
+
+    def retrain(
+        self,
+        n_iters: int = 1,
+        n_lists: int | None = None,
+        m: int | None = None,
+        ksub: int | None = None,
+        centroids: DataFrame | None = None,
+        codebooks: DataFrame | None = None,
+    ) -> "IVFPQIndex":
+        """Quantizer-refresh migration — the missing months-long serving
+        story (VERDICT r10 #4): :meth:`add_vectors` keeps quantizers
+        FROZEN (the correct absorb contract), so after enough corpus
+        drift recall decays and the only prior recourse was
+        ``build(overwrite=True)`` — a full offline rebuild with no
+        service continuity. retrain() trains NEW centroids/codebooks on
+        the CURRENT live corpus (the persisted vectors table, minus
+        pending tombstones — deletes are applied like :meth:`compact`),
+        re-encodes every vector into a NEW GENERATION directory
+        (``g1``, ``g2``, …) alongside the serving one, and swaps with ONE
+        atomic ``os.replace`` of the meta sidecar — the pointer every
+        reader resolves artifacts through (the ParquetMapState
+        versioned-parquet + pointer-flip pattern). Readers keep serving
+        the old generation until they re-``load``; nothing is ever
+        half-swapped.
+
+        Defaults reproduce :meth:`build`'s training (smallest-id
+        centroids + Lloyd codebooks on the live corpus), so
+        stale-build → absorb → retrain() equals a fresh full-corpus
+        build VERBATIM — the ``ann_index_retrain`` gate pins this
+        against the same unrolled oracle as ``ann_ivf_pq``. Pass
+        ``centroids``/``codebooks`` (e.g. :func:`kmeans_centroids`) for
+        trained quantizers, and/or new ``m``/``ksub``/``n_lists`` to
+        re-shape the index.
+
+        Crash windows, all loud-or-invisible: a crash during the new
+        generation's writes leaves the meta pointing at the OLD
+        generation (still serving, still correct; the orphan ``gN`` dir
+        is swept by the next retrain); a crash after the flip but before
+        the old generation's removal leaves unreferenced files only.
+        Never a mixed-generation read — every artifact path is resolved
+        through the flipped pointer."""
+        import json as _json
+        import os as _os
+        import re as _re
+        import shutil as _shutil
+
+        from pyspark.sql import SparkSession
+
+        if self.m is None:
+            raise ValueError("index not built or loaded")
+        spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+        cur = self.generation
+        # sweep orphans from a crashed prior retrain: generation dirs the
+        # meta does not reference (and, once we're generation-based, any
+        # stale root-layout artifacts a post-flip crash left behind)
+        for d in _os.listdir(self.path):
+            if _re.fullmatch(r"g\d+", d) and d != cur:
+                _shutil.rmtree(_os.path.join(self.path, d), ignore_errors=True)
+        if cur:
+            for name in (
+                "centroids", "codebooks", "codes", "vectors", "ids", "tombstones"
+            ):
+                _shutil.rmtree(_os.path.join(self.path, name), ignore_errors=True)
+        live = spark.read.parquet(self._art("vectors"))
+        tomb = self._tombstones(spark)
+        if tomb is not None:
+            live = live.join(F.broadcast(tomb), "neighbor_id", "anti")
+        corpus = live.select(
+            F.col("neighbor_id").alias(self.id_col),
+            F.col("__cv__").alias(self.vec_col),
+        )
+        m = m if m is not None else self.m
+        ksub = ksub if ksub is not None else self.ksub
+        n_lists = n_lists if n_lists is not None else self.n_lists
+        cbs = (
+            codebooks
+            if codebooks is not None
+            else pq_codebooks(corpus, self.id_col, self.vec_col, m, ksub, n_iters)
+        )
+        if codebooks is not None:
+            shape = cbs.agg(
+                F.max("sub").alias("s"),
+                F.max("cent_id").alias("c"),
+                F.count(F.lit(1)).alias("n"),
+            ).first()
+            if int(shape["s"]) + 1 != m or int(shape["c"]) + 1 != ksub or int(
+                shape["n"]
+            ) != m * ksub:
+                raise ValueError(
+                    f"codebooks shape (subs={int(shape['s']) + 1}, "
+                    f"ksub={int(shape['c']) + 1}, rows={int(shape['n'])}) does "
+                    f"not match retrain(m={m}, ksub={ksub})"
+                )
+        cents = (
+            centroids
+            if centroids is not None
+            else _ivf_default_centroids(corpus, self.id_col, self.vec_col, n_lists)
+        )
+        new_gen = f"g{int(cur[1:]) + 1}" if cur else "g1"
+        old_state = (self.generation, self.m, self.ksub, self.n_lists, self.sub_len)
+        try:
+            # every lazy frame above resolved its input PATHS already (the
+            # old generation's), so flipping self.generation now only
+            # redirects the WRITES — the training/encoding reads still
+            # consume the old artifacts, which stay in place until after
+            # the meta flip
+            self.generation = new_gen
+            sub_len = int(cbs.agg(F.max(F.size("__cent__")).alias("L")).first()["L"])
+            self.m, self.ksub, self.n_lists, self.sub_len = m, ksub, n_lists, sub_len
+            _os.makedirs(_os.path.join(self.path, new_gen), exist_ok=True)
+            cents.write.mode("overwrite").parquet(self._art("centroids"))
+            cbs.write.mode("overwrite").parquet(self._art("codebooks"))
+            self._encode_and_write(corpus, cents, cbs, "overwrite")
+        except BaseException:
+            # the in-process object must never point at a half-written
+            # generation — restore and let the orphan sweep reclaim it
+            (
+                self.generation, self.m, self.ksub, self.n_lists, self.sub_len
+            ) = old_state
+            raise
+        # THE swap: one atomic rename of the pointer file
+        tmp = self._meta_file() + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump({k: getattr(self, k) for k in self._META_KEYS}, fh)
+        _os.replace(tmp, self._meta_file())
+        # the old generation is unreferenced now — reclaim it
+        if cur:
+            _shutil.rmtree(_os.path.join(self.path, cur), ignore_errors=True)
+        else:
+            for name in (
+                "centroids", "codebooks", "codes", "vectors", "ids", "tombstones"
+            ):
+                _shutil.rmtree(_os.path.join(self.path, name), ignore_errors=True)
         return self
 
     def search(
@@ -2068,12 +2222,12 @@ class IVFPQIndex:
         # review #7: a separately-stored session would be dead weight or,
         # worse, a cross-session join error)
         spark = queries.sparkSession
-        cents = spark.read.parquet(_os.path.join(self.path, "centroids"))
-        codebooks = spark.read.parquet(_os.path.join(self.path, "codebooks"))
-        codes = spark.read.parquet(_os.path.join(self.path, "codes")).select(
+        cents = spark.read.parquet(self._art("centroids"))
+        codebooks = spark.read.parquet(self._art("codebooks"))
+        codes = spark.read.parquet(self._art("codes")).select(
             "neighbor_id", "__cell__", "sub", "code"
         )
-        vectors = spark.read.parquet(_os.path.join(self.path, "vectors"))
+        vectors = spark.read.parquet(self._art("vectors"))
         # tombstoned ids leave the scan here — the shortlist and the exact
         # re-rank only ever see neighbors that survive the ADC stage, so
         # filtering codes alone yields exactly the never-indexed answer;

@@ -849,6 +849,30 @@ def dsir_scores(
         ),
         "text.dsir.model",
     )
+    raw_counts = (
+        toks.filter(~F.col("__t__"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n__"))
+    )
+    return dsir_scores_from_counts(model, raw_counts, id_col, scale)
+
+
+def dsir_scores_from_counts(
+    model: DataFrame,
+    raw_counts: DataFrame,
+    id_col: str = "doc_id",
+    scale: float = 1e9,
+) -> DataFrame:
+    """The DSIR scoring tail over ALREADY-FOLDED state — shared verbatim
+    by :func:`dsir_scores` (batch) and the ``streaming_dsir`` gate, so
+    the streaming twin equals the batch operator by construction (the
+    ``bm25_rank_from_index`` pattern). ``model`` = (term, ct, cr) unigram
+    counts of the target and raw pools — LINEAR sketches: per-epoch
+    (term, Δct, Δcr) rows fold by SUM; ``raw_counts`` = (id, term, __n__)
+    per-raw-doc token counts — each doc arrives exactly once, so epochs
+    append. dsir_n = Σ __n__·lr(term) in integer nano-units equals the
+    row-exploded Σ lr exactly (BIGINT arithmetic, no float accumulation
+    order)."""
     tot = model.agg(
         F.sum("ct").cast("bigint").alias("nt"),
         F.sum("cr").cast("bigint").alias("nr"),
@@ -866,12 +890,11 @@ def dsir_scores(
         )
     )
     return (
-        toks.filter(~F.col("__t__"))
-        .join(scored_terms, "term")
+        raw_counts.join(scored_terms, "term")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum("__lr__").cast("bigint").alias("dsir_n"),
+            F.sum("__n__").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("__n__") * F.col("__lr__")).cast("bigint").alias("dsir_n"),
         )
     )
 

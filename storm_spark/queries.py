@@ -3909,6 +3909,86 @@ def q_streaming_bm25(spark, sf_dir):
     return bm25_rank_from_index(state["tf"], state["dl"], corpus, "doc_id", k=20)
 
 
+def q_streaming_dsir(spark, sf_dir):
+    """Live data-selection — the DSIR unigram models maintained against
+    an arriving corpus (text.dsir_scores_from_counts, r11 — VERDICT r10
+    #5, completing the curation family's streaming story): documents
+    stream in three epochs via a real ``readStream``; each
+    ``foreachBatch`` tokenizes ONLY its batch and folds two linear
+    structures — the (term, ct, cr) unigram models by SUM (token-count
+    tables are linear sketches, exactly like streaming_psi's histograms)
+    and the per-raw-doc (doc, term, n) counts by append (each doc
+    arrives once) — then the SHARED scoring tail ranks from the folded
+    state. Equal by construction to the batch models over all docs, so
+    the final top-50 satisfies the batch `dsir_sample` oracle VERBATIM.
+    Per-epoch work is O(batch tokens); the per-epoch score trajectory
+    (state at epoch k == batch over docs-so-far) is pinned in pytest."""
+    import os
+    import uuid
+
+    from storm_spark.functions.text import dsir_scores_from_counts
+    from storm_spark.functions.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = gate_tmp.mkdtemp(prefix="storm_spark_sdsir_")
+    indir = os.path.join(tmp, "in")
+    os.makedirs(indir)
+    feed = docs.select("doc_id", "text", "lang")
+    state = {"model": None, "raw": None}
+
+    def absorb(batch_df, epoch_id):
+        toks = batch_df.select(
+            "doc_id",
+            F.coalesce(F.col("lang") == "en", F.lit(False)).alias("__t__"),
+            F.explode(_tokens("text")).alias("term"),
+        ).localCheckpoint()  # feeds the model fold + raw counts once
+        dm = toks.groupBy("term").agg(
+            F.sum(F.col("__t__").cast("bigint")).cast("bigint").alias("ct"),
+            F.sum((~F.col("__t__")).cast("bigint")).cast("bigint").alias("cr"),
+        )
+        state["model"] = (
+            dm
+            if state["model"] is None
+            else state["model"]
+            .unionByName(dm)
+            .groupBy("term")
+            .agg(
+                F.sum("ct").cast("bigint").alias("ct"),
+                F.sum("cr").cast("bigint").alias("cr"),
+            )
+        ).localCheckpoint()
+        draw = (
+            toks.filter(~F.col("__t__"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("__n__"))
+        )
+        state["raw"] = (
+            draw if state["raw"] is None else state["raw"].unionByName(draw)
+        ).localCheckpoint()
+
+    q = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{indir}/*")
+        .writeStream.foreachBatch(absorb)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .queryName("sdsir_" + uuid.uuid4().hex[:8])
+        .start()
+    )
+    try:
+        chunk = F.pmod(F.xxhash64("doc_id"), F.lit(3))
+        for bch in range(3):
+            feed.filter(chunk == bch).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(indir, f"b{bch}")
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    scored = dsir_scores_from_counts(state["model"], state["raw"], "doc_id")
+    return scored.orderBy(F.col("dsir_n").desc(), F.col("doc_id").asc()).limit(50)
+
+
 class _CountPerStream:
     """GroupedMultiReducer for the multi_reduce gate: per-key tuple count of
     each input stream — the counting skeleton of the reference's
@@ -6900,6 +6980,36 @@ def q_ann_index_delete(spark, sf_dir):
     return idx.search(q, k=5, n_probe=2, shortlist=20)
 
 
+def q_ann_index_retrain(spark, sf_dir):
+    """Quantizer-refresh migration of the persisted ANN index
+    (similarity.IVFPQIndex.retrain, r11 — VERDICT r10 #4): build with
+    DELIBERATELY STALE quantizers (trained on the even half only — the
+    months-of-drift scenario), absorb the odd half against those frozen
+    quantizers, then retrain() — new centroids/codebooks trained on the
+    full live corpus, every vector re-encoded into a new generation
+    directory, the meta pointer flipped atomically, the old generation
+    reclaimed. Because retrain's defaults reproduce build's training,
+    the answer must equal a FRESH full-corpus build verbatim — the same
+    unrolled `ann_ivf_pq` oracle as ann_index_persist. Crash windows
+    (orphan generation swept, old generation serves until the flip) are
+    pinned in pytest."""
+    import os
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = os.path.join(gate_tmp.mkdtemp(prefix="storm_spark_annrt_"), "idx")
+    half = F.pmod(F.col("vec_id"), F.lit(2))
+    stale = emb.filter(half == 0)
+    cbs = similarity.pq_codebooks(stale, "vec_id", "embedding", m=4, ksub=4, n_iters=1)
+    cents = similarity._ivf_default_centroids(stale, "vec_id", "embedding", 4)
+    idx = similarity.IVFPQIndex(path, "vec_id", "embedding").build(
+        stale, m=4, ksub=4, n_lists=4, centroids=cents, codebooks=cbs
+    )
+    idx.add_vectors(emb.filter(half == 1))
+    idx.retrain(n_iters=1)
+    q = emb.filter(F.col("vec_id") < 20)
+    return idx.search(q, k=5, n_probe=2, shortlist=20)
+
+
 def q_streaming_ann_ingest(spark, sf_dir):
     """The persisted ANN index as a STREAMING SINK
     (similarity.IVFPQIndex.add_vectors driven by a real readStream —
@@ -8379,6 +8489,8 @@ QUERIES = {
     # split-build+add must equal the full-build oracle verbatim
     "ann_index_update": q_ann_index_update,
     "ann_index_delete": q_ann_index_delete,
+    # r11: staged quantizer-refresh migration, fresh-full-build oracle
+    "ann_index_retrain": q_ann_index_retrain,
     "streaming_ann_ingest": q_streaming_ann_ingest,
     # r8: streaming incremental connected components (VERDICT r7 #7)
     "streaming_dedup_cluster": q_streaming_dedup_cluster,
@@ -8476,6 +8588,8 @@ QUERIES = {
     "mixture_weights": q_mixture_weights,
     "bm25_topk": q_bm25_topk,
     "streaming_bm25": q_streaming_bm25,
+    # r11: DSIR models as live linear folds, batch dsir_sample oracle
+    "streaming_dsir": q_streaming_dsir,
     "multi_reduce": q_multi_reduce,
     "repartition_verbs": q_repartition_verbs,
     "metrics_observe": q_metrics_observe,
@@ -8804,6 +8918,7 @@ ORACLES = {
     "ann_index_persist": ORACLE_ANN_IVF_PQ,
     "ann_index_update": ORACLE_ANN_IVF_PQ,
     "ann_index_delete": ORACLE_ANN_IVF_PQ_DELETE,
+    "ann_index_retrain": ORACLE_ANN_IVF_PQ,
     "streaming_ann_ingest": ORACLE_ANN_IVF_PQ,
     # deliberately the SAME oracle as dedup_cluster: incremental
     # maintenance must be invisible in the answer
@@ -8836,6 +8951,7 @@ ORACLES = {
     "mixture_weights": ORACLE_MIXTURE_WEIGHTS,
     "bm25_topk": ORACLE_BM25_TOPK,
     "streaming_bm25": ORACLE_BM25_TOPK,
+    "streaming_dsir": ORACLE_DSIR_SAMPLE,
     "multi_reduce": ORACLE_MULTI_REDUCE,
     "repartition_verbs": ORACLE_REPARTITION_VERBS,
     "metrics_observe": ORACLE_METRICS_OBSERVE,

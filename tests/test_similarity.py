@@ -874,3 +874,108 @@ def test_ivf_pq_index_compact_heals_dangling_sidecar_id(clustered_vectors, tmp_p
         idx.add_vectors(late)  # the replay fails loudly, never double-scores
     idx.compact()  # rebuilds ids/ from vectors — the dangling id is freed
     idx.add_vectors(late)
+
+
+def test_ivf_pq_index_retrain_equals_fresh_build(clustered_vectors, tmp_path, spark):
+    """retrain() (r11 quantizer refresh): build with stale quantizers
+    (trained on half the corpus), absorb the rest, retrain — the answer
+    must equal a FRESH full-corpus build verbatim (defaults reproduce
+    build's training), the old generation is reclaimed, and a fresh
+    session load serves the new generation."""
+    import os
+
+    from storm_spark.functions import similarity
+
+    corpus = clustered_vectors
+    q = corpus.filter(F.col("vec_id") < 8)
+    args = dict(k=3, n_probe=2, shortlist=10)
+    fresh = similarity.IVFPQIndex(
+        str(tmp_path / "fresh"), "vec_id", "embedding"
+    ).build(corpus, m=4, ksub=4, n_lists=4, n_iters=1)
+    want = sorted(map(tuple, fresh.search(q, **args).collect()))
+
+    half = F.pmod(F.col("vec_id"), F.lit(2))
+    stale_half = corpus.filter(half == 0)
+    cbs = similarity.pq_codebooks(
+        stale_half, "vec_id", "embedding", m=4, ksub=4, n_iters=1
+    )
+    cents = similarity._ivf_default_centroids(stale_half, "vec_id", "embedding", 4)
+    path = str(tmp_path / "drift")
+    idx = similarity.IVFPQIndex(path, "vec_id", "embedding").build(
+        stale_half, m=4, ksub=4, n_lists=4, centroids=cents, codebooks=cbs
+    )
+    idx.add_vectors(corpus.filter(half == 1))
+    idx.retrain(n_iters=1)
+    assert idx.generation == "g1"
+    got = sorted(map(tuple, idx.search(q, **args).collect()))
+    assert got == want
+    # old root-layout artifacts reclaimed — only the pointer + g1 remain
+    assert sorted(os.listdir(path)) == ["_ann_meta.json", "g1"]
+    ns = spark.newSession()
+    idx2 = similarity.IVFPQIndex.load(path)
+    q2 = ns.createDataFrame(q.collect(), q.schema)
+    assert sorted(map(tuple, idx2.search(q2, **args).collect())) == want
+
+
+def test_ivf_pq_index_retrain_applies_deletes_and_frees_ids(
+    clustered_vectors, tmp_path
+):
+    """retrain() applies pending tombstones like compact(): the new
+    generation answers as an index never containing the removed ids,
+    carries no tombstone sidecar, and the freed ids become indexable."""
+    import os
+
+    from storm_spark.functions import similarity
+
+    corpus = clustered_vectors
+    q = corpus.filter(F.col("vec_id") < 8)
+    args = dict(k=3, n_probe=2, shortlist=10)
+    surv = corpus.filter(~F.col("vec_id").isin(9, 13))
+    fresh = similarity.IVFPQIndex(
+        str(tmp_path / "survfresh"), "vec_id", "embedding"
+    ).build(surv, m=4, ksub=4, n_lists=4, n_iters=1)
+    want = sorted(map(tuple, fresh.search(q, **args).collect()))
+
+    path = str(tmp_path / "deltrain")
+    idx = similarity.IVFPQIndex(path, "vec_id", "embedding").build(
+        corpus, m=4, ksub=4, n_lists=4, n_iters=1
+    )
+    idx.remove_vectors(corpus.filter(F.col("vec_id").isin(9, 13)).select("vec_id"))
+    idx.retrain(n_iters=1)
+    got = sorted(map(tuple, idx.search(q, **args).collect()))
+    assert got == want
+    assert not os.path.isdir(os.path.join(path, "g1", "tombstones"))
+    idx.add_vectors(corpus.filter(F.col("vec_id") == 9))  # freed id
+
+
+def test_ivf_pq_index_retrain_crash_windows(clustered_vectors, tmp_path):
+    """Crash-window contract: an orphan generation dir left by a crashed
+    retrain (meta never flipped) is invisible — load serves the old
+    generation, search answers are unchanged — and the next retrain
+    sweeps it. A reshaping retrain (new m) re-encodes consistently."""
+    import os
+
+    from storm_spark.functions import similarity
+
+    corpus = clustered_vectors.filter(F.col("vec_id") < 40)
+    q = corpus.filter(F.col("vec_id") < 4)
+    args = dict(k=3, n_probe=2, shortlist=10)
+    path = str(tmp_path / "cwr")
+    idx = similarity.IVFPQIndex(path, "vec_id", "embedding").build(
+        corpus, m=4, ksub=4, n_lists=4
+    )
+    before = sorted(map(tuple, idx.search(q, **args).collect()))
+    # simulate the crashed retrain: a half-written generation, no flip
+    os.makedirs(os.path.join(path, "g1", "centroids"))
+    idx2 = similarity.IVFPQIndex.load(path)
+    assert idx2.generation is None  # meta still points at the root layout
+    assert sorted(map(tuple, idx2.search(q, **args).collect())) == before
+    idx2.retrain(n_iters=1)  # sweeps the orphan, builds a REAL g1
+    assert idx2.generation == "g1"
+    assert os.path.isdir(os.path.join(path, "g1", "codes"))
+    got = sorted(map(tuple, idx2.search(q, **args).collect()))
+    assert len(got) > 0
+    # reshape: m=8 re-encodes with 8 subspaces under g2
+    idx2.retrain(n_iters=1, m=8)
+    assert idx2.generation == "g2" and idx2.m == 8 and idx2.sub_len == 1
+    assert idx2.search(q, **args).count() > 0

@@ -1363,3 +1363,58 @@ def test_lsh_index_tombstone_readd_refused_even_trusted(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS lsh_tomb_test")
         spark.sql("DROP TABLE IF EXISTS lsh_tomb_test__ids")
+
+
+def test_dsir_fold_trajectory_equals_batch_at_every_epoch(spark):
+    """The streaming_dsir gate's state claim, pinned per epoch: folding
+    the (term, ct, cr) models by SUM and appending raw (doc, term, n)
+    counts epoch-by-epoch yields — at EVERY epoch — scores identical to
+    batch dsir_scores over the docs absorbed so far (token-count tables
+    are linear sketches; the scoring tail is shared code)."""
+    from pyspark.sql import functions as F
+
+    from storm_spark.functions.text import dsir_scores, dsir_scores_from_counts
+    from storm_spark.functions.text import tokens as _tokens
+
+    rows = [
+        (i, f"alpha beta {('gamma ' * (i % 3))}delta word{i % 5}",
+         "en" if i % 4 == 0 else ("de" if i % 4 in (1, 2) else None))
+        for i in range(24)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    model = raw = None
+    seen = []
+    for epoch in range(3):
+        batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == epoch)
+        seen.append(batch)
+        toks = batch.select(
+            "doc_id",
+            F.coalesce(F.col("lang") == "en", F.lit(False)).alias("__t__"),
+            F.explode(_tokens("text")).alias("term"),
+        ).localCheckpoint()
+        dm = toks.groupBy("term").agg(
+            F.sum(F.col("__t__").cast("bigint")).cast("bigint").alias("ct"),
+            F.sum((~F.col("__t__")).cast("bigint")).cast("bigint").alias("cr"),
+        )
+        model = (
+            dm if model is None else model.unionByName(dm).groupBy("term").agg(
+                F.sum("ct").cast("bigint").alias("ct"),
+                F.sum("cr").cast("bigint").alias("cr"),
+            )
+        ).localCheckpoint()
+        draw = (
+            toks.filter(~F.col("__t__"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("__n__"))
+        )
+        raw = (draw if raw is None else raw.unionByName(draw)).localCheckpoint()
+        so_far = seen[0]
+        for b in seen[1:]:
+            so_far = so_far.unionByName(b)
+        want = sorted(
+            map(tuple, dsir_scores(so_far, F.col("lang") == "en").collect())
+        )
+        got = sorted(
+            map(tuple, dsir_scores_from_counts(model, raw, "doc_id").collect())
+        )
+        assert got == want, f"epoch {epoch} diverged"
