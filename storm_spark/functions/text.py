@@ -803,6 +803,7 @@ def dsir_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     scale: float = 1e9,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """DSIR-style importance scores for training-data selection (Xie et
     al. 2023, "Data Selection for Language Models via Importance
@@ -838,7 +839,9 @@ def dsir_scores(
         df.select(
             F.col(id_col),
             F.coalesce(target_pred, F.lit(False)).alias("__t__"),
-            F.explode(tokens(text_col)).alias("term"),
+            F.explode(
+                F.col(tokens_col) if tokens_col else tokens(text_col)
+            ).alias("term"),
         ),
         "text.dsir.toks",
     )
@@ -907,6 +910,7 @@ def gopher_quality_flags(
     id_col: str = "doc_id",
     text_col: str = "text",
     ndigits: int = 6,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """The published rule-based quality filter suite — Gopher rules (Rae
     et al. 2021, §A1.1) with C4's line heuristics (Raffel et al. 2020):
@@ -927,9 +931,14 @@ def gopher_quality_flags(
     documents report zero ratios and fail. This is the ABSOLUTE-rule
     complement to :func:`quality_gate`'s per-group RELATIVE percentile
     cut — production pipelines run both (rules first, then the
-    distributional trim)."""
+    distributional trim).
+
+    ``tokens_col`` names an ALREADY-MATERIALIZED tokens column (the
+    tokenize-once composition — ``pretrain_pipeline`` shares one pass
+    between this filter and the DSIR models); the line/character rules
+    still read the raw text, which tokens cannot carry."""
     text = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = tokens(text_col)
+    toks = F.col(tokens_col) if tokens_col else tokens(text_col)
     n_words = F.size(toks).cast("bigint")
     nz = F.greatest(n_words, F.lit(1)).cast("double")
     sum_len = F.aggregate(

@@ -2062,7 +2062,7 @@ def q_gopher_quality(spark, sf_dir):
     return text.gopher_quality_flags(docs, "doc_id", "text")
 
 
-def _oracle_gopher_quality():
+def _oracle_gopher_quality(src="documents"):
     from storm_spark.functions.text import GOPHER_STOPWORDS
 
     toks = SQL_TOKS.format(x="text")
@@ -2071,7 +2071,7 @@ def _oracle_gopher_quality():
 WITH base AS (
   SELECT doc_id, text, {toks} AS toks,
          string_split(text, chr(10)) AS lines
-  FROM documents),
+  FROM {src}),
 m AS (
   SELECT doc_id,
          CAST(len(toks) AS BIGINT) AS n_words,
@@ -2126,10 +2126,11 @@ def q_dsir_sample(spark, sf_dir):
     return scored.orderBy(F.col("dsir_n").desc(), F.col("doc_id").asc()).limit(50)
 
 
-ORACLE_DSIR_SAMPLE = f"""
+def _oracle_dsir(src="documents", k=50):
+    return f"""
 WITH toks AS (
   SELECT doc_id, lang = 'en' AS t, unnest({SQL_TOKS.format(x='text')}) AS term
-  FROM documents),
+  FROM {src}),
 model AS (
   SELECT term,
          SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
@@ -2152,8 +2153,11 @@ scored AS (
   FROM toks JOIN lr USING (term) WHERE t IS DISTINCT FROM TRUE GROUP BY doc_id)
 SELECT doc_id, n_tokens, dsir_n
 FROM scored
-QUALIFY row_number() OVER (ORDER BY dsir_n DESC, doc_id ASC) <= 50
+QUALIFY row_number() OVER (ORDER BY dsir_n DESC, doc_id ASC) <= {k}
 """
+
+
+ORACLE_DSIR_SAMPLE = _oracle_dsir()
 
 
 # ---------------------------------------------------------------------------
@@ -2243,11 +2247,11 @@ def q_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_perm=12, bands=4)
 
 
-def _oracle_minhash(n=3, num_perm=12, bands=4, where=None):
+def _oracle_minhash(n=3, num_perm=12, bands=4, where=None, src="documents"):
     nm1 = n - 1
     rows = num_perm // bands
     sh = SQL_SHINGLES.format(t="toks", nm1=nm1)
-    src = f"documents WHERE {where}" if where else "documents"
+    src = f"{src} WHERE {where}" if where else src
     return f"""
 WITH tk AS (SELECT doc_id, {SQL_TOKS.format(x='text')} AS toks FROM {src}),
 sh AS (SELECT DISTINCT doc_id, unnest({sh}) AS s FROM tk),
@@ -2280,9 +2284,9 @@ def q_dedup_cluster(spark, sf_dir):
     )
 
 
-def _oracle_dedup_cluster(n=3, num_perm=12, bands=4, where=None):
+def _oracle_dedup_cluster(n=3, num_perm=12, bands=4, where=None, src="documents"):
     """Recursive-CTE twin: min reachable id over the same pair graph."""
-    base = _oracle_minhash(n, num_perm, bands, where=where).strip().rstrip()
+    base = _oracle_minhash(n, num_perm, bands, where=where, src=src).strip().rstrip()
     return f"""
 WITH RECURSIVE pairs AS ({base}),
 e AS (SELECT id_a AS src, id_b AS dst FROM pairs
@@ -2525,9 +2529,10 @@ CASE WHEN len(toks) <= {ml} THEN [1]
 END
 """
 
-ORACLE_CHUNK_TOKENS = f"""
+def _oracle_chunk_tokens(src="documents"):
+    return f"""
 WITH base AS (
-  SELECT doc_id, {SQL_TOKS.format(x='text')} AS toks FROM documents),
+  SELECT doc_id, {SQL_TOKS.format(x='text')} AS toks FROM {src}),
 nonempty AS (
   SELECT doc_id, toks,
          list(s ORDER BY s) AS gs
@@ -2542,6 +2547,9 @@ SELECT doc_id,
        CAST(len(toks[start : start + 63]) AS INT) AS n_tokens
 FROM st, LATERAL unnest(starts) AS t(start)
 """
+
+
+ORACLE_CHUNK_TOKENS = _oracle_chunk_tokens()
 
 
 def q_quality_repetition(spark, sf_dir):
@@ -3907,6 +3915,115 @@ def q_streaming_bm25(spark, sf_dir):
         ),
     )
     return bm25_rank_from_index(state["tf"], state["dl"], corpus, "doc_id", k=20)
+
+
+def q_pretrain_pipeline(spark, sf_dir):
+    """THE pretraining-pipeline capstone (r11 — VERDICT r10 stretch #8):
+    every stage of a production LLM-data pipeline composed in ONE plan
+    with no driver-side seam — quality filter → near-dup dedup →
+    survivorship → leakage-safe split → DSIR selection → token chunking:
+
+    1. ``gopher_quality_flags`` gates the corpus on the rules that
+       DISCRIMINATE on this fixture — n_words ≥ 50, alpha_frac > 0.8,
+       symbol_ratio < 0.1 (the full ``passes`` verdict requires English
+       marker stopwords the synthetic corpus lacks and would empty the
+       pipeline; production parameterizes its gates, and the verdict
+       itself stays gated by `gopher_quality`). The tokenize-ONCE
+       composition: one persisted tokens column feeds both this filter
+       and step 5's DSIR models;
+    2. ``minhash_lsh_edges`` (star edges — the O(m)-per-bucket 100-TB
+       shape) → ``near_dup_clusters`` over the clean docs;
+    3. ``canonicalize_clusters`` keeps the best record per cluster
+       (max n_chars, ties to smallest id; singletons survive);
+    4. ``leakage_safe_split`` assigns train/eval by CLUSTER key —
+       survivors of the same near-dup family can never straddle the
+       split — and the pipeline keeps the train side;
+    5. ``dsir_scores`` ranks the raw (non-'en') train survivors by
+       target-domain likelihood ratio, top 30 selected;
+    6. ``chunk_token_windows`` (max_len=64, stride=48) chunks the
+       selected docs from the SAME materialized tokens column.
+
+    The oracle composes the stages' existing CTE builders verbatim —
+    each stage is already individually gated (`gopher_quality`,
+    `dedup_cluster_stars`, `dedup_merge`, `leakage_safe_split`,
+    `dsir_sample`, `chunk_tokens`); this gate proves they compose."""
+    docs = _t(spark, sf_dir, "documents")
+    base = text.bounded_persist(
+        docs.select(
+            "doc_id", "text", "lang", "n_chars",
+            text.tokens("text").alias("__toks__"),
+        ),
+        "pretrain.base",
+    )
+    flags = text.gopher_quality_flags(base, "doc_id", "text", tokens_col="__toks__")
+    keep = flags.filter(
+        (F.col("n_words") >= 50)
+        & (F.col("alpha_frac") > 0.8)
+        & (F.col("symbol_ratio") < 0.1)
+    )
+    clean = base.join(keep.select("doc_id"), "doc_id", "semi")
+    edges = dedup.minhash_lsh_edges(clean, "doc_id", "text", n=3, num_perm=12, bands=4)
+    clusters = dedup.near_dup_clusters(edges)
+    canon = dedup.canonicalize_clusters(clean, clusters, "doc_id", "n_chars")
+    survivors = clean.join(
+        canon.select(F.col("canonical_id").alias("doc_id")), "doc_id", "semi"
+    )
+    split = sampling.leakage_safe_split(
+        survivors.select("doc_id"), clusters, "doc_id", {"train": 0.9, "eval": 0.1}
+    )
+    train = survivors.join(
+        split.filter(F.col("split") == "train").select("doc_id"), "doc_id", "semi"
+    )
+    scored = text.dsir_scores(
+        train, F.col("lang") == "en", "doc_id", "text", tokens_col="__toks__"
+    )
+    sel = scored.orderBy(F.col("dsir_n").desc(), F.col("doc_id").asc()).limit(30)
+    chosen = train.join(sel.select("doc_id"), "doc_id", "semi").select(
+        "doc_id", "__toks__"
+    )
+    return sampling.chunk_token_windows(
+        chosen, "doc_id", "__toks__", max_len=64, stride=48
+    )
+
+
+def _oracle_pretrain_pipeline(k=30):
+    """The capstone's DuckDB twin, composed from the per-stage oracle
+    builders: gopher CTE → clean → recursive-CTE clusters (over clean) →
+    survivorship argmax → split expr on the cluster key → DSIR top-k
+    (over train) → chunk windows (over the selected docs). Nested WITHs
+    reference outer CTEs lexically — the `leakage_safe_split` oracle's
+    proven pattern."""
+    gq = _oracle_gopher_quality().strip()
+    clusters = _oracle_dedup_cluster(src="clean").strip()
+    split_expr = sampling.sql_split_expr("cl", {"train": 0.9, "eval": 0.1})
+    dsir = _oracle_dsir(src="train", k=k).strip()
+    chunks = _oracle_chunk_tokens(src="chosen").strip()
+    return f"""
+WITH gq AS ({gq}),
+clean AS (
+  SELECT d.* FROM documents d JOIN gq ON d.doc_id = gq.doc_id
+  WHERE gq.n_words >= 50 AND gq.alpha_frac > 0.8 AND gq.symbol_ratio < 0.1),
+clusters AS ({clusters}),
+assign AS (
+  SELECT d.doc_id, d.n_chars, COALESCE(c.cluster_id, d.doc_id) AS cl
+  FROM clean d LEFT JOIN clusters c USING (doc_id)),
+canon AS (
+  SELECT cl, doc_id,
+         row_number() OVER (PARTITION BY cl
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM assign),
+survivors AS (
+  SELECT d.*, a.cl FROM clean d
+  JOIN (SELECT doc_id, cl FROM canon WHERE rn = 1) a USING (doc_id)),
+train AS (SELECT * FROM survivors WHERE {split_expr} = 'train'),
+sel AS ({dsir}),
+chosen AS (
+  SELECT t.* FROM train t WHERE t.doc_id IN (SELECT doc_id FROM sel))
+SELECT doc_id, chunk_no, chunk_text, n_tokens FROM ({chunks}) _c
+"""
+
+
+ORACLE_PRETRAIN_PIPELINE = _oracle_pretrain_pipeline()
 
 
 def q_streaming_dsir(spark, sf_dir):
@@ -8590,6 +8707,8 @@ QUERIES = {
     "streaming_bm25": q_streaming_bm25,
     # r11: DSIR models as live linear folds, batch dsir_sample oracle
     "streaming_dsir": q_streaming_dsir,
+    # r11 capstone: the full pretraining pipeline composed in one plan
+    "pretrain_pipeline": q_pretrain_pipeline,
     "multi_reduce": q_multi_reduce,
     "repartition_verbs": q_repartition_verbs,
     "metrics_observe": q_metrics_observe,
@@ -8952,6 +9071,7 @@ ORACLES = {
     "bm25_topk": ORACLE_BM25_TOPK,
     "streaming_bm25": ORACLE_BM25_TOPK,
     "streaming_dsir": ORACLE_DSIR_SAMPLE,
+    "pretrain_pipeline": ORACLE_PRETRAIN_PIPELINE,
     "multi_reduce": ORACLE_MULTI_REDUCE,
     "repartition_verbs": ORACLE_REPARTITION_VERBS,
     "metrics_observe": ORACLE_METRICS_OBSERVE,

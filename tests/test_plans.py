@@ -792,3 +792,38 @@ def test_ann_ivf_pq_with_trained_centroids(spark):
     assert set(per_q) == {0, 1, 2, 3, 4}
     for qid, ranks in per_q.items():
         assert sorted(ranks) == [1, 2, 3], (qid, ranks)
+
+
+def test_pretrain_pipeline_shares_one_tokenize_pass(spark):
+    """The capstone's tokenize-once claim, asserted at the operator
+    level: fed a frame whose tokens column is already MATERIALIZED
+    (lineage truncated, so any tokenizer in a downstream plan must have
+    been re-introduced by the operator), neither gopher_quality_flags
+    nor dsir_scores re-tokenizes — zero TOKEN_SPLIT_RE in their plans —
+    while the tokens_col-less forms do (the control)."""
+    from pyspark.sql import functions as F
+
+    from storm_spark.functions.text import (
+        TOKEN_SPLIT_RE,
+        dsir_scores,
+        gopher_quality_flags,
+        tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox", "en"), (2, "jumps over the dog", "de")],
+        "doc_id long, text string, lang string",
+    )
+    base = docs.select(
+        "doc_id", "text", "lang", tokens("text").alias("__toks__")
+    ).localCheckpoint()
+
+    shared_g = _plan(gopher_quality_flags(base, tokens_col="__toks__"))
+    shared_d = _plan(dsir_scores(base, F.col("lang") == "en", tokens_col="__toks__"))
+    assert shared_g.count(TOKEN_SPLIT_RE) == 0, shared_g
+    assert shared_d.count(TOKEN_SPLIT_RE) == 0, shared_d
+
+    solo_g = _plan(gopher_quality_flags(base))
+    solo_d = _plan(dsir_scores(base, F.col("lang") == "en"))
+    assert solo_g.count(TOKEN_SPLIT_RE) >= 1
+    assert solo_d.count(TOKEN_SPLIT_RE) >= 1
