@@ -169,12 +169,49 @@ HEADLINE = [
     "dsir_sample",
     "gopher_quality",
     "schema_evolution",
+    # r11: LSH-index delete lifecycle, ANN quantizer refresh, and the
+    # six-stage pretraining capstone (streaming_dsir stays exempt)
+    "dedup_index_delete",
+    "ann_index_retrain",
+    "pretrain_pipeline",
+]
+
+# The round's new/touched queries — what `--changed-only` runs while
+# iterating (the full list dominates round wall-clock at 135+ queries;
+# the close-out still runs everything). Update each round.
+CHANGED_THIS_ROUND = [
+    "dedup_index_delete",
+    "ann_index_retrain",
+    "pretrain_pipeline",
+    "dsir_sample",
+    "gopher_quality",
+    "ann_index_persist",
+    "ann_index_update",
+    "ann_index_delete",
+    "dedup_cluster_stars",
+    "chunk_tokens",
+    "leakage_safe_split",
+    "dedup_merge",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    # --changed-only: bench just this round's new/touched queries (fast
+    # iteration loop); --only a,b,c: an explicit subset. Either way the
+    # output is MARKED as a subset so a partial run can never pass for
+    # the round's full record (the driver's BENCH_r{N}.json must come
+    # from a no-args run).
+    subset = None
+    argv = sys.argv[1:]
+    if "--changed-only" in argv:
+        subset = [q for q in CHANGED_THIS_ROUND if q in set(HEADLINE)]
+    for a in argv:
+        if a.startswith("--only="):
+            subset = [q.strip() for q in a.split("=", 1)[1].split(",") if q.strip()]
+    headline = subset if subset is not None else HEADLINE
 
     from storm_spark.queries import QUERIES
     from storm_spark.session import get_spark
@@ -195,7 +232,7 @@ def main() -> None:
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in headline:
         per_run = []
         try:
             for _ in range(3):
@@ -232,15 +269,18 @@ def main() -> None:
         "sf": float(sf),
         "cold_total_sec": round(sum(cold.values()), 3),
     }
+    if subset is not None:
+        out["subset"] = "changed-only"
     if errors:
         out["errors"] = errors
     line = json.dumps(out)
     # Durable copy: BENCH_r05.json was lost to a truncated stdout capture
     # (the driver's tail cut the head off this single long line), so the
     # record must never depend on how much of stdout a harness keeps.
+    default_out = "bench_out.json" if subset is None else "bench_out_subset.json"
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), default_out),
     )
     try:
         with open(out_path, "w") as fh:
@@ -264,6 +304,8 @@ def main() -> None:
         "slowest5": {k: v for k, v in slowest},
         "queries_detail": "bench_out.json",
     }
+    if subset is not None:
+        compact["subset"] = "changed-only"
     print(json.dumps(compact))
 
 

@@ -8842,74 +8842,72 @@ QUERIES = {
 }
 
 # ---------------------------------------------------------------------------
-# Rotation 10 (policy from r8: LEAST-RECENTLY-SAMPLED first — the driver
+# Rotation 11 (policy from r8: LEAST-RECENTLY-SAMPLED first — the driver
 # samples the first 50 keys, so the head is recomputed each round via
 # tools/rotation.py as: this round's NEW gates, then every other entry
-# ranked by (last driver-sampled round, catalog position)). The r10 head =
-# the 6 new r10 gates (streaming_dedup_pipeline_stars,
-# streaming_leakage_split, ann_index_persist, ann_index_update,
-# ann_index_delete, dedup_cluster_stars), then
-# approx_distinct FORCED per VERDICT r9 #3 (its r9 oracle graduation is
-# judge-verified but the driver last sampled it as r8 no_oracle — this
-# lands the confirming driver row), then the r5/r6-era tail by staleness.
-# The literal dict order above is the historical rotation record; THIS
-# list is the driver-facing order (policy documented in SURVEY.md §8).
-_ROTATION10_HEAD = [
-    "streaming_dedup_pipeline_stars",
-    "streaming_leakage_split",
-    "ann_index_persist",
-    "ann_index_update",
-    "ann_index_delete",
-    "streaming_ann_ingest",
-    "streaming_psi",
-    "streaming_percentile",
-    "streaming_bm25",
-    "dsir_sample",
-    "gopher_quality",
-    "schema_evolution",
-    "dedup_cluster_stars",
-    "approx_distinct",
-    "centroid_classify",
-    "psi_drift",
-    "fuzzy_pairs_two_pass",
-    "event_paths",
-    "winsorize",
-    "streaming_sessionize",
-    "tfidf_top_terms",
-    "series_similarity",
-    "pit_join",
-    "lm_perplexity",
-    "trailing_corr",
-    "group_corr",
-    "streaming_gap_fill",
-    "triangle_count",
-    "streaming_dedup",
-    "streaming_transitions",
-    "tpch_q16",
-    "tpch_q14",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q15",
-    "tpch_q17",
-    "ks_drift",
-    "sessionize_native",
-    "set_intersect",
-    "set_except",
-    "outlier_mad_hist",
-    "graph_bfs",
-    "dedup_merge",
-    "q1",
-    "state_avg",
-    "ann_rescore",
-    "quality_gate_approx",
-    "user_entropy",
-    "k_anonymize",
-    "tpch_q6",
+# ranked by (last driver-sampled round, catalog position)). The r11 head =
+# the 4 new r11 gates (dedup_index_delete, ann_index_retrain,
+# streaming_dsir, pretrain_pipeline), then the stalest tail — last
+# driver-sampled in rounds 7–8 (the r7 streaming twins and the r6 TPC-H
+# depth block lead the staleness ranking). The literal dict order above is
+# the historical rotation record; THIS list is the driver-facing order
+# (policy documented in SURVEY.md §8).
+_ROTATION11_HEAD = [
+    "dedup_index_delete",
+    "ann_index_retrain",
+    "streaming_dsir",
+    "pretrain_pipeline",
+    "streaming_trailing_zscore",
+    "tpch_q5",
+    "tpch_q3",
+    "streaming_bfs_incremental",
+    "equi_depth_bins",
+    "contamination_pairs",
+    "js_drift",
+    "merge_intervals",
+    "group_mode",
+    "bpe_train",
+    "streaming_full_outer_join",
+    "streaming_cms",
+    "rolling_median",
+    "seasonal_baseline",
+    "ann_pq",
+    "streaming_sample",
+    "hll_distinct",
+    "streaming_hll",
+    "zorder_stats",
+    "streaming_merge_intervals",
+    "bpe_segment",
+    "tpch_q4",
+    "tpch_q18",
+    "tpch_q13",
+    "tpch_q22",
+    "tpch_q10",
+    "streaming_interval_join",
+    "dedup_jaccard_prefix",
+    "streaming_window_hourly",
+    "streaming_topk",
+    "streaming_recovery",
+    "streaming_persist_recovery",
+    "trailing_ewma",
+    "streaming_enrich",
+    "streaming_outer_join",
+    "k_core",
+    "unpivot",
+    "quantile_normalize",
+    "weighted_median",
+    "grouping_sets",
+    "user_streaks",
+    "ann_ivf_trained",
+    "ann_ivf_pq",
+    "streaming_dedup_cluster",
+    "streaming_dedup_pipeline",
+    "multimodal_features",
 ]
-assert len(_ROTATION10_HEAD) == 50 and len(set(_ROTATION10_HEAD)) == 50
+assert len(_ROTATION11_HEAD) == 50 and len(set(_ROTATION11_HEAD)) == 50
 QUERIES = {
     k: QUERIES[k]
-    for k in (*_ROTATION10_HEAD, *(k for k in QUERIES if k not in set(_ROTATION10_HEAD)))
+    for k in (*_ROTATION11_HEAD, *(k for k in QUERIES if k not in set(_ROTATION11_HEAD)))
 }
 
 ORACLES = {

@@ -210,8 +210,9 @@ def test_interval_join_batch_semantics(spark, left, right):
         max_size=12,
     ),
     bands=st.sampled_from([2, 4]),
+    salt=st.sampled_from([None, 2, 7]),
 )
-def test_star_edges_same_components_as_pair_clique(spark, docs, bands):
+def test_star_edges_same_components_as_pair_clique(spark, docs, bands, salt):
     """minhash_lsh_edges' connectivity claim, property-tested: on ANY
     corpus (hypothesis draws include exact duplicates, which land whole
     groups in one band bucket — the hot-bucket case the star emission
@@ -233,7 +234,7 @@ def test_star_edges_same_components_as_pair_clique(spark, docs, bands):
     via_stars = {
         (r.id, r.cluster_id)
         for r in dedup.near_dup_clusters(
-            dedup.minhash_lsh_edges(df, "doc_id", "text", **kw)
+            dedup.minhash_lsh_edges(df, "doc_id", "text", salt_buckets=salt, **kw)
         ).collect()
     }
     assert via_stars == via_pairs
