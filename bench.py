@@ -205,12 +205,15 @@ def main() -> None:
     # the round's full record (the driver's BENCH_r{N}.json must come
     # from a no-args run).
     subset = None
+    subset_label = None
     argv = sys.argv[1:]
     if "--changed-only" in argv:
         subset = [q for q in CHANGED_THIS_ROUND if q in set(HEADLINE)]
+        subset_label = "changed-only"
     for a in argv:
         if a.startswith("--only="):
             subset = [q.strip() for q in a.split("=", 1)[1].split(",") if q.strip()]
+            subset_label = "only"  # a hand-picked list is NOT changed-only
     headline = subset if subset is not None else HEADLINE
 
     from storm_spark.queries import QUERIES
@@ -270,7 +273,7 @@ def main() -> None:
         "cold_total_sec": round(sum(cold.values()), 3),
     }
     if subset is not None:
-        out["subset"] = "changed-only"
+        out["subset"] = subset_label
     if errors:
         out["errors"] = errors
     line = json.dumps(out)
@@ -305,7 +308,7 @@ def main() -> None:
         "queries_detail": "bench_out.json",
     }
     if subset is not None:
-        compact["subset"] = "changed-only"
+        compact["subset"] = subset_label
     print(json.dumps(compact))
 
 

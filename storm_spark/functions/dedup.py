@@ -1167,11 +1167,6 @@ class IncrementalLSHIndex:
         self._resume_checked = False
         self._pairs: list[DataFrame] = []  # checkpointed per-epoch frames
         self._tombs: DataFrame | None = None  # in-memory pending tombstones
-        # cumulative removed ids for the pairs() view — survives compact
-        # (which clears the PENDING sidecar) because historical pair
-        # frames still reference the dropped ids; pruned when a freed id
-        # is legitimately re-indexed after compact
-        self._removed_ids: DataFrame | None = None
         self._repaired = False  # any edges-mode repair frame emitted
 
     @property
@@ -1400,6 +1395,31 @@ class IncrementalLSHIndex:
             return spark.read.parquet(self._tomb_path)
         return None
 
+    def _repair_stars(self, spark, dele: DataFrame, all_tombs: DataFrame) -> DataFrame:
+        """Repair star edges over the SURVIVING members of every bucket
+        touched by ``dele`` — O(touched-bucket members) rows, bounded by
+        the removed docs' bucket fan-out, never index-sized. Honors
+        ``salt_buckets``: a takedown inside a degenerate bucket repairs
+        through the same balanced two-level star the emission uses."""
+        index = self._stored_index(spark)
+        dead_buckets = (
+            index.join(F.broadcast(dele), "__id__", "semi")
+            .select("__band__", "__bucket__")
+            .distinct()
+        )
+        survivors = index.join(
+            F.broadcast(dead_buckets), ["__band__", "__bucket__"], "semi"
+        ).join(F.broadcast(all_tombs), "__id__", "anti")
+        if self.salt_buckets:
+            return _salted_star_edges(survivors, self.salt_buckets)
+        w = Window.partitionBy("__band__", "__bucket__")
+        return (
+            survivors.withColumn("__root__", F.min("__id__").over(w))
+            .filter(F.col("__id__") != F.col("__root__"))
+            .select(F.col("__root__").alias("id_a"), F.col("__id__").alias("id_b"))
+            .distinct()
+        )
+
     def remove_docs(self, ids: DataFrame) -> DataFrame:
         """Delete indexed documents — the other half of the crawl-dedup
         lifecycle (takedowns, re-crawled pages, license withdrawals: a
@@ -1407,26 +1427,40 @@ class IncrementalLSHIndex:
         r10 #1). Deletes are TOMBSTONES, mirroring
         :meth:`similarity.IVFPQIndex.remove_vectors`: the ids land in a
         delta-sized sidecar (``{index_path}__tombstones`` in bucketed
-        mode), so a delete is O(|Δ|) and never rewrites the index;
+        mode), so a delete never rewrites the INDEX;
         :meth:`compact_index` later drops the band-bucket rows (and the
         ids-sidecar rows) physically and frees the ids for re-indexing.
         After a removal, :meth:`pairs` answers as if the docs were never
         indexed, and subsequent epochs' cross-collisions skip them.
 
+        The accumulated pairs view is filtered EAGERLY here (one
+        anti-join fold over this incarnation's emitted frames,
+        materialized — the same cost class as a ``compact_every`` fold;
+        removals are rare): suppression must bind to the REMOVED
+        INCARNATION's rows, not to the id — a read-time id filter would
+        either keep suppressing a freed id re-indexed with new content
+        after :meth:`compact_index` (wrongly hiding its new pairs) or,
+        pruned on re-add, resurrect the removed content's stale pairs.
+        Emissions a PRIOR driver incarnation already handed downstream
+        are out of reach by design (emit-and-forget): reconcile there —
+        anti-join the consumer's store, or rebuild from a batch pass.
+
         Under ``emit="edges"`` removal must also REPAIR connectivity:
         a removed doc may have been a star root, and merely dropping its
         edges would disconnect surviving docs that still share a bucket.
-        So this method returns repair star edges over the SURVIVING
-        members of every touched bucket — O(touched-bucket members)
-        rows, bounded by the removed docs' bucket fan-out, never
-        index-sized — which are also folded into :meth:`pairs`. Feed
-        them downstream like an epoch's emission; note that connected
-        components are NOT decremental — after a removal epoch, rebuild
-        cluster labels from :meth:`pairs` (the ``dedup_index_delete``
-        gate's shape) rather than patching a live
-        ``IncrementalComponents``. Under ``emit="pairs"`` the anti-join
-        alone is exact (a surviving pair's endpoints both survive) and
-        the returned frame is empty.
+        So this method returns repair star edges over the surviving
+        members of every touched bucket (see :meth:`_repair_stars`),
+        which are also folded into :meth:`pairs`. Feed them downstream
+        like an epoch's emission; if the driver crashes AFTER the
+        tombstone append but before downstream consumed the repair,
+        recover with :meth:`repair_edges` (idempotent re-derivation;
+        valid until compact_index drops the rows). Connected components
+        are NOT decremental — after a removal epoch, rebuild cluster
+        labels from :meth:`pairs` (the ``dedup_index_delete`` gate's
+        shape) rather than patching a live ``IncrementalComponents``.
+        Under ``emit="pairs"`` the eager anti-join alone is exact (a
+        surviving pair's endpoints both survive) and the returned frame
+        is empty.
 
         Loud-failure contract (the class convention): a duplicate id
         within the batch, an id never indexed, or an id already
@@ -1438,7 +1472,10 @@ class IncrementalLSHIndex:
         spark = ids.sparkSession
         self._attach_if_resuming(spark)
         col = self.id_col if self.id_col in ids.columns else ids.columns[0]
-        dele = ids.select(F.col(col).alias("__id__"))
+        # checkpoint up front: the guards and the repair derivation run
+        # several separate driver actions against this frame, and the
+        # caller's lineage may be an expensive plan
+        dele = ids.select(F.col(col).alias("__id__")).localCheckpoint()
         dup = dele.groupBy("__id__").count().filter(F.col("count") > 1).head(1)
         if dup:
             raise ValueError(
@@ -1479,31 +1516,14 @@ class IncrementalLSHIndex:
         # index rows are untouched by it, and a crash before the append
         # means the removal simply never happened — no half-state)
         if self.emit == "edges":
-            index = self._stored_index(spark)
             all_tombs = dele if prior is None else dele.unionByName(prior)
-            dead_buckets = (
-                index.join(F.broadcast(dele), "__id__", "semi")
-                .select("__band__", "__bucket__")
-                .distinct()
-            )
-            survivors = index.join(
-                F.broadcast(dead_buckets), ["__band__", "__bucket__"], "semi"
-            ).join(F.broadcast(all_tombs), "__id__", "anti")
-            w = Window.partitionBy("__band__", "__bucket__")
-            repaired = (
-                survivors.withColumn("__root__", F.min("__id__").over(w))
-                .filter(F.col("__id__") != F.col("__root__"))
-                .select(
-                    F.col("__root__").alias("id_a"), F.col("__id__").alias("id_b")
-                )
-                .distinct()
-            )
+            repaired = self._repair_stars(spark, dele, all_tombs).localCheckpoint()
         else:
-            repaired = self._pairs[0].limit(0) if self._pairs else None
-            if repaired is None:
-                raise AssertionError("indexed docs imply at least one epoch")
-        repaired = repaired.localCheckpoint()
-        dele = dele.localCheckpoint()
+            # empty (id_a, id_b) frame with the id column's type —
+            # buildable on a resumed incarnation whose _pairs is empty
+            repaired = dele.select(
+                F.col("__id__").alias("id_a"), F.col("__id__").alias("id_b")
+            ).limit(0)
         if self.index_table is not None:
             dele.write.mode("append").parquet(self._tomb_path)
         else:
@@ -1512,11 +1532,23 @@ class IncrementalLSHIndex:
                 if self._tombs is None
                 else self._tombs.unionByName(dele).localCheckpoint()
             )
-        self._removed_ids = (
-            dele
-            if self._removed_ids is None
-            else self._removed_ids.unionByName(dele).localCheckpoint()
-        )
+        # EAGERLY strip the removed incarnation's rows from this
+        # incarnation's accumulated view (see docstring: suppression
+        # binds to the rows, not the id — a freed id's future re-index
+        # must surface its NEW pairs while the old content's stay gone)
+        if self._pairs:
+            folded = self._pairs[0]
+            for p in self._pairs[1:]:
+                folded = folded.unionByName(p)
+            gone = F.broadcast(dele)
+            folded = (
+                folded.join(
+                    gone.withColumnRenamed("__id__", "id_a"), "id_a", "anti"
+                )
+                .join(gone.withColumnRenamed("__id__", "id_b"), "id_b", "anti")
+                .select("id_a", "id_b")  # USING joins front the key column
+            )
+            self._pairs = [folded.localCheckpoint()]
         if self.emit == "edges":
             # repair edges may re-state already-emitted edges (e.g. the
             # surviving root's old spokes) — pairs() distincts when any
@@ -1524,6 +1556,33 @@ class IncrementalLSHIndex:
             self._pairs.append(repaired)
             self._repaired = True
         return repaired
+
+    def repair_edges(self, ids: DataFrame) -> DataFrame:
+        """Idempotently re-derive the repair stars for ALREADY-tombstoned
+        ids — the recovery path when a driver crashed after
+        :meth:`remove_docs`' durable tombstone append but before
+        downstream consumed the returned repair frame (re-running
+        remove_docs would correctly raise "already tombstoned"). Valid
+        until :meth:`compact_index` physically drops the rows; requires
+        every id to be currently tombstoned (loud otherwise). Edges mode
+        only — pairs mode has no repair to lose."""
+        if self.emit != "edges":
+            raise ValueError("repair_edges is for emit='edges' only")
+        spark = ids.sparkSession
+        self._attach_if_resuming(spark)
+        col = self.id_col if self.id_col in ids.columns else ids.columns[0]
+        dele = ids.select(F.col(col).alias("__id__")).localCheckpoint()
+        tomb = self._tombstones(spark)
+        not_dead = (
+            dele if tomb is None else dele.join(F.broadcast(tomb), "__id__", "anti")
+        ).head(1)
+        if not_dead:
+            raise ValueError(
+                f"doc id {not_dead[0]['__id__']!r} is not tombstoned — "
+                "repair_edges recovers a crashed remove_docs; for a live "
+                "removal call remove_docs"
+            )
+        return self._repair_stars(spark, dele, tomb).localCheckpoint()
 
     def add_docs(self, batch: DataFrame) -> DataFrame:
         """Absorb one epoch of new documents; returns the epoch's newly
@@ -1556,13 +1615,6 @@ class IncrementalLSHIndex:
                     "id (in-memory mode has no compaction: a removed id "
                     "cannot be re-indexed there)"
                 )
-        if self._removed_ids is not None:
-            # a freed id (removed, compacted, re-indexed) must NOT stay on
-            # the pairs() anti-join list — its new pairs are legitimate
-            b0 = nb.filter(F.col("__band__") == 0).select("__id__")
-            self._removed_ids = self._removed_ids.join(
-                b0, "__id__", "anti"
-            ).localCheckpoint()
         stored = self._stored_index(batch.sparkSession)
         if stored is not None and tomb is not None:
             # pending-tombstoned rows are still physically present until
@@ -1727,10 +1779,10 @@ class IncrementalLSHIndex:
         bounded by ``compact_every`` regardless of stream length (the
         per-epoch list folds into one checkpointed frame when it fills).
 
-        After :meth:`remove_docs`, rows touching a removed id are
-        anti-joined out (against the CUMULATIVE removed set, which
-        outlives compaction — historical frames still reference dropped
-        ids — and is pruned when a freed id is re-indexed), so the view
+        :meth:`remove_docs` strips a removed doc's rows from the
+        accumulated frames EAGERLY (suppression binds to the removed
+        incarnation's rows, so a freed id's later re-index surfaces its
+        new pairs while the old content's stay gone), so this view
         answers over the surviving docs exactly: verbatim the batch pair
         set over survivors under ``emit="pairs"``, connectivity-equal to
         it under ``emit="edges"`` (the repair edges restore any star
@@ -1740,13 +1792,6 @@ class IncrementalLSHIndex:
         out = self._pairs[0]
         for p in self._pairs[1:]:
             out = out.unionByName(p)
-        if self._removed_ids is not None:
-            gone = F.broadcast(self._removed_ids)
-            out = (
-                out.join(gone.withColumnRenamed("__id__", "id_a"), "id_a", "anti")
-                .join(gone.withColumnRenamed("__id__", "id_b"), "id_b", "anti")
-                .select("id_a", "id_b")  # USING joins front the key column
-            )
         if self._repaired:
             # repair frames may re-state edges already emitted — restore
             # the set contract (one shuffle over the view, only on the

@@ -2156,8 +2156,18 @@ class IVFPQIndex:
             else _ivf_default_centroids(corpus, self.id_col, self.vec_col, n_lists)
         )
         new_gen = f"g{int(cur[1:]) + 1}" if cur else "g1"
-        old_state = (self.generation, self.m, self.ksub, self.n_lists, self.sub_len)
+        old_state = (
+            self.generation, self.m, self.ksub, self.n_lists, self.sub_len,
+            self.id_buckets,
+        )
         try:
+            if self.id_buckets is None:
+                # a legacy (pre-sidecar) index is rewritten from scratch
+                # here, so the partial-sidecar hazard that kept id_buckets
+                # None no longer applies — backfill it and escape the
+                # index-wide exactly-once scans for good (restored to None
+                # by the except if this generation never completes)
+                self.id_buckets = 64
             # every lazy frame above resolved its input PATHS already (the
             # old generation's), so flipping self.generation now only
             # redirects the WRITES — the training/encoding reads still
@@ -2174,7 +2184,8 @@ class IVFPQIndex:
             # the in-process object must never point at a half-written
             # generation — restore and let the orphan sweep reclaim it
             (
-                self.generation, self.m, self.ksub, self.n_lists, self.sub_len
+                self.generation, self.m, self.ksub, self.n_lists, self.sub_len,
+                self.id_buckets,
             ) = old_state
             raise
         # THE swap: one atomic rename of the pointer file

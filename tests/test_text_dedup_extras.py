@@ -1418,3 +1418,111 @@ def test_dsir_fold_trajectory_equals_batch_at_every_epoch(spark):
             map(tuple, dsir_scores_from_counts(model, raw, "doc_id").collect())
         )
         assert got == want, f"epoch {epoch} diverged"
+
+
+def test_lsh_index_readd_with_new_content_after_compact(spark, tmp_path):
+    """Re-adding a freed id with DIFFERENT content (the re-crawled-page
+    case) must NOT resurrect the removed incarnation's pairs: suppression
+    binds to the removed rows, not the id (r11 review finding #1 — the
+    read-time id filter, pruned on re-add, un-hid historical frames that
+    still contained the old content's edges)."""
+    from pyspark.sql import functions as F
+
+    from storm_spark.functions.dedup import IncrementalLSHIndex, minhash_lsh_pairs
+
+    text_a = "the same boilerplate text shared by the first pair of docs"
+    text_b = "an entirely different body of words for the second family"
+    docs_v1 = spark.createDataFrame(
+        [(1, text_a), (2, text_a), (3, text_b)], "doc_id long, text string"
+    )
+    idx = IncrementalLSHIndex(
+        "doc_id", "text", n=3, num_perm=12, bands=4,
+        index_table="lsh_readd_test", index_path=str(tmp_path / "idx"),
+        n_buckets=8,
+    )
+    try:
+        idx.add_docs(docs_v1)
+        assert {(r.id_a, r.id_b) for r in idx.pairs().collect()} == {(1, 2)}
+        idx.remove_docs(docs_v1.filter("doc_id = 1").select("doc_id"))
+        idx.compact_index()
+        # id 1 returns with doc 3's text — it must now pair with 3, and
+        # the OLD (1, 2) pair (removed content) must stay gone
+        readd = spark.createDataFrame([(1, text_b)], "doc_id long, text string")
+        idx.add_docs(readd)
+        got = {(r.id_a, r.id_b) for r in idx.pairs().collect()}
+        current = docs_v1.filter("doc_id <> 1").unionByName(readd)
+        want = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_pairs(
+                current, "doc_id", "text", n=3, num_perm=12, bands=4
+            ).collect()
+        }
+        assert want == {(1, 3)}  # fixture sanity
+        assert got == want, got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lsh_readd_test")
+        spark.sql("DROP TABLE IF EXISTS lsh_readd_test__ids")
+
+
+def test_lsh_index_remove_docs_on_resumed_incarnation(spark, tmp_path):
+    """A takedown arriving BEFORE any absorb in a resumed incarnation
+    (restart + takedown — the advertised lifecycle) must succeed in both
+    emission modes, not crash on the empty per-incarnation pairs list
+    (r11 review finding #2)."""
+    from pyspark.sql import functions as F
+
+    from storm_spark.functions.dedup import IncrementalLSHIndex, minhash_lsh_pairs
+
+    docs = _lsh_del_docs(spark, n=12)
+    kw = dict(n=3, num_perm=12, bands=4, n_buckets=8)
+    for emit, tbl in (("pairs", "lsh_res_p"), ("edges", "lsh_res_e")):
+        try:
+            idx1 = IncrementalLSHIndex(
+                "doc_id", "text", index_table=tbl,
+                index_path=str(tmp_path / tbl), emit=emit, **kw,
+            )
+            idx1.add_docs(docs)
+            idx2 = IncrementalLSHIndex(
+                "doc_id", "text", index_table=tbl,
+                index_path=str(tmp_path / tbl), emit=emit, resume=True, **kw,
+            )
+            rep = idx2.remove_docs(docs.filter("doc_id = 4").select("doc_id"))
+            assert rep.columns == ["id_a", "id_b"]
+            if emit == "pairs":
+                assert rep.count() == 0
+            # the removal is durably in force across the resume
+            # (pre-compact the id is still stored, so the enforce path's
+            # "already indexed" fires first — the IVFPQIndex convention)
+            import pytest as _pytest
+
+            with _pytest.raises(ValueError, match="already indexed|tombstoned"):
+                idx2.add_docs(docs.filter("doc_id = 4"))
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}__ids")
+
+
+def test_lsh_index_repair_edges_recovery(spark):
+    """repair_edges re-derives a crashed remove_docs' repair stars
+    idempotently (r11 review finding #3): same edges as the original
+    return, only for tombstoned ids, edges mode only."""
+    import pytest as _pytest
+
+    from storm_spark.functions.dedup import IncrementalLSHIndex
+
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text shared by every doc") for i in (1, 2, 3)],
+        "doc_id long, text string",
+    )
+    idx = IncrementalLSHIndex("doc_id", "text", n=3, num_perm=12, bands=4, emit="edges")
+    idx.add_docs(docs)
+    dele = docs.filter("doc_id = 1").select("doc_id")
+    original = {(r.id_a, r.id_b) for r in idx.remove_docs(dele).collect()}
+    # simulate the lost repair: recover it from the durable tombstones
+    recovered = {(r.id_a, r.id_b) for r in idx.repair_edges(dele).collect()}
+    assert recovered == original == {(2, 3)}
+    with _pytest.raises(ValueError, match="not tombstoned"):
+        idx.repair_edges(docs.filter("doc_id = 2").select("doc_id"))
+    idx_p = IncrementalLSHIndex("doc_id", "text", n=3, num_perm=12, bands=4)
+    with _pytest.raises(ValueError, match="edges"):
+        idx_p.repair_edges(dele)

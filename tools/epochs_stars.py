@@ -73,7 +73,13 @@ def main() -> None:
         )
 
     finals = {}
-    for mode in args.modes.split(","):
+    modes = args.modes.split(",")
+    unknown = [m for m in modes if m not in ("pairs", "edges", "edges_salted")]
+    if unknown:
+        raise SystemExit(f"unknown --modes entries {unknown!r} — valid: "
+                         "pairs, edges, edges_salted (a typo must not be "
+                         "silently measured as unsalted edges)")
+    for mode in modes:
         emit = "pairs" if mode == "pairs" else "edges"
         salt = args.salt if mode == "edges_salted" else None
         idx = IncrementalLSHIndex(
