@@ -7863,6 +7863,73 @@ def q_streaming_dedup_merge(spark, sf_dir):
     return surv.canonical()
 
 
+def q_streaming_pretrain_pipeline(spark, sf_dir):
+    """The pretraining capstone as a STREAM (r11 second stretch — the
+    `pretrain_pipeline` composition with its stateful stages maintained
+    LIVE): documents arrive over three epochs through real readStream /
+    foreachBatch; per epoch the batch is quality-filtered (per-row —
+    identical to the batch filter), its clean docs are signed and
+    collided incrementally (star-edge IncrementalLSHIndex →
+    IncrementalComponents), and survivorship is kept current through the
+    cluster fold map (IncrementalSurvivorship) — so at EVERY point in
+    the stream the live cluster/canonical state answers over docs-so-far.
+    After the stream, the selection tail (leakage-safe split from the
+    LIVE labels → DSIR → chunking) runs once over the accumulated clean
+    docs — DSIR models over changing train membership are NOT a linear
+    fold (cluster merges would retract terms), so the honest streaming
+    shape keeps the per-doc state linear and selects at the end. Final
+    chunks must equal the batch `pretrain_pipeline` verbatim — the SAME
+    composed oracle."""
+    from storm_spark.functions.dedup import (
+        IncrementalLSHIndex,
+        IncrementalSurvivorship,
+    )
+    from storm_spark.functions.mining import IncrementalComponents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    idx = IncrementalLSHIndex("doc_id", "text", n=3, num_perm=12, bands=4, emit="edges")
+    cc = IncrementalComponents()
+    surv = IncrementalSurvivorship("doc_id", "n_chars")
+    seen: list = []
+
+    def absorb(batch_df, epoch_id):
+        flags = text.gopher_quality_flags(batch_df, "doc_id", "text")
+        keep = flags.filter(
+            (F.col("n_words") >= 50)
+            & (F.col("alpha_frac") > 0.8)
+            & (F.col("symbol_ratio") < 0.1)
+        ).select("doc_id")
+        clean = batch_df.join(keep, "doc_id", "semi").localCheckpoint()
+        seen.append(clean)
+        edges = idx.add_docs(clean.select("doc_id", "text"))
+        cc.add_edges(edges, "id_a", "id_b")
+        surv.absorb(clean, cc.labels(), cc.last_fold())
+
+    _drive_stream_epochs(spark, docs, absorb, "storm_spark_spp_")
+    all_clean = seen[0]
+    for s in seen[1:]:
+        all_clean = all_clean.unionByName(s)
+    survivors = all_clean.join(
+        surv.canonical().select(F.col("canonical_id").alias("doc_id")),
+        "doc_id",
+        "semi",
+    )
+    split = sampling.leakage_safe_split(
+        survivors.select("doc_id"), cc.labels(), "doc_id", {"train": 0.9, "eval": 0.1}
+    )
+    train = survivors.join(
+        split.filter(F.col("split") == "train").select("doc_id"), "doc_id", "semi"
+    )
+    scored = text.dsir_scores(train, F.col("lang") == "en", "doc_id", "text")
+    sel = scored.orderBy(F.col("dsir_n").desc(), F.col("doc_id").asc()).limit(30)
+    chosen = train.join(sel.select("doc_id"), "doc_id", "semi").select(
+        "doc_id", text.tokens("text").alias("__toks__")
+    )
+    return sampling.chunk_token_windows(
+        chosen, "doc_id", "__toks__", max_len=64, stride=48
+    )
+
+
 def q_dedup_merge(spark, sf_dir):
     """Dedup survivorship (dedup.canonicalize_clusters): the step AFTER
     clustering — per near-dup cluster (MinHash-LSH pairs → connected
@@ -8709,6 +8776,8 @@ QUERIES = {
     "streaming_dsir": q_streaming_dsir,
     # r11 capstone: the full pretraining pipeline composed in one plan
     "pretrain_pipeline": q_pretrain_pipeline,
+    # r11 stretch: the capstone with its stateful stages maintained live
+    "streaming_pretrain_pipeline": q_streaming_pretrain_pipeline,
     "multi_reduce": q_multi_reduce,
     "repartition_verbs": q_repartition_verbs,
     "metrics_observe": q_metrics_observe,
@@ -8857,6 +8926,7 @@ _ROTATION11_HEAD = [
     "ann_index_retrain",
     "streaming_dsir",
     "pretrain_pipeline",
+    "streaming_pretrain_pipeline",
     "streaming_trailing_zscore",
     "tpch_q5",
     "tpch_q3",
@@ -8902,7 +8972,6 @@ _ROTATION11_HEAD = [
     "ann_ivf_pq",
     "streaming_dedup_cluster",
     "streaming_dedup_pipeline",
-    "multimodal_features",
 ]
 assert len(_ROTATION11_HEAD) == 50 and len(set(_ROTATION11_HEAD)) == 50
 QUERIES = {
@@ -9070,6 +9139,7 @@ ORACLES = {
     "streaming_bm25": ORACLE_BM25_TOPK,
     "streaming_dsir": ORACLE_DSIR_SAMPLE,
     "pretrain_pipeline": ORACLE_PRETRAIN_PIPELINE,
+    "streaming_pretrain_pipeline": ORACLE_PRETRAIN_PIPELINE,
     "multi_reduce": ORACLE_MULTI_REDUCE,
     "repartition_verbs": ORACLE_REPARTITION_VERBS,
     "metrics_observe": ORACLE_METRICS_OBSERVE,
