@@ -1742,6 +1742,12 @@ class IVFPQIndex:
                         F.xxhash64("neighbor_id"), F.lit(self.id_buckets)
                     ).alias("__idb__"),
                 )
+                # one task per bucket → one file per touched partition
+                # per write; unrepartitioned, EVERY task writes every
+                # bucket (tasks×buckets small files — measured 1.5× wall
+                # on the ANN index gates). The shuffled payload is a
+                # single bigint column.
+                .repartition("__idb__")
                 .write.mode(mode)
                 .partitionBy("__idb__")
                 .parquet(self._art("ids"))
