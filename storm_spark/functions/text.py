@@ -405,8 +405,27 @@ def tfidf_top_terms(
         toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")),
         "text.tfidf.tf",
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    return tfidf_from_counts(tf, n_docs, id_col, k, ndigits)
+
+
+def tfidf_from_counts(
+    tf: DataFrame,
+    n_docs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 3,
+    ndigits: int = 6,
+) -> DataFrame:
+    """The TF-IDF scoring tail over ALREADY-FOLDED state — shared
+    verbatim by :func:`tfidf_top_terms` (batch) and the
+    ``streaming_tfidf`` gate (the ``bm25_rank_from_index`` /
+    ``dsir_scores_from_counts`` pattern): ``tf`` = (id, term, tf)
+    per-document term counts — each document arrives exactly once, so
+    streaming epochs APPEND rows and never merge them; ``n_docs`` = a
+    1-row corpus counter. Document frequency derives from the tf table
+    itself (vocabulary-sized groupBy), so there is no second stateful
+    structure to keep consistent."""
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))

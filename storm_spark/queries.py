@@ -4026,6 +4026,65 @@ SELECT doc_id, chunk_no, chunk_text, n_tokens FROM ({chunks}) _c
 ORACLE_PRETRAIN_PIPELINE = _oracle_pretrain_pipeline()
 
 
+def q_streaming_tfidf(spark, sf_dir):
+    """Live corpus-keyword maintenance — TF-IDF over an arriving corpus
+    (text.tfidf_from_counts, r11): documents stream in three epochs via
+    a real ``readStream``; each ``foreachBatch`` tokenizes ONLY its
+    batch and folds two linear structures — per-doc (doc, term, tf)
+    counts by APPEND (each doc arrives once, its rows never merge) and
+    the n_docs corpus counter — then the SHARED scoring tail ranks from
+    the folded state (document frequency derives from the tf table
+    itself, so there is no second stateful structure to drift). Equal by
+    construction to the batch operator over all docs: the final top-3
+    per doc satisfies the batch `tfidf_top_terms` oracle VERBATIM.
+    Per-epoch work is O(batch tokens)."""
+    import os
+    import uuid
+
+    from storm_spark.functions.text import tfidf_from_counts
+    from storm_spark.functions.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = gate_tmp.mkdtemp(prefix="storm_spark_stfidf_")
+    indir = os.path.join(tmp, "in")
+    os.makedirs(indir)
+    feed = docs.select("doc_id", "text")
+    state = {"tf": None, "n": 0}
+
+    def absorb(batch_df, epoch_id):
+        etf = (
+            batch_df.select("doc_id", F.explode(_tokens("text")).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        state["tf"] = (
+            etf if state["tf"] is None else state["tf"].unionByName(etf)
+        ).localCheckpoint()
+        state["n"] += batch_df.count()
+
+    q = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{indir}/*")
+        .writeStream.foreachBatch(absorb)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .queryName("stfidf_" + uuid.uuid4().hex[:8])
+        .start()
+    )
+    try:
+        chunk = F.pmod(F.xxhash64("doc_id"), F.lit(3))
+        for bch in range(3):
+            feed.filter(chunk == bch).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(indir, f"b{bch}")
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    n_docs = spark.range(1).select(F.lit(state["n"]).cast("bigint").alias("n_docs"))
+    return tfidf_from_counts(state["tf"], n_docs, "doc_id", k=3)
+
+
 def q_streaming_dsir(spark, sf_dir):
     """Live data-selection — the DSIR unigram models maintained against
     an arriving corpus (text.dsir_scores_from_counts, r11 — VERDICT r10
@@ -8774,6 +8833,8 @@ QUERIES = {
     "streaming_bm25": q_streaming_bm25,
     # r11: DSIR models as live linear folds, batch dsir_sample oracle
     "streaming_dsir": q_streaming_dsir,
+    # r11: live TF-IDF maintenance, batch tfidf_top_terms oracle
+    "streaming_tfidf": q_streaming_tfidf,
     # r11 capstone: the full pretraining pipeline composed in one plan
     "pretrain_pipeline": q_pretrain_pipeline,
     # r11 stretch: the capstone with its stateful stages maintained live
@@ -8927,6 +8988,7 @@ _ROTATION11_HEAD = [
     "streaming_dsir",
     "pretrain_pipeline",
     "streaming_pretrain_pipeline",
+    "streaming_tfidf",
     "streaming_trailing_zscore",
     "tpch_q5",
     "tpch_q3",
@@ -8971,7 +9033,6 @@ _ROTATION11_HEAD = [
     "ann_ivf_trained",
     "ann_ivf_pq",
     "streaming_dedup_cluster",
-    "streaming_dedup_pipeline",
 ]
 assert len(_ROTATION11_HEAD) == 50 and len(set(_ROTATION11_HEAD)) == 50
 QUERIES = {
@@ -9138,6 +9199,7 @@ ORACLES = {
     "bm25_topk": ORACLE_BM25_TOPK,
     "streaming_bm25": ORACLE_BM25_TOPK,
     "streaming_dsir": ORACLE_DSIR_SAMPLE,
+    "streaming_tfidf": ORACLE_TFIDF_TOP_TERMS,
     "pretrain_pipeline": ORACLE_PRETRAIN_PIPELINE,
     "streaming_pretrain_pipeline": ORACLE_PRETRAIN_PIPELINE,
     "multi_reduce": ORACLE_MULTI_REDUCE,

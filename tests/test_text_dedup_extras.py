@@ -1526,3 +1526,41 @@ def test_lsh_index_repair_edges_recovery(spark):
     idx_p = IncrementalLSHIndex("doc_id", "text", n=3, num_perm=12, bands=4)
     with _pytest.raises(ValueError, match="edges"):
         idx_p.repair_edges(dele)
+
+
+def test_tfidf_fold_trajectory_equals_batch_at_every_epoch(spark):
+    """The streaming_tfidf gate's state claim, pinned per epoch: appending
+    per-doc (doc, term, tf) counts and bumping the n_docs counter
+    epoch-by-epoch yields — at EVERY epoch — top-k terms identical to
+    batch tfidf_top_terms over the docs absorbed so far (shared
+    tfidf_from_counts tail)."""
+    from pyspark.sql import functions as F
+
+    from storm_spark.functions.text import tfidf_from_counts, tfidf_top_terms
+    from storm_spark.functions.text import tokens as _tokens
+
+    rows = [
+        (i, f"alpha beta {('gamma ' * (i % 3))}delta word{i % 5} zed{i % 2}")
+        for i in range(24)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tf = None
+    n = 0
+    seen = []
+    for epoch in range(3):
+        batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == epoch)
+        seen.append(batch)
+        etf = (
+            batch.select("doc_id", F.explode(_tokens("text")).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        tf = (etf if tf is None else tf.unionByName(etf)).localCheckpoint()
+        n += batch.count()
+        so_far = seen[0]
+        for b in seen[1:]:
+            so_far = so_far.unionByName(b)
+        want = sorted(map(tuple, tfidf_top_terms(so_far, k=3).collect()))
+        n_docs = spark.range(1).select(F.lit(n).cast("bigint").alias("n_docs"))
+        got = sorted(map(tuple, tfidf_from_counts(tf, n_docs, k=3).collect()))
+        assert got == want, f"epoch {epoch} diverged"
