@@ -4038,17 +4038,10 @@ def q_streaming_tfidf(spark, sf_dir):
     construction to the batch operator over all docs: the final top-3
     per doc satisfies the batch `tfidf_top_terms` oracle VERBATIM.
     Per-epoch work is O(batch tokens)."""
-    import os
-    import uuid
-
     from storm_spark.functions.text import tfidf_from_counts
     from storm_spark.functions.text import tokens as _tokens
 
-    docs = _t(spark, sf_dir, "documents")
-    tmp = gate_tmp.mkdtemp(prefix="storm_spark_stfidf_")
-    indir = os.path.join(tmp, "in")
-    os.makedirs(indir)
-    feed = docs.select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     state = {"tf": None, "n": 0}
 
     def absorb(batch_df, epoch_id):
@@ -4062,25 +4055,10 @@ def q_streaming_tfidf(spark, sf_dir):
         ).localCheckpoint()
         state["n"] += batch_df.count()
 
-    q = (
-        spark.readStream.schema(feed.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(f"{indir}/*")
-        .writeStream.foreachBatch(absorb)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .queryName("stfidf_" + uuid.uuid4().hex[:8])
-        .start()
+    _drive_stream_epochs(
+        spark, docs, absorb, "storm_spark_stfidf_",
+        chunk_expr=F.pmod(F.xxhash64("doc_id"), F.lit(3)),
     )
-    try:
-        chunk = F.pmod(F.xxhash64("doc_id"), F.lit(3))
-        for bch in range(3):
-            feed.filter(chunk == bch).coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(indir, f"b{bch}")
-            )
-            q.processAllAvailable()
-    finally:
-        q.stop()
     n_docs = spark.range(1).select(F.lit(state["n"]).cast("bigint").alias("n_docs"))
     return tfidf_from_counts(state["tf"], n_docs, "doc_id", k=3)
 
@@ -7952,13 +7930,19 @@ def q_streaming_pretrain_pipeline(spark, sf_dir):
     seen: list = []
 
     def absorb(batch_df, epoch_id):
-        flags = text.gopher_quality_flags(batch_df, "doc_id", "text")
+        # tokenize the batch ONCE (the batch capstone's tokenize-once
+        # shape): the materialized __toks__ column feeds the quality
+        # filter here and the DSIR/chunking tail after the stream
+        base = batch_df.withColumn("__toks__", text.tokens("text"))
+        flags = text.gopher_quality_flags(
+            base, "doc_id", "text", tokens_col="__toks__"
+        )
         keep = flags.filter(
             (F.col("n_words") >= 50)
             & (F.col("alpha_frac") > 0.8)
             & (F.col("symbol_ratio") < 0.1)
         ).select("doc_id")
-        clean = batch_df.join(keep, "doc_id", "semi").localCheckpoint()
+        clean = base.join(keep, "doc_id", "semi").localCheckpoint()
         seen.append(clean)
         edges = idx.add_docs(clean.select("doc_id", "text"))
         cc.add_edges(edges, "id_a", "id_b")
@@ -7979,10 +7963,12 @@ def q_streaming_pretrain_pipeline(spark, sf_dir):
     train = survivors.join(
         split.filter(F.col("split") == "train").select("doc_id"), "doc_id", "semi"
     )
-    scored = text.dsir_scores(train, F.col("lang") == "en", "doc_id", "text")
+    scored = text.dsir_scores(
+        train, F.col("lang") == "en", "doc_id", "text", tokens_col="__toks__"
+    )
     sel = scored.orderBy(F.col("dsir_n").desc(), F.col("doc_id").asc()).limit(30)
     chosen = train.join(sel.select("doc_id"), "doc_id", "semi").select(
-        "doc_id", text.tokens("text").alias("__toks__")
+        "doc_id", "__toks__"
     )
     return sampling.chunk_token_windows(
         chosen, "doc_id", "__toks__", max_len=64, stride=48
