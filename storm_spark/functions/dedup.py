@@ -1476,6 +1476,16 @@ class IncrementalLSHIndex:
         # several separate driver actions against this frame, and the
         # caller's lineage may be an expensive plan
         dele = ids.select(F.col(col).alias("__id__")).localCheckpoint()
+        # an EMPTY delete batch passes every guard below vacuously and
+        # would append an empty file — permanently materializing the
+        # tombstone sidecar, so every later add_docs pays the tombstone
+        # semi-join (and edges-mode pairs() starts distinct()-ing) for
+        # nothing. Loud-failure convention: raise (ADVICE r11)
+        if not dele.head(1):
+            raise ValueError(
+                "empty delete batch — nothing to remove (a confused caller; "
+                "the loud-failure convention refuses no-op deletes)"
+            )
         dup = dele.groupBy("__id__").count().filter(F.col("count") > 1).head(1)
         if dup:
             raise ValueError(
@@ -1572,9 +1582,20 @@ class IncrementalLSHIndex:
         self._attach_if_resuming(spark)
         col = self.id_col if self.id_col in ids.columns else ids.columns[0]
         dele = ids.select(F.col(col).alias("__id__")).localCheckpoint()
+        # an empty ids batch (or no tombstone sidecar at all) would slip
+        # past the not-tombstoned guard below (head(1) on empty is falsy)
+        # and reach _repair_stars with tomb=None, where F.broadcast(None)
+        # raises a confusing TypeError — reject it up front, loudly
+        # (ADVICE r11)
         tomb = self._tombstones(spark)
+        if tomb is None or not dele.head(1):
+            raise ValueError(
+                "repair_edges got an empty ids batch or found no pending "
+                "tombstones — there is no crashed remove_docs to recover; "
+                "for a live removal call remove_docs"
+            )
         not_dead = (
-            dele if tomb is None else dele.join(F.broadcast(tomb), "__id__", "anti")
+            dele.join(F.broadcast(tomb), "__id__", "anti")
         ).head(1)
         if not_dead:
             raise ValueError(

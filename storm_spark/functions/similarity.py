@@ -1837,8 +1837,29 @@ class IVFPQIndex:
             stored = self._stored_ids(spark, probe_ids=ids)
             resent = ids.join(stored, "neighbor_id", "semi").head(1)
             if resent:
+                # distinguish a true replay from a DANGLING sidecar id — a
+                # crash between the ids/ write and the vectors write left
+                # the id in ids/ with no vector behind it, so nothing
+                # would double-score and the remedy is compact() (which
+                # rebuilds the sidecar from vectors), then replaying the
+                # batch (ADVICE r11). One cheap point lookup on the
+                # matched id, only on the already-failing path.
+                rid = resent[0]["neighbor_id"]
+                in_vectors = (
+                    spark.read.parquet(self._art("vectors"))
+                    .filter(F.col("neighbor_id") == F.lit(rid))
+                    .head(1)
+                )
+                if not in_vectors:
+                    raise ValueError(
+                        f"id {rid!r} is in the ids/ sidecar but has no stored "
+                        "vector — a dangling entry from an add interrupted "
+                        "between the sidecar and vectors writes; run "
+                        "compact() to heal the sidecar, then replay this "
+                        "batch"
+                    )
                 raise ValueError(
-                    f"id {resent[0]['neighbor_id']!r} is already indexed — "
+                    f"id {rid!r} is already indexed — "
                     "each id must arrive exactly once (replayed batch?); a "
                     "re-append would double its ADC score"
                 )
@@ -1889,6 +1910,15 @@ class IVFPQIndex:
         first = ids.columns[0] if "neighbor_id" not in ids.columns else "neighbor_id"
         col = self.id_col if self.id_col in ids.columns else first
         dele = ids.select(F.col(col).cast("bigint").alias("neighbor_id"))
+        # an empty delete batch would pass every guard vacuously and
+        # append an empty file — permanently materializing the tombstone
+        # sidecar, taxing every later search/add with the anti-join for
+        # nothing (the IncrementalLSHIndex guard's twin; ADVICE r11)
+        if not dele.head(1):
+            raise ValueError(
+                "empty delete batch — nothing to remove (a confused caller; "
+                "the loud-failure convention refuses no-op deletes)"
+            )
         dup = dele.groupBy("neighbor_id").count().filter(F.col("count") > 1).head(1)
         if dup:
             raise ValueError(
@@ -2100,10 +2130,18 @@ class IVFPQIndex:
         Crash windows, all loud-or-invisible: a crash during the new
         generation's writes leaves the meta pointing at the OLD
         generation (still serving, still correct; the orphan ``gN`` dir
-        is swept by the next retrain); a crash after the flip but before
-        the old generation's removal leaves unreferenced files only.
-        Never a mixed-generation read — every artifact path is resolved
-        through the flipped pointer."""
+        is swept by the next retrain). Never a mixed-generation read —
+        every artifact path is resolved through the flipped pointer.
+
+        Reader continuity (ADVICE r11 medium): the old generation's
+        files are NOT removed here — a searcher in another process that
+        ``load()``-ed the pre-flip meta keeps resolving the old
+        generation's parquet and must be able to finish its queries.
+        Reclamation is deferred to the NEXT retrain's orphan sweep, so
+        exactly N−1 generations survive on disk and the contract is
+        "re-load before the index is retrained TWICE", not "re-load
+        before the files vanish mid-query". Single-writer still assumed
+        (retrain never runs concurrently with add/remove/compact)."""
         import json as _json
         import os as _os
         import re as _re
@@ -2199,14 +2237,12 @@ class IVFPQIndex:
         with open(tmp, "w") as fh:
             _json.dump({k: getattr(self, k) for k in self._META_KEYS}, fh)
         _os.replace(tmp, self._meta_file())
-        # the old generation is unreferenced now — reclaim it
-        if cur:
-            _shutil.rmtree(_os.path.join(self.path, cur), ignore_errors=True)
-        else:
-            for name in (
-                "centroids", "codebooks", "codes", "vectors", "ids", "tombstones"
-            ):
-                _shutil.rmtree(_os.path.join(self.path, name), ignore_errors=True)
+        # the old generation is unreferenced by the NEW meta but may still
+        # be serving a cross-process reader that load()ed the old pointer
+        # — leave its files in place; the NEXT retrain's orphan sweep
+        # (above) reclaims it, so N−1 generations survive on disk
+        # (ADVICE r11 medium: rmtree here yanked parquet out from under a
+        # reader mid-query, contradicting the continuity contract)
         return self
 
     def search(

@@ -594,6 +594,13 @@ def test_ivf_pq_index_remove_vectors_guards(clustered_vectors, tmp_path):
         idx.remove_vectors(spark.createDataFrame([(999,)], "vec_id bigint"))
     with _pytest.raises(ValueError, match="more than once"):
         idx.remove_vectors(spark.createDataFrame([(5,), (5,)], "vec_id bigint"))
+    # empty delete batch refused (ADVICE r11 twin: it would pass every
+    # guard vacuously and permanently materialize the tombstone sidecar,
+    # taxing every later search/add with the anti-join for nothing)
+    with _pytest.raises(ValueError, match="empty delete batch"):
+        idx.remove_vectors(spark.createDataFrame([], "vec_id bigint"))
+    import os as _os
+    assert not _os.path.isdir(_os.path.join(str(tmp_path / "g"), "tombstones"))
     idx.remove_vectors(one)
     with _pytest.raises(ValueError, match="already tombstoned"):
         idx.remove_vectors(one)
@@ -870,18 +877,25 @@ def test_ivf_pq_index_compact_heals_dangling_sidecar_id(clustered_vectors, tmp_p
         .partitionBy("__idb__")
         .parquet(os.path.join(path, "ids"))
     )
-    with _pytest.raises(ValueError, match="already indexed"):
-        idx.add_vectors(late)  # the replay fails loudly, never double-scores
+    # the replay fails loudly, never double-scores — and since the id is
+    # DANGLING (sidecar only, no vector), the message points the operator
+    # at compact(), the actual remedy (ADVICE r11), not at a replay bug
+    with _pytest.raises(ValueError, match="compact\\(\\) to heal"):
+        idx.add_vectors(late)
     idx.compact()  # rebuilds ids/ from vectors — the dangling id is freed
     idx.add_vectors(late)
+    # a TRUE replay (vector present) still raises the already-indexed form
+    with _pytest.raises(ValueError, match="already indexed"):
+        idx.add_vectors(late)
 
 
 def test_ivf_pq_index_retrain_equals_fresh_build(clustered_vectors, tmp_path, spark):
     """retrain() (r11 quantizer refresh): build with stale quantizers
     (trained on half the corpus), absorb the rest, retrain — the answer
     must equal a FRESH full-corpus build verbatim (defaults reproduce
-    build's training), the old generation is reclaimed, and a fresh
-    session load serves the new generation."""
+    build's training), the old generation SURVIVES the flip (r12 reader-
+    continuity contract: reclamation defers to the next retrain), and a
+    fresh session load serves the new generation."""
     import os
 
     from storm_spark.functions import similarity
@@ -909,12 +923,26 @@ def test_ivf_pq_index_retrain_equals_fresh_build(clustered_vectors, tmp_path, sp
     assert idx.generation == "g1"
     got = sorted(map(tuple, idx.search(q, **args).collect()))
     assert got == want
-    # old root-layout artifacts reclaimed — only the pointer + g1 remain
-    assert sorted(os.listdir(path)) == ["_ann_meta.json", "g1"]
+    # old root-layout generation NOT reclaimed at the flip (ADVICE r11
+    # medium → r12 contract): a cross-process reader that load()ed the
+    # pre-flip meta keeps resolving the old generation's parquet — it
+    # must still be fully readable. N−1 generations survive on disk.
+    assert os.path.isdir(os.path.join(path, "vectors"))
+    assert os.path.isdir(os.path.join(path, "codes"))
+    old_reader = similarity.IVFPQIndex(path, "vec_id", "embedding")
+    for k_ in ("m", "ksub", "n_lists", "sub_len"):
+        setattr(old_reader, k_, getattr(idx, k_))
+    old_reader.generation = None  # the pre-flip pointer a reader held
+    assert len(old_reader.search(q, **args).collect()) > 0
     ns = spark.newSession()
     idx2 = similarity.IVFPQIndex.load(path)
     q2 = ns.createDataFrame(q.collect(), q.schema)
     assert sorted(map(tuple, idx2.search(q2, **args).collect())) == want
+    # the NEXT retrain's orphan sweep reclaims the old generation
+    idx.retrain(n_iters=1)
+    assert idx.generation == "g2"
+    assert not os.path.isdir(os.path.join(path, "vectors"))
+    assert sorted(map(tuple, idx.search(q, **args).collect())) == want
 
 
 def test_ivf_pq_index_retrain_applies_deletes_and_frees_ids(

@@ -1322,6 +1322,10 @@ def test_lsh_index_remove_docs_guards(spark):
         idx.remove_docs(dup.select("doc_id"))
     with _pytest.raises(ValueError, match="not indexed"):
         idx.remove_docs(spark.createDataFrame([(999,)], "doc_id long"))
+    # empty delete batch refused (ADVICE r11: it passed every guard
+    # vacuously and permanently materialized the tombstone sidecar)
+    with _pytest.raises(ValueError, match="empty delete batch"):
+        idx.remove_docs(docs.filter("doc_id = 999").select("doc_id"))
     idx.remove_docs(docs.filter("doc_id = 1").select("doc_id"))
     with _pytest.raises(ValueError, match="already tombstoned"):
         idx.remove_docs(docs.filter("doc_id = 1").select("doc_id"))
@@ -1523,9 +1527,21 @@ def test_lsh_index_repair_edges_recovery(spark):
     assert recovered == original == {(2, 3)}
     with _pytest.raises(ValueError, match="not tombstoned"):
         idx.repair_edges(docs.filter("doc_id = 2").select("doc_id"))
+    # empty ids batch refused loudly (ADVICE r11: it slipped past the
+    # not-tombstoned guard into F.broadcast(None) — a confusing TypeError)
+    with _pytest.raises(ValueError, match="empty ids batch|no pending"):
+        idx.repair_edges(docs.filter("doc_id = 999").select("doc_id"))
     idx_p = IncrementalLSHIndex("doc_id", "text", n=3, num_perm=12, bands=4)
     with _pytest.raises(ValueError, match="edges"):
         idx_p.repair_edges(dele)
+    # ... and the no-tombstones-at-all shape raises the same ValueError,
+    # never a TypeError, even with a NON-empty ids batch on a fresh index
+    idx_e = IncrementalLSHIndex(
+        "doc_id", "text", n=3, num_perm=12, bands=4, emit="edges"
+    )
+    idx_e.add_docs(docs)
+    with _pytest.raises(ValueError, match="no pending"):
+        idx_e.repair_edges(dele)
 
 
 def test_tfidf_fold_trajectory_equals_batch_at_every_epoch(spark):
