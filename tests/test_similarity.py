@@ -976,6 +976,58 @@ def test_ivf_pq_index_retrain_applies_deletes_and_frees_ids(
     idx.add_vectors(corpus.filter(F.col("vec_id") == 9))  # freed id
 
 
+def test_train_sample_bounds_and_reproduces(clustered_vectors, tmp_path):
+    """train_sample (r12, VERDICT r11 #2): (a) a sample >= the corpus is
+    exactly full-corpus training; (b) a bounding sample equals training
+    on the explicitly-materialized md5-top-N subset (the oracle's CTE
+    claim); (c) IVFPQIndex.build records the choice in the meta, a
+    loaded index reports it, and retrain()'s default reproduces it —
+    sampled stale-build → retrain equals a fresh sampled build."""
+    import pytest as _pytest
+
+    from storm_spark.functions import similarity
+
+    corpus = clustered_vectors
+    n = corpus.count()
+    # (a) sample >= corpus ≡ no sampling
+    full = similarity.kmeans_centroids(corpus, "vec_id", "embedding", k=4, n_iters=2)
+    capped = similarity.kmeans_centroids(
+        corpus, "vec_id", "embedding", k=4, n_iters=2, train_sample=n + 10
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, capped.collect()))
+    # (b) sampled training ≡ full training on the materialized sample
+    sample = corpus.orderBy(
+        F.md5(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc()
+    ).limit(16)
+    want = similarity.pq_codebooks(
+        sample, "vec_id", "embedding", m=4, ksub=4, n_iters=1
+    )
+    got = similarity.pq_codebooks(
+        corpus, "vec_id", "embedding", m=4, ksub=4, n_iters=1, train_sample=16
+    )
+    assert sorted(map(tuple, want.collect())) == sorted(map(tuple, got.collect()))
+    with _pytest.raises(ValueError, match="train_sample"):
+        similarity.kmeans_centroids(corpus, "vec_id", "embedding", k=8, train_sample=4)
+    # (c) the index records and reproduces the choice
+    q = corpus.filter(F.col("vec_id") < 8)
+    args = dict(k=3, n_probe=2, shortlist=10)
+    fresh = similarity.IVFPQIndex(
+        str(tmp_path / "tsfresh"), "vec_id", "embedding"
+    ).build(corpus, m=4, ksub=4, n_lists=4, n_iters=1, train_sample=16)
+    want_s = sorted(map(tuple, fresh.search(q, **args).collect()))
+    path = str(tmp_path / "tsdrift")
+    half = F.pmod(F.col("vec_id"), F.lit(2))
+    idx = similarity.IVFPQIndex(path, "vec_id", "embedding").build(
+        corpus.filter(half == 0), m=4, ksub=4, n_lists=4, n_iters=1, train_sample=16
+    )
+    idx.add_vectors(corpus.filter(half == 1))
+    loaded = similarity.IVFPQIndex.load(path)
+    assert loaded.train_sample == 16
+    loaded.retrain(n_iters=1)  # default train_sample="stored" → 16
+    assert loaded.train_sample == 16
+    assert sorted(map(tuple, loaded.search(q, **args).collect())) == want_s
+
+
 def test_ivf_pq_index_retrain_crash_windows(clustered_vectors, tmp_path):
     """Crash-window contract: an orphan generation dir left by a crashed
     retrain (meta never flipped) is invisible — load serves the old
