@@ -2375,6 +2375,68 @@ def q_dedup_index_delete(spark, sf_dir):
 ORACLE_DEDUP_INDEX_DELETE = _oracle_dedup_cluster(where="doc_id % 7 <> 3")
 
 
+def q_dedup_index_rebuild(spark, sf_dir):
+    """Parameter migration of the incremental LSH dedup index
+    (dedup.IncrementalLSHIndex.rebuild, r12 — VERDICT r11 #3): the
+    structural LSH parameters are frozen at creation, so tightening
+    bands after observing precision (or growing n_buckets with the
+    corpus) used to force a cold manual rebuild with no service
+    continuity. This gate absorbs the corpus over two epochs at LOOSE
+    parameters (bands=2, n_buckets=8), tombstones every doc_id ≡ 3
+    (mod 7), then rebuild()s the surviving corpus at the TARGET
+    parameters (bands=4, n_buckets=16) — new generation of bucketed
+    tables beside the serving one, ONE atomic pointer flip, tombstones
+    applied, ids sidecar re-derived, old generation serving until the
+    flip (the IVFPQIndex.retrain pattern). The final clustering must
+    equal the from-scratch batch operator over the survivors AT THE NEW
+    PARAMETERS verbatim — the same recursive-CTE oracle as
+    dedup_index_delete (bands=4 is the batch clustering's banding).
+    Crash windows + resume-through-the-pointer are pinned in pytest."""
+    import os
+    import uuid
+
+    from storm_spark.functions.dedup import IncrementalLSHIndex
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    table = "dixreb_idx_" + uuid.uuid4().hex[:8]
+    idx = IncrementalLSHIndex(
+        "doc_id",
+        "text",
+        n=3,
+        num_perm=12,
+        bands=2,
+        index_table=table,
+        index_path=os.path.join(
+            gate_tmp.mkdtemp(prefix="storm_spark_dixreb_"), "idx"
+        ),
+        n_buckets=8,
+        emit="edges",
+    )
+    half = F.pmod(F.col("doc_id"), F.lit(2))
+    idx.add_docs(docs.filter(half == 0))
+    idx.add_docs(docs.filter(half == 1))
+    idx.remove_docs(
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(7)) == 3).select("doc_id")
+    )
+    survivors = docs.filter(F.pmod(F.col("doc_id"), F.lit(7)) != 3)
+    idx.rebuild(survivors, bands=4, n_buckets=16)
+    out = dedup.near_dup_clusters(idx.pairs()).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+    )
+    out = out.localCheckpoint()
+    for t in (table, f"{table}__ids", f"{table}__g1", f"{table}__g1__ids"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out
+
+
+# the rebuild lands at bands=4 over the survivors — the same batch
+# clustering the delete gate pins, reached through a parameter migration
+ORACLE_DEDUP_INDEX_REBUILD = _oracle_dedup_cluster(
+    bands=4, where="doc_id % 7 <> 3"
+)
+
+
 def q_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash64(docs, "doc_id", "text", bits=32)
@@ -9021,6 +9083,9 @@ QUERIES = {
     "dedup_cluster_stars": q_dedup_cluster_stars,
     # r11: LSH index delete lifecycle (tombstone → compact → recluster)
     "dedup_index_delete": q_dedup_index_delete,
+    # r12: parameter migration with continuity — generation tables +
+    # atomic pointer flip (VERDICT r11 #3), batch oracle at new params
+    "dedup_index_rebuild": q_dedup_index_rebuild,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "simhash": q_simhash,
@@ -9147,6 +9212,7 @@ ORACLES = {
     "dedup_cluster": ORACLE_DEDUP_CLUSTER,
     "dedup_cluster_stars": ORACLE_DEDUP_CLUSTER,
     "dedup_index_delete": ORACLE_DEDUP_INDEX_DELETE,
+    "dedup_index_rebuild": ORACLE_DEDUP_INDEX_REBUILD,
     "simhash": ORACLE_SIMHASH,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "ann_lsh": ORACLE_ANN_LSH,

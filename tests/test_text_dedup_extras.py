@@ -5,6 +5,7 @@ profile, and the quality-score range."""
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import sorted_rows
 from storm_spark.functions import dedup, text
 
 
@@ -1542,6 +1543,169 @@ def test_lsh_index_repair_edges_recovery(spark):
     idx_e.add_docs(docs)
     with _pytest.raises(ValueError, match="no pending"):
         idx_e.repair_edges(dele)
+
+
+def test_lsh_index_rebuild_parameter_migration(spark, tmp_path):
+    """rebuild() (r12, VERDICT r11 #3): absorb at loose parameters,
+    tombstone, rebuild at tight parameters — pairs() must equal the
+    batch emission over the survivors AT THE NEW PARAMETERS verbatim
+    (pairs mode) / connectivity-equal (edges mode); the generation
+    tables serve through the pointer, absorption continues after the
+    migration, and a fresh resume=True incarnation attaches through the
+    pointer with the NEW parameters (the old ones are refused)."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from storm_spark.functions.dedup import (
+        IncrementalLSHIndex,
+        minhash_lsh_pairs,
+        near_dup_clusters,
+    )
+
+    docs = _lsh_del_docs(spark, n=36)
+    path = str(tmp_path / "reb")
+    idx = IncrementalLSHIndex(
+        "doc_id", "text", n=3, num_perm=12, bands=2,
+        index_table="lsh_reb_test", index_path=path, n_buckets=8,
+        emit="pairs",
+    )
+    try:
+        idx.add_docs(docs.filter("doc_id < 18"))
+        idx.add_docs(docs.filter("doc_id >= 18"))
+        idx.remove_docs(docs.filter("doc_id % 7 = 3").select("doc_id"))
+        surv = docs.filter("doc_id % 7 <> 3")
+        idx.rebuild(surv, bands=4, n_buckets=16)
+        assert (idx.generation, idx.bands, idx.n_buckets) == (1, 4, 16)
+        want = sorted_rows(minhash_lsh_pairs(surv, "doc_id", "text", 3, 12, 4))
+        assert sorted_rows(idx.pairs()) == want
+        # the pointer exists; the new generation's tables serve; the OLD
+        # generation's tables survive until the next rebuild (reader
+        # continuity — the IVFPQIndex.retrain N−1 contract)
+        assert os.path.isfile(f"{path}__meta.json")
+        assert spark.catalog.tableExists("lsh_reb_test__g1")
+        assert spark.catalog.tableExists("lsh_reb_test")  # old gen intact
+        # tombstones are applied: the freed id is indexable again (its
+        # whole text class was removed, so it has no collision partners
+        # yet — the point is the add is ACCEPTED, not refused as
+        # tombstoned or already-indexed)
+        idx.add_docs(docs.filter("doc_id = 3"))
+        assert idx.pairs().count() == len(want)
+        # a fresh incarnation resumes THROUGH the pointer at new params
+        idx2 = IncrementalLSHIndex(
+            "doc_id", "text", n=3, num_perm=12, bands=4,
+            index_table="lsh_reb_test", index_path=path, n_buckets=16,
+            resume=True, emit="pairs",
+        )
+        idx2.add_docs(
+            spark.createDataFrame(
+                [(100, "the quick brown fox 3 jumps over the lazy dog 3")],
+                "doc_id long, text string",
+            )
+        )
+        # resuming with the PRE-migration parameters is refused loudly
+        idx3 = IncrementalLSHIndex(
+            "doc_id", "text", n=3, num_perm=12, bands=2,
+            index_table="lsh_reb_test", index_path=path, n_buckets=8,
+            resume=True, emit="pairs",
+        )
+        with _pytest.raises(ValueError, match="do not match"):
+            idx3.add_docs(docs.filter("doc_id = 999"))
+        # a SECOND rebuild sweeps the pre-migration legacy generation
+        surv2 = docs.filter("doc_id % 7 <> 3").unionByName(
+            docs.filter("doc_id = 3")
+        ).unionByName(
+            spark.createDataFrame(
+                [(100, "the quick brown fox 3 jumps over the lazy dog 3")],
+                "doc_id long, text string",
+            )
+        )
+        idx.rebuild(surv2, bands=4)
+        assert idx.generation == 2
+        assert not spark.catalog.tableExists("lsh_reb_test")
+        assert not os.path.isdir(path)
+        assert sorted_rows(idx.pairs()) == sorted_rows(
+            minhash_lsh_pairs(surv2, "doc_id", "text", 3, 12, 4)
+        )
+    finally:
+        for t in (
+            "lsh_reb_test", "lsh_reb_test__ids",
+            "lsh_reb_test__g1", "lsh_reb_test__g1__ids",
+            "lsh_reb_test__g2", "lsh_reb_test__g2__ids",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_lsh_index_rebuild_guards_and_crash_window(spark, tmp_path):
+    """rebuild() loud-failure contract: in-memory mode, unbuilt index,
+    duplicate/missing/extra corpus ids each raise; a crashed rebuild
+    (generation tables written, pointer never flipped) leaves the old
+    generation serving and the next rebuild sweeps the orphan."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from storm_spark.functions.dedup import IncrementalLSHIndex, minhash_lsh_edges
+
+    docs = _lsh_del_docs(spark, n=20)
+    mem = IncrementalLSHIndex("doc_id", "text", n=3, num_perm=12, bands=4)
+    with _pytest.raises(ValueError, match="bucketed mode"):
+        mem.rebuild(docs)
+    path = str(tmp_path / "rebg")
+    idx = IncrementalLSHIndex(
+        "doc_id", "text", n=3, num_perm=12, bands=4,
+        index_table="lsh_rebg_test", index_path=path, n_buckets=8,
+        emit="edges",
+    )
+    try:
+        with _pytest.raises(ValueError, match="no index table"):
+            idx.rebuild(docs)
+        idx.add_docs(docs)
+        with _pytest.raises(ValueError, match="more than once"):
+            idx.rebuild(docs.unionByName(docs.filter("doc_id = 1")))
+        with _pytest.raises(ValueError, match="absent from the rebuild"):
+            idx.rebuild(docs.filter("doc_id < 19"))
+        with _pytest.raises(ValueError, match="not live in the index"):
+            idx.rebuild(
+                docs.unionByName(
+                    spark.createDataFrame(
+                        [(999, "extra doc")], "doc_id long, text string"
+                    )
+                )
+            )
+        with _pytest.raises(ValueError, match="not divisible"):
+            idx.rebuild(docs, bands=5)
+        # simulate the crashed rebuild: a half-written orphan generation,
+        # pointer never flipped — invisible to the serving index
+        os.makedirs(f"{path}__g1", exist_ok=True)
+        idx.add_docs(
+            spark.createDataFrame(
+                [(50, "the quick brown fox 1 jumps over the lazy dog 1")],
+                "doc_id long, text string",
+            )
+        )
+        assert idx.generation is None  # still the legacy layout
+        # the real rebuild sweeps the orphan and lands at g1
+        full = docs.unionByName(
+            spark.createDataFrame(
+                [(50, "the quick brown fox 1 jumps over the lazy dog 1")],
+                "doc_id long, text string",
+            )
+        )
+        got = idx.rebuild(full, bands=4)
+        assert idx.generation == 1
+        assert {(r.id_a, r.id_b) for r in got.collect()} == {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_edges(full, "doc_id", "text", 3, 12, 4).collect()
+        }
+    finally:
+        for t in (
+            "lsh_rebg_test", "lsh_rebg_test__ids",
+            "lsh_rebg_test__g1", "lsh_rebg_test__g1__ids",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_tfidf_fold_trajectory_equals_batch_at_every_epoch(spark):
