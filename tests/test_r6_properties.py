@@ -217,7 +217,10 @@ def test_star_edges_same_components_as_pair_clique(spark, docs, bands, salt):
     corpus (hypothesis draws include exact duplicates, which land whole
     groups in one band bucket — the hot-bucket case the star emission
     exists for) the connected components of the O(m)-per-bucket star
-    edges equal those of the O(m²) pair clique."""
+    edges equal those of the O(m²) pair clique — in ALL THREE emission
+    modes: plain/globally-salted (drawn) AND adaptive (r12
+    salt_threshold=2, low enough that the duplicate groups hypothesis
+    plants actually cross it, exercising the hot/cold split)."""
     from storm_spark.functions import dedup
 
     df = spark.createDataFrame(
@@ -238,6 +241,15 @@ def test_star_edges_same_components_as_pair_clique(spark, docs, bands, salt):
         ).collect()
     }
     assert via_stars == via_pairs
+    via_auto = {
+        (r.id, r.cluster_id)
+        for r in dedup.near_dup_clusters(
+            dedup.minhash_lsh_edges(
+                df, "doc_id", "text", salt_buckets=salt, salt_threshold=2, **kw
+            )
+        ).collect()
+    }
+    assert via_auto == via_pairs
 
 
 @settings(**SETTINGS)

@@ -1545,6 +1545,45 @@ def test_lsh_index_repair_edges_recovery(spark):
         idx_e.repair_edges(dele)
 
 
+def test_lsh_index_adaptive_salting_equivalence(spark):
+    """salt_threshold (r12, VERDICT r11 #6): the index salts ONLY the
+    buckets whose batch membership exceeds the threshold — the operator
+    no longer pre-declares the degenerate bucket — and the resulting
+    clustering is identical across unsalted / manual-salted / adaptive,
+    through epochs AND through a removal's repair stars."""
+    from pyspark.sql import functions as F
+
+    from storm_spark.functions.dedup import IncrementalLSHIndex, near_dup_clusters
+
+    # one boilerplate group (hot: 14 identical docs) + small groups (cold)
+    rows = [(i, "the exact same boilerplate page text") for i in range(14)]
+    rows += [
+        (100 + i, f"unique little document number {i} with words {i}")
+        for i in range(6)
+    ]
+    rows += [(200 + i, "a small shared duplicate pair") for i in range(2)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(**salt_kw):
+        idx = IncrementalLSHIndex(
+            "doc_id", "text", n=3, num_perm=12, bands=4, emit="edges", **salt_kw
+        )
+        idx.add_docs(docs.filter("doc_id % 2 = 0"))
+        idx.add_docs(docs.filter("doc_id % 2 = 1"))
+        idx.remove_docs(docs.filter("doc_id = 0").select("doc_id"))
+        return {
+            (r.id, r.cluster_id)
+            for r in near_dup_clusters(idx.pairs()).collect()
+        }
+
+    plain = run()
+    manual = run(salt_buckets=4)
+    auto = run(salt_threshold=5)  # hot group (14 > 5) salts, others don't
+    assert plain == manual == auto
+    # sanity: the boilerplate survivors cluster together under doc 1
+    assert {(i, 1) for i in range(1, 14)} <= auto
+
+
 def test_lsh_index_rebuild_parameter_migration(spark, tmp_path):
     """rebuild() (r12, VERDICT r11 #3): absorb at loose parameters,
     tombstone, rebuild at tight parameters — pairs() must equal the

@@ -42,6 +42,10 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=8)
     ap.add_argument("--modes", default="pairs,edges,edges_salted")
     ap.add_argument("--salt", type=int, default=32)
+    ap.add_argument(
+        "--threshold", type=int, default=65536,
+        help="edges_auto: salt only buckets above this batch membership",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -74,17 +78,23 @@ def main() -> None:
 
     finals = {}
     modes = args.modes.split(",")
-    unknown = [m for m in modes if m not in ("pairs", "edges", "edges_salted")]
+    valid = ("pairs", "edges", "edges_salted", "edges_auto")
+    unknown = [m for m in modes if m not in valid]
     if unknown:
         raise SystemExit(f"unknown --modes entries {unknown!r} — valid: "
-                         "pairs, edges, edges_salted (a typo must not be "
+                         f"{', '.join(valid)} (a typo must not be "
                          "silently measured as unsalted edges)")
     for mode in modes:
         emit = "pairs" if mode == "pairs" else "edges"
-        salt = args.salt if mode == "edges_salted" else None
+        salt = args.salt if mode in ("edges_salted", "edges_auto") else None
+        # edges_auto (r12, VERDICT r11 #6): the operator does NOT
+        # pre-declare the degenerate bucket — absorb observes per-bucket
+        # membership and salts only buckets above --threshold
+        thr = args.threshold if mode == "edges_auto" else None
         idx = IncrementalLSHIndex(
             "doc_id", "text", n=3, num_perm=12, bands=4,
             emit=emit, enforce_unique=False, salt_buckets=salt,
+            salt_threshold=thr,
         )
         print(f"--- mode={mode} ---")
         for e in range(args.epochs):
