@@ -4009,7 +4009,42 @@ def q_pretrain_pipeline(spark, sf_dir):
     each stage is already individually gated (`gopher_quality`,
     `dedup_cluster_stars`, `dedup_merge`, `leakage_safe_split`,
     `dsir_sample`, `chunk_tokens`); this gate proves they compose."""
-    docs = _t(spark, sf_dir, "documents")
+    return _pretrain_pipeline_batch(_t(spark, sf_dir, "documents"))
+
+
+def _pretrain_selection_tail(all_clean, labels, canonical, k=30):
+    """The capstone's SELECTION TAIL, shared verbatim by the batch
+    pipeline, the streaming gate's final answer, and the streaming
+    gate's periodic re-selection checkpoints (r12, VERDICT r11 #5) —
+    one body so a tie-break or threshold change cannot desync the
+    three: survivors (canonical semi-join) → leakage-safe split keyed
+    on ``labels`` → DSIR top-``k`` → token chunking from the SAME
+    materialized ``__toks__`` column (tokenize-once)."""
+    survivors = all_clean.join(
+        canonical.select(F.col("canonical_id").alias("doc_id")), "doc_id", "semi"
+    )
+    split = sampling.leakage_safe_split(
+        survivors.select("doc_id"), labels, "doc_id", {"train": 0.9, "eval": 0.1}
+    )
+    train = survivors.join(
+        split.filter(F.col("split") == "train").select("doc_id"), "doc_id", "semi"
+    )
+    scored = text.dsir_scores(
+        train, F.col("lang") == "en", "doc_id", "text", tokens_col="__toks__"
+    )
+    sel = scored.orderBy(F.col("dsir_n").desc(), F.col("doc_id").asc()).limit(k)
+    chosen = train.join(sel.select("doc_id"), "doc_id", "semi").select(
+        "doc_id", "__toks__"
+    )
+    return sampling.chunk_token_windows(
+        chosen, "doc_id", "__toks__", max_len=64, stride=48
+    )
+
+
+def _pretrain_pipeline_batch(docs, k=30):
+    """The full batch capstone over an arbitrary ``docs`` frame — also
+    the per-checkpoint TRUTH the streaming gate's periodic re-selection
+    is pinned against in pytest (batch pipeline over docs-so-far)."""
     base = text.bounded_persist(
         docs.select(
             "doc_id", "text", "lang", "n_chars",
@@ -4027,25 +4062,7 @@ def q_pretrain_pipeline(spark, sf_dir):
     edges = dedup.minhash_lsh_edges(clean, "doc_id", "text", n=3, num_perm=12, bands=4)
     clusters = dedup.near_dup_clusters(edges)
     canon = dedup.canonicalize_clusters(clean, clusters, "doc_id", "n_chars")
-    survivors = clean.join(
-        canon.select(F.col("canonical_id").alias("doc_id")), "doc_id", "semi"
-    )
-    split = sampling.leakage_safe_split(
-        survivors.select("doc_id"), clusters, "doc_id", {"train": 0.9, "eval": 0.1}
-    )
-    train = survivors.join(
-        split.filter(F.col("split") == "train").select("doc_id"), "doc_id", "semi"
-    )
-    scored = text.dsir_scores(
-        train, F.col("lang") == "en", "doc_id", "text", tokens_col="__toks__"
-    )
-    sel = scored.orderBy(F.col("dsir_n").desc(), F.col("doc_id").asc()).limit(30)
-    chosen = train.join(sel.select("doc_id"), "doc_id", "semi").select(
-        "doc_id", "__toks__"
-    )
-    return sampling.chunk_token_windows(
-        chosen, "doc_id", "__toks__", max_len=64, stride=48
-    )
+    return _pretrain_selection_tail(clean, clusters, canon, k)
 
 
 def _oracle_pretrain_pipeline(k=30):
@@ -8032,7 +8049,7 @@ def q_streaming_dedup_merge(spark, sf_dir):
     return surv.canonical()
 
 
-def q_streaming_pretrain_pipeline(spark, sf_dir):
+def q_streaming_pretrain_pipeline(spark, sf_dir, reselect_every=2, on_checkpoint=None):
     """The pretraining capstone as a STREAM (r11 second stretch — the
     `pretrain_pipeline` composition with its stateful stages maintained
     LIVE): documents arrive over three epochs through real readStream /
@@ -8042,13 +8059,19 @@ def q_streaming_pretrain_pipeline(spark, sf_dir):
     IncrementalComponents), and survivorship is kept current through the
     cluster fold map (IncrementalSurvivorship) — so at EVERY point in
     the stream the live cluster/canonical state answers over docs-so-far.
-    After the stream, the selection tail (leakage-safe split from the
-    LIVE labels → DSIR → chunking) runs once over the accumulated clean
-    docs — DSIR models over changing train membership are NOT a linear
-    fold (cluster merges would retract terms), so the honest streaming
-    shape keeps the per-doc state linear and selects at the end. Final
-    chunks must equal the batch `pretrain_pipeline` verbatim — the SAME
-    composed oracle."""
+    The selection tail (leakage-safe split from the LIVE labels → DSIR →
+    chunking) re-runs on a CADENCE — every ``reselect_every`` epochs
+    over the docs absorbed so far (r12, VERDICT r11 #5: a live curation
+    pipeline re-selects periodically, not once at shutdown) — and once
+    more after the stream ends. DSIR over changing train membership is
+    NOT a linear fold (cluster merges would retract terms), so each
+    re-selection is an honest bounded re-run of the shared tail over the
+    accumulated clean docs, while the per-doc dedup/survivorship state
+    stays incremental. Every checkpoint's output equals the batch
+    pipeline over docs-so-far (the `streaming_dsir` trajectory-pinning
+    pattern lifted to the composed capstone — pinned per-checkpoint in
+    pytest via ``on_checkpoint``); the FINAL answer must equal the batch
+    `pretrain_pipeline` verbatim — the SAME composed oracle."""
     from storm_spark.functions.dedup import (
         IncrementalLSHIndex,
         IncrementalSurvivorship,
@@ -8079,32 +8102,24 @@ def q_streaming_pretrain_pipeline(spark, sf_dir):
         edges = idx.add_docs(clean.select("doc_id", "text"))
         cc.add_edges(edges, "id_a", "id_b")
         surv.absorb(clean, cc.labels(), cc.last_fold())
+        # periodic re-selection over docs-so-far from the LIVE state
+        if reselect_every and len(seen) % reselect_every == 0:
+            acc = seen[0]
+            for s in seen[1:]:
+                acc = acc.unionByName(s)
+            chk = _pretrain_selection_tail(acc, cc.labels(), surv.canonical())
+            if on_checkpoint is not None:
+                on_checkpoint(len(seen), chk)
+            else:
+                # no consumer wired: still MATERIALIZE the re-selection so
+                # the cadence is a real mid-stream cost, not a lazy no-op
+                chk.localCheckpoint()
 
     _drive_stream_epochs(spark, docs, absorb, "storm_spark_spp_")
     all_clean = seen[0]
     for s in seen[1:]:
         all_clean = all_clean.unionByName(s)
-    survivors = all_clean.join(
-        surv.canonical().select(F.col("canonical_id").alias("doc_id")),
-        "doc_id",
-        "semi",
-    )
-    split = sampling.leakage_safe_split(
-        survivors.select("doc_id"), cc.labels(), "doc_id", {"train": 0.9, "eval": 0.1}
-    )
-    train = survivors.join(
-        split.filter(F.col("split") == "train").select("doc_id"), "doc_id", "semi"
-    )
-    scored = text.dsir_scores(
-        train, F.col("lang") == "en", "doc_id", "text", tokens_col="__toks__"
-    )
-    sel = scored.orderBy(F.col("dsir_n").desc(), F.col("doc_id").asc()).limit(30)
-    chosen = train.join(sel.select("doc_id"), "doc_id", "semi").select(
-        "doc_id", "__toks__"
-    )
-    return sampling.chunk_token_windows(
-        chosen, "doc_id", "__toks__", max_len=64, stride=48
-    )
+    return _pretrain_selection_tail(all_clean, cc.labels(), surv.canonical())
 
 
 def q_dedup_merge(spark, sf_dir):

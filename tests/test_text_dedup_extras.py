@@ -1747,6 +1747,42 @@ def test_lsh_index_rebuild_guards_and_crash_window(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_pretrain_reselection_trajectory_equals_batch_at_every_checkpoint(spark):
+    """The streaming capstone's periodic re-selection (r12, VERDICT r11
+    #5), pinned per checkpoint: with reselect_every=1 the selection tail
+    re-runs after EVERY epoch over the live dedup/survivorship state,
+    and each checkpoint's chunk output must equal the BATCH
+    pretrain_pipeline over the docs absorbed so far (the same
+    pmod(hash(doc_id), 3) epoch split the stream scaffold feeds) — the
+    streaming_dsir trajectory-pinning pattern lifted to the composed
+    capstone. The final answer stays on the composed oracle (the
+    driver's streaming_pretrain_pipeline gate)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from storm_spark import queries as Q
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    got = {}
+
+    def on_checkpoint(k, chunks):
+        got[k] = sorted_rows(chunks)
+
+    final = Q.q_streaming_pretrain_pipeline(
+        spark, sf_dir, reselect_every=1, on_checkpoint=on_checkpoint
+    )
+    final_rows = sorted_rows(final)
+    assert sorted(got) == [1, 2, 3]
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    for k in (1, 2, 3):
+        prefix = docs.filter(F.pmod(F.hash("doc_id"), F.lit(3)) < k)
+        want = sorted_rows(Q._pretrain_pipeline_batch(prefix))
+        assert got[k] == want, f"checkpoint {k} diverged from batch-over-prefix"
+    # the last checkpoint IS the final answer (all three epochs absorbed)
+    assert got[3] == final_rows
+
+
 def test_tfidf_fold_trajectory_equals_batch_at_every_epoch(spark):
     """The streaming_tfidf gate's state claim, pinned per epoch: appending
     per-doc (doc, term, tf) counts and bumping the n_docs counter
