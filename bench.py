@@ -174,24 +174,44 @@ HEADLINE = [
     "dedup_index_delete",
     "ann_index_retrain",
     "pretrain_pipeline",
+    # r12: LSH-index parameter migration; sample-bounded quantizer
+    # training (streaming_pretrain_pipeline's re-selection stays exempt)
+    "dedup_index_rebuild",
+    "ann_ivf_sampled",
+    "ann_pq_sampled",
+]
+
+# Index-LIFECYCLE gates (multi-build, multi-write, multi-phase tests of
+# the persisted-index maintenance story) — real operators, benched every
+# round, but reported under their OWN total (r12, VERDICT r11 #4): they
+# were 50s of the 206s r11 headline and growing one gate per round,
+# eroding round-over-round comparability of the per-QUERY headline and
+# the 2x-of-baseline gate. Both totals are recorded and both are gated.
+LIFECYCLE = [
+    "ann_index_persist",
+    "ann_index_update",
+    "ann_index_delete",
+    "ann_index_retrain",
+    "dedup_index_delete",
+    "dedup_index_rebuild",
 ]
 
 # The round's new/touched queries — what `--changed-only` runs while
 # iterating (the full list dominates round wall-clock at 135+ queries;
 # the close-out still runs everything). Update each round.
 CHANGED_THIS_ROUND = [
+    "dedup_index_rebuild",
+    "ann_ivf_sampled",
+    "ann_pq_sampled",
     "dedup_index_delete",
     "ann_index_retrain",
-    "pretrain_pipeline",
-    "dsir_sample",
-    "gopher_quality",
-    "ann_index_persist",
     "ann_index_update",
     "ann_index_delete",
+    "ann_index_persist",
+    "pretrain_pipeline",
     "dedup_cluster_stars",
-    "chunk_tokens",
-    "leakage_safe_split",
-    "dedup_merge",
+    "ann_pq",
+    "ann_ivf_pq",
 ]
 
 
@@ -263,7 +283,14 @@ def main() -> None:
         times[name] = round(min(per_run), 3)
         print(f"# {name}: cold {cold[name]}s warm {times[name]}s", file=sys.stderr)
 
-    total = round(sum(times.values()), 3)
+    # split the headline (r12, VERDICT r11 #4): "value" is the per-QUERY
+    # total — comparable round-over-round and against the 2x baseline
+    # gate — while the index-lifecycle gates report under their own
+    # total. Both measured in the same run, both recorded, both gated.
+    lifecycle_set = set(LIFECYCLE)
+    q_total = round(sum(v for k, v in times.items() if k not in lifecycle_set), 3)
+    lc_total = round(sum(v for k, v in times.items() if k in lifecycle_set), 3)
+    total = q_total
     out = {
         "metric": "headline_query_wall_sec",
         "value": total,
@@ -271,6 +298,9 @@ def main() -> None:
         "queries": times,
         "sf": float(sf),
         "cold_total_sec": round(sum(cold.values()), 3),
+        "lifecycle_total_sec": lc_total,
+        "lifecycle_queries": sorted(k for k in times if k in lifecycle_set),
+        "combined_total_sec": round(q_total + lc_total, 3),
     }
     if subset is not None:
         out["subset"] = subset_label
@@ -304,6 +334,8 @@ def main() -> None:
         "n_queries": len(times),
         "n_errors": len(errors),
         "cold_total_sec": round(sum(cold.values()), 3),
+        "lifecycle_total_sec": lc_total,
+        "combined_total_sec": round(q_total + lc_total, 3),
         "slowest5": {k: v for k, v in slowest},
         "queries_detail": "bench_out.json",
     }
