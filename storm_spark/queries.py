@@ -9112,72 +9112,72 @@ QUERIES = {
 }
 
 # ---------------------------------------------------------------------------
-# Rotation 11 (policy from r8: LEAST-RECENTLY-SAMPLED first — the driver
+# Rotation 12 (policy from r8: LEAST-RECENTLY-SAMPLED first — the driver
 # samples the first 50 keys, so the head is recomputed each round via
 # tools/rotation.py as: this round's NEW gates, then every other entry
-# ranked by (last driver-sampled round, catalog position)). The r11 head =
-# the 4 new r11 gates (dedup_index_delete, ann_index_retrain,
-# streaming_dsir, pretrain_pipeline), then the stalest tail — last
-# driver-sampled in rounds 7–8 (the r7 streaming twins and the r6 TPC-H
-# depth block lead the staleness ranking). The literal dict order above is
-# the historical rotation record; THIS list is the driver-facing order
-# (policy documented in SURVEY.md §8).
-_ROTATION11_HEAD = [
-    "dedup_index_delete",
-    "ann_index_retrain",
-    "streaming_dsir",
-    "pretrain_pipeline",
-    "streaming_pretrain_pipeline",
-    "streaming_tfidf",
-    "streaming_trailing_zscore",
-    "tpch_q5",
-    "tpch_q3",
-    "streaming_bfs_incremental",
-    "equi_depth_bins",
-    "contamination_pairs",
-    "js_drift",
-    "merge_intervals",
-    "group_mode",
-    "bpe_train",
-    "streaming_full_outer_join",
-    "streaming_cms",
-    "rolling_median",
-    "seasonal_baseline",
-    "ann_pq",
-    "streaming_sample",
-    "hll_distinct",
-    "streaming_hll",
-    "zorder_stats",
-    "streaming_merge_intervals",
-    "bpe_segment",
-    "tpch_q4",
-    "tpch_q18",
-    "tpch_q13",
-    "tpch_q22",
-    "tpch_q10",
-    "streaming_interval_join",
-    "dedup_jaccard_prefix",
-    "streaming_window_hourly",
-    "streaming_topk",
-    "streaming_recovery",
-    "streaming_persist_recovery",
-    "trailing_ewma",
-    "streaming_enrich",
-    "streaming_outer_join",
-    "k_core",
-    "unpivot",
-    "quantile_normalize",
-    "weighted_median",
-    "grouping_sets",
-    "user_streaks",
-    "ann_ivf_trained",
-    "ann_ivf_pq",
-    "streaming_dedup_cluster",
+# ranked by (last driver-sampled round, catalog position)). The r12 head =
+# the 3 new r12 gates (dedup_index_rebuild, ann_ivf_sampled,
+# ann_pq_sampled), then the stalest tail — last driver-sampled in round 8
+# (the r4/r5-era mid-catalog rows and the r1-r3 basics lead the staleness
+# ranking now, exactly as the r11 verdict predicted). The literal dict
+# order above is the historical rotation record; THIS list is the
+# driver-facing order (policy documented in SURVEY.md §8).
+_ROTATION12_HEAD = [
+    "dedup_index_rebuild",
+    "ann_ivf_sampled",
+    "ann_pq_sampled",
+    "streaming_dedup_pipeline",
+    "multimodal_features",
+    "cube",
+    "pivot",
+    "count_distinct",
+    "percentile_exact",
+    "range_join",
+    "asof_join",
+    "cms_heavy_hitters",
+    "winnow_fingerprint",
+    "embedding_near_dup",
+    "wordcount",
+    "rollup_continuous",
+    "decontaminate",
+    "partition_persist",
+    "linear_drpc",
+    "dedup_jaccard_capped",
+    "state_wordcount",
+    "streaming_wordcount",
+    "drpc_state_lookup",
+    "window_hourly",
+    "percentile",
+    "window_sliding",
+    "groupby_sum",
+    "topk_per_group",
+    "join_inner",
+    "join_nway",
+    "first_n",
+    "project_filter",
+    "builtin_filters",
+    "each_compute",
+    "python_each",
+    "split_explode",
+    "chained_agg",
+    "custom_agg_second_max",
+    "distinct",
+    "rollup",
+    "merge",
+    "join_outer",
+    "semi_join",
+    "anti_join",
+    "state_snapshot_total",
+    "json_extract",
+    "dedup_exact",
+    "dedup_jaccard",
+    "minhash_lsh",
+    "corpus_clean",
 ]
-assert len(_ROTATION11_HEAD) == 50 and len(set(_ROTATION11_HEAD)) == 50
+assert len(_ROTATION12_HEAD) == 50 and len(set(_ROTATION12_HEAD)) == 50
 QUERIES = {
     k: QUERIES[k]
-    for k in (*_ROTATION11_HEAD, *(k for k in QUERIES if k not in set(_ROTATION11_HEAD)))
+    for k in (*_ROTATION12_HEAD, *(k for k in QUERIES if k not in set(_ROTATION12_HEAD)))
 }
 
 ORACLES = {
