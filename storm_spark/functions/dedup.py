@@ -1274,7 +1274,8 @@ class IncrementalLSHIndex:
     def _tomb_path(self) -> str | None:
         """Pending-tombstone sidecar beside the bucketed index — plain
         appended parquet (one ``__id__`` per removed doc), delta-sized
-        between compactions; :meth:`compact_index` clears it LAST."""
+        between compactions; it belongs to the CURRENT generation and
+        dies with it at :meth:`compact_index`'s pointer flip."""
         return None if self.index_path is None else f"{self._cur_path}__tombstones"
 
     @property
@@ -1824,72 +1825,118 @@ class IncrementalLSHIndex:
         months-long stream accretes ``epochs × n_buckets`` small files —
         the classic streaming-table ailment; the collision join's cost
         then carries a per-file open/footer overhead that dwarfs the
-        data. Rewrites the index (and the ids sidecar) in place as ONE
-        generation of full buckets. Call between epochs (never
+        data. Rewrites the index (and the ids sidecar) as ONE new
+        GENERATION of full buckets. Call between epochs (never
         concurrently with :meth:`add_docs`).
 
-        Durability: the rewrite is staged — current content is first
-        written DURABLY to ``{path}__compact_tmp`` (plain parquet), only
-        then is the table dropped and re-created from the staging copy,
-        which is removed last. NOT crash-atomic: a crash between drop
-        and re-create leaves the table missing (resume fails LOUDLY with
-        "does not exist") with the full content recoverable from the
-        staging directory — never a silently wrong index.
+        Durability (r12 — upgraded from the staged drop-and-recreate,
+        which had a loud-but-service-interrupting window between DROP
+        TABLE and re-create): the compacted content is written into the
+        NEXT generation's tables (``{table}__gN``, the :meth:`rebuild`
+        machinery) while the current generation keeps serving, then the
+        stable pointer sidecar flips with ONE atomic ``os.replace`` —
+        compaction is now CRASH-ATOMIC: a crash anywhere before the
+        flip leaves the old generation serving (orphan tables swept by
+        the next compact/rebuild), a crash after the flip leaves only
+        unreferenced old files. The previous generation survives until
+        the next compact/rebuild's sweep (N−1 generations — the reader-
+        continuity contract shared with :meth:`rebuild` and
+        ``IVFPQIndex.retrain``).
 
         Also the PHYSICAL-DROP half of the delete lifecycle (r11,
         mirroring :meth:`similarity.IVFPQIndex.compact`): rows whose id
         is tombstoned by :meth:`remove_docs` are anti-joined out of both
-        rewrites, and the tombstone sidecar is cleared LAST — a crash
-        after the rewrites but before the clear leaves stale tombstones
-        that only DELAY re-adds loudly (add_docs refuses, points here);
-        re-running compact clears them. The freed ids become indexable
-        again."""
-        if self.index_table is None:
-            raise ValueError("compact_index is for the bucketed mode only")
-        if not self._has_table:
-            raise ValueError("no index table to compact yet")
-        import shutil as _shutil
+        rewrites; the tombstone sidecar belongs to the OLD generation
+        and dies with it — the r11 "stale tombstones after a lost
+        clear" crash window no longer exists (a pre-flip crash leaves
+        the tombstones correctly PENDING on the still-serving old
+        generation; re-running compact applies them). The freed ids
+        become indexable again."""
+        import json as _json
+        import os as _os
 
         from pyspark.sql import SparkSession
 
+        if self.index_table is None:
+            raise ValueError("compact_index is for the bucketed mode only")
         spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+        self._attach_if_resuming(spark)
+        if not self._has_table:
+            raise ValueError("no index table to compact yet")
+        self._sweep_orphan_generations(spark)
         tomb = self._tombstones(spark)
-        if tomb is not None:
-            # the sidecar directory is wiped below — materialize first
-            tomb = tomb.localCheckpoint()
-        for tbl, path, bucket_cols, sort_cols in (
-            (self._cur_table, self._cur_path, ["__band__", "__bucket__"], ["__bucket__"]),
-            (self._ids_table, self._ids_path, ["__id__"], None),
+        new_gen = (self.generation or 0) + 1
+        ngt = f"{self.index_table}__g{new_gen}"
+        ngp = f"{self.index_path}__g{new_gen}"
+        for tbl, new_tbl, new_path, bucket_cols, sort_cols in (
+            (
+                self._cur_table, ngt, ngp,
+                ["__band__", "__bucket__"], ["__bucket__"],
+            ),
+            (self._ids_table, f"{ngt}__ids", f"{ngp}__ids", ["__id__"], None),
         ):
-            staging = f"{path}__compact_tmp"
             cur = spark.table(tbl)
             if tomb is not None:
                 cur = cur.join(F.broadcast(tomb), "__id__", "anti")
             # one coalesced task per write → one file per bucket in the
             # rewritten generation (an append writes files per task×bucket)
-            cur.coalesce(1).write.mode("overwrite").parquet(staging)
-            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-            _shutil.rmtree(path, ignore_errors=True)
             w = (
-                spark.read.parquet(staging)
-                .coalesce(1)
+                cur.coalesce(1)
                 .write.mode("overwrite")
-                .option("path", path)
+                .option("path", new_path)
                 .bucketBy(self.n_buckets, *bucket_cols)
             )
             if sort_cols:
                 w = w.sortBy(*sort_cols)
-            w.format("parquet").saveAsTable(tbl)
-            _shutil.rmtree(staging, ignore_errors=True)
-        # the meta sidecar lives inside index_path and was wiped with it
-        import json as _json
-
-        with open(self._meta_path, "w") as fh:
+            w.format("parquet").saveAsTable(new_tbl)
+        with open(_os.path.join(ngp, "_lsh_meta.json"), "w") as fh:
             _json.dump({k: getattr(self, k) for k in self._META_KEYS}, fh)
-        # clear the pending tombstones LAST (see docstring: a lost clear
-        # is loud-safe, never silently wrong)
-        if tomb is not None:
-            _shutil.rmtree(self._tomb_path, ignore_errors=True)
+        # THE swap: one atomic rename of the stable pointer — nothing on
+        # self mutated before this point, so an in-process exception
+        # leaves the object (and the serving index) on the old generation
+        tmp = self._pointer_path + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(
+                {"generation": new_gen,
+                 **{k: getattr(self, k) for k in self._META_KEYS}},
+                fh,
+            )
+        _os.replace(tmp, self._pointer_path)
+        self.generation = new_gen
+
+    def _sweep_orphan_generations(self, spark) -> None:
+        """Drop every generation's tables/paths the pointer does NOT
+        name — a crashed rebuild/compact's half-written tables AND the
+        previous serving generation deferred for reader continuity —
+        plus, once generation-based, the pre-migration legacy root
+        tables. Shared by :meth:`rebuild` and :meth:`compact_index`
+        (both create generations, so either's next run reclaims the
+        other's leftovers)."""
+        import os as _os
+        import re as _re
+        import shutil as _shutil
+
+        root_dir = _os.path.dirname(self.index_path) or "."
+        pat = _re.compile(_re.escape(_os.path.basename(self.index_path)) + r"__g(\d+)")
+        seen = {
+            int(m.group(1))
+            for d in (_os.listdir(root_dir) if _os.path.isdir(root_dir) else ())
+            if (m := pat.fullmatch(d))
+        }
+        for g in seen - {self.generation}:
+            spark.sql(f"DROP TABLE IF EXISTS {self.index_table}__g{g}")
+            spark.sql(f"DROP TABLE IF EXISTS {self.index_table}__g{g}__ids")
+            for suf in ("", "__ids", "__tombstones"):
+                _shutil.rmtree(f"{self.index_path}__g{g}{suf}", ignore_errors=True)
+        if self.generation is not None:
+            spark.sql(f"DROP TABLE IF EXISTS {self.index_table}")
+            spark.sql(f"DROP TABLE IF EXISTS {self.index_table}__ids")
+            for p in (
+                self.index_path,
+                f"{self.index_path}__ids",
+                f"{self.index_path}__tombstones",
+            ):
+                _shutil.rmtree(p, ignore_errors=True)
 
     def rebuild(
         self,
@@ -1937,8 +1984,6 @@ class IncrementalLSHIndex:
         assumed (never concurrent with add/remove/compact)."""
         import json as _json
         import os as _os
-        import re as _re
-        import shutil as _shutil
 
         if self.index_table is None:
             raise ValueError(
@@ -1955,31 +2000,7 @@ class IncrementalLSHIndex:
         n_buckets = self.n_buckets if n_buckets is None else n_buckets
         if num_perm % bands:
             raise ValueError(f"num_perm={num_perm} not divisible by bands={bands}")
-        # orphan sweep: generations the pointer does not name — a crashed
-        # prior rebuild's half-written tables AND the previous serving
-        # generation deferred for reader continuity (plus, once
-        # generation-based, the pre-rebuild legacy root tables)
-        root_dir = _os.path.dirname(self.index_path) or "."
-        pat = _re.compile(_re.escape(_os.path.basename(self.index_path)) + r"__g(\d+)")
-        seen = {
-            int(m.group(1))
-            for d in (_os.listdir(root_dir) if _os.path.isdir(root_dir) else ())
-            if (m := pat.fullmatch(d))
-        }
-        for g in seen - {self.generation}:
-            spark.sql(f"DROP TABLE IF EXISTS {self.index_table}__g{g}")
-            spark.sql(f"DROP TABLE IF EXISTS {self.index_table}__g{g}__ids")
-            for suf in ("", "__ids", "__tombstones"):
-                _shutil.rmtree(f"{self.index_path}__g{g}{suf}", ignore_errors=True)
-        if self.generation is not None:
-            spark.sql(f"DROP TABLE IF EXISTS {self.index_table}")
-            spark.sql(f"DROP TABLE IF EXISTS {self.index_table}__ids")
-            for p in (
-                self.index_path,
-                f"{self.index_path}__ids",
-                f"{self.index_path}__tombstones",
-            ):
-                _shutil.rmtree(p, ignore_errors=True)
+        self._sweep_orphan_generations(spark)
         # loud two-way coverage check: corpus ids must EXACTLY equal the
         # live (non-tombstoned) indexed ids — all three probes are
         # bounded head(1) actions over id-only frames

@@ -2069,6 +2069,28 @@ class IVFPQIndex:
             "neighbor_id"
         )
 
+    def _sweep_orphans(self) -> None:
+        """Remove every generation dir the meta pointer does NOT name —
+        a crashed retrain/compact's half-written ``gN`` AND the previous
+        serving generation deferred for reader continuity — plus, once
+        generation-based, the pre-migration root-layout artifacts.
+        Shared by :meth:`retrain` and :meth:`compact` (both create
+        generations, so either's next run reclaims the other's
+        leftovers)."""
+        import os as _os
+        import re as _re
+        import shutil as _shutil
+
+        cur = self.generation
+        for d in _os.listdir(self.path):
+            if _re.fullmatch(r"g\d+", d) and d != cur:
+                _shutil.rmtree(_os.path.join(self.path, d), ignore_errors=True)
+        if cur:
+            for name in (
+                "centroids", "codebooks", "codes", "vectors", "ids", "tombstones"
+            ):
+                _shutil.rmtree(_os.path.join(self.path, name), ignore_errors=True)
+
     def compact(self, n_files: int = 1) -> "IVFPQIndex":
         """Table-maintenance pass: physically drop tombstoned rows and
         collapse the small files accreted by :meth:`add_vectors` (every
@@ -2078,68 +2100,78 @@ class IVFPQIndex:
         the twin of ``IncrementalLSHIndex.compact_index``). The rewritten
         generation holds ``n_files`` files for ``vectors/`` (size for
         the real corpus; 1 is right at gate scale) and ONE file per cell
-        partition for ``codes/``. Clears the tombstone sidecar, so
-        previously-deleted ids become indexable again. Call between
-        serving turns (never concurrently with add/search).
+        partition for ``codes/``. The tombstone sidecar dies with the
+        old generation, so previously-deleted ids become indexable
+        again. Call between serving turns (single writer — never
+        concurrently with add/remove/retrain).
 
-        Durability (the LSH-compact convention): surviving content is
-        first staged DURABLY under ``{path}__compact_tmp``, only then are
-        the live tables overwritten, and the staging directory is removed
-        last. NOT crash-atomic: a crash mid-rewrite fails LOUDLY on the
-        next read with the full content recoverable from staging — never
-        a silently wrong index. A crash (or failed clear) between the
-        rewrites and the tombstone clear leaves STALE tombstones: search
-        anti-joins ids that are already gone (harmless), and re-adding
-        such an id is refused loudly by ``add_vectors``'s tombstone check
-        until a re-run of compact() clears the sidecar — stale state can
-        delay a re-add, never silently hide one."""
+        Durability (r12 — upgraded from the staged in-place overwrite,
+        whose per-artifact rewrites were individually non-atomic): the
+        compacted content is written into the NEXT generation directory
+        (``gN``, the :meth:`retrain` machinery — quantizers copied
+        unchanged, vectors/codes rewritten, the ids sidecar re-derived
+        from the surviving vectors, which also heals any dangling id
+        left by an interrupted add), then the meta pointer flips with
+        ONE atomic ``os.replace`` — compaction is CRASH-ATOMIC: a crash
+        anywhere before the flip leaves the old generation serving
+        (the orphan ``gN`` is swept by the next compact/retrain), a
+        crash after the flip leaves unreferenced old files only. The
+        previous generation survives until the next compact/retrain's
+        sweep (N−1 generations — the reader-continuity contract). A
+        STALE tombstone (written onto the serving generation after its
+        ids were already dropped) still only DELAYS a re-add loudly
+        until the next compact migrates past it — never hides one."""
+        import json as _json
         import os as _os
-        import shutil as _shutil
 
         from pyspark.sql import SparkSession
 
         if self.m is None:
             raise ValueError("index not built or loaded")
         spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+        self._sweep_orphans()
+        # every read below resolves its parquet paths NOW — the current
+        # generation's — so flipping self.generation later only redirects
+        # the writes (the retrain() pattern)
+        cents = spark.read.parquet(self._art("centroids"))
+        cbs = spark.read.parquet(self._art("codebooks"))
+        vectors = spark.read.parquet(self._art("vectors"))
+        codes = spark.read.parquet(self._art("codes"))
         tomb = self._tombstones(spark)
-        staging = f"{self.path}__compact_tmp"
-        vec_path = self._art("vectors")
-        codes_path = self._art("codes")
-        vectors = spark.read.parquet(vec_path)
-        codes = spark.read.parquet(codes_path)
         if tomb is not None:
             tomb = F.broadcast(tomb)
             vectors = vectors.join(tomb, "neighbor_id", "anti")
             codes = codes.join(tomb, "neighbor_id", "anti")
-        vectors.coalesce(n_files).write.mode("overwrite").parquet(
-            _os.path.join(staging, "vectors")
-        )
-        codes.coalesce(n_files).write.mode("overwrite").parquet(
-            _os.path.join(staging, "codes")
-        )
-        spark.read.parquet(_os.path.join(staging, "vectors")).coalesce(
-            n_files
-        ).write.mode("overwrite").parquet(vec_path)
-        # repartition ON the cell column → every cell lands in exactly one
-        # task → one file per cell partition in the rewritten generation
-        (
-            spark.read.parquet(_os.path.join(staging, "codes"))
-            .repartition("__cell__")
-            .write.mode("overwrite")
-            .partitionBy("__cell__")
-            .parquet(codes_path)
-        )
-        if self.id_buckets:
-            # rebuild the ids/ sidecar from the rewritten vectors table —
-            # drops tombstoned ids AND self-heals any dangling sidecar id
-            # left by a crash between an add's ids and vectors writes. A
-            # crash before THIS rewrite leaves a stale sidecar whose only
-            # effect is refusing a freed id's re-add loudly until compact
-            # re-runs — the same delayed-never-silent contract as the
-            # tombstone clear below.
+        cur = self.generation
+        new_gen = f"g{int(cur[1:]) + 1}" if cur else "g1"
+        old_state = (self.generation, self.id_buckets)
+        try:
+            if self.id_buckets is None:
+                # a legacy (pre-sidecar) index is fully rewritten here, so
+                # the partial-sidecar hazard no longer applies — backfill
+                # (the retrain() rule; restored by the except on failure)
+                self.id_buckets = 64
+            self.generation = new_gen
+            _os.makedirs(_os.path.join(self.path, new_gen), exist_ok=True)
+            # quantizers are unchanged by compaction — copied so the new
+            # generation is self-contained behind the pointer
+            cents.write.mode("overwrite").parquet(self._art("centroids"))
+            cbs.write.mode("overwrite").parquet(self._art("codebooks"))
+            vectors.coalesce(n_files).write.mode("overwrite").parquet(
+                self._art("vectors")
+            )
+            # repartition ON the cell column → every cell lands in exactly
+            # one task → one file per cell partition
             (
-                spark.read.parquet(vec_path)
-                .select(
+                codes.repartition("__cell__")
+                .write.mode("overwrite")
+                .partitionBy("__cell__")
+                .parquet(self._art("codes"))
+            )
+            # ids re-derived from the SURVIVING vectors — drops tombstoned
+            # ids and heals dangling sidecar entries in one stroke
+            (
+                vectors.select(
                     "neighbor_id",
                     F.pmod(
                         F.xxhash64("neighbor_id"), F.lit(self.id_buckets)
@@ -2150,13 +2182,14 @@ class IVFPQIndex:
                 .partitionBy("__idb__")
                 .parquet(self._art("ids"))
             )
-        # the tombstone clear must NOT swallow errors: a silently failed
-        # clear leaves stale tombstones in force (see docstring) — raise
-        # so the caller knows to re-run compact()
-        tomb_dir = self._art("tombstones")
-        if _os.path.isdir(tomb_dir):
-            _shutil.rmtree(tomb_dir)
-        _shutil.rmtree(staging, ignore_errors=True)
+        except BaseException:
+            self.generation, self.id_buckets = old_state
+            raise
+        # THE swap: one atomic rename of the pointer file
+        tmp = self._meta_file() + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump({k: getattr(self, k) for k in self._META_KEYS}, fh)
+        _os.replace(tmp, self._meta_file())
         return self
 
     def retrain(
@@ -2211,8 +2244,6 @@ class IVFPQIndex:
         (retrain never runs concurrently with add/remove/compact)."""
         import json as _json
         import os as _os
-        import re as _re
-        import shutil as _shutil
 
         from pyspark.sql import SparkSession
 
@@ -2220,17 +2251,7 @@ class IVFPQIndex:
             raise ValueError("index not built or loaded")
         spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
         cur = self.generation
-        # sweep orphans from a crashed prior retrain: generation dirs the
-        # meta does not reference (and, once we're generation-based, any
-        # stale root-layout artifacts a post-flip crash left behind)
-        for d in _os.listdir(self.path):
-            if _re.fullmatch(r"g\d+", d) and d != cur:
-                _shutil.rmtree(_os.path.join(self.path, d), ignore_errors=True)
-        if cur:
-            for name in (
-                "centroids", "codebooks", "codes", "vectors", "ids", "tombstones"
-            ):
-                _shutil.rmtree(_os.path.join(self.path, name), ignore_errors=True)
+        self._sweep_orphans()
         live = spark.read.parquet(self._art("vectors"))
         tomb = self._tombstones(spark)
         if tomb is not None:

@@ -2324,9 +2324,10 @@ def q_dedup_index_delete(spark, sf_dir):
     VERDICT r10 #1, mirroring the ANN index's r10 lifecycle): absorb the
     corpus over two epochs into a BUCKETED star-edge index (the 100-TB
     crawl shape), tombstone every doc_id ≡ 3 (mod 7) — takedowns /
-    re-crawls / license withdrawals — then COMPACT (staged rewrite
-    physically drops the tombstoned band-bucket and id rows and clears
-    the sidecar) and cluster from pairs(). The final labels must equal
+    re-crawls / license withdrawals — then COMPACT (r12: a crash-atomic
+    generation flip that physically drops the tombstoned band-bucket
+    and id rows; the sidecar dies with the old generation) and cluster
+    from pairs(). The final labels must equal
     the from-scratch batch clustering over the SURVIVING documents (the
     same recursive-CTE oracle filtered to survivors): a removed doc's
     edges vanish, the repair stars keep surviving collisions connected,
@@ -2364,9 +2365,10 @@ def q_dedup_index_delete(spark, sf_dir):
         F.col("cluster_id").cast("bigint").alias("cluster_id"),
     )
     # labels are localCheckpoint-materialized per round — the tables can go
+    # (compact_index lands the rewrite at generation g1 behind the pointer)
     out = out.localCheckpoint()
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    spark.sql(f"DROP TABLE IF EXISTS {table}__ids")
+    for t in (table, f"{table}__ids", f"{table}__g1", f"{table}__g1__ids"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
     return out
 
 
@@ -7260,9 +7262,9 @@ def q_ann_index_delete(spark, sf_dir):
     """Deletion + compaction of the persisted ANN index
     (similarity.IVFPQIndex.remove_vectors / .compact, r10): build over
     the full corpus, tombstone every vec_id ≡ 3 (mod 7), then COMPACT —
-    the staged rewrite physically drops the tombstoned rows and
-    collapses the codes to one file per cell partition — and serve the
-    probe from the rewritten generation. The answer must equal an index
+    r12: a crash-atomic generation flip that physically drops the
+    tombstoned rows and collapses the codes to one file per cell
+    partition — and serve the probe from the rewritten generation. The answer must equal an index
     that never contained the deleted ids with quantizers unchanged
     (frozen at build — the serving contract): the same unrolled
     `ann_ivf_pq` oracle with the deleted neighbors excluded from the

@@ -547,15 +547,20 @@ def test_ivf_pq_index_remove_vectors_and_compact(clustered_vectors, tmp_path, sp
     idx.compact()
     post = sorted(map(tuple, idx.search(queries, **args).collect()))
     assert post == expect  # rewritten generation
-    files_after = len(glob.glob(os.path.join(path, "codes", "**", "*.parquet"),
+    # r12: the compacted content is a NEW generation behind the atomic
+    # meta flip (crash-atomic; old files survive until the next sweep)
+    assert idx.generation == "g1"
+    gen_codes = idx._art("codes")
+    files_after = len(glob.glob(os.path.join(gen_codes, "**", "*.parquet"),
                                 recursive=True))
-    cells = len(glob.glob(os.path.join(path, "codes", "__cell__=*")))
+    cells = len(glob.glob(os.path.join(gen_codes, "__cell__=*")))
     assert files_after == cells < files_before
-    assert not os.path.isdir(os.path.join(path, "tombstones"))
+    # the new generation carries no tombstone sidecar (it died with g0)
+    assert not os.path.isdir(idx._art("tombstones"))
     # tombstoned rows are physically gone
     vec_ids = {
         r.neighbor_id
-        for r in spark.read.parquet(os.path.join(path, "vectors")).collect()
+        for r in spark.read.parquet(idx._art("vectors")).collect()
     }
     gone = {r.vec_id for r in dele.collect()}
     assert not (vec_ids & gone)
@@ -670,15 +675,16 @@ def test_ivf_pq_index_tombstone_recovery_contract(clustered_vectors, tmp_path):
     idx.remove_vectors(
         corpus.filter(F.col("vec_id").isin(5, 7)).select("vec_id")
     )
-    idx.compact()  # ids 5 and 7 physically gone, tombstones cleared
-    # simulate the crash window: rewrites done, tombstone clear lost —
-    # id 7's tombstone survives although the row is already gone
+    idx.compact()  # ids 5 and 7 physically gone (new generation, g1)
+    # a STALE tombstone on the serving generation (the rows are already
+    # gone) still blocks the re-add loudly — and the next compact's
+    # generation flip leaves it behind, freeing the id (r12: the pending
+    # sidecar dies with the generation; no separate clear step to lose)
     spark.createDataFrame([(7,)], "neighbor_id bigint").write.parquet(
-        os.path.join(idx.path, "tombstones")
+        idx._art("tombstones")
     )
     with _pytest.raises(ValueError, match="tombstoned"):
         idx.add_vectors(clustered_vectors.filter(F.col("vec_id") == 7))
-    # re-running compact clears the stale state; the id is indexable again
     idx.compact()
     idx.add_vectors(clustered_vectors.filter(F.col("vec_id").isin(5, 7)))
 

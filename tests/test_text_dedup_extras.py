@@ -1028,8 +1028,13 @@ def test_incremental_lsh_index_compact(spark, tmp_path):
                 spark.createDataFrame(batch, "doc_id long, text string")).collect()}
         before = len(glob.glob(os.path.join(path, "*.parquet")))
         idx.compact_index()
-        after = len(glob.glob(os.path.join(path, "*.parquet")))
+        # r12: the compacted generation is a NEW table behind the stable
+        # pointer (crash-atomic flip); the old generation's files survive
+        # until the next compact/rebuild sweeps them
+        assert idx.generation == 1
+        after = len(glob.glob(os.path.join(idx._cur_path, "*.parquet")))
         assert after < before and after <= 8, (before, after)
+        assert os.path.isfile(f"{path}__meta.json")
         # absorption continues correctly on the compacted generation
         batch = [r for r in rows if r[0] % 4 == 3]
         got |= {(r.id_a, r.id_b) for r in idx.add_docs(
@@ -1045,9 +1050,20 @@ def test_incremental_lsh_index_compact(spark, tmp_path):
         # in-memory mode refuses
         with pytest.raises(ValueError, match="bucketed mode"):
             IncrementalLSHIndex("doc_id", "text").compact_index()
+        # a SECOND compact sweeps the pre-compact legacy generation AND a
+        # crashed compact's half-written orphan (pointer never flipped),
+        # and lands at g2; emissions and exactly-once survive again
+        os.makedirs(f"{path}__g2", exist_ok=True)  # the simulated crash
+        idx.compact_index()
+        assert idx.generation == 2
+        assert not spark.catalog.tableExists("lsh_compact_test")
+        with pytest.raises(ValueError, match="already indexed"):
+            idx.add_docs(spark.createDataFrame(rows[:1], "doc_id long, text string"))
     finally:
-        spark.sql("DROP TABLE IF EXISTS lsh_compact_test")
-        spark.sql("DROP TABLE IF EXISTS lsh_compact_test__ids")
+        for t in ("lsh_compact_test", "lsh_compact_test__ids",
+                  "lsh_compact_test__g1", "lsh_compact_test__g1__ids",
+                  "lsh_compact_test__g2", "lsh_compact_test__g2__ids"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_dsir_scores_rank_target_like_docs_higher(spark):
@@ -1273,8 +1289,12 @@ def test_lsh_index_remove_docs_bucketed_compact_lifecycle(spark, tmp_path):
         pre = sorted(map(tuple, near_dup_clusters(idx.pairs()).collect()))
         assert pre == want  # tombstone path, before any physical drop
         idx.compact_index()
-        assert not os.path.isdir(idx._tomb_path)  # sidecar cleared LAST
-        for tbl in ("lsh_del_test", "lsh_del_test__ids"):
+        # the new generation starts with no tombstone sidecar (r12: the
+        # pending tombstones belonged to the old generation and died
+        # with it at the pointer flip)
+        assert idx.generation == 1
+        assert not os.path.isdir(idx._tomb_path)
+        for tbl in (idx._cur_table, idx._ids_table):
             left = (
                 spark.table(tbl)
                 .join(dele, F.col("__id__") == F.col("doc_id"), "semi")
@@ -1300,8 +1320,9 @@ def test_lsh_index_remove_docs_bucketed_compact_lifecycle(spark, tmp_path):
         got2 = sorted(map(tuple, near_dup_clusters(idx.pairs()).collect()))
         assert got2 == want2
     finally:
-        spark.sql("DROP TABLE IF EXISTS lsh_del_test")
-        spark.sql("DROP TABLE IF EXISTS lsh_del_test__ids")
+        for t in ("lsh_del_test", "lsh_del_test__ids",
+                  "lsh_del_test__g1", "lsh_del_test__g1__ids"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_lsh_index_remove_docs_guards(spark):
@@ -1358,16 +1379,21 @@ def test_lsh_index_tombstone_readd_refused_even_trusted(spark, tmp_path):
         with _pytest.raises(ValueError, match="tombstoned"):
             idx.add_docs(docs.filter("doc_id = 4"))
         idx.compact_index()
-        # simulate the crash window: rewrites landed, the clear was lost —
-        # id 4's tombstone survives although its rows are already gone
+        # a STALE tombstone on the serving generation (id 4's rows are
+        # already gone) still blocks the re-add loudly — and the next
+        # compact's generation flip leaves it behind with the old
+        # generation, freeing the id (r12: the pending sidecar dies with
+        # the generation; no separate "clear" step to lose)
         spark.createDataFrame([(4,)], "__id__ long").write.parquet(idx._tomb_path)
         with _pytest.raises(ValueError, match="tombstoned"):
             idx.add_docs(docs.filter("doc_id = 4"))
-        idx.compact_index()  # clears the stale sidecar
+        idx.compact_index()
         idx.add_docs(docs.filter("doc_id = 4"))  # freed id re-indexable
     finally:
-        spark.sql("DROP TABLE IF EXISTS lsh_tomb_test")
-        spark.sql("DROP TABLE IF EXISTS lsh_tomb_test__ids")
+        for t in ("lsh_tomb_test", "lsh_tomb_test__ids",
+                  "lsh_tomb_test__g1", "lsh_tomb_test__g1__ids",
+                  "lsh_tomb_test__g2", "lsh_tomb_test__g2__ids"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_dsir_fold_trajectory_equals_batch_at_every_epoch(spark):
@@ -1465,8 +1491,9 @@ def test_lsh_index_readd_with_new_content_after_compact(spark, tmp_path):
         assert want == {(1, 3)}  # fixture sanity
         assert got == want, got
     finally:
-        spark.sql("DROP TABLE IF EXISTS lsh_readd_test")
-        spark.sql("DROP TABLE IF EXISTS lsh_readd_test__ids")
+        for t in ("lsh_readd_test", "lsh_readd_test__ids",
+                  "lsh_readd_test__g1", "lsh_readd_test__g1__ids"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_lsh_index_remove_docs_on_resumed_incarnation(spark, tmp_path):
