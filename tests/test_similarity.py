@@ -1034,6 +1034,41 @@ def test_train_sample_bounds_and_reproduces(clustered_vectors, tmp_path):
     assert sorted(map(tuple, loaded.search(q, **args).collect())) == want_s
 
 
+def test_ivf_pq_index_compact_retrain_interleave(clustered_vectors, tmp_path, spark):
+    """compact() and retrain() share the generation machinery (r12):
+    compact→retrain→delete→compact walks g1→g2→g3 with answers stable
+    across every flip, train_sample reproduced from the meta at each
+    step, a fresh load resolving the final generation, exactly N−1
+    generations on disk (g2 kept for reader continuity, g1 swept)."""
+    import os
+
+    from storm_spark.functions import similarity
+
+    corpus = clustered_vectors
+    q = corpus.filter(F.col("vec_id") < 5)
+    args = dict(k=3, n_probe=2, shortlist=10)
+    path = str(tmp_path / "ilv")
+    idx = similarity.IVFPQIndex(path, "vec_id", "embedding").build(
+        corpus, m=4, ksub=4, n_lists=4, train_sample=32
+    )
+    a = sorted(map(tuple, idx.search(q, **args).collect()))
+    idx.compact()
+    assert idx.generation == "g1"
+    assert sorted(map(tuple, idx.search(q, **args).collect())) == a
+    idx.retrain(n_iters=1)
+    assert idx.generation == "g2" and idx.train_sample == 32
+    idx.remove_vectors(corpus.filter(F.col("vec_id") == 9).select("vec_id"))
+    idx.compact()
+    assert idx.generation == "g3"
+    assert not any(
+        r["neighbor_id"] == 9 for r in idx.search(q, **args).collect()
+    )
+    idx2 = similarity.IVFPQIndex.load(path)
+    assert idx2.generation == "g3" and idx2.train_sample == 32
+    assert os.path.isdir(os.path.join(path, "g2"))  # N−1 kept
+    assert not os.path.isdir(os.path.join(path, "g1"))  # older swept
+
+
 def test_ivf_pq_index_retrain_crash_windows(clustered_vectors, tmp_path):
     """Crash-window contract: an orphan generation dir left by a crashed
     retrain (meta never flipped) is invisible — load serves the old
