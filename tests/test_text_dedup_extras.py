@@ -1846,3 +1846,192 @@ def test_tfidf_fold_trajectory_equals_batch_at_every_epoch(spark):
         n_docs = spark.range(1).select(F.lit(n).cast("bigint").alias("n_docs"))
         got = sorted(map(tuple, tfidf_from_counts(tf, n_docs, k=3).collect()))
         assert got == want, f"epoch {epoch} diverged"
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _lsh_rows(n=30, mod=5):
+    return [
+        (i, f"the quick brown fox {i % mod} jumps over the lazy dog {i % mod}")
+        for i in range(n)
+    ]
+
+
+def test_lsh_index_legacy_ids_layout_migrates_on_compact(spark, tmp_path):
+    """A pre-r13 index (meta without id_buckets, unpartitioned bucketed
+    __ids sidecar) keeps appending in the legacy layout after resume —
+    mixing layouts in one table would fail the write — and MIGRATES to
+    the partitioned layout at compact_index(); exactly-once holds
+    across every step (VERDICT r12 #2's migration clause)."""
+    import json
+    import os
+
+    from storm_spark.functions.dedup import IncrementalLSHIndex
+
+    rows = _lsh_rows()
+    path = str(tmp_path / "legmig")
+    kw = dict(n=3, num_perm=12, bands=4, n_buckets=8,
+              index_table="lsh_legmig_test", index_path=path)
+    try:
+        idx = IncrementalLSHIndex("doc_id", "text", **kw)
+        idx._ids_partitioned = False  # simulate a pre-r13 writer
+        idx.add_docs(_mk_docs(spark, rows[:10])).collect()
+        with open(os.path.join(path, "_lsh_meta.json")) as fh:
+            assert "id_buckets" not in json.load(fh)  # legacy meta shape
+        assert "__idb__" not in spark.table("lsh_legmig_test__ids").columns
+        # resume adopts the legacy layout from the meta and keeps it
+        idx2 = IncrementalLSHIndex("doc_id", "text", resume=True, **kw)
+        idx2.add_docs(_mk_docs(spark, rows[10:20])).collect()
+        assert idx2._ids_partitioned is False
+        with pytest.raises(ValueError, match="already indexed"):
+            idx2.add_docs(_mk_docs(spark, rows[:1]))
+        # compact migrates: partitioned sidecar, meta records id_buckets
+        idx2.compact_index()
+        assert idx2._ids_partitioned is True
+        assert "__idb__" in spark.table(idx2._ids_table).columns
+        with open(f"{path}__meta.json") as fh:
+            assert json.load(fh)["id_buckets"] == idx2.id_buckets
+        # exactly-once survives the migration, both pre- and post-compact ids
+        with pytest.raises(ValueError, match="already indexed"):
+            idx2.add_docs(_mk_docs(spark, rows[5:6]))
+        idx2.add_docs(_mk_docs(spark, rows[20:])).collect()
+        with pytest.raises(ValueError, match="already indexed"):
+            idx2.add_docs(_mk_docs(spark, rows[25:26]))
+        # a fresh resume lands on the migrated layout
+        idx3 = IncrementalLSHIndex("doc_id", "text", resume=True, **kw)
+        idx3._attach_if_resuming(spark)
+        assert idx3._ids_partitioned is True
+    finally:
+        for t in ("lsh_legmig_test", "lsh_legmig_test__ids",
+                  "lsh_legmig_test__g1", "lsh_legmig_test__g1__ids"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_lsh_index_fresh_start_clears_generations_and_pointer(spark, tmp_path):
+    """ADVICE r12 medium: a fresh index at a path whose PRIOR index was
+    compacted away from the legacy root (only `__gN` tables + the
+    pointer sidecar remain) must refuse without overwrite_index=True —
+    and WITH it must remove the pointer and every generation, so a
+    later resume=True incarnation attaches to the fresh index, never to
+    the stale pre-wipe generation (the phantom-pairs failure)."""
+    import os
+
+    from storm_spark.functions.dedup import IncrementalLSHIndex
+
+    rows = _lsh_rows()
+    path = str(tmp_path / "fresh")
+    kw = dict(n=3, num_perm=12, bands=4, n_buckets=8,
+              index_table="lsh_fresh_test", index_path=path)
+    try:
+        old = IncrementalLSHIndex("doc_id", "text", **kw)
+        old.add_docs(_mk_docs(spark, rows[:10])).collect()
+        old.compact_index()
+        old.compact_index()  # second compact sweeps the legacy root
+        assert not os.path.isdir(path) and os.path.isfile(f"{path}__meta.json")
+        # the legacy root is EMPTY, but the pointer + __g2 remain: the
+        # old guard (legacy-root-only) would silently proceed here
+        fresh = IncrementalLSHIndex("doc_id", "text", **kw)
+        with pytest.raises(ValueError, match="prior index"):
+            fresh.add_docs(_mk_docs(spark, rows[10:20])).collect()
+        # opting in wipes pointer + generations, then writes the fresh root
+        fresh2 = IncrementalLSHIndex(
+            "doc_id", "text", overwrite_index=True, **kw
+        )
+        fresh2.add_docs(_mk_docs(spark, rows[10:20])).collect()
+        assert not os.path.isfile(f"{path}__meta.json")
+        assert not os.path.isdir(f"{path}__g2")
+        # a resume attaches to the FRESH index: a doc only the stale
+        # pre-wipe generation knew is accepted (it would raise "already
+        # indexed" if the resume had chased the stale pointer to __g2)
+        res = IncrementalLSHIndex("doc_id", "text", resume=True, **kw)
+        res.add_docs(_mk_docs(spark, rows[:5])).collect()
+        with pytest.raises(ValueError, match="already indexed"):
+            res.add_docs(_mk_docs(spark, rows[10:11]))
+    finally:
+        for t in ("lsh_fresh_test", "lsh_fresh_test__ids",
+                  "lsh_fresh_test__g1", "lsh_fresh_test__g1__ids",
+                  "lsh_fresh_test__g2", "lsh_fresh_test__g2__ids",
+                  "lsh_fresh_test__g3", "lsh_fresh_test__g3__ids"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_lsh_orphan_sweep_catches_suffix_only_generations(spark, tmp_path):
+    """ADVICE r12 low: rebuild writes `__gN__ids` BEFORE `__gN`, so a
+    crash between the two leaves a suffix-ONLY orphan; the sweep must
+    discover the generation from the suffixed dir alone (a `__gN`-dirs
+    scan would leak it permanently once the pointer advances past N)."""
+    import os
+
+    from storm_spark.functions.dedup import IncrementalLSHIndex
+
+    rows = _lsh_rows()
+    path = str(tmp_path / "orph")
+    kw = dict(n=3, num_perm=12, bands=4, n_buckets=8,
+              index_table="lsh_orph_test", index_path=path)
+    try:
+        idx = IncrementalLSHIndex("doc_id", "text", **kw)
+        idx.add_docs(_mk_docs(spark, rows[:10])).collect()
+        # simulated crash: a rebuild died after its FIRST write — the
+        # __g3__ids dir exists, __g3 itself never got written (a number
+        # the upcoming compact won't reuse, so "swept" is unambiguous)
+        os.makedirs(f"{path}__g3__ids", exist_ok=True)
+        idx.compact_index()  # sweeps, then compacts into a fresh gen
+        assert not os.path.isdir(f"{path}__g3__ids")
+        # the compact did not collide with the orphan's number space:
+        # whatever generation it chose is the pointer's and is complete
+        assert os.path.isdir(idx._cur_path) and os.path.isdir(idx._ids_path)
+        with pytest.raises(ValueError, match="already indexed"):
+            idx.add_docs(_mk_docs(spark, rows[:1]))
+    finally:
+        for t in ("lsh_orph_test", "lsh_orph_test__ids",
+                  "lsh_orph_test__g1", "lsh_orph_test__g1__ids"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_lsh_compact_n_files_knob(spark, tmp_path):
+    """compact_index(n_files=k): ≤ k files per bucket with up to
+    n_buckets·k-way write parallelism (VERDICT r12 #3's knob); k=1
+    keeps the exact one-file-per-bucket invariant; emissions and
+    exactly-once are invariant to the knob."""
+    import collections
+    import glob
+    import os
+    import re
+
+    from storm_spark.functions.dedup import IncrementalLSHIndex
+
+    rows = _lsh_rows()
+    path = str(tmp_path / "nfiles")
+    kw = dict(n=3, num_perm=12, bands=4, n_buckets=8,
+              index_table="lsh_nfiles_test", index_path=path)
+    try:
+        idx = IncrementalLSHIndex("doc_id", "text", **kw)
+        for b in (0, 1, 2):
+            idx.add_docs(
+                _mk_docs(spark, [r for r in rows if r[0] % 3 == b])
+            ).collect()
+        with pytest.raises(ValueError, match="n_files"):
+            idx.compact_index(n_files=0)
+        idx.compact_index()  # k=1: exactly one file per non-empty bucket
+        per = collections.Counter(
+            re.search(r"_(\d{5})\.c", os.path.basename(f)).group(1)
+            for f in glob.glob(os.path.join(idx._cur_path, "*.parquet"))
+        )
+        assert per and max(per.values()) == 1, per
+        n_rows = spark.read.parquet(idx._cur_path).count()
+        idx.compact_index(n_files=3)
+        per3 = collections.Counter(
+            re.search(r"_(\d{5})\.c", os.path.basename(f)).group(1)
+            for f in glob.glob(os.path.join(idx._cur_path, "*.parquet"))
+        )
+        assert max(per3.values()) <= 3, per3
+        assert spark.read.parquet(idx._cur_path).count() == n_rows
+        with pytest.raises(ValueError, match="already indexed"):
+            idx.add_docs(_mk_docs(spark, rows[:1]))
+    finally:
+        for t in ("lsh_nfiles_test", "lsh_nfiles_test__ids",
+                  "lsh_nfiles_test__g1", "lsh_nfiles_test__g1__ids",
+                  "lsh_nfiles_test__g2", "lsh_nfiles_test__g2__ids"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
