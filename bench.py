@@ -292,7 +292,13 @@ def main() -> None:
     lc_total = round(sum(v for k, v in times.items() if k in lifecycle_set), 3)
     total = q_total
     out = {
-        "metric": "headline_query_wall_sec",
+        # renamed from headline_query_wall_sec at the r12 split (ADVICE
+        # r12): pre-split records summed the lifecycle gates into
+        # "value", so keeping the old name would let tooling compare
+        # different query sets silently; the schema field makes the
+        # record shape machine-checkable
+        "metric": "headline_query_only_wall_sec",
+        "schema": 2,
         "value": total,
         "unit": "sec",
         "queries": times,
@@ -327,7 +333,8 @@ def main() -> None:
     # in bench_out.json / the long line above.
     slowest = sorted(times.items(), key=lambda kv: -kv[1])[:5]
     compact = {
-        "metric": "headline_query_wall_sec",
+        "metric": "headline_query_only_wall_sec",
+        "schema": 2,
         "value": total,
         "unit": "sec",
         "sf": float(sf),

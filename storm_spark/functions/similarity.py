@@ -1657,10 +1657,27 @@ class IVFPQIndex:
         "id_buckets", "generation", "train_sample",
     )
 
-    def __init__(self, path: str, id_col: str = "vec_id", vec_col: str = "embedding"):
+    def __init__(
+        self,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        auto_compact_every: int | None = None,
+    ):
         self.path = path
         self.id_col, self.vec_col = id_col, vec_col
         self.m = self.ksub = self.n_lists = self.sub_len = None
+        if auto_compact_every is not None and auto_compact_every < 1:
+            raise ValueError("auto_compact_every must be >= 1")
+        # TABLE-compaction cadence (r13, VERDICT r12 #6 — the
+        # IncrementalLSHIndex twin): every K-th add_vectors triggers the
+        # generation-swap compact() after the absorb, bounding the
+        # deltas × cells small-file accretion of a months-long feed.
+        # A RUNTIME policy, not index structure: it is not persisted in
+        # the meta — a load()-ed incarnation sets the attribute (or the
+        # constructor arg) itself; the counter restarts per incarnation.
+        self.auto_compact_every = auto_compact_every
+        self._absorbs_since_compact = 0
         # hash-partition count of the ids/ sidecar (delta-sized
         # exactly-once checks, VERDICT r10 #3); None on a loaded
         # pre-sidecar index, which falls back to the vectors scan
@@ -1946,6 +1963,14 @@ class IVFPQIndex:
         cents = spark.read.parquet(self._art("centroids"))
         cbs = spark.read.parquet(self._art("codebooks"))
         self._encode_and_write(corpus, cents, cbs, "append")
+        # table maintenance on cadence (r13, VERDICT r12 #6) — after the
+        # absorb completes, i.e. between serving turns as compact()'s
+        # single-writer contract requires
+        if self.auto_compact_every:
+            self._absorbs_since_compact += 1
+            if self._absorbs_since_compact >= self.auto_compact_every:
+                self.compact()
+                self._absorbs_since_compact = 0
         return self
 
     def remove_vectors(self, ids: DataFrame) -> "IVFPQIndex":

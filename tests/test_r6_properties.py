@@ -218,9 +218,11 @@ def test_star_edges_same_components_as_pair_clique(spark, docs, bands, salt):
     groups in one band bucket — the hot-bucket case the star emission
     exists for) the connected components of the O(m)-per-bucket star
     edges equal those of the O(m²) pair clique — in ALL THREE emission
-    modes: plain/globally-salted (drawn) AND adaptive (r12
-    salt_threshold=2, low enough that the duplicate groups hypothesis
-    plants actually cross it, exercising the hot/cold split)."""
+    modes: plain/globally-salted (drawn; salt_threshold=None opts out of
+    the r13 default-on adaptive mode so the UNCONDITIONAL star paths
+    stay covered) AND adaptive (r12 salt_threshold=2, low enough that
+    the duplicate groups hypothesis plants actually cross it,
+    exercising the hot/cold split)."""
     from storm_spark.functions import dedup
 
     df = spark.createDataFrame(
@@ -237,7 +239,9 @@ def test_star_edges_same_components_as_pair_clique(spark, docs, bands, salt):
     via_stars = {
         (r.id, r.cluster_id)
         for r in dedup.near_dup_clusters(
-            dedup.minhash_lsh_edges(df, "doc_id", "text", salt_buckets=salt, **kw)
+            dedup.minhash_lsh_edges(
+                df, "doc_id", "text", salt_buckets=salt, salt_threshold=None, **kw
+            )
         ).collect()
     }
     assert via_stars == via_pairs

@@ -1100,3 +1100,49 @@ def test_ivf_pq_index_retrain_crash_windows(clustered_vectors, tmp_path):
     idx2.retrain(n_iters=1, m=8)
     assert idx2.generation == "g2" and idx2.m == 8 and idx2.sub_len == 1
     assert idx2.search(q, **args).count() > 0
+
+
+def test_ivf_pq_index_auto_compact_cadence(clustered_vectors, tmp_path, spark):
+    """auto_compact_every=K (r13, VERDICT r12 #6): every K-th
+    add_vectors triggers the crash-atomic generation-swap compact
+    between serving turns — a months-long feed gets a stated
+    small-file-maintenance story instead of relying on manual
+    compact() calls. Search answers are invariant to the cadence."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    from storm_spark.functions import similarity
+
+    with _pytest.raises(ValueError, match="auto_compact_every"):
+        similarity.IVFPQIndex(str(tmp_path / "x"), auto_compact_every=0)
+
+    corpus = clustered_vectors
+    queries = corpus.filter(F.col("vec_id") < 8)
+    cbs = similarity.pq_codebooks(corpus, "vec_id", "embedding", m=4, ksub=4, n_iters=1)
+    cents = similarity._ivf_default_centroids(corpus, "vec_id", "embedding", 4)
+    kw = dict(m=4, ksub=4, n_lists=4, centroids=cents, codebooks=cbs)
+    full = similarity.IVFPQIndex(str(tmp_path / "full"), "vec_id", "embedding").build(
+        corpus, **kw
+    )
+    third = F.pmod(F.col("vec_id"), F.lit(3))
+    auto = similarity.IVFPQIndex(
+        str(tmp_path / "auto"), "vec_id", "embedding", auto_compact_every=2
+    ).build(corpus.filter(third == 0), **kw)
+    assert auto.generation is None  # build does not count as an absorb
+    auto.add_vectors(corpus.filter(third == 1))
+    assert auto.generation is None  # 1st absorb: below cadence
+    auto.add_vectors(corpus.filter(third == 2))
+    assert auto.generation == "g1"  # 2nd absorb triggered the compact
+    assert auto._absorbs_since_compact == 0  # counter reset
+    # compacted vectors/ holds ONE file (n_files=1 default), not 3 appends
+    vec_files = glob.glob(os.path.join(auto._art("vectors"), "*.parquet"))
+    assert len(vec_files) == 1, vec_files
+    args = dict(k=3, n_probe=2, shortlist=10)
+    a = sorted(map(tuple, full.search(queries, **args).collect()))
+    b = sorted(map(tuple, auto.search(queries, **args).collect()))
+    assert a == b
+    # exactly-once survives the auto-compact (sidecar rebuilt in g1)
+    with _pytest.raises(ValueError, match="already indexed"):
+        auto.add_vectors(corpus.filter(F.col("vec_id") < 2))

@@ -1603,10 +1603,11 @@ def test_lsh_index_adaptive_salting_equivalence(spark):
             for r in near_dup_clusters(idx.pairs()).collect()
         }
 
-    plain = run()
-    manual = run(salt_buckets=4)
+    plain = run(salt_threshold=None)  # opt out of the r13 default-on
+    manual = run(salt_buckets=4, salt_threshold=None)  # unconditional salt
     auto = run(salt_threshold=5)  # hot group (14 > 5) salts, others don't
-    assert plain == manual == auto
+    default = run()  # r13 default: adaptive at 100·bands (no-op here)
+    assert plain == manual == auto == default
     # sanity: the boilerplate survivors cluster together under doc 1
     assert {(i, 1) for i in range(1, 14)} <= auto
 
@@ -2034,4 +2035,105 @@ def test_lsh_compact_n_files_knob(spark, tmp_path):
         for t in ("lsh_nfiles_test", "lsh_nfiles_test__ids",
                   "lsh_nfiles_test__g1", "lsh_nfiles_test__g1__ids",
                   "lsh_nfiles_test__g2", "lsh_nfiles_test__g2__ids"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_adaptive_salting_default_on(spark):
+    """r13 (VERDICT r12 #5): adaptive salting defaults ON at threshold
+    100·bands — a degenerate boilerplate bucket is straggler-safe out of
+    the box — while below-threshold corpora get the plain star verbatim
+    (identical emission rows, the measured-zero no-op). None opts out;
+    rebuild() re-resolves the auto threshold when bands change."""
+    from storm_spark.functions.dedup import IncrementalLSHIndex, minhash_lsh_edges
+
+    rows = [
+        (i, f"the quick brown fox {i % 4} jumps over the lazy dog {i % 4}")
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # below threshold: the default emission IS the plain star, row-for-row
+    auto_rows = sorted_rows(minhash_lsh_edges(docs, "doc_id", "text", bands=4))
+    plain_rows = sorted_rows(
+        minhash_lsh_edges(docs, "doc_id", "text", bands=4, salt_threshold=None)
+    )
+    assert auto_rows == plain_rows
+    idx = IncrementalLSHIndex("doc_id", "text", bands=4)
+    assert idx._salt_auto and idx.salt_threshold == 400
+    assert IncrementalLSHIndex("doc_id", "text", bands=8).salt_threshold == 800
+    assert IncrementalLSHIndex(
+        "doc_id", "text", salt_threshold=None
+    ).salt_threshold is None
+    assert IncrementalLSHIndex(
+        "doc_id", "text", salt_threshold=7
+    ).salt_threshold == 7
+
+
+def test_lsh_index_auto_compact_cadence(spark, tmp_path):
+    """auto_compact_every=K (r13, VERDICT r12 #6): every K-th add_docs
+    triggers the crash-atomic generation-swap compact_index between
+    epochs — bounding physical small-file accretion (epochs × n_buckets
+    files) without manual maintenance calls. Emissions, pairs(), and
+    the exactly-once contract are invariant to the cadence; pending
+    tombstones are applied at the triggered compact (the documented
+    compact semantics — the freed id becomes indexable again)."""
+    import glob
+    import os
+
+    from storm_spark.functions.dedup import (
+        IncrementalLSHIndex,
+        minhash_lsh_pairs,
+        near_dup_clusters,
+    )
+
+    rows = _lsh_rows()
+    path = str(tmp_path / "autoc")
+    kw = dict(n=3, num_perm=12, bands=4, n_buckets=8,
+              index_table="lsh_autoc_test", index_path=path)
+    with pytest.raises(ValueError, match="bucketed mode"):
+        IncrementalLSHIndex("doc_id", "text", auto_compact_every=2)
+    with pytest.raises(ValueError, match="auto_compact_every"):
+        IncrementalLSHIndex("doc_id", "text", auto_compact_every=0, **kw)
+    try:
+        idx = IncrementalLSHIndex(
+            "doc_id", "text", auto_compact_every=2, **kw
+        )
+        got = set()
+        got |= {(r.id_a, r.id_b) for r in idx.add_docs(
+            _mk_docs(spark, [r for r in rows if r[0] % 3 == 0])).collect()}
+        assert idx.generation is None  # 1st absorb: below cadence
+        got |= {(r.id_a, r.id_b) for r in idx.add_docs(
+            _mk_docs(spark, [r for r in rows if r[0] % 3 == 1])).collect()}
+        assert idx.generation == 1  # 2nd absorb triggered the compact
+        assert idx._absorbs_since_compact == 0
+        # tombstone then hit the cadence again: compact applies it
+        idx.remove_docs(_mk_docs(spark, rows[:1]).select("doc_id"))
+        got |= {(r.id_a, r.id_b) for r in idx.add_docs(
+            _mk_docs(spark, [r for r in rows if r[0] % 3 == 2])).collect()}
+        assert idx.generation == 1
+        got |= {(r.id_a, r.id_b) for r in idx.add_docs(
+            _mk_docs(spark, [(100, "a brand new unique document")])).collect()}
+        assert idx.generation == 2  # 4th absorb: second auto compact
+        assert not os.path.isdir(f"{path}__g2__tombstones")  # applied
+        # one file per non-empty bucket in the live generation
+        files = glob.glob(os.path.join(idx._cur_path, "*.parquet"))
+        assert 0 < len(files) <= 8, files
+        # the freed id is indexable again (5th absorb, below cadence)
+        idx.add_docs(_mk_docs(spark, [(0, "recycled id new content")])).collect()
+        with pytest.raises(ValueError, match="already indexed"):
+            idx.add_docs(_mk_docs(spark, rows[1:2]))
+        # pairs() over survivors == batch operator over survivors,
+        # connectivity-wise (doc 0's OLD content pairs are gone)
+        live_rows = ([r for r in rows if r[0] != 0]
+                     + [(100, "a brand new unique document"),
+                        (0, "recycled id new content")])
+        want = near_dup_clusters(
+            minhash_lsh_pairs(_mk_docs(spark, live_rows), "doc_id", "text",
+                              n=3, num_perm=12, bands=4))
+        got_cl = near_dup_clusters(idx.pairs())
+        assert sorted_rows(got_cl) == sorted_rows(want)
+    finally:
+        for t in ("lsh_autoc_test", "lsh_autoc_test__ids",
+                  "lsh_autoc_test__g1", "lsh_autoc_test__g1__ids",
+                  "lsh_autoc_test__g2", "lsh_autoc_test__g2__ids",
+                  "lsh_autoc_test__g3", "lsh_autoc_test__g3__ids"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
