@@ -190,16 +190,20 @@ HEADLINE = [
 LIFECYCLE = [
     "ann_index_persist",
     "ann_index_update",
+    "ann_index_autocompact",
     "ann_index_delete",
     "ann_index_retrain",
     "dedup_index_delete",
     "dedup_index_rebuild",
+    "dedup_index_autocompact",
 ]
 
 # The round's new/touched queries — what `--changed-only` runs while
 # iterating (the full list dominates round wall-clock at 135+ queries;
 # the close-out still runs everything). Update each round.
 CHANGED_THIS_ROUND = [
+    "dedup_index_autocompact",
+    "ann_index_autocompact",
     "dedup_index_rebuild",
     "ann_ivf_sampled",
     "ann_pq_sampled",

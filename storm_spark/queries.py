@@ -2439,6 +2439,71 @@ ORACLE_DEDUP_INDEX_REBUILD = _oracle_dedup_cluster(
 )
 
 
+def q_dedup_index_autocompact(spark, sf_dir):
+    """Table-maintenance CADENCE of the incremental LSH dedup index
+    (dedup.IncrementalLSHIndex(auto_compact_every=K), r13 — VERDICT r12
+    #6): compact_every bounds the PLAN depth of pairs(), but physical
+    small-file accretion (epochs × n_buckets files) previously relied on
+    manual compact_index() calls — with auto_compact_every=K every K-th
+    absorb triggers the crash-atomic generation-swap compact between
+    epochs. This gate absorbs the corpus over two epochs at cadence 1:
+    epoch 1 auto-compacts into g1; a tombstone lands on every doc_id ≡ 3
+    (mod 7) among the absorbed half; epoch 2 absorbs onto the compacted
+    generation and its auto-compact (g2) physically applies the pending
+    tombstones. The final clustering must equal the from-scratch batch
+    operator over the survivors — maintenance cadence is invisible in
+    the answer. The trigger count, file bound, and freed-id
+    re-indexability are pinned in pytest
+    (test_lsh_index_auto_compact_cadence)."""
+    import os
+    import uuid
+
+    from storm_spark.functions.dedup import IncrementalLSHIndex
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    table = "dixauto_idx_" + uuid.uuid4().hex[:8]
+    idx = IncrementalLSHIndex(
+        "doc_id",
+        "text",
+        n=3,
+        num_perm=12,
+        bands=4,
+        index_table=table,
+        index_path=os.path.join(
+            gate_tmp.mkdtemp(prefix="storm_spark_dixauto_"), "idx"
+        ),
+        emit="edges",
+        auto_compact_every=1,
+    )
+    half = F.pmod(F.col("doc_id"), F.lit(2))
+    idx.add_docs(docs.filter(half == 0))  # → auto-compact g1
+    # takedowns among the absorbed half only (the other half arrives later)
+    idx.remove_docs(
+        docs.filter(
+            (F.pmod(F.col("doc_id"), F.lit(7)) == 3) & (half == 0)
+        ).select("doc_id")
+    )
+    idx.add_docs(docs.filter(half == 1))  # → auto-compact g2, tombstones drop
+    if idx.generation != 2:  # the cadence itself is part of the contract
+        raise AssertionError(f"expected generation 2, got {idx.generation}")
+    out = dedup.near_dup_clusters(idx.pairs()).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+    )
+    out = out.localCheckpoint()
+    for g in ("", "__g1", "__g2"):
+        for suf in ("", "__ids"):
+            spark.sql(f"DROP TABLE IF EXISTS {table}{g}{suf}")
+    return out
+
+
+# survivors = everything except the tombstoned slice (≡3 mod 7 within the
+# even half); `%` is safe (doc_id non-negative), pmod matches
+ORACLE_DEDUP_INDEX_AUTOCOMPACT = _oracle_dedup_cluster(
+    where="NOT (doc_id % 7 = 3 AND doc_id % 2 = 0)"
+)
+
+
 def q_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash64(docs, "doc_id", "text", bits=32)
@@ -7258,6 +7323,41 @@ def q_ann_index_update(spark, sf_dir):
     return idx.search(q, k=5, n_probe=2, shortlist=20)
 
 
+def q_ann_index_autocompact(spark, sf_dir):
+    """Table-maintenance CADENCE of the persisted ANN index
+    (similarity.IVFPQIndex(auto_compact_every=K), r13 — VERDICT r12 #6,
+    the dedup_index_autocompact twin): with auto_compact_every=1 every
+    absorb triggers the crash-atomic generation-swap compact() after the
+    delta lands — build over a third of the corpus, absorb the other two
+    thirds as deltas (→ g1, → g2; each compact collapses the absorb's
+    appended files and re-derives the ids sidecar). Quantizers are
+    trained on the full corpus up front and frozen (the serving
+    contract), so the maintenance cadence must be INVISIBLE: the answer
+    equals the same unrolled full-corpus `ann_ivf_pq` oracle verbatim,
+    exactly like ann_index_update's split-build+add. Trigger counts and
+    file bounds are pinned in pytest
+    (test_ivf_pq_index_auto_compact_cadence)."""
+    import os
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = similarity.pq_codebooks(emb, "vec_id", "embedding", m=4, ksub=4, n_iters=1)
+    cents = similarity._ivf_default_centroids(emb, "vec_id", "embedding", 4)
+    path = os.path.join(gate_tmp.mkdtemp(prefix="storm_spark_annauto_"), "idx")
+    third = F.pmod(F.col("vec_id"), F.lit(3))
+    idx = similarity.IVFPQIndex(
+        path, "vec_id", "embedding", auto_compact_every=1
+    ).build(
+        emb.filter(third == 0), m=4, ksub=4, n_lists=4,
+        centroids=cents, codebooks=cbs,
+    )
+    idx.add_vectors(emb.filter(third == 1))  # → auto-compact g1
+    idx.add_vectors(emb.filter(third == 2))  # → auto-compact g2
+    if idx.generation != "g2":  # the cadence itself is part of the contract
+        raise AssertionError(f"expected generation g2, got {idx.generation}")
+    q = emb.filter(F.col("vec_id") < 20)
+    return idx.search(q, k=5, n_probe=2, shortlist=20)
+
+
 def q_ann_index_delete(spark, sf_dir):
     """Deletion + compaction of the persisted ANN index
     (similarity.IVFPQIndex.remove_vectors / .compact, r10): build over
@@ -8866,6 +8966,9 @@ QUERIES = {
     # r10: delta absorption into the persisted index (frozen quantizers) —
     # split-build+add must equal the full-build oracle verbatim
     "ann_index_update": q_ann_index_update,
+    # r13: maintenance cadence — auto_compact_every generation swaps,
+    # invisible in the answer (VERDICT r12 #6)
+    "ann_index_autocompact": q_ann_index_autocompact,
     "ann_index_delete": q_ann_index_delete,
     # r11: staged quantizer-refresh migration, fresh-full-build oracle
     "ann_index_retrain": q_ann_index_retrain,
@@ -9103,6 +9206,9 @@ QUERIES = {
     # r12: parameter migration with continuity — generation tables +
     # atomic pointer flip (VERDICT r11 #3), batch oracle at new params
     "dedup_index_rebuild": q_dedup_index_rebuild,
+    # r13: auto_compact_every cadence, tombstones applied by the
+    # triggered compact (VERDICT r12 #6)
+    "dedup_index_autocompact": q_dedup_index_autocompact,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "simhash": q_simhash,
@@ -9114,72 +9220,70 @@ QUERIES = {
 }
 
 # ---------------------------------------------------------------------------
-# Rotation 12 (policy from r8: LEAST-RECENTLY-SAMPLED first — the driver
+# Rotation 13 (policy from r8: LEAST-RECENTLY-SAMPLED first — the driver
 # samples the first 50 keys, so the head is recomputed each round via
 # tools/rotation.py as: this round's NEW gates, then every other entry
-# ranked by (last driver-sampled round, catalog position)). The r12 head =
-# the 3 new r12 gates (dedup_index_rebuild, ann_ivf_sampled,
-# ann_pq_sampled), then the stalest tail — last driver-sampled in round 8
-# (the r4/r5-era mid-catalog rows and the r1-r3 basics lead the staleness
-# ranking now, exactly as the r11 verdict predicted). The literal dict
+# ranked by (last driver-sampled round, catalog position)). The r13 head =
+# the 2 new r13 gates (dedup_index_autocompact, ann_index_autocompact),
+# then the stalest tail — last driver-sampled in round 9. The literal dict
 # order above is the historical rotation record; THIS list is the
 # driver-facing order (policy documented in SURVEY.md §8).
-_ROTATION12_HEAD = [
-    "dedup_index_rebuild",
-    "ann_ivf_sampled",
-    "ann_pq_sampled",
-    "streaming_dedup_pipeline",
-    "multimodal_features",
-    "cube",
-    "pivot",
-    "count_distinct",
-    "percentile_exact",
-    "range_join",
-    "asof_join",
-    "cms_heavy_hitters",
-    "winnow_fingerprint",
-    "embedding_near_dup",
-    "wordcount",
-    "rollup_continuous",
-    "decontaminate",
-    "partition_persist",
-    "linear_drpc",
-    "dedup_jaccard_capped",
-    "state_wordcount",
-    "streaming_wordcount",
-    "drpc_state_lookup",
-    "window_hourly",
-    "percentile",
-    "window_sliding",
-    "groupby_sum",
-    "topk_per_group",
-    "join_inner",
-    "join_nway",
-    "first_n",
-    "project_filter",
-    "builtin_filters",
-    "each_compute",
-    "python_each",
-    "split_explode",
-    "chained_agg",
-    "custom_agg_second_max",
-    "distinct",
-    "rollup",
-    "merge",
-    "join_outer",
-    "semi_join",
-    "anti_join",
-    "state_snapshot_total",
-    "json_extract",
-    "dedup_exact",
-    "dedup_jaccard",
-    "minhash_lsh",
-    "corpus_clean",
+_ROTATION13_HEAD = [
+    "dedup_index_autocompact",
+    "ann_index_autocompact",
+    "streaming_dedup_pipeline_bucketed",
+    "streaming_dedup_merge",
+    "leakage_safe_split",
+    "multimodal_frames",
+    "multimodal_resize",
+    "salted_groupby",
+    "prototype_prune",
+    "semantic_dedup",
+    "substring_dedup",
+    "pmi_collocations",
+    "training_order",
+    "quality_gate",
+    "mixture_weights",
+    "bm25_topk",
+    "multi_reduce",
+    "repartition_verbs",
+    "metrics_observe",
+    "state_scan",
+    "funnel",
+    "retention",
+    "weighted_sample",
+    "bucketed_join",
+    "partition_pruned",
+    "redact_pii",
+    "quota_sample",
+    "bloom_join",
+    "outlier_mad",
+    "gap_fill",
+    "frequent_pairs",
+    "unigram_surprisal",
+    "quality_repetition",
+    "domain_stats",
+    "trailing_zscore",
+    "profile_table",
+    "sessionize",
+    "corpus_diff",
+    "event_transitions",
+    "pagerank",
+    "fuzzy_pairs",
+    "scd2",
+    "rolling_active",
+    "dedup_cluster",
+    "ann_lsh",
+    "ann_ivf",
+    "simhash",
+    "cosine_topk",
+    "text_profile",
+    "dataset_split",
 ]
-assert len(_ROTATION12_HEAD) == 50 and len(set(_ROTATION12_HEAD)) == 50
+assert len(_ROTATION13_HEAD) == 50 and len(set(_ROTATION13_HEAD)) == 50
 QUERIES = {
     k: QUERIES[k]
-    for k in (*_ROTATION12_HEAD, *(k for k in QUERIES if k not in set(_ROTATION12_HEAD)))
+    for k in (*_ROTATION13_HEAD, *(k for k in QUERIES if k not in set(_ROTATION13_HEAD)))
 }
 
 ORACLES = {
@@ -9230,6 +9334,7 @@ ORACLES = {
     "dedup_cluster_stars": ORACLE_DEDUP_CLUSTER,
     "dedup_index_delete": ORACLE_DEDUP_INDEX_DELETE,
     "dedup_index_rebuild": ORACLE_DEDUP_INDEX_REBUILD,
+    "dedup_index_autocompact": ORACLE_DEDUP_INDEX_AUTOCOMPACT,
     "simhash": ORACLE_SIMHASH,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "ann_lsh": ORACLE_ANN_LSH,
@@ -9307,6 +9412,7 @@ ORACLES = {
     "ann_ivf_pq": ORACLE_ANN_IVF_PQ,
     "ann_index_persist": ORACLE_ANN_IVF_PQ,
     "ann_index_update": ORACLE_ANN_IVF_PQ,
+    "ann_index_autocompact": ORACLE_ANN_IVF_PQ,
     "ann_index_delete": ORACLE_ANN_IVF_PQ_DELETE,
     "ann_index_retrain": ORACLE_ANN_IVF_PQ,
     "streaming_ann_ingest": ORACLE_ANN_IVF_PQ,
