@@ -179,6 +179,10 @@ HEADLINE = [
     "dedup_index_rebuild",
     "ann_ivf_sampled",
     "ann_pq_sampled",
+    # r13: auto_compact_every maintenance-cadence gates (the streaming
+    # pipeline gates stay exempt)
+    "dedup_index_autocompact",
+    "ann_index_autocompact",
 ]
 
 # Index-LIFECYCLE gates (multi-build, multi-write, multi-phase tests of

@@ -867,3 +867,36 @@ def test_lsh_index_exactly_once_ids_scan_is_partition_pruned(spark, tmp_path):
     finally:
         for t in ("lsh_prune_test", "lsh_prune_test__ids"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_auto_salted_star_cold_path_is_plain_star(spark):
+    """r13 follow-up to default-on adaptive salting (VERDICT r12 #5): when
+    NO bucket crosses the threshold — the overwhelmingly common case — the
+    emission plan must BE the plain single-window star reading the CACHED
+    bucket rows, not the adaptive detour (anti-join against an empty
+    broadcast + empty salted branch + union-distinct), and the signature
+    pipeline must not be recomputed per branch. Asserted on plan shape:
+    exactly one Window, zero joins/unions, and an InMemoryTableScan (the
+    bounded_persist of the bucket rows). With a degenerate bucket present
+    the salted branches must come back (union present)."""
+    from storm_spark.functions.dedup import minhash_lsh_edges
+
+    rows = [(i, f"document number {i} with its own distinct words {i * 7}")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cold = minhash_lsh_edges(docs, "doc_id", "text", salt_threshold=5)
+    plan = cold._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1, plan
+    assert "Join" not in plan and "Union" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    cold.collect()  # and it still runs
+
+    hot_docs = docs.union(
+        spark.createDataFrame(
+            [(100 + i, "the same boilerplate page") for i in range(12)],
+            "doc_id long, text string",
+        )
+    )
+    hot = minhash_lsh_edges(hot_docs, "doc_id", "text", salt_threshold=5)
+    hot_plan = hot._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in hot_plan, hot_plan
