@@ -1225,7 +1225,7 @@ class IncrementalLSHIndex:
         compact_every: int = 16,
         salt_buckets: int | None = None,
         salt_threshold: int | str | None = "auto",
-        id_buckets: int = 64,
+        id_buckets: int | str = "auto",
         auto_compact_every: int | None = None,
     ):
         if (index_table is None) != (index_path is None):
@@ -1296,7 +1296,16 @@ class IncrementalLSHIndex:
         # resume the persisted value wins, and a pre-r13 index (no
         # id_buckets in its meta) stays on the legacy unpartitioned
         # layout until the next compact_index()/rebuild() migrates it.
-        self.id_buckets = id_buckets
+        # "auto" (r13 optimization round, guide §2 "scale-adaptive
+        # partitioning"): the count is derived from the FIRST absorbed
+        # batch at ~100k ids/bucket, clamped to [8, 4096] — the previous
+        # constant 64 paid a fixed ~64-directory dynamic-partition
+        # commit per absorb regardless of batch size (measured 2.2 s vs
+        # 0.7 s per ids write at gate scale, tools/write_variants
+        # study), while a 10¹⁰-id corpus wants MORE than 64 partitions
+        # for the pruning factor. The resolved value persists in the
+        # meta like an explicit one.
+        self.id_buckets = None if id_buckets == "auto" else id_buckets
         self._ids_partitioned = True  # False only on legacy resume
         self._index: DataFrame | None = None  # in-memory mode
         self._index_epochs = 0  # unions since the last in-memory fold
@@ -1565,6 +1574,19 @@ class IncrementalLSHIndex:
             if (m := pat.fullmatch(d))
         }
 
+    @staticmethod
+    def _auto_id_buckets(n_rows: int) -> int:
+        """Scale-adaptive ids-sidecar partition count: ~100k ids per
+        hash bucket, power of two, clamped to [8, 4096]. Small batches
+        stop paying a 64-directory dynamic-partition commit per absorb;
+        a billion-id corpus gets a real pruning factor instead of a
+        constant 64 (guide §2 — derive partitioning from input size)."""
+        import math as _math
+
+        if n_rows <= 0:
+            return 8
+        return max(8, min(4096, 1 << _math.ceil(_math.log2(max(1.0, n_rows / 100_000)))))
+
     def _write_ids(
         self,
         ids: DataFrame,
@@ -1594,6 +1616,12 @@ class IncrementalLSHIndex:
             path = f"{self.index_path}__g{generation}__ids"
         if partitioned is None:
             partitioned = self._ids_partitioned
+        if partitioned and self.id_buckets is None:
+            # id_buckets="auto": size the sidecar's partition count from
+            # the first written id set (~100k ids per bucket, [8, 4096])
+            # — every later append/prune uses this resolved value from
+            # self/meta, so the layout never mixes
+            self.id_buckets = self._auto_id_buckets(ids.count())
         if not partitioned:
             (
                 ids.write.mode(mode)
@@ -1603,16 +1631,21 @@ class IncrementalLSHIndex:
                 .saveAsTable(tbl)
             )
             return
+        # plain path-based parquet, NOT saveAsTable (r13 optimization
+        # round): the partitioned layout needs no catalog metadata —
+        # unlike the index table, whose bucket spec lives in the catalog
+        # — and the per-write catalog registration measured ~1.1 s of
+        # the 2.2-3.3 s ids write at gate scale (tools/write_variants
+        # study); reads resolve the same hive-partitioned dirs by path
+        # with identical PartitionFilters pruning (plan test unchanged)
         (
             ids.withColumn(
                 "__idb__", F.pmod(F.xxhash64("__id__"), F.lit(self.id_buckets))
             )
             .repartition("__idb__")
             .write.mode(mode)
-            .option("path", path)
             .partitionBy("__idb__")
-            .format("parquet")
-            .saveAsTable(tbl)
+            .parquet(path)
         )
 
     def _stored_ids(self, spark, probe: DataFrame | None = None) -> DataFrame:
@@ -1630,7 +1663,14 @@ class IncrementalLSHIndex:
         coverage check) pass no probe. A legacy unpartitioned sidecar
         scans whole either way (1/bands of the index rows — migrate via
         compact_index)."""
-        stored = spark.table(self._ids_table)
+        # partitioned sidecars are plain path parquet from the r13
+        # optimization round (no catalog entry — see _write_ids); legacy
+        # bucketed sidecars still resolve through the catalog, whose
+        # bucket spec lives there
+        if self._ids_partitioned:
+            stored = spark.read.parquet(self._ids_path)
+        else:
+            stored = spark.table(self._ids_table)
         if self._ids_partitioned and probe is not None:
             touched = [
                 r["__idb__"]
@@ -2142,20 +2182,33 @@ class IncrementalLSHIndex:
                 ),
                 F.pmod(F.xxhash64("__id__"), F.lit(n_files)),
             )
-        (
-            cur.write.mode("overwrite")
-            .option("path", ngp)
-            .bucketBy(self.n_buckets, "__band__", "__bucket__")
-            .sortBy("__bucket__")
-            .format("parquet")
-            .saveAsTable(ngt)
-        )
         # ids sidecar rewritten in the PARTITIONED layout — also the
         # migration point for a pre-r13 legacy sidecar (VERDICT r12 #2)
         ids = self._stored_ids(spark)
         if tomb is not None:
             ids = ids.join(F.broadcast(tomb), "__id__", "anti")
-        self._write_ids(ids, "overwrite", generation=new_gen, partitioned=True)
+        # the table rewrite and the ids-sidecar rewrite are independent
+        # (ids derive from the OLD sidecar, not the new table) and both
+        # land in the unreferenced next generation — overlap them so one
+        # write's straggler tail is back-filled by the other's tasks
+        # (guide §2.6); crash-atomicity is the pointer flip below either way
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            ft = pool.submit(
+                lambda: cur.write.mode("overwrite")
+                .option("path", ngp)
+                .bucketBy(self.n_buckets, "__band__", "__bucket__")
+                .sortBy("__bucket__")
+                .format("parquet")
+                .saveAsTable(ngt)
+            )
+            fi = pool.submit(
+                self._write_ids, ids, "overwrite",
+                generation=new_gen, partitioned=True,
+            )
+            ft.result()
+            fi.result()
         meta = dict(self._meta_dict(), id_buckets=self.id_buckets)
         with open(_os.path.join(ngp, "_lsh_meta.json"), "w") as fh:
             _json.dump(meta, fh)
@@ -2297,25 +2350,35 @@ class IncrementalLSHIndex:
         ngt = f"{self.index_table}__g{new_gen}"
         ngp = f"{self.index_path}__g{new_gen}"
         # new-generation ids in the PARTITIONED layout (also the legacy
-        # migration point — VERDICT r12 #2; see _write_ids)
-        self._write_ids(
-            nb.filter(F.col("__band__") == 0).select("__id__"),
-            "overwrite",
-            generation=new_gen,
-            partitioned=True,
-        )
-        (
-            # one task per bucket (repartition hash ≡ bucket hash) → one
-            # file per bucket with n_buckets-way write parallelism, not
-            # a single-task rewrite (VERDICT r12 #3)
-            nb.repartition(n_buckets, "__band__", "__bucket__")
-            .write.mode("overwrite")
-            .option("path", ngp)
-            .bucketBy(n_buckets, "__band__", "__bucket__")
-            .sortBy("__bucket__")
-            .format("parquet")
-            .saveAsTable(ngt)
-        )
+        # migration point — VERDICT r12 #2; see _write_ids). Both writes
+        # consume the checkpointed `nb` and land in the unreferenced next
+        # generation (crash-atomicity is the pointer flip, a suffix-only
+        # orphan is swept — _generation_dirs), so they overlap
+        # (guide §2.6)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fi = pool.submit(
+                self._write_ids,
+                nb.filter(F.col("__band__") == 0).select("__id__"),
+                "overwrite",
+                generation=new_gen,
+                partitioned=True,
+            )
+            ft = pool.submit(
+                # one task per bucket (repartition hash ≡ bucket hash) →
+                # one file per bucket with n_buckets-way write
+                # parallelism, not a single-task rewrite (VERDICT r12 #3)
+                lambda: nb.repartition(n_buckets, "__band__", "__bucket__")
+                .write.mode("overwrite")
+                .option("path", ngp)
+                .bucketBy(n_buckets, "__band__", "__bucket__")
+                .sortBy("__bucket__")
+                .format("parquet")
+                .saveAsTable(ngt)
+            )
+            fi.result()
+            ft.result()
         new_params = {
             "n": n, "num_perm": num_perm, "bands": bands,
             "n_buckets": n_buckets, "id_buckets": self.id_buckets,

@@ -225,15 +225,31 @@ def triangle_count(
     e_raw = edges.select(
         F.col(src_col).cast("bigint").alias("a"), F.col(dst_col).cast("bigint").alias("b")
     ).filter(F.col("a") != F.col("b"))
+    # the canonical edge set feeds EVERY downstream frame (sym ×2, deg,
+    # ranked's two joins, closing ×2) — unmaterialized, each of the
+    # plan's leaf references re-ran the caller's whole edge-construction
+    # subtree (q_triangle_count's lineitem self-join appeared 28× as
+    # separate parquet scans, r13 plan audit). localCheckpoint, NOT a
+    # lazy persist: the downstream references run as concurrent stages
+    # of one job, which all RACE to compute a lazily-persisted frame
+    # before any of them has populated it (measured 1.8× SLOWER than no
+    # cache at all); the eager checkpoint computes the distilled (u, v)
+    # list exactly once, and it is tiny relative to any input that
+    # produces it
     und = (
         e_raw.select(
             F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
-        ).distinct()
+        )
+        .distinct()
+        .localCheckpoint()
     )
     sym = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("__d__"))
     # rank nodes by (degree, id) — a total order; orient every edge from
     # lower to higher rank
+    # referenced twice by the wedge self-join below — checkpointed so the
+    # degree joins run once, not once per alias (same eager-vs-lazy
+    # argument as `und` above; ≤ |und| rows)
     ranked = (
         sym.join(deg.select(F.col("u").alias("u"), F.col("__d__").alias("du")), "u")
         .join(
@@ -245,6 +261,7 @@ def triangle_count(
             | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
         )
         .select("u", "v")
+        .localCheckpoint()
     )
     w1, w2 = ranked.alias("w1"), ranked.alias("w2")
     wedges = (

@@ -1180,10 +1180,6 @@ def pq_codebooks(
             .limit(train_sample)
             .localCheckpoint()
         )
-    dim = len(v.select("__v__").first()[0])  # 1-row driver peek
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub_len = dim // m
     # JOINT trainer across all m subspaces — per-sub assignments are
     # independent, so training them in one pass is result-identical to m
     # sequential kmeans_centroids calls (same md5-smallest init ids, same
@@ -1197,6 +1193,17 @@ def pq_codebooks(
         .select("__v__")
         .collect()
     )
+    if not init:
+        raise ValueError(
+            "pq_codebooks: empty corpus — nothing to train on (fail loudly "
+            "rather than hand an empty codebook table downstream)"
+        )
+    # dim read off the init rows — the former 1-row `first()` peek was a
+    # whole extra driver job per training call (r13 optimization round)
+    dim = len(init[0]["__v__"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_len = dim // m
     # cents[s][i] = centroid i of subspace s
     cents = [
         [list(r["__v__"])[s * sub_len : (s + 1) * sub_len] for r in init]
@@ -1457,13 +1464,22 @@ def ivf_pq_topk(
     )
 
     codes = _pq_encode_cells(assigned, codebooks, m, sub_len)
-    # exact re-rank reuses `assigned` — it already carries each neighbor's
-    # cast vector; a fresh corpus scan + re-cast would duplicate that work
+    # exact re-rank side: a PLAIN corpus projection, NOT `assigned` —
+    # (neighbor_id, __cv__) is exactly the corpus (id, vec) pair, and
+    # routing it through `assigned` re-ran the crossJoin+argmax cell
+    # assignment (the plan's most expensive corpus-sized stage) a second
+    # time just to reach a column the scan already has (r13 optimization
+    # round; the plan audit showed the assignment subtree duplicated
+    # under both consumers). One cheap column-pruned scan replaces it.
+    vectors = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv__"),
+    )
     return _ivf_pq_search(
         q,
         probed,
         codes,
-        assigned.select("neighbor_id", "__cv__"),
+        vectors,
         codebooks,
         k,
         shortlist,
@@ -1657,6 +1673,19 @@ class IVFPQIndex:
         "id_buckets", "generation", "train_sample",
     )
 
+    @staticmethod
+    def _auto_id_buckets(n_rows: int) -> int:
+        """Scale-adaptive ids/ partition count (~100k ids per bucket,
+        power of two, clamped to [8, 4096]) — shared rule with
+        ``IncrementalLSHIndex._auto_id_buckets``."""
+        import math as _math
+
+        if n_rows <= 0:
+            return 8
+        return max(
+            8, min(4096, 1 << _math.ceil(_math.log2(max(1.0, n_rows / 100_000))))
+        )
+
     def __init__(
         self,
         path: str,
@@ -1680,8 +1709,13 @@ class IVFPQIndex:
         self._absorbs_since_compact = 0
         # hash-partition count of the ids/ sidecar (delta-sized
         # exactly-once checks, VERDICT r10 #3); None on a loaded
-        # pre-sidecar index, which falls back to the vectors scan
-        self.id_buckets = 64
+        # pre-sidecar index, which falls back to the vectors scan.
+        # "auto" (r13 optimization round, guide §2): resolved from the
+        # built corpus size at the first ids/ write (~100k ids/bucket,
+        # [8, 4096]) — the constant 64 paid a fixed 64-directory
+        # partition commit per absorb at any scale and under-partitions
+        # a billion-id corpus; the resolved value persists in the meta
+        self.id_buckets: int | str | None = "auto"
         # generation subdirectory (r11 retrain lifecycle): None = the
         # legacy root layout (artifacts directly under path); "gN" after
         # a retrain(). The meta sidecar is the POINTER — readers resolve
@@ -1803,19 +1837,28 @@ class IVFPQIndex:
         nothing (search never reads ids/; compact rebuilds it)."""
         import os as _os
 
+        from concurrent.futures import ThreadPoolExecutor
+
         assigned, _ = _ivf_assign_probe(
             corpus, corpus.limit(0), cents, self.id_col, self.vec_col, 1
         )
         assigned = assigned.localCheckpoint()
         codes = _pq_encode_cells(assigned, cbs, self.m, self.sub_len)
-        if self.id_buckets:
+        if self.id_buckets == "auto":
+            # scale-adaptive sidecar partition count (guide §2), sized
+            # once from the first written batch; assigned is already
+            # checkpointed so the count is a cheap local scan
+            self.id_buckets = self._auto_id_buckets(assigned.count())
+
+        def _write_ids():
             # compact id sidecar, hash-PARTITIONED so the exactly-once
             # checks prune to the delta's touched buckets (VERDICT r10
-            # #3 — the LSH index's __ids pattern). Written FIRST
-            # (ids-before-vectors-before-codes): a crash after this write
-            # makes the batch's replay raise "already indexed" (loud),
-            # and a dangling sidecar id hides nothing — search never
-            # reads ids/ — while compact() rebuilds it from vectors.
+            # #3 — the LSH index's __ids pattern). In append mode it is
+            # written FIRST (ids-before-vectors-before-codes): a crash
+            # after this write makes the batch's replay raise "already
+            # indexed" (loud), and a dangling sidecar id hides nothing —
+            # search never reads ids/ — while compact() rebuilds it from
+            # vectors.
             (
                 assigned.select(
                     "neighbor_id",
@@ -1833,16 +1876,41 @@ class IVFPQIndex:
                 .partitionBy("__idb__")
                 .parquet(self._art("ids"))
             )
-        (
-            assigned.select("neighbor_id", "__cv__")
-            .write.mode(mode)
-            .parquet(self._art("vectors"))
-        )
-        (
-            codes.write.mode(mode)
-            .partitionBy("__cell__")
-            .parquet(self._art("codes"))
-        )
+
+        def _write_vectors():
+            (
+                assigned.select("neighbor_id", "__cv__")
+                .write.mode(mode)
+                .parquet(self._art("vectors"))
+            )
+
+        def _write_codes():
+            (
+                codes.write.mode(mode)
+                .partitionBy("__cell__")
+                .parquet(self._art("codes"))
+            )
+
+        if mode == "overwrite":
+            # build/retrain write into an UNREFERENCED location (a fresh
+            # root with the meta written after, or a new generation behind
+            # the pointer) — a crash anywhere orphans the whole write, so
+            # the three independent writes can overlap (guide §2.6: the
+            # scheduler back-fills one write's straggler tail with the
+            # next's tasks; all three consume the checkpointed `assigned`)
+            writers = [_write_vectors, _write_codes] + (
+                [_write_ids] if self.id_buckets else []
+            )
+            with ThreadPoolExecutor(max_workers=len(writers)) as pool:
+                for f in [pool.submit(w) for w in writers]:
+                    f.result()
+        else:
+            # append (add_vectors): the crash-ordering contract above
+            # requires ids → vectors → codes strictly in sequence
+            if self.id_buckets:
+                _write_ids()
+            _write_vectors()
+            _write_codes()
 
     @classmethod
     def load(cls, path: str) -> "IVFPQIndex":
@@ -2148,6 +2216,8 @@ class IVFPQIndex:
         until the next compact migrates past it — never hides one."""
         import json as _json
         import os as _os
+        import shutil as _shutil
+        from concurrent.futures import ThreadPoolExecutor
 
         from pyspark.sql import SparkSession
 
@@ -2158,8 +2228,7 @@ class IVFPQIndex:
         # every read below resolves its parquet paths NOW — the current
         # generation's — so flipping self.generation later only redirects
         # the writes (the retrain() pattern)
-        cents = spark.read.parquet(self._art("centroids"))
-        cbs = spark.read.parquet(self._art("codebooks"))
+        src_cents, src_cbs = self._art("centroids"), self._art("codebooks")
         vectors = spark.read.parquet(self._art("vectors"))
         codes = spark.read.parquet(self._art("codes"))
         tomb = self._tombstones(spark)
@@ -2178,25 +2247,40 @@ class IVFPQIndex:
                 self.id_buckets = 64
             self.generation = new_gen
             _os.makedirs(_os.path.join(self.path, new_gen), exist_ok=True)
-            # quantizers are unchanged by compaction — copied so the new
-            # generation is self-contained behind the pointer
-            cents.write.mode("overwrite").parquet(self._art("centroids"))
-            cbs.write.mode("overwrite").parquet(self._art("codebooks"))
-            vectors.coalesce(n_files).write.mode("overwrite").parquet(
-                self._art("vectors")
-            )
-            # repartition ON the cell column → every cell lands in exactly
-            # one task → one file per cell partition
+            # quantizers are unchanged by compaction — a FILE copy into
+            # the new generation (bit-identical parquet, zero Spark jobs;
+            # r13 optimization round — the read→rewrite paid two jobs per
+            # compact for content the operation never touches)
+            _shutil.copytree(src_cents, self._art("centroids"), dirs_exist_ok=True)
+            _shutil.copytree(src_cbs, self._art("codebooks"), dirs_exist_ok=True)
+            # vectors and codes rewrites are independent of each other —
+            # overlap them so the second's tasks back-fill the first's
+            # straggler tail (guide §2.6); crash-atomicity is unaffected
+            # (nothing is referenced until the pointer flips below)
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fv = pool.submit(
+                    lambda: vectors.coalesce(n_files)
+                    .write.mode("overwrite")
+                    .parquet(self._art("vectors"))
+                )
+                # repartition ON the cell column → every cell lands in
+                # exactly one task → one file per cell partition
+                fc = pool.submit(
+                    lambda: codes.repartition("__cell__")
+                    .write.mode("overwrite")
+                    .partitionBy("__cell__")
+                    .parquet(self._art("codes"))
+                )
+                fv.result()
+                fc.result()
+            # ids re-derived from the surviving vectors — drops tombstoned
+            # ids and heals dangling sidecar entries in one stroke. Read
+            # back from the just-COMPACTED vectors files (n_files compact
+            # files, tombstones already dropped) instead of re-running the
+            # old-generation scan + anti-join a second time
             (
-                codes.repartition("__cell__")
-                .write.mode("overwrite")
-                .partitionBy("__cell__")
-                .parquet(self._art("codes"))
-            )
-            # ids re-derived from the SURVIVING vectors — drops tombstoned
-            # ids and heals dangling sidecar entries in one stroke
-            (
-                vectors.select(
+                spark.read.parquet(self._art("vectors"))
+                .select(
                     "neighbor_id",
                     F.pmod(
                         F.xxhash64("neighbor_id"), F.lit(self.id_buckets)

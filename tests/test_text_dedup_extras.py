@@ -1294,13 +1294,15 @@ def test_lsh_index_remove_docs_bucketed_compact_lifecycle(spark, tmp_path):
         # with it at the pointer flip)
         assert idx.generation == 1
         assert not os.path.isdir(idx._tomb_path)
-        for tbl in (idx._cur_table, idx._ids_table):
+        # the index table resolves through the catalog (bucket spec lives
+        # there); the partitioned ids sidecar is plain path parquet from
+        # the r13 optimization round
+        for src in (spark.table(idx._cur_table), spark.read.parquet(idx._ids_path)):
             left = (
-                spark.table(tbl)
-                .join(dele, F.col("__id__") == F.col("doc_id"), "semi")
+                src.join(dele, F.col("__id__") == F.col("doc_id"), "semi")
                 .count()
             )
-            assert left == 0, f"{tbl} still holds tombstoned rows"
+            assert left == 0, "index still holds tombstoned rows"
         post = sorted(map(tuple, near_dup_clusters(idx.pairs()).collect()))
         assert post == want
         # freed ids are indexable again; their new pairs survive the view
@@ -1891,7 +1893,9 @@ def test_lsh_index_legacy_ids_layout_migrates_on_compact(spark, tmp_path):
         # compact migrates: partitioned sidecar, meta records id_buckets
         idx2.compact_index()
         assert idx2._ids_partitioned is True
-        assert "__idb__" in spark.table(idx2._ids_table).columns
+        # path-based read: the migrated partitioned sidecar has no
+        # catalog entry (r13 optimization round — see _write_ids)
+        assert "__idb__" in spark.read.parquet(idx2._ids_path).columns
         with open(f"{path}__meta.json") as fh:
             assert json.load(fh)["id_buckets"] == idx2.id_buckets
         # exactly-once survives the migration, both pre- and post-compact ids
