@@ -335,6 +335,12 @@ def ngram_jaccard_pairs_prefix(
         )
         .distinct()
     )
+    # the candidate set feeds THREE plan branches (each side's doc-id
+    # semi-filter and the final verify join); without a cache the prefix
+    # self-join re-runs once per branch — persisting it (it is small by
+    # the prefix bound: survivors of the rarest-shingle join) computes it
+    # once, and its measured size lets the verify join broadcast it
+    cand = bounded_persist(cand, "dedup.jaccard_prefix.cand")
     # distinct alias names on the two sides: both derive from the same
     # cached index, and a bare __sh__ == __sh__ would resolve ambiguously
     # (Spark warns "trivially true equals predicate")
@@ -1693,19 +1699,13 @@ class IncrementalLSHIndex:
         signature step groupBys on id, silently blending a duplicate
         pair's shingles into one (wrong) signature row. Skipped entirely
         under ``enforce_unique=False`` (a trusted exactly-once feed —
-        saves the two blocking driver jobs per epoch)."""
-        dup = (
+        saves the blocking driver round-trip per epoch)."""
+        dups = (
             batch.groupBy(F.col(self.id_col).alias("__id__"))
             .count()
             .filter(F.col("count") > 1)
-            .head(1)
+            .select("__id__", F.lit("dup").alias("__why__"))
         )
-        if dup:
-            raise ValueError(
-                f"doc id {dup[0]['__id__']!r} appears more than once in this "
-                "batch — each id must arrive exactly once; run exact dedup "
-                "upstream"
-            )
         # COMPLETE re-sent-id detection: a replayed batch (same text)
         # would self-collide, but a re-sent id with changed text lands
         # in different buckets and would silently double-index — so
@@ -1720,18 +1720,34 @@ class IncrementalLSHIndex:
         # matching IncrementalComponents' cascade-cap convention.
         spark = batch.sparkSession
         b0 = nb.filter(F.col("__band__") == 0).select("__id__")
-        if self.index_table is not None:
-            if not self._has_table:
-                return
+        if self.index_table is not None and self._has_table:
             stored_ids = self._stored_ids(spark, probe=b0)
-        elif self._index is not None:
+        elif self.index_table is None and self._index is not None:
             stored_ids = self._index.filter(F.col("__band__") == 0).select("__id__")
         else:
-            return
-        resent = b0.join(stored_ids, "__id__", "semi").head(1)
-        if resent:
+            stored_ids = None
+        # ONE driver action answers both guards: the within-batch duplicate
+        # probe and the re-sent-id probe union into a tagged frame whose
+        # lexically-first tag ('dup' < 'resent') reproduces the original
+        # check order, so error precedence is unchanged while the happy
+        # path pays a single job instead of two.
+        bad_frames = dups
+        if stored_ids is not None:
+            bad_frames = bad_frames.unionByName(
+                b0.join(stored_ids, "__id__", "semi").select(
+                    "__id__", F.lit("resent").alias("__why__")
+                )
+            )
+        bad = bad_frames.orderBy("__why__").head(1)
+        if bad:
+            if bad[0]["__why__"] == "dup":
+                raise ValueError(
+                    f"doc id {bad[0]['__id__']!r} appears more than once in "
+                    "this batch — each id must arrive exactly once; run exact "
+                    "dedup upstream"
+                )
             raise ValueError(
-                f"doc id {resent[0]['__id__']!r} was already indexed — "
+                f"doc id {bad[0]['__id__']!r} was already indexed — "
                 "each id must arrive exactly once (replayed batch or "
                 "re-sent doc?); run exact dedup upstream or dedup the "
                 "replay before add_docs"
@@ -1847,14 +1863,23 @@ class IncrementalLSHIndex:
         # would append an empty file — permanently materializing the
         # tombstone sidecar, so every later add_docs pays the tombstone
         # semi-join (and edges-mode pairs() starts distinct()-ing) for
-        # nothing. Loud-failure convention: raise (ADVICE r11)
-        if not dele.head(1):
+        # nothing. Loud-failure convention: raise (ADVICE r11). ONE
+        # aggregate job answers both the empty and the duplicate guard
+        # (the per-id counts' row count and max); the offending id is
+        # re-fetched only on the failure path.
+        stats = (
+            dele.groupBy("__id__")
+            .count()
+            .agg(F.count(F.lit(1)).alias("n_ids"), F.max("count").alias("max_n"))
+            .collect()[0]
+        )
+        if stats["n_ids"] == 0:
             raise ValueError(
                 "empty delete batch — nothing to remove (a confused caller; "
                 "the loud-failure convention refuses no-op deletes)"
             )
-        dup = dele.groupBy("__id__").count().filter(F.col("count") > 1).head(1)
-        if dup:
+        if stats["max_n"] > 1:
+            dup = dele.groupBy("__id__").count().filter(F.col("count") > 1).head(1)
             raise ValueError(
                 f"doc id {dup[0]['__id__']!r} appears more than once in this "
                 "delete batch — each id may be deleted at most once"
@@ -1873,42 +1898,80 @@ class IncrementalLSHIndex:
             stored_full = stored_ids
         else:
             raise ValueError("no documents indexed yet")
-        missing = dele.join(stored_ids, "__id__", "anti").head(1)
-        if missing:
-            raise ValueError(
-                f"doc id {missing[0]['__id__']!r} is not indexed — deleting "
-                "an unknown id indicates a confused caller"
-            )
         prior = self._tombstones(spark)
-        if prior is not None:
-            twice = dele.join(F.broadcast(prior), "__id__", "semi").head(1)
-            if twice:
-                raise ValueError(
-                    f"doc id {twice[0]['__id__']!r} is already tombstoned — "
-                    "deleting it twice indicates a confused caller"
-                )
         live = stored_full
         if prior is not None:
             live = stored_full.join(F.broadcast(prior), "__id__", "anti")
-        if live.join(dele, "__id__", "anti").isEmpty():
-            raise ValueError(
-                "this delete would tombstone every remaining indexed doc — "
-                "rebuild the index instead of emptying it"
+        # The four remaining guards and the repair derivation are mutually
+        # independent reads of checkpointed/stored frames with NO side
+        # effects — run them concurrently (guide §2.6) and await in the
+        # original order so error precedence is unchanged; nothing durable
+        # happens until the tombstone append below, so a guard failure
+        # still aborts the removal cleanly.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            f_missing = pool.submit(
+                lambda: dele.join(stored_ids, "__id__", "anti").head(1)
             )
-        # repair edges computed BEFORE the durable tombstone append (the
-        # index rows are untouched by it, and a crash before the append
-        # means the removal simply never happened — no half-state)
-        if self.emit == "edges":
-            all_tombs = dele if prior is None else dele.unionByName(prior)
-            repaired = self._repair_stars(spark, dele, all_tombs).localCheckpoint()
-        else:
-            # empty (id_a, id_b) frame with the id column's type —
-            # buildable on a resumed incarnation whose _pairs is empty
-            repaired = dele.select(
-                F.col("__id__").alias("id_a"), F.col("__id__").alias("id_b")
-            ).limit(0)
+            f_twice = (
+                pool.submit(
+                    lambda: dele.join(F.broadcast(prior), "__id__", "semi").head(1)
+                )
+                if prior is not None
+                else None
+            )
+            f_emptied = pool.submit(lambda: live.join(dele, "__id__", "anti").isEmpty())
+            if self.emit == "edges":
+                all_tombs = dele if prior is None else dele.unionByName(prior)
+                f_repair = pool.submit(
+                    lambda: self._repair_stars(spark, dele, all_tombs).localCheckpoint()
+                )
+            else:
+                f_repair = None
+            missing = f_missing.result()
+            if missing:
+                raise ValueError(
+                    f"doc id {missing[0]['__id__']!r} is not indexed — deleting "
+                    "an unknown id indicates a confused caller"
+                )
+            if f_twice is not None:
+                twice = f_twice.result()
+                if twice:
+                    raise ValueError(
+                        f"doc id {twice[0]['__id__']!r} is already tombstoned — "
+                        "deleting it twice indicates a confused caller"
+                    )
+            if f_emptied.result():
+                raise ValueError(
+                    "this delete would tombstone every remaining indexed doc — "
+                    "rebuild the index instead of emptying it"
+                )
+            # repair edges computed BEFORE the durable tombstone append (the
+            # index rows are untouched by it, and a crash before the append
+            # means the removal simply never happened — no half-state)
+            if f_repair is not None:
+                repaired = f_repair.result()
+            else:
+                # empty (id_a, id_b) frame with the id column's type —
+                # buildable on a resumed incarnation whose _pairs is empty
+                repaired = dele.select(
+                    F.col("__id__").alias("id_a"), F.col("__id__").alias("id_b")
+                ).limit(0)
+        # the durable tombstone append and the eager accumulated-pairs
+        # fold below are independent (the fold reads only this
+        # incarnation's checkpointed emission frames) — overlap them;
+        # both must complete before returning, and the append-first await
+        # order preserves the crash story (a fold failure after the
+        # append leaves the same state as before this change)
+        f_append = None
         if self.index_table is not None:
-            dele.write.mode("append").parquet(self._tomb_path)
+            from concurrent.futures import ThreadPoolExecutor as _TPE
+
+            _append_pool = _TPE(max_workers=1)
+            f_append = _append_pool.submit(
+                lambda: dele.write.mode("append").parquet(self._tomb_path)
+            )
         else:
             self._tombs = (
                 dele
@@ -1919,19 +1982,24 @@ class IncrementalLSHIndex:
         # incarnation's accumulated view (see docstring: suppression
         # binds to the rows, not the id — a freed id's future re-index
         # must surface its NEW pairs while the old content's stay gone)
-        if self._pairs:
-            folded = self._pairs[0]
-            for p in self._pairs[1:]:
-                folded = folded.unionByName(p)
-            gone = F.broadcast(dele)
-            folded = (
-                folded.join(
-                    gone.withColumnRenamed("__id__", "id_a"), "id_a", "anti"
+        try:
+            if self._pairs:
+                folded = self._pairs[0]
+                for p in self._pairs[1:]:
+                    folded = folded.unionByName(p)
+                gone = F.broadcast(dele)
+                folded = (
+                    folded.join(
+                        gone.withColumnRenamed("__id__", "id_a"), "id_a", "anti"
+                    )
+                    .join(gone.withColumnRenamed("__id__", "id_b"), "id_b", "anti")
+                    .select("id_a", "id_b")  # USING joins front the key column
                 )
-                .join(gone.withColumnRenamed("__id__", "id_b"), "id_b", "anti")
-                .select("id_a", "id_b")  # USING joins front the key column
-            )
-            self._pairs = [folded.localCheckpoint()]
+                self._pairs = [folded.localCheckpoint()]
+        finally:
+            if f_append is not None:
+                f_append.result()
+                _append_pool.shutdown()
         if self.emit == "edges":
             # repair edges may re-state already-emitted edges (e.g. the
             # surviving root's old spokes) — pairs() distincts when any
@@ -1989,26 +2057,21 @@ class IncrementalLSHIndex:
         nb = _band_buckets(
             batch, self.id_col, self.text_col, self.n, self.num_perm, self.bands
         ).localCheckpoint()
-        if self.enforce_unique:
-            self._check_exactly_once(batch, nb)
+        spark = batch.sparkSession
         # tombstone-reservation check runs UNCONDITIONALLY (even with
         # enforce_unique=False — the IVFPQIndex convention): a re-added
         # tombstoned id's rows would be anti-joined out of pairs() and
         # physically deleted by the next compact_index() — silent data
         # loss, not a dedup question. The pending sidecar is delta-sized,
         # so the semi-join costs O(|Δ| + |tombstones|).
-        spark = batch.sparkSession
         tomb = self._tombstones(spark)
-        if tomb is not None:
+
+        def _tomb_probe():
+            if tomb is None:
+                return None
             b0 = nb.filter(F.col("__band__") == 0).select("__id__")
-            dead = b0.join(F.broadcast(tomb), "__id__", "semi").head(1)
-            if dead:
-                raise ValueError(
-                    f"doc id {dead[0]['__id__']!r} is tombstoned — run "
-                    "compact_index() to clear deletes before re-indexing the "
-                    "id (in-memory mode has no compaction: a removed id "
-                    "cannot be re-indexed there)"
-                )
+            return b0.join(F.broadcast(tomb), "__id__", "semi").head(1)
+
         stored = self._stored_index(batch.sparkSession)
         if stored is not None and tomb is not None:
             # pending-tombstoned rows are still physically present until
@@ -2064,7 +2127,35 @@ class IncrementalLSHIndex:
                     )
                 )
                 within = within.unionByName(cross)
-        new_pairs = within.distinct().localCheckpoint()
+        # The three pre-append driver round-trips — the exactly-once check
+        # (up to three small jobs), the tombstone-reservation probe, and the
+        # epoch-emission materialization — are mutually independent reads of
+        # already-checkpointed frames, so run them CONCURRENTLY (guide §2.6:
+        # actions are only sequential because the driver calls them
+        # sequentially) and keep the failure semantics by awaiting in the
+        # original order. Nothing is appended until all three return, so a
+        # check failure still raises before any side effect.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_emit = pool.submit(lambda: within.distinct().localCheckpoint())
+            f_check = (
+                pool.submit(self._check_exactly_once, batch, nb)
+                if self.enforce_unique
+                else None
+            )
+            f_dead = pool.submit(_tomb_probe)
+            if f_check is not None:
+                f_check.result()
+            dead = f_dead.result()
+            if dead:
+                raise ValueError(
+                    f"doc id {dead[0]['__id__']!r} is tombstoned — run "
+                    "compact_index() to clear deletes before re-indexing the "
+                    "id (in-memory mode has no compaction: a removed id "
+                    "cannot be re-indexed there)"
+                )
+            new_pairs = f_emit.result()
         self._append_index(nb)
         # keep the already-checkpointed per-epoch frames and union LAZILY
         # in pairs(): re-checkpointing the accumulated union every epoch
