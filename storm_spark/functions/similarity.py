@@ -1976,56 +1976,84 @@ class IVFPQIndex:
         if self.m is None:
             raise ValueError("index not built or loaded")
         spark = corpus.sparkSession
-        ids = corpus.select(F.col(self.id_col).alias("neighbor_id"))
+        # checkpoint the batch's id column once: the guards below probe it
+        # up to three times and the caller's lineage may be an expensive
+        # plan — one narrow |Δ|-row materialization instead of re-running
+        # the corpus plan per probe
+        ids = corpus.select(F.col(self.id_col).alias("neighbor_id")).localCheckpoint()
+        # ONE driver action answers every guard: the within-batch duplicate
+        # probe, the re-sent-id probe, and the tombstone-reservation probe
+        # union into a tagged frame whose lexically-first tag reproduces
+        # the original check order ('a_dup' < 'b_resent' < 'c_tomb'), so
+        # error precedence is unchanged while the happy path pays a single
+        # job instead of three. A tombstoned id is refused UNCONDITIONALLY
+        # (even with enforce_unique=False): post-compact it vanishes from
+        # vectors, and if a crash (or failed clear) left the tombstone
+        # behind, silently accepting the re-add would index a vector the
+        # stale tombstone then hides from every search AND the next
+        # compact() physically deletes — fail loudly, pointing at compact().
+        bad_frames = []
         if enforce_unique:
-            dup = ids.groupBy("neighbor_id").count().filter(F.col("count") > 1).head(1)
-            if dup:
-                raise ValueError(
-                    f"id {dup[0]['neighbor_id']!r} appears more than once in "
-                    "this batch — each id must arrive exactly once; run exact "
-                    "dedup upstream"
-                )
+            bad_frames.append(
+                ids.groupBy("neighbor_id")
+                .count()
+                .filter(F.col("count") > 1)
+                .select("neighbor_id", F.lit("a_dup").alias("__why__"))
+            )
             stored = self._stored_ids(spark, probe_ids=ids)
-            resent = ids.join(stored, "neighbor_id", "semi").head(1)
-            if resent:
-                # distinguish a true replay from a DANGLING sidecar id — a
-                # crash between the ids/ write and the vectors write left
-                # the id in ids/ with no vector behind it, so nothing
-                # would double-score and the remedy is compact() (which
-                # rebuilds the sidecar from vectors), then replaying the
-                # batch (ADVICE r11). One cheap point lookup on the
-                # matched id, only on the already-failing path.
-                rid = resent[0]["neighbor_id"]
-                in_vectors = (
-                    spark.read.parquet(self._art("vectors"))
-                    .filter(F.col("neighbor_id") == F.lit(rid))
-                    .head(1)
+            bad_frames.append(
+                ids.join(stored, "neighbor_id", "semi").select(
+                    "neighbor_id", F.lit("b_resent").alias("__why__")
                 )
-                if not in_vectors:
-                    raise ValueError(
-                        f"id {rid!r} is in the ids/ sidecar but has no stored "
-                        "vector — a dangling entry from an add interrupted "
-                        "between the sidecar and vectors writes; run "
-                        "compact() to heal the sidecar, then replay this "
-                        "batch"
-                    )
-                raise ValueError(
-                    f"id {rid!r} is already indexed — "
-                    "each id must arrive exactly once (replayed batch?); a "
-                    "re-append would double its ADC score"
-                )
-        # a TOMBSTONED id is refused UNCONDITIONALLY (even with
-        # enforce_unique=False): post-compact it vanishes from vectors,
-        # and if a crash (or failed clear) left the tombstone behind,
-        # silently accepting the re-add would index a vector the stale
-        # tombstone then hides from every search AND the next compact()
-        # physically deletes — fail loudly and point at compact() instead
+            )
         tomb = self._tombstones(spark)
         if tomb is not None:
-            dead = ids.join(tomb, "neighbor_id", "semi").head(1)
-            if dead:
+            bad_frames.append(
+                ids.join(tomb, "neighbor_id", "semi").select(
+                    "neighbor_id", F.lit("c_tomb").alias("__why__")
+                )
+            )
+        if bad_frames:
+            bad_all = bad_frames[0]
+            for f in bad_frames[1:]:
+                bad_all = bad_all.unionByName(f)
+            bad = bad_all.orderBy("__why__", "neighbor_id").head(1)
+            if bad:
+                rid, why = bad[0]["neighbor_id"], bad[0]["__why__"]
+                if why == "a_dup":
+                    raise ValueError(
+                        f"id {rid!r} appears more than once in "
+                        "this batch — each id must arrive exactly once; run exact "
+                        "dedup upstream"
+                    )
+                if why == "b_resent":
+                    # distinguish a true replay from a DANGLING sidecar id — a
+                    # crash between the ids/ write and the vectors write left
+                    # the id in ids/ with no vector behind it, so nothing
+                    # would double-score and the remedy is compact() (which
+                    # rebuilds the sidecar from vectors), then replaying the
+                    # batch (ADVICE r11). One cheap point lookup on the
+                    # matched id, only on the already-failing path.
+                    in_vectors = (
+                        spark.read.parquet(self._art("vectors"))
+                        .filter(F.col("neighbor_id") == F.lit(rid))
+                        .head(1)
+                    )
+                    if not in_vectors:
+                        raise ValueError(
+                            f"id {rid!r} is in the ids/ sidecar but has no stored "
+                            "vector — a dangling entry from an add interrupted "
+                            "between the sidecar and vectors writes; run "
+                            "compact() to heal the sidecar, then replay this "
+                            "batch"
+                        )
+                    raise ValueError(
+                        f"id {rid!r} is already indexed — "
+                        "each id must arrive exactly once (replayed batch?); a "
+                        "re-append would double its ADC score"
+                    )
                 raise ValueError(
-                    f"id {dead[0]['neighbor_id']!r} is tombstoned — run "
+                    f"id {rid!r} is tombstoned — run "
                     "compact() to clear deletes before re-indexing the id"
                 )
         cents = spark.read.parquet(self._art("centroids"))
@@ -2068,57 +2096,87 @@ class IVFPQIndex:
         spark = ids.sparkSession
         first = ids.columns[0] if "neighbor_id" not in ids.columns else "neighbor_id"
         col = self.id_col if self.id_col in ids.columns else first
-        dele = ids.select(F.col(col).cast("bigint").alias("neighbor_id"))
+        # checkpoint once: the guards probe this frame five times and the
+        # caller's lineage may be expensive
+        dele = ids.select(
+            F.col(col).cast("bigint").alias("neighbor_id")
+        ).localCheckpoint()
         # an empty delete batch would pass every guard vacuously and
         # append an empty file — permanently materializing the tombstone
         # sidecar, taxing every later search/add with the anti-join for
-        # nothing (the IncrementalLSHIndex guard's twin; ADVICE r11)
-        if not dele.head(1):
+        # nothing (the IncrementalLSHIndex guard's twin; ADVICE r11).
+        # ONE aggregate job answers both the empty and the duplicate
+        # guard; the offending id is re-fetched only on the failure path.
+        stats = (
+            dele.groupBy("neighbor_id")
+            .count()
+            .agg(F.count(F.lit(1)).alias("n_ids"), F.max("count").alias("max_n"))
+            .collect()[0]
+        )
+        if stats["n_ids"] == 0:
             raise ValueError(
                 "empty delete batch — nothing to remove (a confused caller; "
                 "the loud-failure convention refuses no-op deletes)"
             )
-        dup = dele.groupBy("neighbor_id").count().filter(F.col("count") > 1).head(1)
-        if dup:
+        if stats["max_n"] > 1:
+            dup = (
+                dele.groupBy("neighbor_id").count().filter(F.col("count") > 1).head(1)
+            )
             raise ValueError(
                 f"id {dup[0]['neighbor_id']!r} appears more than once in this "
                 "delete batch — each id may be deleted at most once"
             )
+        tomb_path = self._art("tombstones")
+        prior = (
+            spark.read.parquet(tomb_path) if _os.path.isdir(tomb_path) else None
+        )
         # pruned scan is valid for the membership check: a stored id
         # outside the delete batch's touched hash partitions cannot
-        # match any deleted id
+        # match any deleted id. The emptied-index guard asks about ids
+        # OUTSIDE the delete batch, so it scans the FULL sidecar (still
+        # the one-column compact table, never the vectors payload). The
+        # three remaining guards are independent, side-effect-free reads —
+        # run them concurrently (guide §2.6), awaiting in the original
+        # order so error precedence is unchanged; nothing durable happens
+        # until the tombstone append below.
         stored = self._stored_ids(spark, probe_ids=dele)
-        missing = dele.join(stored, "neighbor_id", "anti").head(1)
-        if missing:
-            raise ValueError(
-                f"id {missing[0]['neighbor_id']!r} is not indexed — deleting "
-                "an unknown id indicates a confused caller"
-            )
-        tomb_path = self._art("tombstones")
-        if _os.path.isdir(tomb_path):
-            prior = spark.read.parquet(tomb_path)
-            twice = dele.join(prior, "neighbor_id", "semi").head(1)
-            if twice:
-                raise ValueError(
-                    f"id {twice[0]['neighbor_id']!r} is already tombstoned — "
-                    "deleting it twice indicates a confused caller"
-                )
-        # refuse to tombstone the ENTIRE index: the compacted result would
-        # be an empty partitioned table (unreadable parquet), and a fully
-        # emptied index is a rebuild, not a maintenance operation. This
-        # check asks about ids OUTSIDE the delete batch, so it scans the
-        # FULL sidecar (still the one-column compact table, never the
-        # vectors payload)
         live = self._stored_ids(spark)
-        if _os.path.isdir(tomb_path):
-            live = live.join(
-                spark.read.parquet(tomb_path), "neighbor_id", "anti"
+        if prior is not None:
+            live = live.join(prior, "neighbor_id", "anti")
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_missing = pool.submit(
+                lambda: dele.join(stored, "neighbor_id", "anti").head(1)
             )
-        if live.join(dele, "neighbor_id", "anti").isEmpty():
-            raise ValueError(
-                "this delete would tombstone every remaining indexed vector "
-                "— rebuild the index instead of emptying it"
+            f_twice = (
+                pool.submit(
+                    lambda: dele.join(prior, "neighbor_id", "semi").head(1)
+                )
+                if prior is not None
+                else None
             )
+            f_emptied = pool.submit(
+                lambda: live.join(dele, "neighbor_id", "anti").isEmpty()
+            )
+            missing = f_missing.result()
+            if missing:
+                raise ValueError(
+                    f"id {missing[0]['neighbor_id']!r} is not indexed — deleting "
+                    "an unknown id indicates a confused caller"
+                )
+            if f_twice is not None:
+                twice = f_twice.result()
+                if twice:
+                    raise ValueError(
+                        f"id {twice[0]['neighbor_id']!r} is already tombstoned — "
+                        "deleting it twice indicates a confused caller"
+                    )
+            if f_emptied.result():
+                raise ValueError(
+                    "this delete would tombstone every remaining indexed vector "
+                    "— rebuild the index instead of emptying it"
+                )
         dele.write.mode("append").parquet(tomb_path)
         return self
 

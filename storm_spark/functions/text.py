@@ -738,7 +738,13 @@ def bpe_train(
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
-    segs = words.select(
+    # ONE materialization: the character-level vocab. Each round's merge
+    # then rides as a LAZY chained replace expression over this frame (the
+    # bpe_segment shape) instead of re-checkpointing the whole vocab per
+    # round — one driver action (the argmax fetch) per round instead of
+    # two, and k chained replaces over a ~10⁵⁻⁶-row vocab cost megabytes
+    # of CPU, far less than a per-round materialization job.
+    segs0 = words.select(
         F.regexp_replace("w", "(.)", r"($1)").alias("seg"), "freq"
     ).localCheckpoint()
     pair_expr = F.expr(
@@ -747,12 +753,13 @@ def bpe_train(
         "i -> struct(__syms__[i-1] AS l, __syms__[i] AS r)) "
         "ELSE array() END"
     )
+    seg_expr = F.col("seg")
     merges: list[tuple] = []
     for rank in range(1, k + 1):
-        syms = segs.select(
+        syms = segs0.select(
             "freq",
             F.split(
-                F.expr("substring(seg, 2, length(seg) - 2)"), r"\)\("
+                F.substring(seg_expr, F.lit(2), F.length(seg_expr) - 2), r"\)\("
             ).alias("__syms__"),
         )
         cnts = (
@@ -765,12 +772,9 @@ def bpe_train(
             break
         l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
         merges.append((rank, l, r, cnt))
-        segs = segs.select(
-            F.replace(  # Column args: symbols may contain quotes (')
-                F.col("seg"), F.lit(f"({l})({r})"), F.lit(f"({l}{r})")
-            ).alias("seg"),
-            "freq",
-        ).localCheckpoint()
+        seg_expr = F.replace(  # Column args: symbols may contain quotes (')
+            seg_expr, F.lit(f"({l})({r})"), F.lit(f"({l}{r})")
+        )
     return spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, cnt bigint"
     )

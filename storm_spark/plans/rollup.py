@@ -137,24 +137,37 @@ class ContinuousRollup:
             .groupBy(*fine_keys)
             .agg(self.agg.agg_expr([self.value_expr]).alias("__delta__"))
         ).persist()
-        self.fine_state.begin_commit(txid)
-        self.fine_state.update_from_agg(fine_delta, self.agg, txid)
-        self.fine_state.commit(txid)
-
-        # 2. coarse recompute: affected coarse buckets, from fine state only
         touched_coarse = (
             fine_delta.select(
                 self.coarse_bucket_of_fine(F.col("fine_bucket")).alias("coarse_bucket"),
                 *self.keys,
             ).distinct()
         )
+        # the coarse prune's bounds read only the (persisted) fine delta —
+        # independent of the fine-state merge, so compute them WHILE the
+        # fine commit runs (guide §2.6: overlap independent jobs) instead
+        # of as a blocking round-trip between the two commits
+        from concurrent.futures import ThreadPoolExecutor
+
+        f_bounds = None
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            if self.fine_range_of_coarse is not None:
+                f_bounds = pool.submit(
+                    touched_coarse.agg(
+                        F.min("coarse_bucket").alias("lo"),
+                        F.max("coarse_bucket").alias("hi"),
+                    ).first
+                )
+            self.fine_state.begin_commit(txid)
+            self.fine_state.update_from_agg(fine_delta, self.agg, txid)
+            self.fine_state.commit(txid)
+            bounds = f_bounds.result() if f_bounds is not None else None
+
+        # 2. coarse recompute: affected coarse buckets, from fine state only
         fine_now = self.fine_state.dataframe(self.spark)
-        if self.fine_range_of_coarse is not None:
+        if bounds is not None:
             # pushable prune: restrict the fine scan to the touched coarse
             # buckets' fine ranges BEFORE deriving the (unpushable) coarse id
-            bounds = touched_coarse.agg(
-                F.min("coarse_bucket").alias("lo"), F.max("coarse_bucket").alias("hi")
-            ).first()
             if bounds["lo"] is not None:
                 lo, _ = self.fine_range_of_coarse(bounds["lo"])
                 _, hi = self.fine_range_of_coarse(bounds["hi"])
