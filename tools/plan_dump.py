@@ -53,7 +53,8 @@ def summarize(txt: str) -> str:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="*")
-    ap.add_argument("--tag", default="r13/before")
+    ap.add_argument("--tag", default="r13")
+    ap.add_argument("--suffix", default="_before")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--skip-lifecycle", action="store_true")
     args = ap.parse_args()
@@ -78,7 +79,7 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             print(f"{name}: ERROR {type(exc).__name__}: {exc}"[:300])
             continue
-        with open(os.path.join(out_dir, f"{name}.txt"), "w") as fh:
+        with open(os.path.join(out_dir, f"{name}{args.suffix}.txt"), "w") as fh:
             fh.write(txt)
         print(f"{name}: {summarize(txt)}")
         spark.catalog.clearCache()
