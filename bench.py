@@ -342,12 +342,19 @@ def main() -> None:
     slowest = sorted(times.items(), key=lambda kv: -kv[1])[:5]
     compact = {
         "metric": "headline_query_only_wall_sec",
-        "schema": 2,
+        # schema 3 (r14, VERDICT r13 #2): the compact final line carries the
+        # per-query map again — PERF_r13's per_query/geomean/scaling blocks
+        # were all empty because the driver parses ONLY the last stdout line
+        # and the map lived on the long first line / bench_out.json. At ms
+        # rounding the 141-entry map is ~3 KB, well inside the ≥2.5 KB tail
+        # the r13 record demonstrably kept. Nothing removed or renamed.
+        "schema": 3,
         "value": total,
         "unit": "sec",
         "sf": float(sf),
         "n_queries": len(times),
         "n_errors": len(errors),
+        "queries": times,
         "cold_total_sec": round(sum(cold.values()), 3),
         "lifecycle_total_sec": lc_total,
         "combined_total_sec": round(q_total + lc_total, 3),

@@ -1958,48 +1958,55 @@ class IncrementalLSHIndex:
                 repaired = dele.select(
                     F.col("__id__").alias("id_a"), F.col("__id__").alias("id_b")
                 ).limit(0)
-        # the durable tombstone append and the eager accumulated-pairs
-        # fold below are independent (the fold reads only this
-        # incarnation's checkpointed emission frames) — overlap them;
-        # both must complete before returning, and the append-first await
-        # order preserves the crash story (a fold failure after the
-        # append leaves the same state as before this change)
-        f_append = None
+        # EAGERLY strip the removed incarnation's rows from this
+        # incarnation's accumulated view (see docstring: suppression
+        # binds to the rows, not the id — a freed id's future re-index
+        # must surface its NEW pairs while the old content's stay gone).
+        # The durable tombstone append and the fold's materialization are
+        # independent (the fold reads only this incarnation's checkpointed
+        # emission frames) — overlap them: the append runs on a worker
+        # thread while the fold checkpoints on this one. Instance state
+        # mutates ONLY after the durable append is confirmed (ADVICE r13
+        # medium: assigning self._pairs before result() suppressed deleted
+        # ids' pairs in memory with NO tombstone on disk when the append
+        # failed); the `with` guarantees pool shutdown and unmasked
+        # exception chaining even when result() raises (ADVICE r13 low).
+        folded = None
+        if self._pairs:
+            folded = self._pairs[0]
+            for p in self._pairs[1:]:
+                folded = folded.unionByName(p)
+            gone = F.broadcast(dele)
+            folded = (
+                folded.join(
+                    gone.withColumnRenamed("__id__", "id_a"), "id_a", "anti"
+                )
+                .join(gone.withColumnRenamed("__id__", "id_b"), "id_b", "anti")
+                .select("id_a", "id_b")  # USING joins front the key column
+            )
+        folded_ckpt = None
         if self.index_table is not None:
             from concurrent.futures import ThreadPoolExecutor as _TPE
 
-            _append_pool = _TPE(max_workers=1)
-            f_append = _append_pool.submit(
-                lambda: dele.write.mode("append").parquet(self._tomb_path)
-            )
+            with _TPE(max_workers=1) as _append_pool:
+                f_append = _append_pool.submit(
+                    lambda: dele.write.mode("append").parquet(self._tomb_path)
+                )
+                if folded is not None:
+                    folded_ckpt = folded.localCheckpoint()
+                f_append.result()
         else:
+            if folded is not None:
+                folded_ckpt = folded.localCheckpoint()
+            # in-memory tombstones mutate only after the fold succeeded —
+            # same no-half-state contract as the bucketed branch
             self._tombs = (
                 dele
                 if self._tombs is None
                 else self._tombs.unionByName(dele).localCheckpoint()
             )
-        # EAGERLY strip the removed incarnation's rows from this
-        # incarnation's accumulated view (see docstring: suppression
-        # binds to the rows, not the id — a freed id's future re-index
-        # must surface its NEW pairs while the old content's stay gone)
-        try:
-            if self._pairs:
-                folded = self._pairs[0]
-                for p in self._pairs[1:]:
-                    folded = folded.unionByName(p)
-                gone = F.broadcast(dele)
-                folded = (
-                    folded.join(
-                        gone.withColumnRenamed("__id__", "id_a"), "id_a", "anti"
-                    )
-                    .join(gone.withColumnRenamed("__id__", "id_b"), "id_b", "anti")
-                    .select("id_a", "id_b")  # USING joins front the key column
-                )
-                self._pairs = [folded.localCheckpoint()]
-        finally:
-            if f_append is not None:
-                f_append.result()
-                _append_pool.shutdown()
+        if folded_ckpt is not None:
+            self._pairs = [folded_ckpt]
         if self.emit == "edges":
             # repair edges may re-state already-emitted edges (e.g. the
             # surviving root's old spokes) — pairs() distincts when any

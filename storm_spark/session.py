@@ -39,8 +39,15 @@ def get_spark(
     # not committed, memory — the cost is address space only. The same
     # setting applies to long-lived executors on a real cluster via
     # spark.executor.extraJavaOptions below.
-    code_cache = os.environ.get("SPARK_GRAFT_CODE_CACHE", "2g")
-    jit_opt = f"-XX:ReservedCodeCacheSize={code_cache}"
+    # An empty env value must not yield the malformed flag
+    # `-XX:ReservedCodeCacheSize=` (JVM launch failure — ADVICE r13 low):
+    # blank falls back to the default; "off"/"none"/"disabled"/"0" skips
+    # the flag entirely (the documented opt-out).
+    code_cache = os.environ.get("SPARK_GRAFT_CODE_CACHE") or "2g"
+    if code_cache.strip().lower() in ("off", "none", "disabled", "0"):
+        jit_opt = ""
+    else:
+        jit_opt = f"-XX:ReservedCodeCacheSize={code_cache}"
 
     # Python workers unpickle engine classes (BoltCollector, Aggregator
     # kernels) by module reference; make the package importable there even
@@ -65,11 +72,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.extraJavaOptions", jit_opt)
-        .config("spark.executor.extraJavaOptions", jit_opt)
     )
+    if jit_opt:
+        builder = builder.config(
+            "spark.driver.extraJavaOptions", jit_opt
+        ).config("spark.executor.extraJavaOptions", jit_opt)
     for k, v in (extra_conf or {}).items():
-        if k in ("spark.driver.extraJavaOptions", "spark.executor.extraJavaOptions"):
+        if jit_opt and k in (
+            "spark.driver.extraJavaOptions", "spark.executor.extraJavaOptions"
+        ):
             v = f"{jit_opt} {v}"
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
