@@ -502,23 +502,19 @@ def minhash_lsh_edges(
     bucket min), so the SAME ``dedup_cluster`` oracle gates both modes
     (property-tested); row count grows by at most salt−1 per bucket.
 
-    ``salt_threshold`` (r12, VERDICT r11 #6) makes the salting ADAPTIVE:
-    only buckets with more than ``salt_threshold`` members are salted
-    (``salt_buckets``-wide, default 32 when unset); normal buckets keep
-    the plain star at zero extra cost — see
-    :func:`_auto_salted_star_edges`. All three modes cluster
-    identically.
-
-    DEFAULT-ON from r13 (VERDICT r12 #5): ``salt_threshold="auto"``
-    resolves to ``100·bands``, so the 100-TB crawl shape — a
-    boilerplate bucket re-hit by every epoch — is straggler-safe out of
-    the box. Safe to default because the no-op cost on normal workloads
-    is zero BY CONSTRUCTION (with no bucket above the threshold the hot
-    set is empty and the cold path IS the plain star — measured equal
-    wall and IDENTICAL emission rows epoch-for-epoch,
-    ``SCALE_EPOCHS_r12.txt`` run 3), and clustering is invariant across
-    all modes (property-tested). Pass ``None`` for the unconditional
-    single-window star, or an int to pin the threshold."""
+    ``salt_threshold`` (r12, VERDICT r11 #6) enables straggler-safe
+    salting without pre-declaring the degenerate bucket; DEFAULT-ON
+    from r13 (VERDICT r12 #5), so the 100-TB crawl shape — a
+    boilerplate bucket re-hit by every epoch — is safe out of the box.
+    From r14 the salted emission is ONE LINEAR two-window plan (see
+    :func:`_salted_star_edges`): no size observation, no bucket-rows
+    cache, no hot/cold branch — the r13 adaptive probe's fixed driver
+    action + full-corpus persist per emission WAS the dedup gates' cost
+    (VERDICT r13 #1), while the linear form's overhead over the plain
+    star is a single extra narrow exchange, paid uniformly at any
+    scale. Clustering is invariant across all modes (property-tested).
+    Pass ``None`` (with ``salt_buckets`` unset) for the unconditional
+    single-window star."""
     buckets = _band_buckets(df, id_col, text_col, n, num_perm, bands)
     if salt_threshold == "auto":
         salt_threshold = 100 * bands
@@ -540,99 +536,82 @@ def _salted_star_edges(buckets: DataFrame, salt_buckets: int) -> DataFrame:
     rows (shared by :func:`minhash_lsh_edges` and
     ``IncrementalLSHIndex(emit="edges")``'s within-batch star): level 1
     links every member to its salt partition's min — the heavy window,
-    balanced because the salt splits even a monster bucket into
-    ~equal slices — and level 2 links the salt-mins to the bucket min
-    over ≤ salt rows per bucket. Deterministic salt (xxhash64 of the id,
-    no RNG)."""
+    balanced because the deterministic salt (xxhash64 of the id, no RNG)
+    splits even a monster bucket into ~equal slices — and level 2 links
+    the ≤ ``salt_buckets`` salt-mins to the bucket min. Connectivity is
+    identical to the plain single-window star (members reach their
+    salt-min, salt-mins reach the bucket min — property-tested).
+
+    ONE LINEAR plan (r14, VERDICT r13 #1): the r13 shape read the salted
+    rows through two branches (the per-row window and a groupBy for the
+    salt-mins), re-running the upstream signature pipeline per branch
+    unless the rows were cached — which is exactly the bucket-rows
+    persist + observation probe whose fixed cost regressed the dedup
+    gates. Here EVERY row flows through both windows once: level 2
+    re-keys the salt-min REPRESENTATIVES (rows whose id IS their salt
+    partition's min — known row-locally after window 1) into one
+    partition per bucket, ≤ ``salt_buckets`` rows wide, while non-rep
+    rows keep a disjoint per-salt key so a degenerate bucket never
+    reconverges on one task. No probe, no cache, no broadcast, no
+    branch: the cost over the plain star is one extra narrow exchange,
+    paid uniformly and scale-independently."""
     salted = buckets.withColumn(
         "__salt__", F.pmod(F.xxhash64("__id__"), F.lit(salt_buckets))
     )
     w1 = Window.partitionBy("__band__", "__bucket__", "__salt__")
     lvl1 = salted.withColumn("__smin__", F.min("__id__").over(w1))
-    e1 = lvl1.filter(F.col("__id__") != F.col("__smin__")).select(
-        F.col("__smin__").alias("id_a"), F.col("__id__").alias("id_b")
+    is_rep = F.col("__id__") == F.col("__smin__")
+    # reps collapse to key -1 (≤ salt_buckets rows per bucket); non-reps
+    # keep their salt key, where min(rep-only smin) is NULL and no edge
+    # is emitted from the second window
+    w2 = Window.partitionBy(
+        "__band__",
+        "__bucket__",
+        F.when(is_rep, F.lit(-1)).otherwise(F.col("__salt__")),
     )
-    # level-2 mins come from a groupBy (map-side combined, ≤ salt rows
-    # per bucket after the partial agg), NOT from lvl1 — reusing lvl1
-    # here would execute the heavy window a second time (both branches
-    # are lazy; measured 1.5× wall on a 10⁶-member bucket)
-    mins = salted.groupBy("__band__", "__bucket__", "__salt__").agg(
-        F.min("__id__").alias("__smin__")
+    rooted = lvl1.withColumn(
+        "__root__", F.min(F.when(is_rep, F.col("__smin__"))).over(w2)
     )
-    w2 = Window.partitionBy("__band__", "__bucket__")
-    e2 = (
-        mins.withColumn("__root__", F.min("__smin__").over(w2))
-        .filter(F.col("__smin__") != F.col("__root__"))
-        .select(F.col("__root__").alias("id_a"), F.col("__smin__").alias("id_b"))
+    edge = F.when(
+        ~is_rep,
+        F.struct(
+            F.col("__smin__").alias("id_a"), F.col("__id__").alias("id_b")
+        ),
+    ).when(
+        is_rep & (F.col("__smin__") != F.col("__root__")),
+        F.struct(
+            F.col("__root__").alias("id_a"), F.col("__smin__").alias("id_b")
+        ),
     )
-    return e1.unionByName(e2).distinct()
+    return (
+        rooted.select(edge.alias("__e__"))
+        .filter(F.col("__e__").isNotNull())
+        .select("__e__.id_a", "__e__.id_b")
+        .distinct()
+    )
 
 
 def _auto_salted_star_edges(
     buckets: DataFrame, salt_buckets: int, threshold: int
 ) -> DataFrame:
-    """Per-bucket ADAPTIVE salting (r12, VERDICT r11 #6): only buckets
-    whose membership exceeds ``threshold`` take the two-level salted
-    star; everything else keeps the plain single-window star — zero
-    emission-shape change and zero extra shuffle volume for normal
-    buckets, so the operator no longer needs to know IN ADVANCE that a
-    degenerate boilerplate bucket is coming (``salt_buckets=`` alone
-    salts every bucket, taxing the common case to fix the rare one).
+    """Straggler-safe star emission behind ``salt_threshold`` (r12,
+    VERDICT r11 #6). Through r13 this OBSERVED per-bucket sizes first
+    (bounded_persist of the bucket rows + a count job + a hot-key
+    broadcast splitting the plan into plain/salted branches) so that
+    only hot buckets paid the two-level star. The observation itself
+    was the cost: one extra driver action plus a full cache of the
+    bucket rows per emission — a fixed ~1-3 s tax per lifecycle-gate
+    emission at bench scale (VERDICT r13 #1), and cache pressure
+    proportional to the corpus at real scale (guide §5).
 
-    Cost of the observation: ONE map-side-combined groupBy count over
-    the batch (output ≤ distinct-bucket rows) and a broadcast of the hot
-    keys — which number ≤ |batch|·bands / threshold BY CONSTRUCTION
-    (each hot bucket holds > threshold rows), so the broadcast is
-    bounded no matter how skewed the batch. Connectivity is identical
-    in all three modes (property-tested: auto ≡ manual-salted ≡
-    unsalted clusterings).
-
-    The bucket rows are ``bounded_persist``-ed first (r13): this
-    function scans them THREE times — the eager sizes count plus the
-    cold/hot branches of the returned plan — and upstream of ``buckets``
-    usually sits the full signature pipeline (shingle → posexplode ×
-    num_perm → min-hash), so uncached the observation pass alone would
-    re-run the most expensive stage of the whole operator (measured
-    1.6-1.75× on the dedup gates when salting went default-on without
-    the cache)."""
-    buckets = bounded_persist(buckets, "lsh_auto_salt_buckets")
-    sizes = buckets.groupBy("__band__", "__bucket__").agg(
-        F.count(F.lit(1)).alias("__n__")
-    )
-    hot_df = (
-        sizes.filter(F.col("__n__") > threshold)
-        .select("__band__", "__bucket__")
-        .localCheckpoint()  # feeds BOTH the semi and the anti join
-    )
-    w = Window.partitionBy("__band__", "__bucket__")
-    if not hot_df.take(1):
-        # the COMMON case: no bucket crosses the threshold, so the
-        # adaptive plan would be the plain star wearing an anti-join
-        # against an empty broadcast plus an empty salted branch and a
-        # union-distinct — return the plain star outright (r13: the
-        # empty-hot-set detour measured ~+1.3 s fixed per emission at
-        # gate scale, ×2-3 emissions per lifecycle gate). The hot set
-        # is already materialized (localCheckpoint is eager), so the
-        # take(1) is a free driver-side peek, and the observation cost
-        # collapses to one map-side-combined count over the CACHED
-        # bucket rows.
-        return (
-            buckets.withColumn("__root__", F.min("__id__").over(w))
-            .filter(F.col("__id__") != F.col("__root__"))
-            .select(F.col("__root__").alias("id_a"), F.col("__id__").alias("id_b"))
-            .distinct()
-        )
-    hot = F.broadcast(hot_df)
-    cold = buckets.join(hot, ["__band__", "__bucket__"], "anti")
-    cold_edges = (
-        cold.withColumn("__root__", F.min("__id__").over(w))
-        .filter(F.col("__id__") != F.col("__root__"))
-        .select(F.col("__root__").alias("id_a"), F.col("__id__").alias("id_b"))
-    )
-    hot_rows = buckets.join(hot, ["__band__", "__bucket__"], "semi")
-    return cold_edges.unionByName(
-        _salted_star_edges(hot_rows, salt_buckets)
-    ).distinct()
+    From r14 the two-level star is a single LINEAR plan whose overhead
+    over the plain star is one extra narrow exchange, independent of
+    whether any bucket is hot — so the size observation buys nothing
+    and every salted emission just takes the balanced path.
+    ``threshold`` is retained for API stability; connectivity is
+    invariant across all modes (property-tested), which is why the
+    emission shape may change under the same oracle."""
+    return _salted_star_edges(buckets, salt_buckets)
 
 
 def near_dup_clusters(
@@ -653,10 +632,28 @@ def near_dup_clusters(
     iteration cap + convergence check bound adversarial chains.
     ``localCheckpoint`` truncates lineage each round so plans don't nest.
     """
+    # symmetric closure in ONE scan of ``pairs`` (r14): the old
+    # self-union referenced the input plan twice, so materializing the
+    # persist evaluated the caller's whole emission pipeline twice
+    # (ReuseExchange does not fire across union branches here —
+    # guide §2.4, duplicated subtrees). explode emits both directions
+    # per row from a single pass; rows are identical to the union's.
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist()
+    edges = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("__e__")
+        )
+        .select("__e__.src", "__e__.dst")
+        .distinct()
+        .persist()
+    )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

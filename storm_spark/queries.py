@@ -4146,12 +4146,19 @@ def _pretrain_pipeline_batch(docs, k=30):
     )
     # `clean` fans out to FOUR consumers (the LSH edges, canonicalize, and
     # the selection tail's survivors + DSIR train side); uncached, each one
-    # re-runs the gopher flag expressions and the semi-join over the base —
-    # persist so the quality gate is computed once (guide §5: reused AND
-    # expensive to recompute)
-    clean = text.bounded_persist(
-        base.join(keep.select("doc_id"), "doc_id", "semi"), "pretrain.clean"
+    # re-runs the gopher flag expressions over the base. r13 persisted the
+    # whole joined frame — full text + token arrays cached a SECOND time
+    # beside `base`, and the wall regressed (VERDICT r13 #3: recompute was
+    # cheaper than materializing the wide corpus again — guide §5's
+    # anti-pattern). Persist only the NARROW survivor-id column instead:
+    # the gopher flags still compute exactly once (into this cache), and
+    # each consumer re-derives `clean` as a broadcast semi-join of the
+    # already-cached base against the cached ids, with column pruning
+    # reaching the in-memory base scan.
+    keep_ids = text.bounded_persist(
+        keep.select("doc_id"), "pretrain.keep_ids"
     )
+    clean = base.join(keep_ids, "doc_id", "semi")
     edges = dedup.minhash_lsh_edges(clean, "doc_id", "text", n=3, num_perm=12, bands=4)
     clusters = dedup.near_dup_clusters(edges)
     canon = dedup.canonicalize_clusters(clean, clusters, "doc_id", "n_chars")

@@ -869,34 +869,54 @@ def test_lsh_index_exactly_once_ids_scan_is_partition_pruned(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
-def test_auto_salted_star_cold_path_is_plain_star(spark):
-    """r13 follow-up to default-on adaptive salting (VERDICT r12 #5): when
-    NO bucket crosses the threshold — the overwhelmingly common case — the
-    emission plan must BE the plain single-window star reading the CACHED
-    bucket rows, not the adaptive detour (anti-join against an empty
-    broadcast + empty salted branch + union-distinct), and the signature
-    pipeline must not be recomputed per branch. Asserted on plan shape:
-    exactly one Window, zero joins/unions, and an InMemoryTableScan (the
-    bounded_persist of the bucket rows). With a degenerate bucket present
-    the salted branches must come back (union present)."""
+def test_salted_star_is_one_linear_plan(spark):
+    """r14 (VERDICT r13 #1): the salted star emission must be ONE linear
+    two-window plan — no size-observation probe, no bucket-rows cache,
+    no hot/cold branch. The r13 adaptive shape cost a fixed driver
+    action plus a full persist of the bucket rows per emission; the
+    linear shape's only overhead over the plain star is the second
+    (narrow) window exchange. Asserted on plan shape: exactly two
+    Windows, zero joins/unions/InMemoryTableScans (the signature
+    pipeline appears once — a single scan of the source), and the rows
+    are connectivity-equivalent AND row-identical to the r13 two-branch
+    salted emission (e1 = member→salt-min for non-reps, e2 =
+    bucket-min→salt-min for reps)."""
     from storm_spark.functions.dedup import minhash_lsh_edges
 
     rows = [(i, f"document number {i} with its own distinct words {i * 7}")
             for i in range(40)]
+    rows += [(100 + i, "the same boilerplate page") for i in range(12)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    cold = minhash_lsh_edges(docs, "doc_id", "text", salt_threshold=5)
-    plan = cold._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Window") == 1, plan
+    salted = minhash_lsh_edges(docs, "doc_id", "text", salt_threshold=5)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 2, plan
     assert "Join" not in plan and "Union" not in plan, plan
-    assert "InMemoryTableScan" in plan, plan
-    cold.collect()  # and it still runs
+    assert "InMemoryTableScan" not in plan, plan
+    assert plan.count("Scan ExistingRDD") <= 1, plan
 
-    hot_docs = docs.union(
-        spark.createDataFrame(
-            [(100 + i, "the same boilerplate page") for i in range(12)],
-            "doc_id long, text string",
-        )
+    # row-identity with the reference two-branch salted form (the shape
+    # r13 shipped): per (band, bucket, salt) every non-min member links
+    # to the salt min; salt mins link to the bucket min
+    from pyspark.sql import Window
+
+    from storm_spark.functions.dedup import _band_buckets
+
+    bk = _band_buckets(docs, "doc_id", "text", 3, 12, 4)
+    s = bk.withColumn("__salt__", F.pmod(F.xxhash64("__id__"), F.lit(32)))
+    w1 = Window.partitionBy("__band__", "__bucket__", "__salt__")
+    lvl1 = s.withColumn("__smin__", F.min("__id__").over(w1))
+    e1 = lvl1.filter("__id__ <> __smin__").select(
+        F.col("__smin__").alias("id_a"), F.col("__id__").alias("id_b")
     )
-    hot = minhash_lsh_edges(hot_docs, "doc_id", "text", salt_threshold=5)
-    hot_plan = hot._jdf.queryExecution().executedPlan().toString()
-    assert "Union" in hot_plan, hot_plan
+    mins = s.groupBy("__band__", "__bucket__", "__salt__").agg(
+        F.min("__id__").alias("__smin__")
+    )
+    w2 = Window.partitionBy("__band__", "__bucket__")
+    e2 = (
+        mins.withColumn("__root__", F.min("__smin__").over(w2))
+        .filter("__smin__ <> __root__")
+        .select(F.col("__root__").alias("id_a"), F.col("__smin__").alias("id_b"))
+    )
+    ref = {(r.id_a, r.id_b) for r in e1.unionByName(e2).distinct().collect()}
+    got = {(r.id_a, r.id_b) for r in salted.collect()}
+    assert got == ref
