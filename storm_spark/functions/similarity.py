@@ -1809,24 +1809,58 @@ class IVFPQIndex:
         sub_len = int(cbs.agg(F.max(F.size("__cent__")).alias("L")).first()["L"])
         self.m, self.ksub, self.n_lists, self.sub_len = m, ksub, n_lists, sub_len
         _os.makedirs(self.path, exist_ok=True)
-        cents.write.mode("overwrite").parquet(self._art("centroids"))
-        cbs.write.mode("overwrite").parquet(self._art("codebooks"))
-        self._encode_and_write(corpus, cents, cbs, "overwrite")
+        # the tiny quantizer writes are independent of the encode pass —
+        # overlap them with it (guide §2.6, r14); every artifact lands in
+        # an UNREFERENCED location until the meta sidecar below exists, so
+        # a crash/failure anywhere simply orphans the whole write
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        with _TPE(max_workers=2) as _pool:
+            _fc = _pool.submit(
+                lambda: cents.write.mode("overwrite").parquet(
+                    self._art("centroids")
+                )
+            )
+            _fb = _pool.submit(
+                lambda: cbs.write.mode("overwrite").parquet(
+                    self._art("codebooks")
+                )
+            )
+            self._encode_and_write(corpus, cents, cbs, "overwrite")
+            _fc.result()
+            _fb.result()
         with open(self._meta_file(), "w") as fh:
             _json.dump({k: getattr(self, k) for k in self._META_KEYS}, fh)
         return self
 
+    def _assign_ckpt(self, corpus: DataFrame, cents: DataFrame) -> DataFrame:
+        """corpus → cell assignment via the SHARED assign step (probe side
+        unused and never executed — a lazy plan on an empty frame),
+        localCheckpoint'ed because it feeds BOTH writes — unmaterialized,
+        the crossJoin+argmax (the most expensive stage) would run twice.
+        Factored out of :meth:`_encode_and_write` (r14) so
+        :meth:`add_vectors` can run it CONCURRENTLY with its guard probes
+        (guide §2.6) — the checkpoint is side-effect-free, so durability
+        ordering (no write before the guards pass) is untouched."""
+        assigned, _ = _ivf_assign_probe(
+            corpus, corpus.limit(0), cents, self.id_col, self.vec_col, 1
+        )
+        return assigned.localCheckpoint()
+
     def _encode_and_write(
-        self, corpus: DataFrame, cents: DataFrame, cbs: DataFrame, mode: str
+        self,
+        corpus: DataFrame,
+        cents: DataFrame,
+        cbs: DataFrame,
+        mode: str,
+        assigned: DataFrame | None = None,
     ) -> None:
         """Shared assign → encode → persist step of :meth:`build`
         (overwrite) and :meth:`add_vectors` (append) — one body so a
         tie-break or schema change cannot desync the two (the same
         argument as :func:`_pq_encode_cells` itself). The corpus → cell
-        assignment runs via the SHARED assign step (probe side unused and
-        never executed — a lazy plan on an empty frame) and is
-        localCheckpoint'ed because it feeds BOTH writes — unmaterialized,
-        the crossJoin+argmax (the most expensive stage) would run twice.
+        assignment comes from :meth:`_assign_ckpt` (computed here unless
+        the caller already materialized it concurrently with its guards).
         Write order is ids → VECTORS → codes: the appends cannot be
         atomic, and earlier-listed-first means a crash between any two
         leaves ids that the duplicate check sees — the interrupted
@@ -1839,10 +1873,8 @@ class IVFPQIndex:
 
         from concurrent.futures import ThreadPoolExecutor
 
-        assigned, _ = _ivf_assign_probe(
-            corpus, corpus.limit(0), cents, self.id_col, self.vec_col, 1
-        )
-        assigned = assigned.localCheckpoint()
+        if assigned is None:
+            assigned = self._assign_ckpt(corpus, cents)
         codes = _pq_encode_cells(assigned, cbs, self.m, self.sub_len)
         if self.id_buckets == "auto":
             # scale-adaptive sidecar partition count (guide §2), sized
@@ -1981,6 +2013,32 @@ class IVFPQIndex:
         # plan — one narrow |Δ|-row materialization instead of re-running
         # the corpus plan per probe
         ids = corpus.select(F.col(self.id_col).alias("neighbor_id")).localCheckpoint()
+        # the assign+encode checkpoint is side-effect-free and independent
+        # of the guard outcomes, so it materializes CONCURRENTLY with the
+        # guard probes below (guide §2.6, r14) — durability ordering is
+        # untouched: no write starts until every guard has passed, and a
+        # guard failure still raises before any side effect (the worker's
+        # checkpoint is discarded with the exception)
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        cents = spark.read.parquet(self._art("centroids"))
+        cbs = spark.read.parquet(self._art("codebooks"))
+        with _TPE(max_workers=1) as _pool:
+            f_assigned = _pool.submit(self._assign_ckpt, corpus, cents)
+            self._check_add_guards(spark, ids, enforce_unique)
+            assigned = f_assigned.result()
+        self._encode_and_write(corpus, cents, cbs, "append", assigned=assigned)
+        # table maintenance on cadence (r13, VERDICT r12 #6) — after the
+        # absorb completes, i.e. between serving turns as compact()'s
+        # single-writer contract requires
+        if self.auto_compact_every:
+            self._absorbs_since_compact += 1
+            if self._absorbs_since_compact >= self.auto_compact_every:
+                self.compact()
+                self._absorbs_since_compact = 0
+        return self
+
+    def _check_add_guards(self, spark, ids: DataFrame, enforce_unique: bool) -> None:
         # ONE driver action answers every guard: the within-batch duplicate
         # probe, the re-sent-id probe, and the tombstone-reservation probe
         # union into a tagged frame whose lexically-first tag reproduces
@@ -2056,18 +2114,6 @@ class IVFPQIndex:
                     f"id {rid!r} is tombstoned — run "
                     "compact() to clear deletes before re-indexing the id"
                 )
-        cents = spark.read.parquet(self._art("centroids"))
-        cbs = spark.read.parquet(self._art("codebooks"))
-        self._encode_and_write(corpus, cents, cbs, "append")
-        # table maintenance on cadence (r13, VERDICT r12 #6) — after the
-        # absorb completes, i.e. between serving turns as compact()'s
-        # single-writer contract requires
-        if self.auto_compact_every:
-            self._absorbs_since_compact += 1
-            if self._absorbs_since_compact >= self.auto_compact_every:
-                self.compact()
-                self._absorbs_since_compact = 0
-        return self
 
     def remove_vectors(self, ids: DataFrame) -> "IVFPQIndex":
         """Delete indexed vectors — the other half of the serving
@@ -2311,11 +2357,17 @@ class IVFPQIndex:
             # compact for content the operation never touches)
             _shutil.copytree(src_cents, self._art("centroids"), dirs_exist_ok=True)
             _shutil.copytree(src_cbs, self._art("codebooks"), dirs_exist_ok=True)
-            # vectors and codes rewrites are independent of each other —
-            # overlap them so the second's tasks back-fill the first's
-            # straggler tail (guide §2.6); crash-atomicity is unaffected
-            # (nothing is referenced until the pointer flips below)
-            with ThreadPoolExecutor(max_workers=2) as pool:
+            # the vectors rewrite, the codes rewrite, and the ids-sidecar
+            # re-derivation are mutually independent — overlap all three
+            # so each one's straggler tail is back-filled by the others
+            # (guide §2.6); crash-atomicity is unaffected (nothing is
+            # referenced until the pointer flips below). The ids derive
+            # from the SAME surviving-vectors frame as the vectors
+            # rewrite (old-generation scan, column-pruned to the id, with
+            # the tombstone anti-join) — identical rows to a read-back of
+            # the compacted files, without serializing behind them; drops
+            # tombstoned ids and heals dangling sidecar entries alike
+            with ThreadPoolExecutor(max_workers=3) as pool:
                 fv = pool.submit(
                     lambda: vectors.coalesce(n_files)
                     .write.mode("overwrite")
@@ -2329,26 +2381,21 @@ class IVFPQIndex:
                     .partitionBy("__cell__")
                     .parquet(self._art("codes"))
                 )
+                fi = pool.submit(
+                    lambda: vectors.select(
+                        "neighbor_id",
+                        F.pmod(
+                            F.xxhash64("neighbor_id"), F.lit(self.id_buckets)
+                        ).alias("__idb__"),
+                    )
+                    .repartition("__idb__")
+                    .write.mode("overwrite")
+                    .partitionBy("__idb__")
+                    .parquet(self._art("ids"))
+                )
                 fv.result()
                 fc.result()
-            # ids re-derived from the surviving vectors — drops tombstoned
-            # ids and heals dangling sidecar entries in one stroke. Read
-            # back from the just-COMPACTED vectors files (n_files compact
-            # files, tombstones already dropped) instead of re-running the
-            # old-generation scan + anti-join a second time
-            (
-                spark.read.parquet(self._art("vectors"))
-                .select(
-                    "neighbor_id",
-                    F.pmod(
-                        F.xxhash64("neighbor_id"), F.lit(self.id_buckets)
-                    ).alias("__idb__"),
-                )
-                .repartition("__idb__")
-                .write.mode("overwrite")
-                .partitionBy("__idb__")
-                .parquet(self._art("ids"))
-            )
+                fi.result()
         except BaseException:
             self.generation, self.id_buckets = old_state
             raise
@@ -2485,9 +2532,25 @@ class IVFPQIndex:
             self.m, self.ksub, self.n_lists, self.sub_len = m, ksub, n_lists, sub_len
             self.train_sample = ts
             _os.makedirs(_os.path.join(self.path, new_gen), exist_ok=True)
-            cents.write.mode("overwrite").parquet(self._art("centroids"))
-            cbs.write.mode("overwrite").parquet(self._art("codebooks"))
-            self._encode_and_write(corpus, cents, cbs, "overwrite")
+            # overlap the tiny quantizer writes with the encode pass
+            # (guide §2.6, r14) — the generation stays unreferenced until
+            # the meta flip below, so failure anywhere orphans it whole
+            from concurrent.futures import ThreadPoolExecutor as _TPE
+
+            with _TPE(max_workers=2) as _pool:
+                _fc = _pool.submit(
+                    lambda: cents.write.mode("overwrite").parquet(
+                        self._art("centroids")
+                    )
+                )
+                _fb = _pool.submit(
+                    lambda: cbs.write.mode("overwrite").parquet(
+                        self._art("codebooks")
+                    )
+                )
+                self._encode_and_write(corpus, cents, cbs, "overwrite")
+                _fc.result()
+                _fb.result()
         except BaseException:
             # the in-process object must never point at a half-written
             # generation — restore and let the orphan sweep reclaim it
