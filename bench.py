@@ -206,20 +206,20 @@ LIFECYCLE = [
 # iterating (the full list dominates round wall-clock at 135+ queries;
 # the close-out still runs everything). Update each round.
 CHANGED_THIS_ROUND = [
-    "dedup_index_autocompact",
-    "ann_index_autocompact",
-    "dedup_index_rebuild",
-    "ann_ivf_sampled",
-    "ann_pq_sampled",
+    # r14: linear salted star + one-scan closure + narrowed pretrain
+    # persist (dedup family), overlapped ANN index lifecycle jobs
+    "dedup_cluster_stars",
+    "dedup_cluster",
     "dedup_index_delete",
-    "ann_index_retrain",
+    "dedup_index_rebuild",
+    "dedup_index_autocompact",
+    "pretrain_pipeline",
+    "ann_index_persist",
     "ann_index_update",
     "ann_index_delete",
-    "ann_index_persist",
-    "pretrain_pipeline",
-    "dedup_cluster_stars",
-    "ann_pq",
-    "ann_ivf_pq",
+    "ann_index_retrain",
+    "ann_index_autocompact",
+    "dedup_jaccard_prefix",
 ]
 
 

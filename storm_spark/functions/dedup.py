@@ -1457,7 +1457,10 @@ class IncrementalLSHIndex:
             return self._index
         return spark.table(self._cur_table) if self._has_table else None
 
-    def _append_index(self, nb: DataFrame) -> None:
+    def _append_index(self, nb: DataFrame, ids_written: bool = False) -> None:
+        """Append one epoch's band-bucket rows (and, unless the caller
+        already did it concurrently — ``ids_written``, see
+        :meth:`add_docs`'s overlap — the epoch's ids-sidecar rows)."""
         if self.index_table is None:
             self._index = (
                 nb if self._index is None else self._index.unionByName(nb)
@@ -1471,66 +1474,26 @@ class IncrementalLSHIndex:
                 self._index = self._index.localCheckpoint()
                 self._index_epochs = 0
             return
-        if not self._has_table:
-            # drop BOTH the metastore entry and any stale files at the
-            # path — DROP TABLE on an external table leaves its parquet
-            # behind, and mode("append") would resurrect a prior index's
-            # buckets into this one (phantom pairs). Refuse to clobber a
-            # non-empty path the caller didn't opt into wiping: the path
-            # could hold unrelated data, and rmtree is unrecoverable.
-            # The guard and the wipe BOTH cover the generation layout
-            # too (ADVICE r12 medium): a prior index that was ever
-            # compacted/rebuilt lives in `{path}__gN` tables named by the
-            # POINTER sidecar, its legacy root long swept — a fresh-start
-            # wipe that left the pointer behind would let a later
-            # resume=True incarnation attach to the OLD generation and
-            # silently serve pre-wipe content (phantom pairs, the exact
-            # failure the error message warns about).
-            import os as _os
-            import shutil as _shutil
-
-            stale_gens = self._generation_dirs()
-            stale_pointer = _os.path.isfile(self._pointer_path)
-            if not self.overwrite_index and (
-                (_os.path.isdir(self._cur_path) and _os.listdir(self._cur_path))
-                or stale_gens
-                or stale_pointer
-            ):
-                raise ValueError(
-                    f"index_path {self._cur_path!r} holds a prior index "
-                    "(non-empty path, a generation pointer sidecar, or "
-                    "`__gN` generation tables); a fresh IncrementalLSHIndex "
-                    "must start from an empty path (a stale index there "
-                    "would leak phantom pairs). Pass overwrite_index=True "
-                    "to wipe it explicitly."
-                )
-            nb.sparkSession.sql(f"DROP TABLE IF EXISTS {self._cur_table}")
-            nb.sparkSession.sql(f"DROP TABLE IF EXISTS {self._ids_table}")
-            _shutil.rmtree(self._cur_path, ignore_errors=True)
-            _shutil.rmtree(self._ids_path, ignore_errors=True)
-            # a prior index's leftover tombstones would haunt the fresh
-            # one (refusing ids it never contained)
-            _shutil.rmtree(self._tomb_path, ignore_errors=True)
-            if stale_gens or stale_pointer:
-                # self.generation is None on a fresh index, so the sweep
-                # drops EVERY `__gN` generation (tables and files); the
-                # pointer goes too, or a later resume would chase it to
-                # a dropped generation
-                self._sweep_orphan_generations(nb.sparkSession)
-                if stale_pointer:
-                    _os.remove(self._pointer_path)
+        # ids_written implies add_docs already ran the first-epoch
+        # bootstrap before its concurrent ids append — re-running it here
+        # would WIPE that freshly-written sidecar (the fresh-start rmtree)
+        if not ids_written:
+            self._bootstrap_table(nb.sparkSession)
         # compact sibling id table (one narrow row per doc) — what the
         # re-sent-id semi-join scans; see _ids_table. Written BEFORE the
         # index append on purpose: the two writes cannot be atomic, and
         # the failure modes differ — ids-first means a crash between
         # them makes the batch's REPLAY raise "already indexed" (loud,
-        # operator-visible, matching the class convention), while
-        # index-first would let the replay pass the id check and silently
-        # DOUBLE-INDEX the batch (duplicate signature rows → self-pairs
-        # and phantom duplicates downstream, the worst possible failure).
-        self._write_ids(
-            nb.filter(F.col("__band__") == 0).select("__id__"), "append"
-        )
+        # operator-visible — and diagnosable/healable: see the dangling
+        # branch of _check_exactly_once and compact_index's sidecar
+        # re-derivation), while index-first would let the replay pass
+        # the id check and silently DOUBLE-INDEX the batch (duplicate
+        # signature rows → self-pairs and phantom duplicates downstream,
+        # the worst possible failure).
+        if not ids_written:
+            self._write_ids(
+                nb.filter(F.col("__band__") == 0).select("__id__"), "append"
+            )
         (
             nb.write.mode("append")
             .option("path", self._cur_path)
@@ -1545,6 +1508,62 @@ class IncrementalLSHIndex:
             with open(self._meta_path, "w") as fh:
                 _json.dump(self._meta_dict(), fh)
         self._has_table = True
+
+    def _bootstrap_table(self, spark) -> None:
+        """First-epoch bootstrap of the bucketed layout (no-op once
+        ``_has_table``): refuse-or-wipe a stale path, drop stale
+        metastore entries, sweep orphan generations. Factored out of
+        :meth:`_append_index` (r14) so :meth:`add_docs` can run it
+        before its concurrent ids write."""
+        if self._has_table:
+            return
+        # drop BOTH the metastore entry and any stale files at the
+        # path — DROP TABLE on an external table leaves its parquet
+        # behind, and mode("append") would resurrect a prior index's
+        # buckets into this one (phantom pairs). Refuse to clobber a
+        # non-empty path the caller didn't opt into wiping: the path
+        # could hold unrelated data, and rmtree is unrecoverable.
+        # The guard and the wipe BOTH cover the generation layout
+        # too (ADVICE r12 medium): a prior index that was ever
+        # compacted/rebuilt lives in `{path}__gN` tables named by the
+        # POINTER sidecar, its legacy root long swept — a fresh-start
+        # wipe that left the pointer behind would let a later
+        # resume=True incarnation attach to the OLD generation and
+        # silently serve pre-wipe content (phantom pairs, the exact
+        # failure the error message warns about).
+        import os as _os
+        import shutil as _shutil
+
+        stale_gens = self._generation_dirs()
+        stale_pointer = _os.path.isfile(self._pointer_path)
+        if not self.overwrite_index and (
+            (_os.path.isdir(self._cur_path) and _os.listdir(self._cur_path))
+            or stale_gens
+            or stale_pointer
+        ):
+            raise ValueError(
+                f"index_path {self._cur_path!r} holds a prior index "
+                "(non-empty path, a generation pointer sidecar, or "
+                "`__gN` generation tables); a fresh IncrementalLSHIndex "
+                "must start from an empty path (a stale index there "
+                "would leak phantom pairs). Pass overwrite_index=True "
+                "to wipe it explicitly."
+            )
+        spark.sql(f"DROP TABLE IF EXISTS {self._cur_table}")
+        spark.sql(f"DROP TABLE IF EXISTS {self._ids_table}")
+        _shutil.rmtree(self._cur_path, ignore_errors=True)
+        _shutil.rmtree(self._ids_path, ignore_errors=True)
+        # a prior index's leftover tombstones would haunt the fresh
+        # one (refusing ids it never contained)
+        _shutil.rmtree(self._tomb_path, ignore_errors=True)
+        if stale_gens or stale_pointer:
+            # self.generation is None on a fresh index, so the sweep
+            # drops EVERY `__gN` generation (tables and files); the
+            # pointer goes too, or a later resume would chase it to
+            # a dropped generation
+            self._sweep_orphan_generations(spark)
+            if stale_pointer:
+                _os.remove(self._pointer_path)
 
     def _meta_dict(self) -> dict:
         """Persisted sidecar contents: the structural `_META_KEYS` (hard
@@ -1743,8 +1762,30 @@ class IncrementalLSHIndex:
                     "this batch — each id must arrive exactly once; run exact "
                     "dedup upstream"
                 )
+            # distinguish a true replay from a DANGLING sidecar id (r14,
+            # the IVFPQIndex convention): an absorb interrupted between
+            # its ids append and its index append leaves the id in the
+            # sidecar with no band-bucket rows behind it — nothing is
+            # double-indexed, and the remedy is compact_index() (which
+            # re-derives the sidecar from the index's band-0 rows), then
+            # replaying the batch. One point lookup, failing path only.
+            rid = bad[0]["__id__"]
+            if self.index_table is not None and self._has_table:
+                in_index = (
+                    self._stored_index(spark)
+                    .filter(F.col("__id__") == F.lit(rid))
+                    .head(1)
+                )
+                if not in_index:
+                    raise ValueError(
+                        f"doc id {rid!r} is in the ids sidecar but has no "
+                        "index rows — a dangling entry from an absorb "
+                        "interrupted between the sidecar and index appends; "
+                        "run compact_index() to heal the sidecar, then "
+                        "replay this batch"
+                    )
             raise ValueError(
-                f"doc id {bad[0]['__id__']!r} was already indexed — "
+                f"doc id {rid!r} was already indexed — "
                 "each id must arrive exactly once (replayed batch or "
                 "re-sent doc?); run exact dedup upstream or dedup the "
                 "replay before add_docs"
@@ -2141,6 +2182,7 @@ class IncrementalLSHIndex:
         # check failure still raises before any side effect.
         from concurrent.futures import ThreadPoolExecutor
 
+        ids_written = False
         with ThreadPoolExecutor(max_workers=3) as pool:
             f_emit = pool.submit(lambda: within.distinct().localCheckpoint())
             f_check = (
@@ -2159,8 +2201,30 @@ class IncrementalLSHIndex:
                     "id (in-memory mode has no compaction: a removed id "
                     "cannot be re-indexed there)"
                 )
-            new_pairs = f_emit.result()
-        self._append_index(nb)
+            # every guard has passed — the epoch's ids-sidecar append may
+            # start NOW, overlapped with the emission's materialization
+            # (guide §2.6, r14): the emission never reads the sidecar, so
+            # there is no reader/writer pair, and durability ordering is
+            # intact (nothing durable before the guards; ids still land
+            # strictly before the index rows). If the emission then
+            # fails, the resulting ids-without-index state is the SAME
+            # class as a crash between the two appends — the replay
+            # raises loudly, _check_exactly_once diagnoses the dangling
+            # sidecar entry, and compact_index() heals it (the sidecar
+            # is re-derived from the index's band-0 rows).
+            if self.index_table is not None:
+                self._bootstrap_table(spark)
+                f_ids = pool.submit(
+                    self._write_ids,
+                    nb.filter(F.col("__band__") == 0).select("__id__"),
+                    "append",
+                )
+                new_pairs = f_emit.result()
+                f_ids.result()
+                ids_written = True
+            else:
+                new_pairs = f_emit.result()
+        self._append_index(nb, ids_written=ids_written)
         # keep the already-checkpointed per-epoch frames and union LAZILY
         # in pairs(): re-checkpointing the accumulated union every epoch
         # would re-materialize O(total pairs) per epoch — history-sized
@@ -2250,6 +2314,7 @@ class IncrementalLSHIndex:
         cur = spark.read.parquet(self._cur_path)
         if tomb is not None:
             cur = cur.join(F.broadcast(tomb), "__id__", "anti")
+        live_rows = cur  # pre-repartition view — the ids rewrite's input
         # n_buckets-way PARALLEL rewrite (r13, VERDICT r12 #3 — the old
         # coalesce(1) serialized the full-generation rewrite through one
         # task, a straggler at 100 TB): repartition on the bucket
@@ -2278,15 +2343,22 @@ class IncrementalLSHIndex:
                 F.pmod(F.xxhash64("__id__"), F.lit(n_files)),
             )
         # ids sidecar rewritten in the PARTITIONED layout — also the
-        # migration point for a pre-r13 legacy sidecar (VERDICT r12 #2)
-        ids = self._stored_ids(spark)
-        if tomb is not None:
-            ids = ids.join(F.broadcast(tomb), "__id__", "anti")
+        # migration point for a pre-r13 legacy sidecar (VERDICT r12 #2).
+        # Re-derived from the INDEX's band-0 rows (r14, the
+        # IVFPQIndex.compact convention: "rebuilds the sidecar from
+        # vectors") rather than from the old sidecar: that drops
+        # tombstoned ids AND heals any dangling sidecar entry left by an
+        # absorb interrupted between its ids append and its index append
+        # — previously permanent until a full rebuild(). `cur` already
+        # carries the tombstone anti-join; band 0 is every live doc
+        # exactly once.
+        ids = live_rows.filter(F.col("__band__") == 0).select("__id__")
         # the table rewrite and the ids-sidecar rewrite are independent
-        # (ids derive from the OLD sidecar, not the new table) and both
-        # land in the unreferenced next generation — overlap them so one
-        # write's straggler tail is back-filled by the other's tasks
-        # (guide §2.6); crash-atomicity is the pointer flip below either way
+        # (ids derive from the pre-repartition live rows, not the new
+        # table) and both land in the unreferenced next generation —
+        # overlap them so one write's straggler tail is back-filled by
+        # the other's tasks (guide §2.6); crash-atomicity is the pointer
+        # flip below either way
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=2) as pool:

@@ -2141,3 +2141,48 @@ def test_lsh_index_auto_compact_cadence(spark, tmp_path):
                   "lsh_autoc_test__g2", "lsh_autoc_test__g2__ids",
                   "lsh_autoc_test__g3", "lsh_autoc_test__g3__ids"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_lsh_index_dangling_sidecar_diagnosed_and_healed(spark, tmp_path):
+    """r14 (the IVFPQIndex dangling-id convention, ADVICE r11 pattern):
+    an absorb interrupted between the ids-sidecar append and the index
+    append — or an in-flight emission failure under the r14 overlapped
+    ids write — leaves ids with no band-bucket rows behind them. The
+    replay must be DIAGNOSED (a distinct loud error naming the remedy,
+    not the generic "already indexed"), and compact_index() must HEAL
+    the sidecar (re-derived from the index's band-0 rows), after which
+    the replay succeeds."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from storm_spark.functions.dedup import IncrementalLSHIndex
+
+    docs = _lsh_del_docs(spark, n=20)
+    path = str(tmp_path / "dangling")
+    try:
+        idx = IncrementalLSHIndex(
+            "doc_id", "text", n=3, num_perm=12, bands=4,
+            index_table="lsh_dangling_test", index_path=path,
+        )
+        idx.add_docs(docs.filter("doc_id < 10"))
+        # simulate the interrupted absorb: the batch's ids land in the
+        # sidecar, the index append never happens
+        idx._write_ids(
+            docs.filter("doc_id >= 10").select(
+                F.col("doc_id").alias("__id__")
+            ),
+            "append",
+        )
+        with _pytest.raises(ValueError, match="dangling entry"):
+            idx.add_docs(docs.filter("doc_id >= 10"))
+        idx.compact_index()  # heals: sidecar re-derived from index rows
+        assert idx._stored_ids(spark).count() == 10
+        idx.add_docs(docs.filter("doc_id >= 10"))  # replay now succeeds
+        assert idx._stored_ids(spark).count() == 20
+        # a TRUE replay still raises the generic loud error
+        with _pytest.raises(ValueError, match="already indexed"):
+            idx.add_docs(docs.filter("doc_id < 10"))
+    finally:
+        for t in ("lsh_dangling_test", "lsh_dangling_test__ids",
+                  "lsh_dangling_test__g1", "lsh_dangling_test__g1__ids"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
