@@ -775,6 +775,20 @@ def bpe_train(
         seg_expr = F.replace(  # Column args: symbols may contain quotes (')
             seg_expr, F.lit(f"({l})({r})"), F.lit(f"({l}{r})")
         )
+        # bound the lazy chain (ADVICE r13 low): re-evaluated from segs0,
+        # k chained replaces cost O(k²) total string work and an
+        # expression tree of depth k — fine at gate scale (k ≤ 60,
+        # measured cheaper than per-round checkpoints), quadratic
+        # analysis time / analyzer stack risk at k ~10³⁺. Re-materialize
+        # the segmentation every 64 rounds and reset the chain: total
+        # work returns to O(k) per 64-round window with one extra job
+        # per window, result-identical (the checkpoint holds exactly the
+        # chain's value).
+        if rank % 64 == 0:
+            segs0 = segs0.select(
+                seg_expr.alias("seg"), "freq"
+            ).localCheckpoint()
+            seg_expr = F.col("seg")
     return spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, cnt bigint"
     )

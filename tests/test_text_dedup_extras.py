@@ -2186,3 +2186,56 @@ def test_lsh_index_dangling_sidecar_diagnosed_and_healed(spark, tmp_path):
         for t in ("lsh_dangling_test", "lsh_dangling_test__ids",
                   "lsh_dangling_test__g1", "lsh_dangling_test__g1__ids"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bpe_train_rematerialization_cadence_is_invisible(spark):
+    """r14 (ADVICE r13 low): bpe_train re-materializes its lazy merge
+    chain every 64 rounds to bound the Catalyst expression depth at
+    large k. The checkpoint holds exactly the chain's value, so the
+    learned merge table must be IDENTICAL across the cadence boundary —
+    asserted by learning k > 64 rules over a corpus engineered to have
+    many distinct frequent pairs and checking the table against a pure
+    greedy reference implementation."""
+    from storm_spark.functions.text import bpe_train
+
+    # one long word per row, each repeated a distinct number of times →
+    # a long deterministic sequence of learnable merges
+    words = [
+        ("abcdefghij"[: 2 + i % 9] + f"x{i}", 100 - i) for i in range(40)
+    ]
+    rows = [(w,) for w, n in words for _ in range(n)]
+    docs = spark.createDataFrame(rows, "text string")
+    got = [
+        (r["rank"], r["lhs"], r["rhs"], r["cnt"])
+        for r in bpe_train(docs, "text", k=70).orderBy("rank").collect()
+    ]
+    assert len(got) > 64  # the cadence boundary was actually crossed
+
+    # pure-python greedy reference (same tie-break: count desc, l asc, r asc)
+    vocab = {}
+    for w, n in words:
+        vocab[w] = vocab.get(w, 0) + n
+    segs = {w: [c for c in w] for w in vocab}
+    want = []
+    for rank in range(1, 71):
+        counts = {}
+        for w, syms in segs.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + vocab[w]
+        if not counts:
+            break
+        (l, r), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((rank, l, r, cnt))
+        for w, syms in segs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = out
+    assert got == want
