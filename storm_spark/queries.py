@@ -9253,70 +9253,71 @@ QUERIES = {
 }
 
 # ---------------------------------------------------------------------------
-# Rotation 13 (policy from r8: LEAST-RECENTLY-SAMPLED first — the driver
+# Rotation 14 (policy from r8: LEAST-RECENTLY-SAMPLED first — the driver
 # samples the first 50 keys, so the head is recomputed each round via
 # tools/rotation.py as: this round's NEW gates, then every other entry
-# ranked by (last driver-sampled round, catalog position)). The r13 head =
-# the 2 new r13 gates (dedup_index_autocompact, ann_index_autocompact),
-# then the stalest tail — last driver-sampled in round 9. The literal dict
-# order above is the historical rotation record; THIS list is the
-# driver-facing order (policy documented in SURVEY.md §8).
-_ROTATION13_HEAD = [
-    "dedup_index_autocompact",
-    "ann_index_autocompact",
-    "streaming_dedup_pipeline_bucketed",
-    "streaming_dedup_merge",
-    "leakage_safe_split",
-    "multimodal_frames",
-    "multimodal_resize",
-    "salted_groupby",
-    "prototype_prune",
-    "semantic_dedup",
-    "substring_dedup",
-    "pmi_collocations",
-    "training_order",
-    "quality_gate",
-    "mixture_weights",
-    "bm25_topk",
-    "multi_reduce",
-    "repartition_verbs",
-    "metrics_observe",
-    "state_scan",
-    "funnel",
-    "retention",
-    "weighted_sample",
-    "bucketed_join",
-    "partition_pruned",
-    "redact_pii",
-    "quota_sample",
-    "bloom_join",
-    "outlier_mad",
-    "gap_fill",
-    "frequent_pairs",
-    "unigram_surprisal",
-    "quality_repetition",
-    "domain_stats",
-    "trailing_zscore",
-    "profile_table",
-    "sessionize",
-    "corpus_diff",
-    "event_transitions",
-    "pagerank",
-    "fuzzy_pairs",
-    "scd2",
-    "rolling_active",
-    "dedup_cluster",
-    "ann_lsh",
-    "ann_ivf",
-    "simhash",
-    "cosine_topk",
-    "text_profile",
-    "dataset_split",
+# ranked by (last driver-sampled round, catalog position)). r14 adds no
+# gates, so the head is purely the stalest tail — last driver-sampled in
+# rounds 9-10 (lifecycle gates ann_index_persist/update/delete and the
+# streaming family among them). The literal dict order above is the
+# historical rotation record; THIS list is the driver-facing order
+# (policy documented in SURVEY.md §8).
+_ROTATION14_HEAD = [
+    "chunk_tokens",
+    "pack_chunks",
+    "q1",
+    "state_avg",
+    "ann_rescore",
+    "quality_gate_approx",
+    "user_entropy",
+    "k_anonymize",
+    "tpch_q6",
+    "streaming_psi",
+    "ann_index_persist",
+    "ann_index_update",
+    "ann_index_delete",
+    "streaming_ann_ingest",
+    "streaming_dedup_pipeline_stars",
+    "streaming_leakage_split",
+    "streaming_bm25",
+    "streaming_percentile",
+    "dsir_sample",
+    "gopher_quality",
+    "schema_evolution",
+    "series_similarity",
+    "pit_join",
+    "lm_perplexity",
+    "trailing_corr",
+    "group_corr",
+    "streaming_gap_fill",
+    "triangle_count",
+    "streaming_dedup",
+    "streaming_transitions",
+    "tpch_q16",
+    "tpch_q14",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q15",
+    "tpch_q17",
+    "ks_drift",
+    "sessionize_native",
+    "set_intersect",
+    "set_except",
+    "outlier_mad_hist",
+    "graph_bfs",
+    "dedup_merge",
+    "centroid_classify",
+    "psi_drift",
+    "fuzzy_pairs_two_pass",
+    "event_paths",
+    "winsorize",
+    "streaming_sessionize",
+    "tfidf_top_terms",
 ]
-assert len(_ROTATION13_HEAD) == 50 and len(set(_ROTATION13_HEAD)) == 50
+assert len(_ROTATION14_HEAD) == 50 and len(set(_ROTATION14_HEAD)) == 50
 QUERIES = {
     k: QUERIES[k]
-    for k in (*_ROTATION13_HEAD, *(k for k in QUERIES if k not in set(_ROTATION13_HEAD)))
+    for k in (*_ROTATION14_HEAD, *(k for k in QUERIES if k not in set(_ROTATION14_HEAD)))
 }
 
 ORACLES = {
